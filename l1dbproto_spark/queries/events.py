@@ -1,0 +1,180 @@
+"""Event-stream analytics in batch form: tumbling windows, pivot-to-wide,
+sessionization, day/night gating, JSON payload extraction.
+
+These are the batch formulations of the reference's streaming metrics pipeline
+(SURVEY.md §2.4 A5-A9, §2.8 T1-T2, §2.2 P8, §2.7 F11): the same plans run
+under Structured Streaming in l1dbproto_spark.streaming with watermarks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import query
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "visit_window_agg",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="A5,A6,T1",
+    headline=True,
+)
+def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the per-visit metric aggregation
+    (log2csv.py:96,126-132: count/sum/avg per visit per key), keyed by an
+    hour window instead of visit id. Streaming variant: groupBy(window(ts,'1
+    hour'), event_type) with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    sum_dec = F.sum(F.col("value").cast("decimal(12,2)"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            n.alias("n_events"),
+            sum_dec.cast("double").alias("sum_value"),
+            (sum_dec.cast("double") / n).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "metrics_pivot_wide",
+    oracle="""
+    SELECT
+      date_trunc('day', ts) AS day,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    survey="A9",
+)
+def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-to-wide-row: the reference emits one wide CSV row per visit with a
+    fixed metric column list (log2csv.py:156-217) — groupBy().pivot() with an
+    explicit value list (explicit values avoid a pre-pass and keep the plan to
+    one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"))
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id,
+        ts,
+        CASE
+          WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+          WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               > INTERVAL 30 MINUTE THEN 1
+          ELSE 0
+        END AS new_session
+      FROM events
+    )
+    SELECT
+      user_id,
+      SUM(new_session) AS n_sessions,
+      COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    survey="T2,W5,W6 (session analog)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session — lag() + conditional
+    flag + per-user counts. Streaming variant: session_window(ts, '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | (F.col("ts").cast("long") - lag_ts.cast("long") > 30 * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "day_night_gate",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_night_events
+    FROM events
+    WHERE NOT (EXTRACT(hour FROM ts) >= 6 AND EXTRACT(hour FROM ts) < 20)
+    GROUP BY 1
+    """,
+    survey="P8",
+)
+def day_night_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day/night duty-cycle gate: visits with 6 <= hour < 20 are skipped
+    (ap_proto.py:66-81) — an hour-of-timestamp filter."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    return (
+        ev.filter(~((hour >= 6) & (hour < 20)))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_night_events"))
+    )
+
+
+@query(
+    "json_payload_extract",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="F11,F12,S9",
+)
+def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-payload JSON extraction: the reference parses ' apdb_metrics: '
+    JSON payloads out of log lines (log2csv.py:321-332) — get_json_object +
+    typed cast + per-key aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    n = F.count(F.lit(1))
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / n).alias("avg_k"),
+        )
+    )

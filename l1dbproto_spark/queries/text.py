@@ -1,0 +1,181 @@
+"""Text-analysis operators over the documents table (training-data pipeline
+extension, SURVEY.md §7.1 extension layer): token counting, quality scoring,
+language ID, document fingerprinting.
+
+All are native column expressions (split/regexp/aggregate) — no Python UDFs —
+so they stay inside whole-stage codegen and scale linearly over a 100 TB
+document corpus with zero shuffles (embarrassingly parallel per-row maps;
+the only shuffle is a final aggregation where present)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import query
+
+# A compact "BPE-ish" token pattern: alpha runs, digit runs, single punct.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_STOP_EN = ("the", "of", "and", "to", "in", "a", "is")
+_STOP_ES = ("el", "la", "de", "que", "y", "los", "es")
+_STOP_FR = ("le", "la", "de", "et", "un", "les", "est")
+
+
+def _words(col):
+    return F.split(F.trim(col), " +")
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split_regex(trim(text), ' +')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    survey="ext:text (token counting)",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        doc_id,
+        length(text) AS n_chars,
+        len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        len(list_filter(string_split_regex(trim(text), ' +'),
+                        x -> x IN {str(tuple(_STOP_EN))})) AS n_stop,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      n_chars,
+      n_tokens,
+      CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        + 0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20 END)
+        + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+    FROM t
+    """,
+    survey="ext:text (quality scoring)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score from length / stopword ratio / punct
+    ratio. All ratios are int/int divisions in double — deterministic across
+    engines; the weighted sum is evaluated in identical operand order."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
+    n_chars = F.length("text")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    len_score = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(
+        n_tokens.cast("double") / F.lit(20)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        doc_id,
+        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                        x -> x IN {str(tuple(_STOP_EN))})) AS en_hits,
+        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                        x -> x IN {str(tuple(_STOP_ES))})) AS es_hits,
+        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                        x -> x IN {str(tuple(_STOP_FR))})) AS fr_hits
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CASE
+        WHEN en_hits > es_hits AND en_hits > fr_hits THEN 'en'
+        WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+        WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+        ELSE 'und'
+      END AS lang_pred,
+      en_hits, es_hits, fr_hits
+    FROM t
+    """,
+    survey="ext:text (language ID)",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit-count language ID heuristic (argmax over per-language
+    stopword sets, deterministic tie -> 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.lower(F.col("text")))
+
+    def hits(stops):
+        arr = F.array(*[F.lit(w) for w in stops])
+        return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+
+    en, es, fr = hits(_STOP_EN), hits(_STOP_ES), hits(_STOP_FR)
+    pred = (
+        F.when((en > es) & (en > fr), F.lit("en"))
+        .when((es > en) & (es > fr), F.lit("es"))
+        .when((fr > en) & (fr > es), F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(trim(text))) AS fingerprint,
+      substr(md5(lower(trim(text))), 1, 4) AS shard
+    FROM documents
+    """,
+    survey="ext:text (fingerprinting); F13",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text, plus a 16-bit shard prefix
+    (the fingerprint doubles as a dedup key and a balanced partition key at
+    100 TB: partitioning by the shard prefix gives uniform buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard")
+    )

@@ -1,0 +1,128 @@
+"""Window-function operators: latest-version-per-key, SCD-2 validity close-out,
+deterministic per-partition ID allocation (SURVEY.md §2.5 W1-W4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import query
+
+
+@query(
+    "latest_version_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    survey="W1",
+    headline=True,
+)
+def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DiaObjectLast semantics: most-recent version of each object
+    (reference maintains a materialized table, README.md:118-121 /
+    metrics.md:55-56; the batch formulation is row_number()==1 over a
+    validityStart-descending window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "validity_intervals",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate AS validity_start,
+      LEAD(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) AS validity_end
+    FROM orders
+    """,
+    survey="W2",
+)
+def validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity-interval truncation in batch form: each version's
+    validityEnd is the next version's validityStart (reference does this as a
+    per-store UPDATE, metrics.md:57 ``truncate_time``; the batch equivalent is
+    lead() over the version window — SURVEY.md W2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("validity_start"),
+        F.lead("o_orderdate").over(w).alias("validity_end"),
+    )
+
+
+@query(
+    "partitioned_source_ids",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_orderkey * 1000000 + ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+      ) AS dia_source_id
+    FROM lineitem
+    """,
+    survey="W3,W4",
+)
+def partitioned_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-partition ID allocation: the reference's
+    ``diaSourceId = (visit*n_detectors+detector)*1e6 + 1..n``
+    (``_executors.py:426-428``) — row_number over a stable ordering plus an
+    arithmetic offset (deterministic, unlike monotonically_increasing_id)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") * F.lit(1000000) + F.row_number().over(w)).alias(
+            "dia_source_id"
+        ),
+    )
+
+
+@query(
+    "top_k_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    ) t
+    WHERE rn <= 3
+    """,
+    survey="W1,W7",
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — generalization of the reference's min/max-key
+    selection (log2csv.py:335,341) to ranked selection."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
