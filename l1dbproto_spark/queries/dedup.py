@@ -1,6 +1,181 @@
-"""Deduplication operators over documents (training-data pipeline extension):
-exact hash dedup, n-gram Jaccard near-dup, MinHash signatures, SimHash.
-
-Filled incrementally; see operators/dedup.py for the reusable builders."""
+"""Deduplication queries over documents (training-data pipeline extension):
+exact hash dedup, n-gram Jaccard near-dup, MinHash signatures + LSH candidate
+pairs, SimHash fingerprints. Builders in operators/dedup.py; everything here
+is oracle-checked against DuckDB using the engine-portable md5-derived hash
+(functions/hashing.py)."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_band_buckets,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from ..sources.catalog import load_table
+from . import query
+
+# Shared DuckDB CTE: normalized words and distinct word-3-gram shingles,
+# mirroring operators.dedup.normalize_text/word_shingles exactly.
+_SHINGLES_CTE = r"""
+docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM docs, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+)
+"""
+
+_MH = "CAST(concat('0x', substr(md5(concat('{salt}', shingle)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT
+      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    survey="ext:dedup (exact); U1",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on normalized text."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8
+    """,
+    survey="ext:dedup (n-gram Jaccard)",
+    headline=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.8 via the
+    inverted-index self-join (sub-quadratic: only docs sharing a shingle
+    are paired)."""
+    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    return shingle_jaccard_pairs(shingles, min_jaccard=0.8)
+
+
+def _minhash_oracle_sig_cte(k: int = 8) -> str:
+    mins = ",\n      ".join(
+        f"MIN({_MH.format(salt=f'{i}:')}) AS mh{i}" for i in range(k)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_oracle_sig_cte(8)}
+    SELECT * FROM sig
+    """,
+    survey="ext:dedup (MinHash)",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document (salted portable hashes,
+    k map-side min-aggregations in one shuffle)."""
+    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    return minhash_signatures(shingles, k=8)
+
+
+def _band_union_sql(bands: int = 4, rows: int = 2) -> str:
+    parts = []
+    for band in range(bands):
+        cols = ", ".join(
+            f"CAST(mh{band * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_oracle_sig_cte(8)},
+    bands AS ({_band_union_sql(4, 2)})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    survey="ext:dedup (MinHash+LSH banding)",
+    headline=True,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands x 2 rows over the MinHash signature;
+    pairs sharing any band bucket. The banding join is the sub-quadratic
+    scale path for near-dup detection on a 100 TB corpus."""
+    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    sig = minhash_signatures(shingles, k=8)
+    return minhash_candidate_pairs(minhash_band_buckets(sig, bands=4, rows_per_band=2))
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT doc_id, word, COUNT(*) AS freq
+      FROM (SELECT doc_id, unnest(w) AS word FROM docs)
+      GROUP BY 1, 2
+    ),
+    wh AS (
+      SELECT doc_id, freq,
+             CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS whash
+      FROM wf
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (whash >> bit) & 1 = 1 THEN freq ELSE -freq END) AS vote_sum
+      FROM wh, unnest(range(60)) AS t(bit)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+    survey="ext:dedup (SimHash)",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (frequency-weighted bit votes)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
