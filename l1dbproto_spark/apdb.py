@@ -1,0 +1,317 @@
+"""ApdbSpark — the Apdb-contract API layer on Spark-managed parquet tables.
+
+Mirrors the reference's database API (used at ``_executors.py:158-238``;
+contract documented in ``README.md:100-151``):
+
+* ``make_schema(drop)``     — ``README.md:100-109``
+* ``get_dia_objects(region)``                — ``_executors.py:182``
+* ``get_dia_sources(region, ids, t)``        — ``_executors.py:207-211``
+* ``get_dia_forced_sources(region, ids, t)`` — ``_executors.py:212-215``
+* ``store(t, objects, sources, forced)``     — ``_executors.py:227-238``
+* ``table_def(table)``       — ``_executors.py:445``
+
+Physical design (SURVEY.md §4):
+* every table is partitioned parquet; ``DiaObject``/``DiaObjectLast`` by
+  ``pixel_bucket`` (pixelId >> PIXEL_BUCKET_SHIFT), sources additionally by
+  ``mjd_month`` — so region queries prune spatial partitions + row groups
+  (pixelId min/max) and history queries prune temporal partitions;
+* ``DiaObjectLast`` is the materialized latest-version table (reference
+  design, ``metrics.md:55-56``), maintained with dynamic partition overwrite:
+  only the pixel buckets touched by a store are rewritten — the plain-parquet
+  emulation of a Delta ``MERGE`` (same write amplification profile:
+  O(touched partitions), not O(table));
+* validity-interval close-out (``truncate_time``, ``metrics.md:57``) is
+  logical: ``validityEnd`` is derived at read time with ``lead()`` over the
+  version window — appends stay append-only (no rewrite of history), the
+  100 TB-friendly choice.
+
+Concurrency contract: one logical writer per visit (the reference serializes
+tiles onto disjoint padded regions — ``_executors.py:172-173``); overlap rows
+are deduplicated by (diaObjectId, validityStart) before the Last merge.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.pixelize import DEFAULT_LEVEL, pixel_expr_radec, ranges_predicate
+from .functions.timeutil import (
+    mjd_month_bucket,
+    python_datetime_to_mjd,
+    timestamp_to_mjd,
+)
+from .plans.region import Circle
+from .schemas import TABLE_SCHEMAS, table_def  # noqa: F401  (re-exported)
+
+PIXEL_BUCKET_SHIFT = 8  # level-7 ids (0..98303) >> 8 -> 384 buckets
+
+
+class ApdbSpark:
+    """Spark-native APDB store rooted at a filesystem path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        pixel_level: int = DEFAULT_LEVEL,
+        read_sources_months: float = 12.0,
+        read_forced_sources_months: float = 12.0,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.pixel_level = pixel_level
+        self.read_sources_months = read_sources_months
+        self.read_forced_sources_months = read_forced_sources_months
+
+    # ---------------------------------------------------------------- paths
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _exists(self, table: str) -> bool:
+        """True when the table has at least one parquet data file (partition
+        subdirectories included)."""
+        p = self._path(table)
+        if not os.path.isdir(p):
+            return False
+        for _dir, _sub, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # ----------------------------------------------------------------- DDL
+    def make_schema(self, drop: bool = False) -> None:
+        """Create all tables — ``makeSchema`` (``README.md:100-109``).
+
+        Tables are lazily materialized: an empty table is represented by its
+        (empty) directory, and ``_read`` serves the declared schema for it.
+        Writing an empty partitioned parquet file would otherwise conflict
+        with the partition-directory layout of later appends."""
+        import shutil
+
+        for table in TABLE_SCHEMAS:
+            path = self._path(table)
+            if drop and os.path.isdir(path):
+                shutil.rmtree(path)
+            os.makedirs(path, exist_ok=True)
+
+    def _with_layout_columns(self, table: str, df: DataFrame) -> DataFrame:
+        if table in ("DiaObject", "DiaObjectLast"):
+            return df.withColumn(
+                "pixel_bucket", F.shiftright(F.col("pixelId"), PIXEL_BUCKET_SHIFT)
+            )
+        if table in ("DiaSource", "DiaForcedSource"):
+            df = df.withColumn("mjd_month", mjd_month_bucket(F.col("midpointMjdTai")))
+            if "pixelId" in df.columns:
+                df = df.withColumn(
+                    "pixel_bucket", F.shiftright(F.col("pixelId"), PIXEL_BUCKET_SHIFT)
+                )
+            return df
+        return df
+
+    def _read(self, table: str) -> DataFrame:
+        if not self._exists(table):
+            empty = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+            return self._with_layout_columns(table, empty)
+        return self.spark.read.parquet(self._path(table))
+
+    # --------------------------------------------------------------- reads
+    def get_dia_objects(
+        self,
+        region: Circle,
+        columns: Sequence[str] | None = None,
+        refine: bool = True,
+    ) -> DataFrame:
+        """Latest version of every DiaObject overlapping ``region`` — the hot
+        per-visit read (Q1). Coarse pixel-range scan (partition + row-group
+        pruning) then optional exact refine; with ``refine=False`` the
+        superset contract of the reference (``README.md:118-127``)."""
+        ranges = region.pixel_ranges(self.pixel_level)
+        buckets = sorted(
+            {b for lo, hi in ranges for b in range(lo >> PIXEL_BUCKET_SHIFT, ((hi - 1) >> PIXEL_BUCKET_SHIFT) + 1)}
+        )
+        df = (
+            self._read("DiaObjectLast")
+            .filter(F.col("pixel_bucket").isin(buckets))
+            .filter(ranges_predicate(F.col("pixelId"), ranges))
+        )
+        if refine:
+            df = df.filter(region.contains_expr(F.col("ra"), F.col("dec")))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def _history(
+        self,
+        table: str,
+        object_ids: DataFrame | Iterable[int],
+        visit_time: datetime.datetime,
+        months: float,
+    ) -> DataFrame:
+        cutoff_mjd = python_datetime_to_mjd(visit_time) - months * 30.0
+        df = self._read(table).filter(
+            (F.col("mjd_month") >= int(cutoff_mjd // 30.0))
+            & (F.col("midpointMjdTai") >= F.lit(cutoff_mjd))
+        )
+        if isinstance(object_ids, DataFrame):
+            ids = object_ids.select(F.col(object_ids.columns[0]).alias("diaObjectId"))
+            return df.join(F.broadcast(ids), "diaObjectId", "left_semi")
+        ids_list = list(object_ids)
+        return df.filter(F.col("diaObjectId").isin(ids_list))
+
+    def get_dia_sources(
+        self,
+        region: Circle,  # noqa: ARG002 — ids dominate; region kept for contract parity
+        object_ids: DataFrame | Iterable[int],
+        visit_time: datetime.datetime,
+    ) -> DataFrame:
+        """Months-bounded DiaSource history for matched objects (Q2) —
+        ``_executors.py:207-211``, window ``README.md:139-151``."""
+        return self._history("DiaSource", object_ids, visit_time, self.read_sources_months)
+
+    def get_dia_forced_sources(
+        self,
+        region: Circle,  # noqa: ARG002
+        object_ids: DataFrame | Iterable[int],
+        visit_time: datetime.datetime,
+    ) -> DataFrame:
+        """Q3 — ``_executors.py:212-215``."""
+        return self._history(
+            "DiaForcedSource", object_ids, visit_time, self.read_forced_sources_months
+        )
+
+    def get_dia_object_history(self, object_ids: Iterable[int] | None = None) -> DataFrame:
+        """Full version history with derived ``validityEnd`` (SCD-2 close-out
+        computed at read time via lead(), SURVEY.md W2)."""
+        df = self._read("DiaObject")
+        if object_ids is not None:
+            df = df.filter(F.col("diaObjectId").isin(list(object_ids)))
+        w = Window.partitionBy("diaObjectId").orderBy("validityStart")
+        return df.withColumn("validityEnd", F.lead("validityStart").over(w))
+
+    # --------------------------------------------------------------- write
+    def store(
+        self,
+        visit_time: datetime.datetime,
+        objects: DataFrame,
+        sources: DataFrame | None = None,
+        forced_sources: DataFrame | None = None,
+    ) -> None:
+        """Atomic-per-table visit store (``_executors.py:227-238``):
+        1. append new object versions (validityStart = visit time);
+        2. merge into DiaObjectLast, rewriting only touched pixel buckets;
+        3. append sources / forced sources into their month partitions.
+        """
+        ts = F.lit(visit_time).cast("timestamp")
+        obj = objects.withColumn("validityStart", ts)
+        if "pixelId" not in objects.columns:
+            obj = obj.withColumn(
+                "pixelId", pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level)
+            )
+        obj = self._with_layout_columns("DiaObject", obj)
+        # Pin the input: callers' plans may scan the very tables this store
+        # mutates (e.g. the match join reads DiaObjectLast); the Last-merge
+        # overwrite below invalidates path caches, so a plain cache() would
+        # silently recompute against post-store state.
+        obj = obj.localCheckpoint(eager=True)
+        for f in TABLE_SCHEMAS["DiaObject"].fields:
+            if f.name not in obj.columns:
+                obj = obj.withColumn(f.name, F.lit(None).cast(f.dataType))
+        obj.select(
+            *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
+        ).write.mode("append").partitionBy("pixel_bucket").parquet(
+            self._path("DiaObject")
+        )
+        self._merge_last(obj)
+
+        if sources is not None:
+            src = sources
+            if "pixelId" not in src.columns:
+                src = src.withColumn(
+                    "pixelId",
+                    pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level),
+                )
+            src = self._with_layout_columns("DiaSource", src)
+            src.write.mode("append").partitionBy("mjd_month").parquet(
+                self._path("DiaSource")
+            )
+        if forced_sources is not None:
+            fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
+            fsrc.write.mode("append").partitionBy("mjd_month").parquet(
+                self._path("DiaForcedSource")
+            )
+
+    def _merge_last(self, new_versions: DataFrame) -> None:
+        """Upsert into DiaObjectLast: union the existing rows of the touched
+        pixel buckets with the new versions, keep argmax(validityStart) per
+        object, and overwrite only those buckets (dynamic partition
+        overwrite) — the plain-parquet MERGE (reference delete+insert,
+        ``metrics.md:55-56``)."""
+        last_cols = [f.name for f in TABLE_SCHEMAS["DiaObjectLast"].fields] + [
+            "pixel_bucket"
+        ]
+        new_last = new_versions.select(*last_cols)
+        buckets = [r[0] for r in new_last.select("pixel_bucket").distinct().collect()]
+        merged = new_last
+        if self._exists("DiaObjectLast"):
+            existing = self._read("DiaObjectLast").filter(
+                F.col("pixel_bucket").isin(buckets)
+            )
+            merged = existing.select(*last_cols).unionByName(new_last)
+        w = Window.partitionBy("diaObjectId").orderBy(F.desc("validityStart"))
+        merged = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # Materialize before overwriting the table the plan reads from
+        # (read-while-overwrite on the same path).
+        merged = merged.localCheckpoint(eager=True)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("pixel_bucket").parquet(
+            self._path("DiaObjectLast")
+        )
+
+    # ----------------------------------------------------- visit checkpoint
+    def last_visit(self) -> dict | None:
+        """Checkpoint recovery (``visit_info.py:56-77``, ``ap_proto.py:258-265``)."""
+        if not self._exists("visits"):
+            return None
+        row = (
+            self._read("visits").orderBy(F.desc("visitId")).limit(1).collect()
+        )
+        if not row:
+            return None
+        r = row[0]
+        return {
+            "visitId": r["visitId"],
+            "visitTime": r["visitTime"],
+            "lastObjectId": r["lastObjectId"],
+            "lastSourceId": r["lastSourceId"],
+        }
+
+    def save_visit(
+        self,
+        visit_id: int,
+        visit_time: datetime.datetime,
+        last_object_id: int,
+        last_source_id: int = 0,
+    ) -> None:
+        """``visit_info.py:79-97``."""
+        df = self.spark.createDataFrame(
+            [(visit_id, visit_time, last_object_id, last_source_id)],
+            TABLE_SCHEMAS["visits"],
+        )
+        df.write.mode("append").parquet(self._path("visits"))
+
+    # ------------------------------------------------------------- metrics
+    def count_rows(self, table: str) -> int:
+        """Per-table row counts (read/store counts, ``metrics.md:15-19``)."""
+        return self._read(table).count()
+
+    def mjd_expr(self, ts_col: str):
+        return timestamp_to_mjd(F.col(ts_col))

@@ -1,0 +1,69 @@
+"""Pixelization invariants: Spark expression == numpy twin bit-for-bit;
+envelope ranges are a true superset for cone regions (the coarse-to-fine
+contract, _executors.py:182-189)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.functions.pixelize import (
+    cone_envelope_ranges,
+    pixel_expr,
+    pixel_np,
+)
+from l1dbproto_spark.plans.region import Circle
+from l1dbproto_spark.workload.generators import rand_cone_xyz, rand_sphere_xyz
+
+
+def test_spark_expr_matches_numpy_twin(spark):
+    df = rand_sphere_xyz(spark, 5000, seed=11)
+    pdf = df.withColumn(
+        "pix", pixel_expr(F.col("x"), F.col("y"), F.col("z"), 7)
+    ).toPandas()
+    xyz = pdf[["x", "y", "z"]].to_numpy()
+    np_pix = pixel_np(xyz, 7)
+    assert (pdf["pix"].to_numpy() == np_pix).all()
+
+
+def test_pixel_range_bounds(spark):
+    df = rand_sphere_xyz(spark, 2000, seed=12)
+    row = (
+        df.select(pixel_expr(F.col("x"), F.col("y"), F.col("z"), 7).alias("p"))
+        .agg(F.min("p"), F.max("p"))
+        .collect()[0]
+    )
+    assert row[0] >= 0 and row[1] < 6 * (1 << 7) ** 2
+
+
+def test_envelope_is_superset(spark):
+    """Every point inside the cone must land in the envelope ranges."""
+    for ra, dec, radius in [(10.0, -40.0, 1.76), (200.0, 5.0, 0.5), (359.5, -89.0, 2.0)]:
+        ranges = cone_envelope_ranges(ra, dec, radius, level=7)
+        pts = rand_cone_xyz(spark, 3000, ra, dec, radius, seed=13).toPandas()
+        pix = pixel_np(pts[["x", "y", "z"]].to_numpy(), 7)
+        in_ranges = np.zeros(len(pix), dtype=bool)
+        for lo, hi in ranges:
+            in_ranges |= (pix >= lo) & (pix < hi)
+        assert in_ranges.all(), f"cone ({ra},{dec},{radius}): {np.sum(~in_ranges)} escapees"
+
+
+def test_envelope_selectivity():
+    """The envelope should not degenerate to the whole sky for a small cone."""
+    ranges = cone_envelope_ranges(10.0, -40.0, 1.76, level=7)
+    n_pix = sum(hi - lo for lo, hi in ranges)
+    assert 0 < n_pix < 6 * (1 << 7) ** 2 * 0.01  # < 1% of the sphere
+
+
+def test_max_ranges_cap():
+    ranges = cone_envelope_ranges(10.0, -40.0, 5.0, level=7, max_ranges=8)
+    assert len(ranges) <= 8
+    assert all(lo < hi for lo, hi in ranges)
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_circle_region_api():
+    c = Circle(10.0, -40.0, 1.76)
+    padded = c.dilated(52.0)
+    assert padded.radius_deg > c.radius_deg
+    assert len(padded.pixel_ranges()) >= 1
