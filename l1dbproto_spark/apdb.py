@@ -61,12 +61,16 @@ class ApdbSpark:
         pixel_level: int = DEFAULT_LEVEL,
         read_sources_months: float = 12.0,
         read_forced_sources_months: float = 12.0,
+        enable_replica: bool = False,
+        replica_chunk_seconds: int = 600,
     ) -> None:
         self.spark = spark
         self.root = root
         self.pixel_level = pixel_level
         self.read_sources_months = read_sources_months
         self.read_forced_sources_months = read_forced_sources_months
+        self.enable_replica = enable_replica
+        self.replica_chunk_seconds = replica_chunk_seconds
 
     # ---------------------------------------------------------------- paths
     def _path(self, table: str) -> str:
@@ -244,6 +248,42 @@ class ApdbSpark:
             fsrc.write.mode("append").partitionBy("mjd_month").parquet(
                 self._path("DiaForcedSource")
             )
+
+        if self.enable_replica:
+            chunk = int(visit_time.timestamp()) // self.replica_chunk_seconds
+            for name, df in (
+                ("DiaObjectChunks", obj.drop("pixel_bucket")),
+                ("DiaSourceChunks", sources),
+                ("DiaForcedSourceChunks", forced_sources),
+            ):
+                if df is not None:
+                    df.withColumn("replica_chunk", F.lit(chunk)).write.mode(
+                        "append"
+                    ).partitionBy("replica_chunk").parquet(self._path(name))
+
+    # ----------------------------------------------------- replica retention
+    def cleanup_replica_chunks(
+        self, now: datetime.datetime, keep_days: float = 30.0
+    ) -> int:
+        """T6 retention: drop replica chunk partitions older than the keep
+        window (``config.py:91-97``; delete metrics ``metrics.md:63-71``).
+        Partition-dir deletes — O(expired chunks), no table rewrite."""
+        import shutil
+
+        cutoff_chunk = int(
+            (now - datetime.timedelta(days=keep_days)).timestamp()
+        ) // self.replica_chunk_seconds
+        dropped = 0
+        for name in ("DiaObjectChunks", "DiaSourceChunks", "DiaForcedSourceChunks"):
+            path = self._path(name)
+            if not os.path.isdir(path):
+                continue
+            for d in os.listdir(path):
+                if d.startswith("replica_chunk="):
+                    if int(d.split("=", 1)[1]) < cutoff_chunk:
+                        shutil.rmtree(os.path.join(path, d))
+                        dropped += 1
+        return dropped
 
     def _merge_last(self, new_versions: DataFrame) -> None:
         """Upsert into DiaObjectLast: union the existing rows of the touched

@@ -58,6 +58,8 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         geo,
         apdb_domain,
+        multimodal,
+        synthesis,
     )
 
     return QUERIES

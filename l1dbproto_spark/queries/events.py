@@ -99,7 +99,7 @@ def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       user_id,
-      SUM(new_session) AS n_sessions,
+      CAST(SUM(new_session) AS BIGINT) AS n_sessions,
       COUNT(*) AS n_events
     FROM flagged
     GROUP BY user_id
@@ -155,7 +155,7 @@ def day_night_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
     FROM events
     GROUP BY event_type

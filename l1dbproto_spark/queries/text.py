@@ -44,11 +44,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias(
-            "n_bpe_tokens"
-        ),
-        F.length("text").alias("n_chars"),
+        F.size(_words(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -96,8 +96,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         (
@@ -153,9 +153,9 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         pred.alias("lang_pred"),
-        en.alias("en_hits"),
-        es.alias("es_hits"),
-        fr.alias("fr_hits"),
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        fr.cast("long").alias("fr_hits"),
     )
 
 

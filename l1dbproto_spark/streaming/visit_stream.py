@@ -1,0 +1,132 @@
+"""Structured Streaming visit loop — the T1-T5 surface.
+
+The reference's visit loop is an unbounded micro-batch sequence: one visit
+every 45 s with a day/night duty cycle (``ap_proto.py:66-81,294-295``),
+per-key state evolving via read-modify-write (``_executors.py:315-325``),
+checkpoint recovery (``visit_info.py:56-97``).
+
+Spark mapping: a rate source ticks the cadence; ``foreachBatch`` runs the
+same per-visit DAG as the batch pipeline (the T3 pattern — stateful MERGE per
+micro-batch rather than operator state, the scale-preferred form per
+SURVEY.md §7.3); the visits table doubles as the recovery checkpoint.
+Day/night gating is a filter on the batch timestamp (P8).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..apdb import ApdbSpark
+from ..plans.region import Circle
+from ..workload.dia import DiaConfig, detect_sources
+from ..workload.visit_pipeline import VisitConfig, process_visit
+
+
+def night_gated(visit_time: datetime.datetime) -> bool:
+    """Visits only outside 06:00-20:00 (``ap_proto.py:66-68``)."""
+    return not (6 <= visit_time.hour < 20)
+
+
+class VisitStreamDriver:
+    """Drives visits from a micro-batch source. Each micro-batch processes
+    one visit through the full pipeline and advances the checkpoint — restart
+    resumes from the visits table exactly like the reference
+    (``ap_proto.py:258-265``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        apdb: ApdbSpark,
+        var_catalog: DataFrame,
+        pointing: Circle,
+        dia_cfg: DiaConfig | None = None,
+        visit_cfg: VisitConfig | None = None,
+        start_time: datetime.datetime | None = None,
+        interval_s: int = 45,
+        gate_day_night: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.apdb = apdb
+        self.var_catalog = var_catalog
+        self.pointing = pointing
+        self.dia_cfg = dia_cfg or DiaConfig()
+        self.visit_cfg = visit_cfg or VisitConfig()
+        self.interval_s = interval_s
+        self.gate_day_night = gate_day_night
+        last = apdb.last_visit()
+        self.next_visit_id = (last["visitId"] + 1) if last else 1
+        self.last_object_id = last["lastObjectId"] if last else 0
+        self.start_time = (
+            last["visitTime"] + datetime.timedelta(seconds=interval_s)
+            if last
+            else (start_time or datetime.datetime(2026, 1, 1, 0, 0, 0))
+        )
+        self.counts: list = []
+
+    def _process_one(self, visit_id: int, visit_time: datetime.datetime) -> None:
+        detections, self.last_object_id = detect_sources(
+            self.spark,
+            self.var_catalog,
+            self.pointing,
+            self.dia_cfg,
+            visit_seed=visit_id,
+            last_object_id=self.last_object_id,
+        )
+        c = process_visit(
+            self.apdb,
+            visit_id,
+            visit_time,
+            detections.select("diaObjectId", "ra", "dec"),
+            self.pointing,
+            self.visit_cfg,
+        )
+        self.apdb.save_visit(visit_id, visit_time, self.last_object_id)
+        self.counts.append((visit_id, c))
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch hook: each non-empty micro-batch = one visit."""
+        if batch_df.isEmpty():
+            return
+        visit_time = self.start_time + datetime.timedelta(
+            seconds=self.interval_s * len(self.counts)
+        )
+        if self.gate_day_night and not night_gated(visit_time):
+            return
+        self._process_one(self.next_visit_id, visit_time)
+        self.next_visit_id += 1
+
+    def run_stream(self, n_visits: int, trigger_seconds: float = 0.1):
+        """Run ``n_visits`` micro-batches through a rate source. Synchronous:
+        returns after the visits are processed (tests/demo); production
+        would leave the query running at Trigger.ProcessingTime('45 seconds')."""
+        stream = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.foreach_batch)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + max(60.0, n_visits * 30.0)
+        try:
+            while len(self.counts) < n_visits and time.time() < deadline:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        return self.counts
+
+    def run_batch(self, n_visits: int):
+        """The same loop driven directly (the reference's default mode)."""
+        for _ in range(n_visits):
+            visit_time = self.start_time + datetime.timedelta(
+                seconds=self.interval_s * len(self.counts)
+            )
+            self._process_one(self.next_visit_id, visit_time)
+            self.next_visit_id += 1
+        return self.counts

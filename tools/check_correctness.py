@@ -54,6 +54,11 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         issues.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return issues
+    for c in sdf.columns:
+        if str(sdf[c].dtype) != str(odf[c].dtype):
+            print(
+                f"  dtype  {name}.{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+            )
     s, o = normalize(sdf), normalize(odf.astype({c: sdf[c].dtype for c in sdf.columns if c in odf.columns}, errors="ignore"))
     if issues:
         return issues
