@@ -2,16 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed once for warm-up-free realism? No — JVM+codegen warmup
-dominates at this scale, so we run one untimed warmup pass of a trivial action,
-then time each query end-to-end (plan + execute + collect count).
+Includes the domain benchmark from BASELINE.md: one full simulated AP visit
+(Q1 region read + match + forced photometry + history reads + versioned
+store) against the 45 s visit cadence budget (reference config.py:49), at the
+reference workload shape (~10k variable sources per FOV + ~5k transients,
+gen_sources.py:72, config.py:38-39).
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -20,22 +25,60 @@ from l1dbproto_spark.queries import load_all
 from l1dbproto_spark.session import get_spark
 
 
+def bench_visit(spark) -> float:
+    """Seconds for one steady-state visit (3rd visit; first two warm the DB)."""
+    from l1dbproto_spark.apdb import ApdbSpark
+    from l1dbproto_spark.plans.region import Circle
+    from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
+    from l1dbproto_spark.workload.generators import rand_cone_xyz
+    from l1dbproto_spark.workload.visit_pipeline import process_visit
+
+    root = tempfile.mkdtemp(prefix="apdb_bench_")
+    try:
+        pointing = Circle(40.0, -30.0, 1.76)
+        db = ApdbSpark(spark, root)
+        db.make_schema(drop=True)
+        cat = rand_cone_xyz(
+            spark, 10_000, pointing.ra, pointing.dec, pointing.radius_deg, seed=71
+        ).cache()
+        cat.count()
+        cfg = DiaConfig()  # reference defaults: Poisson(5050)+Poisson(100) transients
+        t0 = datetime.datetime(2026, 1, 1, 3, 0)
+        last_obj = 0
+        elapsed = 0.0
+        for v in range(1, 4):
+            t = t0 + datetime.timedelta(seconds=45 * v)
+            det, last_obj = detect_sources(
+                spark, cat, pointing, cfg, visit_seed=900 + v, last_object_id=last_obj
+            )
+            start = time.time()
+            process_visit(
+                db, v, t, det.select("diaObjectId", "ra", "dec"), pointing
+            )
+            elapsed = time.time() - start  # keep the last (steady-state) visit
+        cat.unpersist()
+        return round(elapsed, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     specs = load_all()
     headline = {n: s for n, s in specs.items() if s.headline}
     spark = get_spark("bench")
-    # warmup: touch every table + trigger codegen paths once
+    # warmup: touch the fact table + trigger codegen paths once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.time()
         df = spec.builder(spark, sf_dir)
-        # count() executes the full plan without driver-side materialization cost
-        df.count()
+        df.count()  # executes the full plan without driver materialization
         timings[name] = round(time.time() - t0, 3)
+
+    timings["ap_visit"] = bench_visit(spark)
 
     total = round(sum(timings.values()), 3)
     print(

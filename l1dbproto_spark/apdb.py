@@ -261,6 +261,47 @@ class ApdbSpark:
                         "append"
                     ).partitionBy("replica_chunk").parquet(self._path(name))
 
+    # ------------------------------------------------------------ update-join
+    def reassign_sources(self, mapping: DataFrame) -> int:
+        """J6: DiaSource reassignment to different objects — the reference's
+        ``update_time`` metric ('DiaSource reassignment to SSObjects',
+        ``metrics.md:40``), an UPDATE-join. Plain-parquet MERGE emulation:
+        only the month partitions containing mapped rows are rewritten
+        (dynamic partition overwrite) — O(touched partitions).
+
+        ``mapping``: DataFrame[diaSourceId, newDiaObjectId]. Returns the
+        number of reassigned rows."""
+        mapping = F.broadcast(
+            mapping.select("diaSourceId", "newDiaObjectId")
+        )
+        src = self._read("DiaSource")
+        touched = [
+            r[0]
+            for r in src.join(mapping, "diaSourceId", "left_semi")
+            .select("mjd_month")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        part = src.filter(F.col("mjd_month").isin(touched))
+        updated = (
+            part.join(mapping, "diaSourceId", "left")
+            .withColumn(
+                "diaObjectId",
+                F.coalesce(F.col("newDiaObjectId"), F.col("diaObjectId")),
+            )
+            .drop("newDiaObjectId")
+        )
+        n = updated.filter(F.col("diaObjectId").isNull()).count()  # sanity: 0
+        assert n == 0
+        updated = updated.localCheckpoint(eager=True)  # read-before-overwrite
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        updated.write.mode("overwrite").partitionBy("mjd_month").parquet(
+            self._path("DiaSource")
+        )
+        return updated.join(mapping, "diaSourceId", "left_semi").count()
+
     # ----------------------------------------------------- replica retention
     def cleanup_replica_chunks(
         self, now: datetime.datetime, keep_days: float = 30.0

@@ -61,10 +61,21 @@ def word_shingles(
     words = F.split(normalize_text(F.col(text_col)), " ")
     starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)))
     shingles = F.transform(starts, lambda s: F.array_join(F.slice(words, s, n), " "))
+    # a document corpus often arrives as few large files -> few partitions;
+    # the explode multiplies rows ~100x, so spread docs across the cluster
+    # first (tiny shuffle of raw docs, then embarrassingly parallel expand)
+    docs = _spread(docs, id_col)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
         .distinct()
     )
+
+
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, F.col(id_col))
+    return docs
 
 
 def shingle_jaccard_pairs(
@@ -79,11 +90,23 @@ def shingle_jaccard_pairs(
     high-Jaccard pairs anyway when |A| is bounded below).
     """
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    # inverted index: docs per shingle, then in-list pair expansion — one
+    # aggregation instead of a two-sided self-join shuffle. A stop-phrase
+    # shingle shared by d docs still expands to C(d,2) pairs (same blow-up
+    # the join form has); cap document frequency upstream when the corpus
+    # has such shingles.
+    by_shingle = (
+        shingles.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        by_shingle.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
@@ -99,16 +122,39 @@ def shingle_jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine universal-hash parameters (a_i, b_i), identical
+    constants on the oracle side. Multipliers must be large (order ~P) so the
+    k permutations decorrelate — with small a_i the argmin shingle is shared
+    across permutations and LSH buckets collapse."""
+    rng_a = 1103515245  # classic LCG constants as a reproducible source
+    rng_c = 12345
+    params = []
+    x = 42
+    for _ in range(k):
+        x = (rng_a * x + rng_c) % (1 << 31)
+        a = (x | 1) % MINHASH_P or 1  # odd, in [1, P)
+        x = (rng_a * x + rng_c) % (1 << 31)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
     """k-permutation MinHash signature per document as columns mh0..mh{k-1}.
 
-    Each "permutation" is the salted portable hash; the signature is k
-    map-side min-aggregations over the shingle set — a single groupBy(doc_id)
-    shuffle regardless of k (partial aggregation makes the map side do the
-    mins)."""
+    One md5-derived base hash per shingle, then k affine universal-hash
+    transforms ``(base % P) * a_i + b_i mod P`` (Carter-Wegman family) —
+    8x less hashing than salted-md5-per-permutation, and each permutation is
+    a map-side min-aggregation: a single groupBy(doc_id) shuffle total.
+    Operands stay < 2^62, so int64 arithmetic is exact in both engines."""
+    base = portable_hash64(F.col("shingle")) % F.lit(MINHASH_P)
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), salt=f"{i}:")).alias(f"mh{i}")
-        for i in range(k)
+        F.min((base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
@@ -120,37 +166,51 @@ def minhash_band_buckets(
     (doc_id, band, bucket). Docs sharing (band, bucket) are candidates.
     P[candidate] = 1-(1-J^rows)^bands — with 4x2 the curve crosses 0.5 near
     J≈0.5, tuned for the 0.8-Jaccard planted dups."""
-    out = []
-    for band in range(bands):
-        cols = [
-            F.col(f"mh{band * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        out.append(
-            signatures.select(
-                "doc_id",
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
             )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+            for band in range(bands)
+        ]
+    )
+    # single pass: one array-of-structs projection + explode, instead of a
+    # bands-way union that would recompute the signature pipeline per band
+    return signatures.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
 
 
 def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from shared LSH buckets."""
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    """Distinct candidate pairs from shared LSH buckets.
+
+    Implemented as groupBy(bucket) + in-bucket pair expansion with array
+    expressions rather than a self-join: one aggregation instead of two full
+    recomputations of the signature pipeline, and no join shuffle. Buckets
+    are tiny by construction (banding spreads docs over 2^k x bands keys);
+    a pathological mega-bucket would signal mis-tuned banding, not a skew
+    case to engineer around."""
+    groups = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -163,7 +223,8 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str
     until the final groupBy(doc_id)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     freq = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("whash", portable_hash64(F.col("word")))

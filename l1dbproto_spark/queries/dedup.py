@@ -34,7 +34,7 @@ sh AS (
 )
 """
 
-_MH = "CAST(concat('0x', substr(md5(concat('{salt}', shingle)), 1, 15)) AS BIGINT)"
+_MH_BASE = "(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)"
 
 
 @query(
@@ -83,8 +83,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_sig_cte(k: int = 8) -> str:
+    from ..operators.dedup import minhash_params
+
     mins = ",\n      ".join(
-        f"MIN({_MH.format(salt=f'{i}:')}) AS mh{i}" for i in range(k)
+        f"MIN(({_MH_BASE} * {a} + {b}) % 2147483647) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
     )
     return f"""
     sig AS (

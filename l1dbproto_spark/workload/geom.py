@@ -87,6 +87,35 @@ def n_camera_tiles(ndiv: int) -> int:
     return (_RAFT_GRID * _RAFT_GRID - 4) * ndiv * ndiv
 
 
+def spherical_triangle_area(a, b, c) -> float:
+    """Spherical excess of the triangle with unit-vector corners a, b, c
+    (reference ``geom.py:225-248``) — driver-side plan constant (F4).
+    Uses the numerically stable L'Huilier-free dihedral form."""
+    import numpy as np
+
+    a, b, c = (np.asarray(v, dtype=float) for v in (a, b, c))
+
+    def angle(u, v, w):
+        # dihedral angle at u between great circles u-v and u-w
+        n1 = np.cross(u, v)
+        n2 = np.cross(u, w)
+        cosang = np.dot(n1, n2) / (np.linalg.norm(n1) * np.linalg.norm(n2))
+        return math.acos(max(-1.0, min(1.0, cosang)))
+
+    return angle(a, b, c) + angle(b, c, a) + angle(c, a, b) - math.pi
+
+
+def spherical_polygon_area(vertices) -> float:
+    """Area (steradians) of a convex spherical polygon by fan triangulation
+    from the first vertex (reference ``geom.py:251-267``)."""
+    total = 0.0
+    for i in range(1, len(vertices) - 1):
+        total += spherical_triangle_area(
+            vertices[0], vertices[i], vertices[i + 1]
+        )
+    return total
+
+
 def make_tile_expr(
     ra: Column,
     dec: Column,
