@@ -1,0 +1,67 @@
+"""As-of join — the temporal join Spark lacks natively (SURVEY.md §2.3 notes
+the reference has none either; it's table stakes for a time-series engine).
+
+Implemented with the union + window trick rather than per-group
+``pd.merge_asof``: tag both sides, union, and carry the right side's payload
+forward with ``last(..., ignorenulls=True)`` over a rows-unbounded-preceding
+window per key. Fully shuffle-based (one partitionBy(key) sort), no Python —
+scales to arbitrarily large sides, unlike a broadcast/merge_asof approach.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right.ts <= left.ts`` and equal ``by`` keys (inclusive as-of backward
+    join). Right rows sort before left rows at equal timestamps, so an
+    exactly-simultaneous right row matches.
+
+    ``tie_break``: extra right-side ordering column — among equal-ts right
+    rows the one with the greatest tie_break wins (deterministic).
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    for c in payload_cols:
+        l = l.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        *by,
+        ts_col,
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(0).alias("_side"),
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tie_break is not None:
+        r = r.withColumn("_tb", F.col(tie_break) if tie_break in r.columns else F.lit(None))
+        l = l.withColumn("_tb", F.lit(None).cast(r.schema["_tb"].dataType))
+        order.insert(1, F.col("_tb").asc_nulls_first())
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

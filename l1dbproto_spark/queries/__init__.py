@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return registry."""
     from . import (  # noqa: F401
         relational,
+        relational2,
         windows,
         events,
         text,

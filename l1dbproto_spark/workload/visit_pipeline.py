@@ -70,6 +70,9 @@ def process_visit(
     mjd = python_datetime_to_mjd(visit_time)
 
     # --- Q1: latest objects in padded region, exact-refined (b)
+    # (A2 note: df.observe would piggyback this count on the checkpoint
+    # materialization, but localCheckpoint does not complete observations —
+    # the explicit count on the pruned read is one small job.)
     known = apdb.get_dia_objects(padded).select(
         "diaObjectId", "nDiaSources", "lastNonForcedSource"
     )
@@ -146,10 +149,12 @@ def process_visit(
 
     # --- store (g)
     apdb.store(visit_time, objects, sources, forced)
-    counts.objects_stored = objects.count()
-    counts.transients_stored = objects.filter(
-        F.col("diaObjectId") >= 1_000_000_000
-    ).count()
+    row = objects.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("diaObjectId") >= 1_000_000_000).alias("trans"),
+    ).collect()[0]
+    counts.objects_stored = row["n"]
+    counts.transients_stored = row["trans"]
     counts.sources_stored = counts.objects_stored
     counts.forced_stored = forced.count()
     return counts
