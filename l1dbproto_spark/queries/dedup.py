@@ -147,6 +147,55 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(minhash_band_buckets(sig, bands=4, rows_per_band=2))
 
 
+_JACCARD_PAIRS_CTE = f"""
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jac
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM jac
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS node, least(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+    """,
+    survey="ext:dedup (connected-components clustering; operators/graph.py)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the Jaccard>=0.8 pair
+    graph, canonical doc = min id (iterative min-label propagation; the
+    oracle computes the same components with a recursive CTE)."""
+    from ..operators.graph import connected_components
+
+    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    pairs = shingle_jaccard_pairs(shingles, min_jaccard=0.8)
+    return connected_components(pairs)
+
+
 @query(
     "simhash_fingerprints",
     oracle=r"""

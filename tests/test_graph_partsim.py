@@ -1,0 +1,62 @@
+"""Connected-components dedup clustering + part_sim partitioning study."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.graph import connected_components
+from l1dbproto_spark.workload.part_sim import run_partition_study, summarize
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3} (chain), {10,11}, {20,21,22,23} (star via 20)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == cc[23] == 20
+
+
+def test_connected_components_long_chain(spark):
+    """Convergence over a diameter-9 chain exercises the iteration loop."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 109)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(edges)
+    comps = cc.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0][0] == 100
+
+
+def test_dedup_clusters_on_documents(spark, sf_dir):
+    """End-to-end: jaccard pairs -> components -> every clustered doc maps to
+    the minimum doc id of its cluster."""
+    from l1dbproto_spark.operators.dedup import shingle_jaccard_pairs, word_shingles
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(word_shingles(docs), min_jaccard=0.8)
+    cc = connected_components(pairs)
+    joined = cc.alias("c").join(
+        pairs.alias("p"), F.col("c.node") == F.col("p.doc_b")
+    )
+    # the component label is always <= any member (min-label invariant)
+    assert joined.filter(F.col("c.component") > F.col("p.doc_a")).count() == 0
+    assert cc.count() > 0
+
+
+def test_partition_study_stats(spark):
+    stats = run_partition_study(n_trials=20, seed=7)
+    assert len(stats) == 20
+    # envelope must be a sane superset: at least the cap area, at most ~25x
+    cap_deg2 = 2 * math.pi * (1 - math.cos(math.radians(1.76))) * (180 / math.pi) ** 2
+    for s in stats:
+        assert s.envelope_deg2 >= cap_deg2 * 0.9
+        assert s.envelope_deg2 <= cap_deg2 * 25
+        assert 1 <= s.n_ranges <= 64
+    row = summarize(spark, stats).collect()[0]
+    assert row["avg_pixels"] > 0
