@@ -225,11 +225,14 @@ class ApdbSpark:
         for f in TABLE_SCHEMAS["DiaObject"].fields:
             if f.name not in obj.columns:
                 obj = obj.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # sortWithinPartitions(pixelId): clusters rows so parquet row-group
+        # min/max stats on pixelId are tight — the range predicates of the
+        # region read then skip row groups, not just hive partitions
         obj.select(
             *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
-        ).write.mode("append").partitionBy("pixel_bucket").parquet(
-            self._path("DiaObject")
-        )
+        ).sortWithinPartitions("pixelId").write.mode("append").partitionBy(
+            "pixel_bucket"
+        ).parquet(self._path("DiaObject"))
         self._merge_last(obj)
 
         if sources is not None:
@@ -240,9 +243,9 @@ class ApdbSpark:
                     pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level),
                 )
             src = self._with_layout_columns("DiaSource", src)
-            src.write.mode("append").partitionBy("mjd_month").parquet(
-                self._path("DiaSource")
-            )
+            src.sortWithinPartitions("diaObjectId").write.mode("append").partitionBy(
+                "mjd_month"
+            ).parquet(self._path("DiaSource"))
         if forced_sources is not None:
             fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
             fsrc.write.mode("append").partitionBy("mjd_month").parquet(
@@ -260,6 +263,31 @@ class ApdbSpark:
                     df.withColumn("replica_chunk", F.lit(chunk)).write.mode(
                         "append"
                     ).partitionBy("replica_chunk").parquet(self._path(name))
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, table: str, target_files_per_partition: int = 1) -> None:
+        """Streaming appends leave one file per visit per partition; compact
+        rewrites each partition into ``target_files_per_partition`` sorted
+        files (the small-file maintenance every file-based table needs;
+        partition-scoped like the Last merge, no full-table rewrite)."""
+        if not self._exists(table):
+            return
+        df = self._read(table)
+        part_col = (
+            "pixel_bucket"
+            if table in ("DiaObject", "DiaObjectLast")
+            else "mjd_month"
+        )
+        sort_col = "pixelId" if "pixelId" in df.columns else df.columns[0]
+        compacted = (
+            df.repartition(target_files_per_partition * 8, F.col(part_col))
+            .sortWithinPartitions(part_col, sort_col)
+            .localCheckpoint(eager=True)
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        compacted.write.mode("overwrite").partitionBy(part_col).parquet(
+            self._path(table)
+        )
 
     # ------------------------------------------------------------ update-join
     def reassign_sources(self, mapping: DataFrame) -> int:

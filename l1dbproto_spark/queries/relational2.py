@@ -182,6 +182,41 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT
+      l_suppkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    survey="skew mitigation (salted two-stage aggregation; operators/skew.py)",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over the (skewed: 10 suppliers for the
+    whole lineitem table) supplier key — results must equal the plain
+    aggregation, which is exactly what the oracle pins."""
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "sum_qty_dec": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+            "n": F.count(F.lit(1)),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "n",
+    )
+
+
+@query(
     "string_functions",
     oracle="""
     SELECT

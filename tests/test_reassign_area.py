@@ -74,3 +74,29 @@ def test_spherical_areas():
     c = unit_vector(0.0, math.degrees(eps))
     small = spherical_triangle_area(a, b, c)
     assert math.isclose(small, eps * eps / 2, rel_tol=1e-3)
+
+
+def test_compaction_preserves_data(spark, tmp_path_factory):
+    import datetime
+    from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
+    from l1dbproto_spark.workload.visit_pipeline import process_visit
+    import glob
+
+    root = str(tmp_path_factory.mktemp("apdb_compact"))
+    db = ApdbSpark(spark, root)
+    db.make_schema(drop=True)
+    cat = rand_cone_xyz(spark, 100, POINTING.ra, POINTING.dec, POINTING.radius_deg, seed=62)
+    last = 0
+    for v in range(1, 4):
+        det, last = detect_sources(
+            spark, cat, POINTING, DiaConfig(false_per_visit=10, transient_per_visit=2),
+            visit_seed=710 + v, last_object_id=last,
+        )
+        process_visit(db, v, datetime.datetime(2026, 4, 1, 1, v), det.select("diaObjectId", "ra", "dec"), POINTING)
+    before_rows = db._read("DiaSource").count()
+    before_files = len(glob.glob(f"{root}/DiaSource/*/*.parquet"))
+    db.compact("DiaSource")
+    after_rows = db._read("DiaSource").count()
+    after_files = len(glob.glob(f"{root}/DiaSource/*/*.parquet"))
+    assert after_rows == before_rows
+    assert after_files < before_files
