@@ -79,7 +79,7 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def shingle_jaccard_pairs(
-    shingles: DataFrame, min_jaccard: float = 0.8
+    shingles: DataFrame, min_jaccard: float = 0.8, materialize: bool = True
 ) -> DataFrame:
     """Pairwise Jaccard similarity via the inverted index: join docs sharing a
     shingle, count intersections, then J = |A∩B| / (|A|+|B|-|A∩B|).
@@ -89,6 +89,10 @@ def shingle_jaccard_pairs(
     document frequency above a cap first (they cannot contribute to
     high-Jaccard pairs anyway when |A| is bounded below).
     """
+    if materialize:
+        # both the per-doc counts and the inverted index scan the shingle
+        # set; materialize it once instead of recomputing the explode+distinct
+        shingles = shingles.localCheckpoint(eager=True)
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # inverted index: docs per shingle, then in-list pair expansion — one
     # aggregation instead of a two-sided self-join shuffle. A stop-phrase

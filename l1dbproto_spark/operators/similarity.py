@@ -86,6 +86,78 @@ def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
     return bucket
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train an IVF coarse quantizer (k-means on the corpus) and return
+    (assigned_corpus, model): the corpus with a ``cluster`` column plus the
+    fitted model for assigning queries. MLlib KMeans is the distributed
+    trainer; at 100 TB train on a sample and broadcast the centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("_features")
+    return assigned, model
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``n_probe`` clusters nearest each
+    query (by centroid distance). The cluster equi-join prunes the corpus to
+    ~n_probe/n_clusters of its size — the inverted-file ANN pattern
+    (IVF-Flat), with recall tunable via n_probe."""
+    import numpy as np
+
+    assigned, model = ivf_index(corpus, n_clusters, vec_col, seed)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # nearest n_probe centroids per query, computed driver-side per query
+    # batch (queries are small/broadcast by contract)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype=float)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:n_probe]:
+            probe_pairs.append((r[id_col], int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_pairs, f"query_id long, cluster int")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(probes, "query_id")
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cluster"
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])  # n_probe overlap safety
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -81,6 +81,22 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf",
+    oracle=None,  # k-means centroids are not reproducible in SQL; rows-only
+    survey="ext:similarity (IVF-Flat ANN via MLlib KMeans coarse quantizer)",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for query vectors vec_id<20 (16 clusters,
+    2 probes). Recall vs the exact brute force is pinned by
+    tests/test_similarity_ivf.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=2)
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,34 @@
+"""IVF ANN recall against the exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.similarity import brute_force_topk, ivf_topk
+from l1dbproto_spark.sources.catalog import load_table
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
+    a = set(map(tuple, approx.select("query_id", "neighbor_id").collect()))
+    e = set(map(tuple, exact.collect()))
+    recall = len(a & e) / len(e)
+    # gaussian 64-dim embeddings are a hard case for coarse quantizers;
+    # with 3/8 probes we still demand a meaningful recall floor
+    assert recall >= 0.3, f"recall {recall}"
+    # every query returns exactly k rows (clusters are never empty with 3 probes)
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2, seed=7).toPandas()
+    b = ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2, seed=7).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a == b).all().all()
