@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         apdb_domain,
         multimodal,
         synthesis,
+        misc,
     )
 
     return QUERIES
