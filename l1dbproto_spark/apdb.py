@@ -72,6 +72,29 @@ class ApdbSpark:
         self.enable_replica = enable_replica
         self.replica_chunk_seconds = replica_chunk_seconds
 
+    @classmethod
+    def from_uri(cls, spark: SparkSession, uri: str, **kwargs) -> "ApdbSpark":
+        """Contract parity with ``Apdb.from_uri(config)`` (``ap_proto.py:225``,
+        ``_executors.py:158``): the URI is the table root path."""
+        return cls(spark, uri.removeprefix("file://"), **kwargs)
+
+    # Reference-name aliases (camelCase API of the Apdb contract,
+    # README.md:100-151) so a reference caller can switch engines verbatim.
+    def makeSchema(self, drop: bool = False) -> None:  # noqa: N802
+        return self.make_schema(drop)
+
+    def getDiaObjects(self, region, **kw):  # noqa: N802
+        return self.get_dia_objects(region, **kw)
+
+    def getDiaSources(self, region, object_ids, visit_time):  # noqa: N802
+        return self.get_dia_sources(region, object_ids, visit_time)
+
+    def getDiaForcedSources(self, region, object_ids, visit_time):  # noqa: N802
+        return self.get_dia_forced_sources(region, object_ids, visit_time)
+
+    def tableDef(self, table: str):  # noqa: N802
+        return table_def(table)
+
     # ---------------------------------------------------------------- paths
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -129,6 +152,7 @@ class ApdbSpark:
         region: Circle,
         columns: Sequence[str] | None = None,
         refine: bool = True,
+        api_names: bool = False,
     ) -> DataFrame:
         """Latest version of every DiaObject overlapping ``region`` — the hot
         per-visit read (Q1). Coarse pixel-range scan (partition + row-group
@@ -147,6 +171,10 @@ class ApdbSpark:
             df = df.filter(region.contains_expr(F.col("ra"), F.col("dec")))
         if columns:
             df = df.select(*columns)
+        if api_names:
+            from .schemas import to_api_names
+
+            df = to_api_names(df)  # client-side names, README.md:52-61 (P9)
         return df
 
     def _history(

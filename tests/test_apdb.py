@@ -160,3 +160,29 @@ def test_read_counts_recorded(apdb):
     assert c1.objects_read == 0  # empty DB on first visit
     assert c2.objects_read > 0
     assert c3.objects_stored >= c3.transients_stored > 0
+
+
+def test_reference_api_aliases(apdb):
+    """Verbatim reference call shapes (README.md:100-151)."""
+    df = apdb.getDiaObjects(POINTING)
+    assert df.count() == apdb.get_dia_objects(POINTING).count()
+    assert apdb.tableDef("DiaSource").fieldNames()[0] == "diaSourceId"
+    t = T0 + datetime.timedelta(days=1)
+    assert apdb.getDiaSources(POINTING, [0, 1], t).count() >= 0
+
+
+def test_column_pruning_and_api_names(apdb):
+    """P7 column pruning + P9 client-side renames on the hot read."""
+    df = apdb.get_dia_objects(POINTING, columns=["diaObjectId", "ra", "dec"])
+    assert df.columns == ["diaObjectId", "ra", "dec"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "flux_f32" not in plan.split("ReadSchema")[-1][:400]
+    api = apdb.get_dia_objects(POINTING, columns=["diaObjectId", "ra", "dec"], api_names=True)
+    assert api.columns == ["id", "coord_ra", "coord_dec"]
+
+
+def test_from_uri(apdb, spark):
+    from l1dbproto_spark.apdb import ApdbSpark
+
+    db2 = ApdbSpark.from_uri(spark, "file://" + apdb.root)
+    assert db2.count_rows("DiaObjectLast") == apdb.count_rows("DiaObjectLast")

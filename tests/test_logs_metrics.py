@@ -151,3 +151,17 @@ def test_influx_line_format(spark):
     ).collect()[0]["line"]
     assert line.startswith("select_time,visit=1,tbl=DiaObject real=0.5 ")
     assert line.endswith("000")  # ns epoch
+
+
+def test_gzip_log_source(spark, log_dir, tmp_path):
+    """S9: gzip logs read transparently by the batch source."""
+    import gzip
+    import os
+
+    src = os.path.join(log_dir["dir"], "ap_proto.log")
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    with open(src, "rb") as f, gzip.open(gz_dir / "ap_proto.log.gz", "wb") as g:
+        g.write(f.read())
+    parsed = read_log_batch(spark, str(gz_dir))
+    assert parsed.count() == 4 * 4 * 2 * 2
