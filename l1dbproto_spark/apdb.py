@@ -237,7 +237,16 @@ class ApdbSpark:
         1. append new object versions (validityStart = visit time);
         2. merge into DiaObjectLast, rewriting only touched pixel buckets;
         3. append sources / forced sources into their month partitions.
-        """
+
+        Crash semantics match the reference's per-statement atomicity: each
+        table write is atomic (parquet job commit), but a crash between
+        writes leaves a partially-stored visit. Recovery is the checkpoint
+        contract (``visit_info.py``): the visits row is written last, so a
+        restart re-runs the whole visit; re-stored object versions dedupe in
+        the Last merge (argmax validityStart), and re-appended sources for
+        the same visit are the one duplicate class a restart can introduce —
+        exactly-once there needs a transactional table format (Delta) or a
+        pre-append `visit` partition delete."""
         ts = F.lit(visit_time).cast("timestamp")
         obj = objects.withColumn("validityStart", ts)
         if "pixelId" not in objects.columns:
