@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         windows,
+        windows2,
         events,
         text,
         dedup,
