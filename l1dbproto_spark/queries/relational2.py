@@ -182,6 +182,73 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="global aggregate without grouping (TPC-H Q6 shape)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + global aggregate — the single-row result shape (all filters
+    pushed to the scan; no shuffle at all, just a partial/final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+    SELECT
+      o_custkey,
+      arg_max(o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        AS best_orderkey,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    survey="argmax aggregate (max_by / arg_max) with deterministic tie-break",
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: the key of their most expensive order. The ordering key
+    is an exact integer composite (price-cents * 1e7 + orderkey) so ties
+    break identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderkey"), key).alias("best_orderkey"),
+        F.max("o_totalprice").cast("double").alias("best_price"),
+    )
+
+
+@query(
     "salted_skew_agg",
     oracle="""
     SELECT
