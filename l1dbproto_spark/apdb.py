@@ -265,11 +265,14 @@ class ApdbSpark:
         # sortWithinPartitions(pixelId): clusters rows so parquet row-group
         # min/max stats on pixelId are tight — the range predicates of the
         # region read then skip row groups, not just hive partitions
+        # repartition on the partition column first: one file per bucket per
+        # visit instead of tasks x buckets tiny files (file-count hygiene is
+        # what keeps the Q1 read fast as visits accumulate)
         obj.select(
             *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
-        ).sortWithinPartitions("pixelId").write.mode("append").partitionBy(
-            "pixel_bucket"
-        ).parquet(self._path("DiaObject"))
+        ).repartition("pixel_bucket").sortWithinPartitions("pixelId").write.mode(
+            "append"
+        ).partitionBy("pixel_bucket").parquet(self._path("DiaObject"))
         self._merge_last(obj)
 
         if sources is not None:
@@ -280,14 +283,16 @@ class ApdbSpark:
                     pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level),
                 )
             src = self._with_layout_columns("DiaSource", src)
-            src.sortWithinPartitions("diaObjectId").write.mode("append").partitionBy(
-                "mjd_month"
-            ).parquet(self._path("DiaSource"))
+            src.repartition("mjd_month").sortWithinPartitions(
+                "diaObjectId"
+            ).write.mode("append").partitionBy("mjd_month").parquet(
+                self._path("DiaSource")
+            )
         if forced_sources is not None:
             fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
-            fsrc.write.mode("append").partitionBy("mjd_month").parquet(
-                self._path("DiaForcedSource")
-            )
+            fsrc.repartition("mjd_month").write.mode("append").partitionBy(
+                "mjd_month"
+            ).parquet(self._path("DiaForcedSource"))
 
         if self.enable_replica:
             chunk = int(visit_time.timestamp()) // self.replica_chunk_seconds
@@ -415,8 +420,9 @@ class ApdbSpark:
             .drop("_rn")
         )
         # Materialize before overwriting the table the plan reads from
-        # (read-while-overwrite on the same path).
-        merged = merged.localCheckpoint(eager=True)
+        # (read-while-overwrite on the same path); repartition so each bucket
+        # is rewritten as one file.
+        merged = merged.repartition("pixel_bucket").localCheckpoint(eager=True)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged.write.mode("overwrite").partitionBy("pixel_bucket").parquet(
             self._path("DiaObjectLast")
