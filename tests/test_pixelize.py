@@ -67,3 +67,28 @@ def test_circle_region_api():
     padded = c.dilated(52.0)
     assert padded.radius_deg > c.radius_deg
     assert len(padded.pixel_ranges()) >= 1
+
+
+def test_level9_scales(spark):
+    """The planner's cell table grows 16x per level; level 9 (1.5M cells)
+    must still plan in well under a second and keep the superset property."""
+    import time
+
+    t0 = time.time()
+    ranges = cone_envelope_ranges(10.0, -40.0, 1.76, level=9)
+    plan_time = time.time() - t0
+    assert plan_time < 5.0  # first call builds the cached cell table
+    t0 = time.time()
+    cone_envelope_ranges(11.0, -41.0, 1.76, level=9)
+    assert time.time() - t0 < 0.5  # cached path
+
+    pts = rand_cone_xyz(spark, 2000, 10.0, -40.0, 1.76, seed=14).toPandas()
+    pix = pixel_np(pts[["x", "y", "z"]].to_numpy(), 9)
+    in_ranges = np.zeros(len(pix), dtype=bool)
+    for lo, hi in ranges:
+        in_ranges |= (pix >= lo) & (pix < hi)
+    assert in_ranges.all()
+    # level 9 envelope is tighter than level 7 (less over-approximation)
+    n9 = sum(hi - lo for lo, hi in ranges) / (6 * (1 << 9) ** 2)
+    n7 = sum(hi - lo for lo, hi in cone_envelope_ranges(10.0, -40.0, 1.76, level=7)) / (6 * (1 << 7) ** 2)
+    assert n9 < n7
