@@ -326,10 +326,12 @@ class ApdbSpark:
             .sortWithinPartitions(part_col, sort_col)
             .localCheckpoint(eager=True)
         )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        compacted.write.mode("overwrite").partitionBy(part_col).parquet(
-            self._path(table)
-        )
+        # per-write option, NOT session conf: mutating the shared session's
+        # partitionOverwriteMode would silently change later overwrite writes
+        # by unrelated code from full-truncate to partial partition overwrite
+        compacted.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(self._path(table))
 
     # ------------------------------------------------------------ update-join
     def reassign_sources(self, mapping: DataFrame) -> int:
@@ -366,10 +368,9 @@ class ApdbSpark:
         n = updated.filter(F.col("diaObjectId").isNull()).count()  # sanity: 0
         assert n == 0
         updated = updated.localCheckpoint(eager=True)  # read-before-overwrite
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        updated.write.mode("overwrite").partitionBy("mjd_month").parquet(
-            self._path("DiaSource")
-        )
+        updated.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"  # scoped to this write only
+        ).partitionBy("mjd_month").parquet(self._path("DiaSource"))
         return updated.join(mapping, "diaSourceId", "left_semi").count()
 
     # ----------------------------------------------------- replica retention
@@ -423,10 +424,9 @@ class ApdbSpark:
         # (read-while-overwrite on the same path); repartition so each bucket
         # is rewritten as one file.
         merged = merged.repartition("pixel_bucket").localCheckpoint(eager=True)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("pixel_bucket").parquet(
-            self._path("DiaObjectLast")
-        )
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"  # scoped to this write only
+        ).partitionBy("pixel_bucket").parquet(self._path("DiaObjectLast"))
 
     # ----------------------------------------------------- visit checkpoint
     def last_visit(self) -> dict | None:

@@ -36,20 +36,28 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1))
     for c in payload_cols:
         l = l.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(
+    # tie_break must be aliased out of the ORIGINAL right (it is usually not
+    # a by/ts/payload column, so selecting it after the narrowing select
+    # would silently yield NULL — non-deterministic equal-ts resolution).
+    rsel = [
         *by,
         ts_col,
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
         F.lit(0).alias("_side"),
-    )
+    ]
+    if tie_break is not None:
+        rsel.append(F.col(tie_break).alias("_tb"))
+        l = l.withColumn("_tb", F.lit(None).cast(right.schema[tie_break].dataType))
+    r = right.select(*rsel)
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
     if tie_break is not None:
-        r = r.withColumn("_tb", F.col(tie_break) if tie_break in r.columns else F.lit(None))
-        l = l.withColumn("_tb", F.lit(None).cast(r.schema["_tb"].dataType))
-        order.insert(1, F.col("_tb").asc_nulls_first())
+        # nulls LAST: left rows (_tb is NULL) must sort after equal-ts right
+        # rows or the inclusive as-of contract breaks; among equal-ts right
+        # rows ascending _tb makes the greatest tie_break win via last().
+        order.insert(1, F.col("_tb").asc_nulls_last())
     u = l.unionByName(r.select(*l.columns))
     w = (
         Window.partitionBy(*by)

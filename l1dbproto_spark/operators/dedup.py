@@ -59,7 +59,11 @@ def word_shingles(
     shuffle; the output is the inverted-index input for Jaccard and MinHash.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)))
+    # greatest(..., 1): a doc with fewer than n words yields one truncated
+    # shingle (mirrors the oracle's greatest(len(w)-(n-1), 1)); the previous
+    # greatest(..., 0) produced sequence(1, 0) == [1, 0] (descending) and
+    # slice(words, 0, n) raised INVALID_PARAMETER_VALUE.START on short docs.
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
     shingles = F.transform(starts, lambda s: F.array_join(F.slice(words, s, n), " "))
     # a document corpus often arrives as few large files -> few partitions;
     # the explode multiplies rows ~100x, so spread docs across the cluster

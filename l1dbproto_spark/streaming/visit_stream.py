@@ -64,6 +64,11 @@ class VisitStreamDriver:
             else (start_time or datetime.datetime(2026, 1, 1, 0, 0, 0))
         )
         self.counts: list = []
+        # wall-clock tick counter: advances on EVERY micro-batch (gated or
+        # not) so day/night gating cannot livelock — a stream started inside
+        # the 06:00-20:00 day window steps time forward until night, like the
+        # reference loop which advances time regardless of gating.
+        self.ticks = 0
 
     def _process_one(self, visit_id: int, visit_time: datetime.datetime) -> None:
         detections, self.last_object_id = detect_sources(
@@ -90,8 +95,9 @@ class VisitStreamDriver:
         if batch_df.isEmpty():
             return
         visit_time = self.start_time + datetime.timedelta(
-            seconds=self.interval_s * len(self.counts)
+            seconds=self.interval_s * self.ticks
         )
+        self.ticks += 1
         if self.gate_day_night and not night_gated(visit_time):
             return
         self._process_one(self.next_visit_id, visit_time)
@@ -125,8 +131,9 @@ class VisitStreamDriver:
         """The same loop driven directly (the reference's default mode)."""
         for _ in range(n_visits):
             visit_time = self.start_time + datetime.timedelta(
-                seconds=self.interval_s * len(self.counts)
+                seconds=self.interval_s * self.ticks
             )
+            self.ticks += 1
             self._process_one(self.next_visit_id, visit_time)
             self.next_visit_id += 1
         return self.counts
