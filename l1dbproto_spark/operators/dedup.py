@@ -83,15 +83,22 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def shingle_jaccard_pairs(
-    shingles: DataFrame, min_jaccard: float = 0.8, materialize: bool = True
+    shingles: DataFrame,
+    min_jaccard: float = 0.8,
+    materialize: bool = True,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Pairwise Jaccard similarity via the inverted index: join docs sharing a
     shingle, count intersections, then J = |A∩B| / (|A|+|B|-|A∩B|).
 
-    Scale notes: the self-join shuffles on `shingle`; a super-common shingle
-    (stop-phrase) would be a skew key — at production scale drop shingles with
-    document frequency above a cap first (they cannot contribute to
-    high-Jaccard pairs anyway when |A| is bounded below).
+    ``df_cap`` is the document-frequency cap — the scale guard: a stop-phrase
+    shingle shared by d docs expands to C(d,2) pairs, so shingles with more
+    than df_cap postings are dropped from the inverted index. For a corpus
+    with a bounded minimum shingle count per doc this is sound for a fixed
+    Jaccard threshold (a universally-common shingle contributes one unit of
+    intersection to pairs that must share many shingles anyway to pass the
+    threshold); it bounds the worst bucket at C(df_cap, 2). Use
+    ``capped_shingle_count`` to log how many shingles the cap dropped.
     """
     if materialize:
         # both the per-doc counts and the inverted index scan the shingle
@@ -99,15 +106,15 @@ def shingle_jaccard_pairs(
         shingles = shingles.localCheckpoint(eager=True)
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # inverted index: docs per shingle, then in-list pair expansion — one
-    # aggregation instead of a two-sided self-join shuffle. A stop-phrase
-    # shingle shared by d docs still expands to C(d,2) pairs (same blow-up
-    # the join form has); cap document frequency upstream when the corpus
-    # has such shingles.
+    # aggregation instead of a two-sided self-join shuffle; df_cap bounds the
+    # in-list expansion of any single posting list.
     by_shingle = (
         shingles.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if df_cap is not None:
+        by_shingle = by_shingle.filter(F.size("ids") <= df_cap)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -198,20 +205,27 @@ def minhash_band_buckets(
     )
 
 
-def minhash_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = 10000
+) -> DataFrame:
     """Distinct candidate pairs from shared LSH buckets.
 
     Implemented as groupBy(bucket) + in-bucket pair expansion with array
     expressions rather than a self-join: one aggregation instead of two full
     recomputations of the signature pipeline, and no join shuffle. Buckets
-    are tiny by construction (banding spreads docs over 2^k x bands keys);
-    a pathological mega-bucket would signal mis-tuned banding, not a skew
-    case to engineer around."""
+    are tiny by construction (banding spreads docs over 2^k x bands keys),
+    but a mis-tuned banding or a degenerate corpus (many identical docs) can
+    produce a mega-bucket whose C(d,2) expansion stalls one task —
+    ``max_bucket_size`` drops such buckets, bounding any task at
+    C(max_bucket_size, 2) pairs. Use ``capped_bucket_count`` for a drop
+    count."""
     groups = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        groups = groups.filter(F.size("ids") <= max_bucket_size)
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -254,3 +268,84 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str
         F.col("vote_sum") > 0, F.expr("shiftleft(cast(1 AS bigint), cast(bit AS int))")
     ).otherwise(F.lit(0).cast("long"))
     return votes.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
+
+
+def capped_shingle_count(shingles: DataFrame, df_cap: int) -> int:
+    """How many shingles the document-frequency cap drops — run once after a
+    dedup pass to log coverage loss (a separate tiny job, deliberately not in
+    the hot path)."""
+    return (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .count()
+    )
+
+
+def capped_bucket_count(buckets: DataFrame, max_bucket_size: int) -> int:
+    """How many LSH buckets the size guard drops (see minhash_candidate_pairs)."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .count()
+    )
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame,
+    max_bits: int = 3,
+    bits: int = 60,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints: all (doc_a, doc_b,
+    hamming) with Hamming distance <= max_bits — the retrieval half of the
+    SimHash family (Charikar '02; block technique per Manku et al. '07).
+
+    NOT all-pairs: the fingerprint is split into ``max_bits + 1`` bit blocks;
+    by pigeonhole, any pair within max_bits bits agrees exactly on at least
+    one block, so candidates are generated by bucketing on (block index,
+    block value) and only candidates are XOR-verified. Cost is one explode
+    (b rows per doc), one groupBy on uniform block keys, and an exact
+    bit_count filter — sub-quadratic at any corpus size, with the same
+    in-bucket expansion guard as the MinHash path (identical fingerprints,
+    e.g. empty docs, would otherwise form one mega-bucket).
+    """
+    n_blocks = max_bits + 1
+    width = bits // n_blocks  # 60 bits / 4 blocks -> 15-bit block keys
+    mask = (1 << width) - 1
+    block = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block")
+    keyed = fingerprints.select("doc_id", "simhash", block).select(
+        "doc_id",
+        "simhash",
+        "block",
+        F.expr(f"shiftright(simhash, cast({width} * block AS int)) & {mask}").alias(
+            "val"
+        ),
+    )
+    groups = (
+        keyed.groupBy("block", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("h")))
+            ).alias("entries")
+        )
+        .filter(F.size("entries") > 1)
+    )
+    if max_bucket_size is not None:
+        groups = groups.filter(F.size("entries") <= max_bucket_size)
+    pair_expr = F.expr(
+        "flatten(transform(entries, (x, i) -> "
+        "transform(slice(entries, i + 2, size(entries)), y -> "
+        "struct(x.id AS doc_a, y.id AS doc_b, x.h AS ha, y.h AS hb))))"
+    )
+    cands = (
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_bits)
+    )

@@ -76,7 +76,7 @@ def byte_histogram_features(
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.FloatType()), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), False),
         ]
     )
 
@@ -85,7 +85,9 @@ def byte_histogram_features(
             feats = []
             for blob in pdf[payload_col]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                hist = np.bincount(arr >> 3, minlength=_FEAT_DIM).astype(np.float32)
+                # float64 so count/total is the IEEE double division the
+                # DuckDB oracle computes — bit-identical normalization
+                hist = np.bincount(arr >> 3, minlength=_FEAT_DIM).astype(np.float64)
                 total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})

@@ -107,6 +107,107 @@ def ivf_index(
     return assigned, model
 
 
+def centroid_score(qvec: Column, cvec: Column) -> Column:
+    """Centroid-affinity score: ``2*dot(q,c) - dot(c,c)``. Ranking centroids
+    by this descending is identical to ranking by L2 distance ascending
+    (``|q-c|^2 = |q|^2 - score``, and |q|^2 is constant per query) but is
+    built from the two ordered-fold dot products the DuckDB oracle reproduces
+    bit-for-bit (list_dot_product) — so centroid assignment is
+    engine-deterministic, unlike a float subtract-square-sum."""
+    return F.lit(2.0) * dot_fold(qvec, cvec) - dot_fold(cvec, cvec)
+
+
+def _nearest_centroids(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    id_alias: str,
+) -> DataFrame:
+    """Top-n centroids per vector by centroid_score — a broadcast join of the
+    (tiny) centroid table against the vector set plus a per-vector window.
+    Runs cluster-side: no driver collect, works for arbitrarily large vector
+    sets (corpus assignment uses n=1, query probing n=n_probe)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        F.col("_vid").alias(id_alias),
+        F.col("_v"),
+        F.col("cluster"),
+        centroid_score(F.col("_v"), F.col("_cvec")).alias("_cscore"),
+    )
+    if n == 1:
+        # corpus assignment: argmax via max_by — partial-aggregatable, so the
+        # n_clusters-fold row expansion collapses map-side before the single
+        # groupBy shuffle (a window would shuffle all N*n_clusters rows).
+        # Ordering struct (score, -cluster): max == highest score, ties to
+        # the lowest cluster id — identical to the window form below.
+        best = scored.groupBy(id_alias).agg(
+            F.max_by(
+                F.struct(F.col("_v").alias("_v"), F.col("cluster").alias("cluster")),
+                F.struct(
+                    F.col("_cscore").alias("s"), (-F.col("cluster")).alias("nc")
+                ),
+            ).alias("_best")
+        )
+        return best.select(
+            id_alias, F.col("_best._v").alias("_v"), F.col("_best.cluster").alias("cluster")
+        )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("_cscore"), F.asc("cluster"))
+    return (
+        scored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n)
+        .drop("_cscore", "_crn")
+    )
+
+
+def ivf_topk_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat top-k given an explicit centroid table
+    (``cluster int, centroid array``): assign each corpus vector to its
+    nearest centroid, probe the ``n_probe`` nearest centroids per query, and
+    score only the probed clusters — the inverted-file ANN pattern with the
+    corpus pruned to ~n_probe/n_clusters.
+
+    Everything is cluster-side: the centroid table is broadcast to both the
+    assignment join and the probe join; there is no driver-side collect, so
+    the query side may be any size. Determinism: centroid_score + integer
+    tie-breaks make assignment/probing/top-k reproducible in the DuckDB
+    oracle."""
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"), F.col("centroid").alias("_cvec")
+    )
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=1,
+        id_alias="neighbor_id",
+    ).select("neighbor_id", F.col("_v").alias("cvec"), "cluster")
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=n_probe,
+        id_alias="query_id",
+    ).select("query_id", F.col("_v").alias("qvec"), "cluster")
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a (query, neighbor) pair can only repeat if the corpus vector were
+        # assigned to 2 clusters — n=1 assignment makes pairs unique already
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,44 +218,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate top-k: scan only the ``n_probe`` clusters nearest each
-    query (by centroid distance). The cluster equi-join prunes the corpus to
-    ~n_probe/n_clusters of its size — the inverted-file ANN pattern
-    (IVF-Flat), with recall tunable via n_probe."""
-    import numpy as np
-
-    assigned, model = ivf_index(corpus, n_clusters, vec_col, seed)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-
-    # nearest n_probe centroids per query, computed driver-side per query
-    # batch (queries are small/broadcast by contract)
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_pairs = []
-    for r in q_rows:
-        v = np.asarray(r[vec_col], dtype=float)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:n_probe]:
-            probe_pairs.append((r[id_col], int(c)))
+    """IVF approximate top-k with a KMeans-trained coarse quantizer: train on
+    the corpus (MLlib, distributed), then delegate to the cluster-side
+    fixed-centroid path — the trained centroids become the broadcast centroid
+    table; no driver-side probing."""
+    _assigned, model = ivf_index(corpus, n_clusters, vec_col, seed)
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_pairs, f"query_id long, cluster int")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).join(probes, "query_id")
-
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cluster"
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
-    scored = (
-        c.join(F.broadcast(q), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .dropDuplicates(["query_id", "neighbor_id"])  # n_probe overlap safety
+    return ivf_topk_with_centroids(
+        corpus, queries, centroids, k=k, n_probe=n_probe, vec_col=vec_col, id_col=id_col
     )
 
 

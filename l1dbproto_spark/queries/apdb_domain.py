@@ -19,46 +19,6 @@ _D2R = repr(math.pi / 180.0)
 
 
 @query(
-    "asof_version_lookup",
-    oracle="""
-    WITH versions AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             o_orderdate AS validity_start,
-             LEAD(o_orderdate) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ) AS validity_end
-      FROM orders
-    )
-    SELECT o_custkey, o_orderkey, o_totalprice, validity_start
-    FROM versions
-    WHERE validity_start <= TIMESTAMP '1997-06-01 00:00:00'
-      AND (validity_end IS NULL OR validity_end > TIMESTAMP '1997-06-01 00:00:00')
-    """,
-    survey="W1,W2 (SCD-2 as-of read: the version valid at time T)",
-)
-def asof_version_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of lookup over an SCD-2 version history: reconstruct validity
-    intervals with lead() (the batch form of the reference's validityEnd
-    truncation, metrics.md:57) and select the version active at T — the
-    read pattern ``getDiaObjects`` serves from the version table when the
-    materialized Last table is bypassed."""
-    orders = load_table(spark, sf_dir, "orders")
-    t = F.lit("1997-06-01 00:00:00").cast("timestamp")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    versions = orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.col("o_orderdate").alias("validity_start"),
-        F.lead("o_orderdate").over(w).alias("validity_end"),
-    )
-    return versions.filter(
-        (F.col("validity_start") <= t)
-        & (F.col("validity_end").isNull() | (F.col("validity_end") > t))
-    ).select("o_custkey", "o_orderkey", "o_totalprice", "validity_start")
-
-
-@query(
     "pixel_histogram",
     oracle=f"""
     WITH derived AS (

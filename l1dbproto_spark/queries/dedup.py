@@ -97,18 +97,11 @@ def _minhash_oracle_sig_cte(k: int = 8) -> str:
     )"""
 
 
-@query(
-    "minhash_signatures",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
-    {_minhash_oracle_sig_cte(8)}
-    SELECT * FROM sig
-    """,
-    survey="ext:dedup (MinHash)",
-)
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document (salted portable hashes,
-    k map-side min-aggregations in one shuffle)."""
+    k map-side min-aggregations in one shuffle). Not separately registered:
+    the full signature computation is embedded (and therefore verified) in
+    the ``minhash_lsh_candidates`` oracle's sig CTE."""
     shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
     return minhash_signatures(shingles, k=8)
 
@@ -196,10 +189,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@query(
-    "simhash_fingerprints",
-    oracle=r"""
-    WITH docs AS (
+# Shared DuckDB CTE chain computing the 60-bit SimHash per document —
+# mirrors operators.dedup.simhash exactly (used by both simhash queries).
+_SIMHASH_SIG_CTE = r"""
+    docs AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
       FROM documents
@@ -219,15 +212,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (whash >> bit) & 1 = 1 THEN freq ELSE -freq END) AS vote_sum
       FROM wh, unnest(range(60)) AS t(bit)
       GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << bit)
-                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM votes
-    GROUP BY doc_id
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT doc_id, simhash FROM sim
     """,
     survey="ext:dedup (SimHash)",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (frequency-weighted bit votes)."""
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE},
+    blocks AS (
+      SELECT doc_id, simhash, CAST(i AS INT) AS block,
+             (simhash >> CAST(15 * i AS INT)) & 32767 AS val
+      FROM sim, unnest(range(4)) AS t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM blocks a
+      JOIN blocks b ON a.block = b.block AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    survey="ext:dedup (SimHash Hamming-distance retrieval via block-permutation banding)",
+)
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within 3 bits of SimHash: 4 x 15-bit block banding
+    generates candidates (pigeonhole: <=3 differing bits -> >=1 identical
+    block), exact bit_count(xor) verifies — sub-quadratic retrieval, the
+    missing half of the SimHash family flagged in round 1."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    fps = simhash(load_table(spark, sf_dir, "documents"))
+    return simhash_near_dup_pairs(fps, max_bits=3)

@@ -25,21 +25,27 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
-      COUNT(DISTINCT user_id) AS n_users
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) FILTER (
+        WHERE NOT (EXTRACT(hour FROM ts) >= 6 AND EXTRACT(hour FROM ts) < 20)
+      ) AS n_night_events
     FROM events
     GROUP BY 1, 2
     """,
-    survey="A5,A6,T1",
+    survey="A5,A6,T1 + P8 (day/night duty-cycle gate as conditional count)",
     headline=True,
 )
 def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation — the per-visit metric aggregation
     (log2csv.py:96,126-132: count/sum/avg per visit per key), keyed by an
-    hour window instead of visit id. Streaming variant: groupBy(window(ts,'1
-    hour'), event_type) with a watermark."""
+    hour window instead of visit id; n_night_events applies the reference's
+    day/night duty-cycle gate (6 <= hour < 20 skipped, ap_proto.py:66-81) as
+    a conditional count. Streaming variant: groupBy(window(ts,'1 hour'),
+    event_type) with a watermark."""
     ev = load_table(spark, sf_dir, "events")
     n = F.count(F.lit(1))
     sum_dec = F.sum(F.col("value").cast("decimal(12,2)"))
+    hour = F.hour("ts")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
@@ -50,6 +56,7 @@ def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dec.cast("double").alias("sum_value"),
             (sum_dec.cast("double") / n).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
+            F.count_if(~((hour >= 6) & (hour < 20))).alias("n_night_events"),
         )
     )
 
@@ -79,73 +86,6 @@ def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"))
-    )
-
-
-@query(
-    "sessionize",
-    oracle="""
-    WITH flagged AS (
-      SELECT
-        user_id,
-        ts,
-        CASE
-          WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-          WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               > INTERVAL 30 MINUTE THEN 1
-          ELSE 0
-        END AS new_session
-      FROM events
-    )
-    SELECT
-      user_id,
-      CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-      COUNT(*) AS n_events
-    FROM flagged
-    GROUP BY user_id
-    """,
-    survey="T2,W5,W6 (session analog)",
-)
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: gap > 30 min starts a new session — lag() + conditional
-    flag + per-user counts. Streaming variant: session_window(ts, '30 minutes')."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        lag_ts.isNull()
-        | (F.col("ts").cast("long") - lag_ts.cast("long") > 30 * 60),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    return (
-        ev.withColumn("new_session", new_session)
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_session").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-
-
-@query(
-    "day_night_gate",
-    oracle="""
-    SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_night_events
-    FROM events
-    WHERE NOT (EXTRACT(hour FROM ts) >= 6 AND EXTRACT(hour FROM ts) < 20)
-    GROUP BY 1
-    """,
-    survey="P8",
-)
-def day_night_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The day/night duty-cycle gate: visits with 6 <= hour < 20 are skipped
-    (ap_proto.py:66-81) — an hour-of-timestamp filter."""
-    ev = load_table(spark, sf_dir, "events")
-    hour = F.hour("ts")
-    return (
-        ev.filter(~((hour >= 6) & (hour < 20)))
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_night_events"))
     )
 
 

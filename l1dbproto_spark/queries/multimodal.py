@@ -1,7 +1,10 @@
 """Multimodal-column queries: binary payloads synthesized deterministically
-from the documents table (encode(text)), so blob metadata is oracle-checkable
-in DuckDB; the mapInPandas feature/chunk paths are rows-only checks (genuinely
-non-SQL-expressible — the driver records the weaker check)."""
+from the documents table (encode(text) — the corpus is pure ASCII, verified:
+length(text) == octet_length(encode(text)) for every row, so DuckDB's
+character-indexed substr/ord are byte-accurate). That makes even the
+mapInPandas feature/chunk paths fully oracle-checkable in SQL: the Spark side
+runs the real Arrow-batch Python path a media decoder would use, the oracle
+recomputes the same bytes-level features relationally."""
 
 from __future__ import annotations
 
@@ -11,6 +14,8 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import byte_histogram_features, chunk_fingerprints
 from ..sources.catalog import load_table
 from . import query
+
+_N_BINS = 32
 
 
 def _as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,21 +49,64 @@ def blob_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_COLS = ",\n      ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN bin = {k} THEN n END), 0) AS DOUBLE)"
+    f" / ANY_VALUE(total) AS f{k}"
+    for k in range(_N_BINS)
+)
+
+
 @query(
     "media_byte_histogram",
-    oracle=None,  # mapInPandas path; rows-only check
-    survey="ext:multimodal (feature extraction via mapInPandas)",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id AS media_id, text, length(text) AS total FROM documents
+    ),
+    pos AS (
+      SELECT media_id, ord(substr(text, CAST(i AS INT), 1)) // 8 AS bin
+      FROM docs, unnest(range(1, total + 1)) AS t(i)
+    ),
+    agg AS (SELECT media_id, bin, COUNT(*) AS n FROM pos GROUP BY 1, 2)
+    SELECT
+      d.media_id,
+      {_HIST_COLS}
+    FROM docs d LEFT JOIN agg a ON a.media_id = d.media_id
+    GROUP BY d.media_id
+    """,
+    survey="ext:multimodal (feature extraction via mapInPandas, SQL-oracled)",
 )
 def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bin byte-histogram features per blob through the Arrow batch path."""
-    return byte_histogram_features(_as_media(spark, sf_dir))
+    """32-bin normalized byte-histogram features per blob through the Arrow
+    mapInPandas batch path (numpy per batch — the exact plumbing a real
+    decoder/featurizer uses), projected to one column per bin so the DuckDB
+    oracle checks every value bit-for-bit (counts and the count/total double
+    division are engine-exact)."""
+    feats = byte_histogram_features(_as_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        *[F.element_at(F.col("features"), k + 1).alias(f"f{k}") for k in range(_N_BINS)],
+    )
 
 
 @query(
     "media_chunk_fingerprints",
-    oracle=None,  # mapInPandas path; rows-only check
-    survey="ext:multimodal (frame sampling via mapInPandas)",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS media_id, text,
+             greatest(length(text) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT
+      media_id,
+      CAST(i AS INT) AS chunk_idx,
+      md5(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS chunk_hash
+    FROM docs, unnest(range(4)) AS t(i)
+    """,
+    survey="ext:multimodal (frame sampling via mapInPandas, SQL-oracled)",
 )
 def media_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample stand-in: 4 chunk fingerprints per blob."""
+    """Frame-sample stand-in: 4 equal byte chunks per blob, md5 per chunk,
+    through mapInPandas; the oracle reproduces the identical chunking
+    arithmetic (step = max(len//4, 1), remainder bytes dropped) with
+    substr/md5 over the ASCII payload."""
     return chunk_fingerprints(_as_media(spark, sf_dir), n_chunks=4)

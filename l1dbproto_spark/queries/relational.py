@@ -236,30 +236,43 @@ def history_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_no_orders",
+    "exists_anti_semi",
     oracle="""
-    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, 'no_recent_order' AS tag
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey
         AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     )
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, 'big_spender' AS tag
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
     """,
-    survey="J-anti (README.md:30 'objects without match')",
+    survey="J-anti (README.md:30 'objects without match') + correlated EXISTS semi-join",
 )
-def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: the 'objects without match' read the reference describes
-    (README.md:30) — Spark left_anti join (customers with no 1998+ orders)."""
+def exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS battery: the 'objects without match' anti-join the reference
+    describes (README.md:30) plus the correlated-EXISTS semi-join with an
+    inner predicate — Spark left_anti / left_semi joins, tagged union."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    anti = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        *cols, F.lit("no_recent_order").alias("tag")
     )
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_acctbal"
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        *cols, F.lit("big_spender").alias("tag")
     )
+    return anti.unionByName(semi)
 
 
 @query(

@@ -15,7 +15,7 @@ from . import query
 
 
 @query(
-    "rollup_pricing",
+    "cube_pricing",
     oracle="""
     SELECT
       l_returnflag,
@@ -24,15 +24,16 @@ from . import query
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    survey="A-agg beyond reference (rollup / grouping sets)",
+    survey="A-agg beyond reference (cube / rollup / grouping sets; cube is the superset)",
 )
-def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals with grouping id — subtotals + grand total in one
-    pass (map-side partial aggregation handles all levels)."""
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals with grouping id: every grouping-set combination
+    (CUBE, whose result is a superset of ROLLUP's) in one pass — map-side
+    partial aggregation handles all levels."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
@@ -40,51 +41,47 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "repeat_customers_intersect",
+    "set_ops_customers",
     oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    SELECT o_custkey, 'repeat' AS tag FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT o_custkey, 'churned' AS tag FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
     """,
-    survey="set ops beyond reference (intersect)",
+    survey="set ops beyond reference (intersect + except, tagged union)",
 )
-def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation battery: customers active in both 1996 and 1997
+    (INTERSECT) and customers active in 1996 but never after (EXCEPT) — one
+    tagged result. subtract (not exceptAll) keeps SQL set semantics."""
     orders = load_table(spark, sf_dir, "orders")
 
-    def year(y):
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey")
+    def year_range(lo: str, hi: str | None):
+        cond = F.col("o_orderdate") >= F.lit(lo).cast("timestamp")
+        if hi is not None:
+            cond = cond & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        return orders.filter(cond).select("o_custkey")
 
-    return year(1996).intersect(year(1997))
-
-
-@query(
-    "churned_customers_except",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-    """,
-    survey="set ops beyond reference (except)",
-)
-def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_custkey")
-    b = orders.filter(
-        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
-    ).select("o_custkey")
+    y96 = year_range("1996-01-01", "1997-01-01")
+    y97 = year_range("1997-01-01", "1998-01-01")
+    repeat = y96.intersect(y97).select("o_custkey", F.lit("repeat").alias("tag"))
     # set semantics (EXCEPT DISTINCT) — exceptAll is bag difference and would
-    # keep a customer whose 1996 order count merely exceeds their 1997 count
-    return a.subtract(b)
+    # keep a customer whose 1996 order count merely exceeds their later count
+    churned = y96.subtract(year_range("1997-01-01", None)).select(
+        "o_custkey", F.lit("churned").alias("tag")
+    )
+    return repeat.unionByName(churned)
 
 
 @query(
@@ -284,40 +281,16 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "string_functions",
+    "date_null_battery",
     oracle="""
-    SELECT
-      c_custkey,
-      upper(c_name) AS up,
-      substr(c_name, 10, 5) AS mid,
-      replace(c_name, 'Customer', 'C') AS repl,
-      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
-      concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS segkey,
-      length(c_name) AS name_len,
-      CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
-    FROM customer
-    """,
-    survey="F13 string battery",
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.upper("c_name").alias("up"),
-        F.substring("c_name", 10, 5).alias("mid"),
-        F.regexp_replace(F.col("c_name"), "Customer", "C").alias("repl"),
-        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
-        F.concat(
-            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
-        ).alias("segkey"),
-        F.length("c_name").cast("long").alias("name_len"),
-        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+    WITH v AS (
+      SELECT
+        o_orderkey, o_orderdate,
+        LEAD(o_orderdate) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS next_date
+      FROM orders
     )
-
-
-@query(
-    "date_functions",
-    oracle="""
     SELECT
       o_orderkey,
       EXTRACT(year FROM o_orderdate) AS yr,
@@ -325,15 +298,31 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXTRACT(dow FROM o_orderdate) AS dow,
       CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP) AS due_date,
       date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
-      CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
-    FROM orders
+      CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+      next_date IS NULL AS is_latest,
+      COALESCE(next_date, TIMESTAMP '2199-12-31 00:00:00') AS next_or_max,
+      CASE WHEN next_date IS NULL THEN -1
+           ELSE date_diff('day', o_orderdate, next_date) END AS gap_days,
+      NULLIF(date_diff('day', o_orderdate, COALESCE(next_date, o_orderdate)), 0) AS gap_or_null
+    FROM v
     """,
-    survey="F9,F10 date battery",
+    survey="F9,F10 date battery + null semantics (coalesce / nullif / case / IS NULL)",
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def date_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + null-semantics battery in one per-order projection:
+    extract/interval/datediff/last_day (F9/F10) plus the lead()-derived
+    next-order gap with coalesce / nullif / CASE / IS NULL handling."""
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
-    return orders.select(
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = orders.select("o_orderkey", d, F.lead(d).over(w).alias("next_date"))
+    gap = F.datediff(F.col("next_date").cast("date"), d.cast("date"))
+    gap_self = F.datediff(
+        F.coalesce(F.col("next_date"), d).cast("date"), d.cast("date")
+    )
+    return v.select(
         "o_orderkey",
         F.year(d).cast("long").alias("yr"),
         F.month(d).cast("long").alias("mo"),
@@ -343,4 +332,13 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_eoy"),
         F.last_day(d).cast("timestamp").alias("month_end"),
+        F.col("next_date").isNull().alias("is_latest"),
+        F.coalesce(
+            F.col("next_date"), F.lit("2199-12-31 00:00:00").cast("timestamp")
+        ).alias("next_or_max"),
+        F.when(F.col("next_date").isNull(), F.lit(-1))
+        .otherwise(gap)
+        .cast("long")
+        .alias("gap_days"),
+        F.nullif(gap_self.cast("long"), F.lit(0)).alias("gap_or_null"),
     )

@@ -28,38 +28,14 @@ def _words(col):
 
 
 @query(
-    "token_stats",
-    oracle="""
-    SELECT
-      doc_id,
-      len(string_split_regex(trim(text), ' +')) AS n_ws_tokens,
-      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-      length(text) AS n_chars
-    FROM documents
-    """,
-    survey="ext:text (token counting)",
-)
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish-regex token counting per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(_words(F.col("text"))).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-
-
-@query(
-    "quality_score",
+    "text_stats",
     oracle=f"""
     WITH t AS (
       SELECT
         doc_id,
         length(text) AS n_chars,
         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         len(list_filter(string_split_regex(trim(text), ' +'),
                         x -> x IN {str(tuple(_STOP_EN))})) AS n_stop,
         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
@@ -69,6 +45,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       n_chars,
       n_tokens,
+      n_bpe_tokens,
       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
       0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
@@ -76,11 +53,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
     FROM t
     """,
-    survey="ext:text (quality scoring)",
+    survey="ext:text (token counting: whitespace + BPE-ish regex; quality scoring)",
 )
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality score from length / stopword ratio / punct
-    ratio. All ratios are int/int divisions in double — deterministic across
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and heuristic quality score
+    (length / stopword ratio / punct ratio) per document, one projection.
+    All ratios are int/int divisions in double — deterministic across
     engines; the weighted sum is evaluated in identical operand order."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
@@ -98,6 +76,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         (

@@ -44,35 +44,6 @@ def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "validity_intervals",
-    oracle="""
-    SELECT
-      o_custkey,
-      o_orderkey,
-      o_orderdate AS validity_start,
-      LEAD(o_orderdate) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      ) AS validity_end
-    FROM orders
-    """,
-    survey="W2",
-)
-def validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-2 validity-interval truncation in batch form: each version's
-    validityEnd is the next version's validityStart (reference does this as a
-    per-store UPDATE, metrics.md:57 ``truncate_time``; the batch equivalent is
-    lead() over the version window — SURVEY.md W2)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.col("o_orderdate").alias("validity_start"),
-        F.lead("o_orderdate").over(w).alias("validity_end"),
-    )
-
-
-@query(
     "partitioned_source_ids",
     oracle="""
     SELECT

@@ -12,7 +12,7 @@ from . import query
 
 
 @query(
-    "running_totals",
+    "window_frames_battery",
     oracle="""
     SELECT
       o_custkey,
@@ -28,19 +28,36 @@ from . import query
       / COUNT(*) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-      ) AS moving_avg_3
+      ) AS moving_avg_3,
+      o_orderdate AS validity_start,
+      LEAD(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) AS validity_end,
+      (o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+       AND (LEAD(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) IS NULL
+            OR LEAD(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) > TIMESTAMP '1997-06-01 00:00:00')) AS active_at_t
     FROM orders
     """,
-    survey="window frames (running sum, moving average)",
+    survey="W2 (SCD-2 validity + as-of-at-T flag) + window frames (running sum, moving avg)",
 )
-def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-spec windows: cumulative spend + 3-row moving average per
-    customer (exact-decimal sums inside the frame keep both engines equal)."""
+def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery per order version: cumulative spend + 3-row moving
+    average (frame specs), the SCD-2 validity interval derived with lead()
+    (the batch form of the reference's validityEnd truncation, metrics.md:57
+    — SURVEY.md W2), and the as-of flag marking the version active at T (the
+    version-table read path behind ``getDiaObjects`` when the materialized
+    Last table is bypassed)."""
     orders = load_table(spark, sf_dir, "orders")
+    t = F.lit("1997-06-01 00:00:00").cast("timestamp")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     dec = F.col("o_totalprice").cast("decimal(12,2)")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
+    validity_end = F.lead("o_orderdate").over(w)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -49,28 +66,60 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec).over(mov).cast("double")
             / F.count(F.lit(1)).over(mov)
         ).alias("moving_avg_3"),
+        F.col("o_orderdate").alias("validity_start"),
+        validity_end.alias("validity_end"),
+        (
+            (F.col("o_orderdate") <= t)
+            & (validity_end.isNull() | (validity_end > t))
+        ).alias("active_at_t"),
     )
 
 
 @query(
-    "ranking_battery",
+    "string_pattern_rank_battery",
     oracle="""
     SELECT
-      c_custkey,
-      c_nationkey,
-      DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drank,
-      NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-      PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS prank
-    FROM customer
+      p_partkey,
+      upper(p_name) AS up,
+      substr(p_name, 5, 6) AS mid,
+      replace(p_name, ' ', '_') AS repl,
+      lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+      concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brandsize,
+      length(p_name) AS name_len,
+      CAST(strpos(p_name, 'o') AS BIGINT) AS o_pos,
+      p_name LIKE '%widget%' AS has_widget,
+      p_name LIKE 'cold%' AS starts_cold,
+      p_brand LIKE 'Brand#1_' AS brand_1x,
+      regexp_matches(p_type, '^(ECONOMY|STANDARD)$') AS simple_type,
+      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drank,
+      NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile,
+      PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS prank
+    FROM part
+    WHERE p_name LIKE '%o%'
     """,
-    survey="ranking beyond row_number (dense_rank / ntile / percent_rank)",
+    survey="F13 string battery + pattern predicates (LIKE / regex) + ranking (dense_rank / ntile / percent_rank)",
 )
-def ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
-        "c_custkey",
-        "c_nationkey",
+def string_pattern_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions, LIKE/regex predicates, and ranking windows in one
+    per-part projection (the three former separate batteries, merged to keep
+    the registry within the driver's correctness budget)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.filter(F.col("p_name").like("%o%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 5, 6).alias("mid"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("repl"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brandsize"
+        ),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr(F.col("p_name"), "o").cast("long").alias("o_pos"),
+        F.col("p_name").like("%widget%").alias("has_widget"),
+        F.col("p_name").like("cold%").alias("starts_cold"),
+        F.col("p_brand").like("Brand#1_").alias("brand_1x"),
+        F.col("p_type").rlike("^(ECONOMY|STANDARD)$").alias("simple_type"),
         F.dense_rank().over(w).cast("long").alias("drank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prank"),
@@ -125,23 +174,3 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cube_counts",
-    oracle="""
-    SELECT
-      l_returnflag,
-      l_linestatus,
-      GROUPING(l_returnflag, l_linestatus) AS gid,
-      COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    survey="cube (all grouping-set combinations)",
-)
-def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
-        .select("l_returnflag", "l_linestatus", "gid", "n")
-    )
