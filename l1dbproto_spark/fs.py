@@ -1,0 +1,56 @@
+"""Hadoop FileSystem access for the APDB storage layer.
+
+All table-root metadata operations (existence probes, mkdir, recursive
+delete, partition-directory listing) go through the JVM's
+``org.apache.hadoop.fs.FileSystem`` — the same abstraction Spark's own
+readers/writers use — so an ApdbSpark root can be any Hadoop-supported URI
+(``file:``, ``hdfs:``, ``s3a:``, ``gs:``, ``abfs:``), not just a local
+directory. The reference binds its store to a database URI the same way
+(``Apdb.from_uri``); at the 100 TB design point the root is object storage
+and local ``os.*`` calls would simply be wrong.
+
+Only metadata passes through py4j (a handful of calls per visit); data moves
+via Spark jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class TableFS:
+    """Thin wrapper over the Hadoop FileSystem owning a root URI."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jpath(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def delete(self, path: str) -> bool:
+        """Recursive delete; False when the path did not exist."""
+        return self._fs.delete(self._jpath(path), True)
+
+    def list_names(self, path: str) -> list[str]:
+        """Child entry names of a directory ([] when absent)."""
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def has_parquet_file(self, path: str) -> bool:
+        """True when any .parquet data file exists under path (recursive) —
+        the 'table has data' probe (partition subdirectories included)."""
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return False
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False

@@ -1,0 +1,188 @@
+"""Round-2 scale-hardening tests: exactly-once visit re-store after a crash,
+Hadoop-FS (URI-rooted) storage, and the dedup pair-expansion guards."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.apdb import ApdbSpark
+
+VISIT_T = datetime.datetime(2026, 1, 1, 3, 0, 0)
+
+
+def _objects(spark, n=6, start_id=1):
+    rows = [(start_id + i, 10.0 + i, 1.0 + 0.1 * i) for i in range(n)]
+    return spark.createDataFrame(rows, ["diaObjectId", "ra", "dec"])
+
+
+def _sources(spark, mjd, n=6, start_id=1):
+    rows = [
+        (1000 * start_id + i, start_id + i, 10.0 + i, 1.0 + 0.1 * i, mjd)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, ["diaSourceId", "diaObjectId", "ra", "dec", "midpointMjdTai"]
+    )
+
+
+def test_restore_same_visit_is_idempotent(spark, tmp_path):
+    """Crash-recovery contract: save_visit is written last, so a crash
+    mid-store re-runs the WHOLE visit; the re-run must leave zero duplicate
+    diaSourceId / object versions (VERDICT round-1 item 4)."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    mjd = python_datetime_to_mjd(VISIT_T)
+
+    # first attempt: full store, but "crash" before save_visit
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))
+    # restart: the visit is not checkpointed, so the driver re-runs it
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))
+    apdb.save_visit(1, VISIT_T, 6)
+
+    src = apdb._read("DiaSource")
+    assert src.count() == 6
+    assert src.select("diaSourceId").distinct().count() == 6
+    obj = apdb._read("DiaObject")
+    assert obj.count() == 6  # one version per object, not two
+    assert apdb.count_rows("DiaObjectLast") == 6
+
+
+def test_restore_preserves_other_visits(spark, tmp_path):
+    """The visit-scoped delete must only remove the re-stored visit's rows —
+    a neighbouring visit in the same month partition survives."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    t0 = VISIT_T
+    t1 = VISIT_T + datetime.timedelta(seconds=45)
+    apdb.store(t0, _objects(spark), _sources(spark, python_datetime_to_mjd(t0)))
+    apdb.save_visit(1, t0, 6)
+    apdb.store(
+        t1,
+        _objects(spark, start_id=7),
+        _sources(spark, python_datetime_to_mjd(t1), start_id=7),
+    )
+    # crash before save_visit(2) -> visit 2 re-runs
+    apdb.store(
+        t1,
+        _objects(spark, start_id=7),
+        _sources(spark, python_datetime_to_mjd(t1), start_id=7),
+    )
+    src = apdb._read("DiaSource")
+    assert src.count() == 12
+    assert src.select("diaSourceId").distinct().count() == 12
+    assert apdb._read("DiaObject").count() == 12
+
+
+def test_file_uri_root(spark, tmp_path):
+    """The storage layer works with an explicit file: URI root end-to-end
+    (existence probes, DDL, store, reads, retention all via the Hadoop FS)."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    uri = f"file://{tmp_path}/apdb_uri"
+    apdb = ApdbSpark.from_uri(spark, uri, enable_replica=True)
+    assert apdb.root == uri
+    apdb.make_schema(drop=True)
+    assert not apdb._exists("DiaObject")
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, python_datetime_to_mjd(VISIT_T)))
+    apdb.save_visit(1, VISIT_T, 6)
+    assert apdb._exists("DiaObject")
+    assert apdb.count_rows("DiaObjectLast") == 6
+    assert apdb.last_visit()["visitId"] == 1
+    from l1dbproto_spark.plans.region import Circle
+
+    got = apdb.get_dia_objects(Circle(12.0, 1.2, 60.0)).count()
+    assert got > 0
+    # retention drops the (old) replica chunk partitions through the FS
+    dropped = apdb.cleanup_replica_chunks(
+        VISIT_T + datetime.timedelta(days=60), keep_days=30.0
+    )
+    assert dropped == 2  # object + source chunk partitions (no forced stored)
+
+
+def test_jaccard_df_cap_bounds_stop_phrase(spark):
+    """Planted stop-phrase corpus: every doc shares one shingle; with the
+    document-frequency cap the C(n,2) blow-up from that shingle is dropped,
+    while genuinely similar pairs are still found."""
+    from l1dbproto_spark.operators.dedup import (
+        capped_shingle_count,
+        shingle_jaccard_pairs,
+        word_shingles,
+    )
+
+    stop = "click here now"
+    docs = [(i, f"unique text body number {i} " + stop) for i in range(40)]
+    # two planted near-duplicates sharing most shingles
+    docs += [(100, "the quick brown fox jumps over the lazy dog " + stop)]
+    docs += [(101, "the quick brown fox jumps over the lazy dog " + stop)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = word_shingles(df, n=3)
+    # cap below the stop-phrase document frequency (42) but above any
+    # legitimate shingle's
+    pairs = shingle_jaccard_pairs(sh, min_jaccard=0.8, df_cap=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    assert capped_shingle_count(sh, 10) >= 1  # the stop shingles were dropped
+
+
+def test_minhash_bucket_guard(spark):
+    """A degenerate corpus of identical docs forms one mega-bucket; the size
+    guard drops it (and only it)."""
+    from l1dbproto_spark.operators.dedup import (
+        capped_bucket_count,
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = [(i, "exactly the same text for every single doc") for i in range(30)]
+    docs += [(100, f"different text one alpha beta gamma"), (101, "another unrelated body")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    buckets = minhash_band_buckets(minhash_signatures(word_shingles(df, n=3), k=8))
+    unguarded = minhash_candidate_pairs(buckets, max_bucket_size=None).count()
+    guarded = minhash_candidate_pairs(buckets, max_bucket_size=10).count()
+    assert unguarded >= 30 * 29 // 2
+    assert guarded == 0
+    assert capped_bucket_count(buckets, 10) >= 1
+
+
+def test_simhash_near_dup_pairs_exact(spark):
+    """Block-banding retrieval finds exactly the pairs within max_bits —
+    verified against an all-pairs brute force on a small corpus."""
+    from itertools import combinations
+
+    from l1dbproto_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely unrelated words about spark and parquet files"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    for max_bits in (0, 3, 7):
+        expected = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= max_bits
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dup_pairs(
+                simhash(df), max_bits=max_bits, max_bucket_size=None
+            ).collect()
+        }
+        if max_bits <= 3:
+            assert got == expected, f"max_bits={max_bits}"
+        else:
+            # >3 bits exceeds the 4-block pigeonhole guarantee: recall may
+            # drop but precision cannot — every returned pair must be real
+            assert got <= expected
