@@ -261,9 +261,14 @@ class ApdbSpark:
         for f in TABLE_SCHEMAS["DiaObject"].fields:
             if f.name not in obj.columns:
                 obj = obj.withColumn(f.name, F.lit(None).cast(f.dataType))
-        # sortWithinPartitions(pixelId): clusters rows so parquet row-group
-        # min/max stats on pixelId are tight — the range predicates of the
-        # region read then skip row groups, not just hive partitions
+        # sortWithinPartitions(pixel_bucket, pixelId): clusters rows so
+        # parquet row-group min/max stats on pixelId are tight — the range
+        # predicates of the region read then skip row groups, not just hive
+        # partitions. The partition column MUST lead the sort: partitionBy
+        # writes require partition-column ordering, and if the incoming
+        # ordering lacks that prefix Spark inserts its own (non-stable) sort
+        # that silently destroys the pixelId clustering (caught by
+        # tests/test_q1_scale_plan.py).
         # repartition on the partition column first: one file per bucket per
         # visit instead of tasks x buckets tiny files (file-count hygiene is
         # what keeps the Q1 read fast as visits accumulate)
@@ -285,9 +290,11 @@ class ApdbSpark:
             )
         obj.select(
             *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
-        ).repartition("pixel_bucket").sortWithinPartitions("pixelId").write.mode(
-            "append"
-        ).partitionBy("pixel_bucket").parquet(self._path("DiaObject"))
+        ).repartition("pixel_bucket").sortWithinPartitions(
+            "pixel_bucket", "pixelId"
+        ).write.mode("append").partitionBy("pixel_bucket").parquet(
+            self._path("DiaObject")
+        )
         self._merge_last(obj)
 
         if sources is not None:
@@ -305,8 +312,10 @@ class ApdbSpark:
                     pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level),
                 )
             src = self._with_layout_columns("DiaSource", src)
+            # mjd_month leads the sort for the same partitionBy-ordering
+            # reason as the DiaObject write above
             src.repartition("mjd_month").sortWithinPartitions(
-                "diaObjectId"
+                "mjd_month", "diaObjectId"
             ).write.mode("append").partitionBy("mjd_month").parquet(
                 self._path("DiaSource")
             )
@@ -368,7 +377,10 @@ class ApdbSpark:
         for v in had - still:
             self._fs.delete(f"{self._path(table)}/{part_col}={v}")
         if still:
-            keep.write.mode("overwrite").option(
+            sort_col = "pixelId" if "pixelId" in keep.columns else "diaObjectId"
+            keep.repartition(part_col).sortWithinPartitions(
+                part_col, sort_col
+            ).write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy(part_col).parquet(self._path(table))
         return True
@@ -388,11 +400,12 @@ class ApdbSpark:
             else "mjd_month"
         )
         sort_col = "pixelId" if "pixelId" in df.columns else df.columns[0]
-        compacted = (
-            df.repartition(target_files_per_partition * 8, F.col(part_col))
-            .sortWithinPartitions(part_col, sort_col)
-            .localCheckpoint(eager=True)
-        )
+        # checkpoint (pin the read) BEFORE the sort: ordering metadata must
+        # survive to the writer or it re-sorts by partition column only
+        compacted = df.repartition(
+            target_files_per_partition * 8, F.col(part_col)
+        ).localCheckpoint(eager=True)
+        compacted = compacted.sortWithinPartitions(part_col, sort_col)
         # per-write option, NOT session conf: mutating the shared session's
         # partitionOverwriteMode would silently change later overwrite writes
         # by unrelated code from full-truncate to partial partition overwrite
@@ -486,8 +499,14 @@ class ApdbSpark:
         )
         # Materialize before overwriting the table the plan reads from
         # (read-while-overwrite on the same path); repartition so each bucket
-        # is rewritten as one file.
+        # is rewritten as one file, then sort by pixelId so the hot Q1 read
+        # of DiaObjectLast gets tight row-group stats. The sort must come
+        # AFTER the checkpoint (checkpointing erases ordering metadata, and
+        # an unordered partitioned write makes Spark insert its own
+        # non-stable partition-column sort) and the partition column must
+        # lead it (see the DiaObject write).
         merged = merged.repartition("pixel_bucket").localCheckpoint(eager=True)
+        merged = merged.sortWithinPartitions("pixel_bucket", "pixelId")
         merged.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"  # scoped to this write only
         ).partitionBy("pixel_bucket").parquet(self._path("DiaObjectLast"))
