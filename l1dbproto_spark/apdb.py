@@ -123,6 +123,8 @@ class ApdbSpark:
             if drop:
                 self._fs.delete(path)
             self._fs.mkdirs(path)
+        if drop:
+            self._fs.delete(f"{self.root.rstrip('/')}/_visit_intents")
 
     def _with_layout_columns(self, table: str, df: DataFrame) -> DataFrame:
         if table in ("DiaObject", "DiaObjectLast"):
@@ -239,13 +241,16 @@ class ApdbSpark:
         Crash semantics: each table write is atomic (parquet job commit) and
         the visits checkpoint row is written last (``visit_info.py``), so a
         restart re-runs the whole visit. With ``exactly_once`` (default) the
-        re-run is idempotent: before appending, any rows this visit already
-        wrote are deleted via a visit-scoped partition rewrite
-        (``_delete_visit_rows``). The probe is a partition- and
-        row-group-pruned emptiness check — every appended file carries a
-        single validityStart / midpointMjdTai value, so parquet min/max
-        stats skip all other visits' files and the normal (no-crash) path
-        costs one metadata-only scan per table."""
+        re-run is idempotent via a write-ahead intent marker
+        (``_visit_intents/<visit_time>``): the marker is touched before the
+        first append and removed by ``save_visit`` after the checkpoint row
+        commits, so a leftover marker for this visit_time means a prior
+        attempt crashed mid-store — its rows are then scrubbed by a
+        visit-scoped partition rewrite (``_delete_visit_rows``) before
+        re-appending. The normal (no-crash) path costs two filesystem
+        metadata calls (exists + create) and ZERO Spark jobs — no data scan,
+        no file listing, which is what keeps the hot path flat as the table
+        grows to many thousands of files."""
         ts = F.lit(visit_time).cast("timestamp")
         obj = objects.withColumn("validityStart", ts)
         if "pixelId" not in objects.columns:
@@ -272,22 +277,22 @@ class ApdbSpark:
         # repartition on the partition column first: one file per bucket per
         # visit instead of tasks x buckets tiny files (file-count hygiene is
         # what keeps the Q1 read fast as visits accumulate)
-        # Exactly-once restart detection: DiaObject is written FIRST, so a
-        # partially-stored visit always left rows there — one pruned probe
-        # decides; the (rare) dirty path then scrubs all three tables.
+        # Exactly-once restart detection: a leftover intent marker for this
+        # visit_time means a prior attempt crashed between first append and
+        # checkpoint commit — scrub its rows (rare path, derives touched
+        # partitions from the data). Clean path: touch the marker, no jobs.
         visit_mjd = python_datetime_to_mjd(visit_time)
         visit_month = int(visit_mjd // 30.0)
         restoring = False
         if self.exactly_once:
-            touched_buckets = [
-                r[0] for r in obj.select("pixel_bucket").distinct().collect()
-            ]
-            restoring = self._delete_visit_rows(
-                "DiaObject",
-                F.col("validityStart") == ts,
-                "pixel_bucket",
-                touched_buckets,
-            )
+            marker = self._marker_path(visit_time)
+            restoring = self._fs.exists(marker)
+            if restoring:
+                self._delete_visit_rows(
+                    "DiaObject", F.col("validityStart") == ts, "pixel_bucket"
+                )
+            else:
+                self._fs.touch(marker)
         obj.select(
             *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
         ).repartition("pixel_bucket").sortWithinPartitions(
@@ -303,7 +308,6 @@ class ApdbSpark:
                     "DiaSource",
                     F.col("midpointMjdTai") == F.lit(visit_mjd),
                     "mjd_month",
-                    [visit_month],
                 )
             src = sources
             if "pixelId" not in src.columns:
@@ -325,7 +329,6 @@ class ApdbSpark:
                     "DiaForcedSource",
                     F.col("midpointMjdTai") == F.lit(visit_mjd),
                     "mjd_month",
-                    [visit_month],
                 )
             fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
             fsrc.repartition("mjd_month").write.mode("append").partitionBy(
@@ -344,26 +347,32 @@ class ApdbSpark:
                         "append"
                     ).partitionBy("replica_chunk").parquet(self._path(name))
 
+    def _marker_path(self, visit_time: datetime.datetime) -> str:
+        return (
+            f"{self.root.rstrip('/')}/_visit_intents/"
+            f"{visit_time.strftime('%Y%m%dT%H%M%S_%f')}"
+        )
+
     def _delete_visit_rows(
         self,
         table: str,
         pred,
         part_col: str,
-        part_vals: list,
     ) -> bool:
-        """Exactly-once restart guard: remove rows matching ``pred`` (this
-        visit's rows) from the given partitions before re-appending them.
-        Returns True when a partial store was found and scrubbed.
+        """Exactly-once restart guard (dirty path only — reached when a
+        leftover intent marker proves a prior attempt crashed mid-store):
+        remove rows matching ``pred`` (this visit's rows) before
+        re-appending them. Returns True when leftover rows were scrubbed.
 
-        Normal operation exits at the emptiness probe (partition pruning +
-        parquet row-group stats skip every file whose constant visit
-        timestamp differs). After a crash mid-visit, the affected partitions
-        are rewritten without the visit's rows (dynamic partition overwrite,
+        The probe is partition- and row-group-pruned (every appended file
+        carries a single validityStart / midpointMjdTai value, so parquet
+        min/max stats skip all other visits' files). Affected partitions are
+        rewritten without the visit's rows (dynamic partition overwrite,
         O(touched partitions)); partitions left empty are deleted through
         the filesystem."""
-        if not part_vals or not self._exists(table):
+        if not self._exists(table):
             return False
-        scoped = self._read(table).filter(F.col(part_col).isin(part_vals))
+        scoped = self._read(table)
         dup = scoped.filter(pred)
         if dup.isEmpty():
             return False
@@ -542,6 +551,10 @@ class ApdbSpark:
             TABLE_SCHEMAS["visits"],
         )
         df.write.mode("append").parquet(self._path("visits"))
+        # checkpoint row is durable -> retire the write-ahead intent marker
+        # (store() + save_visit() form the exactly-once unit; a crash in
+        # between leaves the marker, and the re-run scrubs before appending)
+        self._fs.delete(self._marker_path(visit_time))
 
     # ------------------------------------------------------------- metrics
     def count_rows(self, table: str) -> int:

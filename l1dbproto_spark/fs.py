@@ -36,6 +36,11 @@ class TableFS:
         """Recursive delete; False when the path did not exist."""
         return self._fs.delete(self._jpath(path), True)
 
+    def touch(self, path: str) -> None:
+        """Create (or truncate) an empty file — the write-ahead intent
+        marker primitive. On object stores the create is atomic on close."""
+        self._fs.create(self._jpath(path), True).close()
+
     def list_names(self, path: str) -> list[str]:
         """Child entry names of a directory ([] when absent)."""
         p = self._jpath(path)

@@ -49,6 +49,30 @@ def test_restore_same_visit_is_idempotent(spark, tmp_path):
     obj = apdb._read("DiaObject")
     assert obj.count() == 6  # one version per object, not two
     assert apdb.count_rows("DiaObjectLast") == 6
+    # write-ahead intent marker lifecycle: retired by save_visit, so the
+    # next visit's clean path is marker-absent (zero Spark jobs)
+    assert not apdb._fs.exists(apdb._marker_path(VISIT_T))
+
+
+def test_intent_marker_lifecycle(spark, tmp_path):
+    """store() leaves the intent marker until save_visit commits the
+    checkpoint row; a re-store with the marker present takes the scrub path."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    mjd = python_datetime_to_mjd(VISIT_T)
+    marker = apdb._marker_path(VISIT_T)
+    assert not apdb._fs.exists(marker)
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))
+    assert apdb._fs.exists(marker)  # crash window: marker outlives store()
+    apdb.save_visit(1, VISIT_T, 6)
+    assert not apdb._fs.exists(marker)
+    # exactly_once=False never touches markers
+    apdb2 = ApdbSpark(spark, str(tmp_path / "apdb2"), exactly_once=False)
+    apdb2.make_schema(drop=True)
+    apdb2.store(VISIT_T, _objects(spark), _sources(spark, mjd))
+    assert not apdb2._fs.exists(apdb2._marker_path(VISIT_T))
 
 
 def test_restore_preserves_other_visits(spark, tmp_path):
