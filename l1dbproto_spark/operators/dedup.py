@@ -50,29 +50,66 @@ def exact_dedup_groups(
     )
 
 
+def shingle_rows(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word n-gram shingles, one row per (doc, position) — WITHIN-DOC
+    DUPLICATES INCLUDED. The whole construction is codegen-friendly: an
+    exploded position ``sequence`` plus ``concat_ws(try_element_at(...))``
+    per output row, no interpreted higher-order functions (the round-1
+    ``transform(sequence, s -> array_join(slice(...)))`` form ran in the
+    expression interpreter and dominated the dedup-family CPU profile).
+
+    Duplicate-insensitive consumers (MinHash: ``min`` ignores repeats) use
+    this directly with no dedup pass at all; set-semantics consumers go
+    through :func:`doc_shingle_sets` (one ``collect_set``) or
+    :func:`word_shingles` (``distinct()``)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # greatest(..., 1): a doc with fewer than n words yields one truncated
+    # shingle (mirrors the oracle's greatest(len(w)-(n-1), 1)); try_element_at
+    # past the end returns NULL and concat_ws skips NULLs, reproducing the
+    # truncated array_join(slice(...)) exactly.
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    # a document corpus often arrives as few large files -> few partitions;
+    # the shingle construction and hashing are the CPU-heavy map work, so
+    # spread docs across the cluster first (tiny shuffle of raw docs)
+    docs = _spread(docs, id_col)
+    shingle = F.concat_ws(
+        " ", *[F.try_element_at("w", F.col("pos") + F.lit(i)) for i in range(n)]
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            words.alias("w"),
+            F.explode(starts).alias("pos"),
+        )
+        .select("doc_id", shingle.alias("shingle"))
+    )
+
+
+def doc_shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingle set: (doc_id, shingles
+    array<string>), built as ``collect_set`` over :func:`shingle_rows` —
+    one shuffle with map-side partial aggregation (the within-doc dedup
+    happens in the map-side hash set, so the exchange carries near-distinct
+    data). The Aggregate is also a projection-collapse barrier: downstream
+    ``size``/``explode`` references read the materialized array attribute
+    instead of re-evaluating the construction expression."""
+    return (
+        shingle_rows(docs, n, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+
+
 def word_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
-
-    Built with sequence/transform/slice array expressions — per-row, no
-    shuffle; the output is the inverted-index input for Jaccard and MinHash.
-    """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    # greatest(..., 1): a doc with fewer than n words yields one truncated
-    # shingle (mirrors the oracle's greatest(len(w)-(n-1), 1)); the previous
-    # greatest(..., 0) produced sequence(1, 0) == [1, 0] (descending) and
-    # slice(words, 0, n) raised INVALID_PARAMETER_VALUE.START on short docs.
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
-    shingles = F.transform(starts, lambda s: F.array_join(F.slice(words, s, n), " "))
-    # a document corpus often arrives as few large files -> few partitions;
-    # the explode multiplies rows ~100x, so spread docs across the cluster
-    # first (tiny shuffle of raw docs, then embarrassingly parallel expand)
-    docs = _spread(docs, id_col)
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    """Distinct word n-gram shingles per document: (doc_id, shingle) — the
+    set-semantics exploded view of :func:`shingle_rows`."""
+    return shingle_rows(docs, n, text_col, id_col).distinct()
 
 
 def _spread(docs: DataFrame, id_col: str) -> DataFrame:
@@ -137,6 +174,56 @@ def shingle_jaccard_pairs(
     )
 
 
+def jaccard_pairs_from_sets(
+    sets: DataFrame,
+    min_jaccard: float = 0.8,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from :func:`doc_shingle_sets` output —
+    the minimum-shuffle plan (3 exchanges total vs 6 for the exploded-input
+    path): per-doc shingle counts are ``size(shingles)`` computed from the
+    aggregated array attribute and THREADED THROUGH the inverted-index
+    postings, so the final Jaccard needs no count-table joins at all.
+
+    Same semantics and ``df_cap`` scale guard as
+    :func:`shingle_jaccard_pairs`; identical output."""
+    posts = sets.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    # postings carry (doc_id, n_shingles); struct sort orders by doc_id
+    # (unique within a posting list), preserving the doc_a < doc_b contract
+    by_shingle = (
+        posts.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if df_cap is not None:
+        by_shingle = by_shingle.filter(F.size("ids") <= df_cap)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.doc_id AS doc_a, x.n AS n_a, y.doc_id AS doc_b, y.n AS n_b))))"
+    )
+    inter = (
+        by_shingle.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # n_a/n_b are functionally determined by doc_a/doc_b; min() is a
+            # deterministic any_value
+            F.min("p.n_a").alias("n_a"),
+            F.min("p.n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
@@ -161,17 +248,22 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
     """k-permutation MinHash signature per document as columns mh0..mh{k-1}.
 
-    One md5-derived base hash per shingle, then k affine universal-hash
-    transforms ``(base % P) * a_i + b_i mod P`` (Carter-Wegman family) —
-    8x less hashing than salted-md5-per-permutation, and each permutation is
-    a map-side min-aggregation: a single groupBy(doc_id) shuffle total.
+    One md5-derived base hash per shingle (projected ONCE before the
+    aggregation — inlining it into the k agg expressions would re-hash every
+    row k times), then k affine universal-hash transforms
+    ``(base % P) * a_i + b_i mod P`` (Carter-Wegman family); each permutation
+    is a map-side min-aggregation: a single groupBy(doc_id) shuffle total.
+    ``min`` is duplicate-insensitive, so the input does NOT need set
+    semantics — feed :func:`shingle_rows` directly, no dedup pass.
     Operands stay < 2^62, so int64 arithmetic is exact in both engines."""
-    base = portable_hash64(F.col("shingle")) % F.lit(MINHASH_P)
+    hashed = shingles.select(
+        "doc_id", (portable_hash64(F.col("shingle")) % F.lit(MINHASH_P)).alias("h")
+    )
     aggs = [
-        F.min((base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(k))
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_buckets(

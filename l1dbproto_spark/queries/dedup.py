@@ -9,11 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    doc_shingle_sets,
     exact_dedup_groups,
+    jaccard_pairs_from_sets,
     minhash_band_buckets,
     minhash_candidate_pairs,
     minhash_signatures,
-    shingle_jaccard_pairs,
+    shingle_jaccard_pairs,  # noqa: F401  (exploded-input variant, re-exported)
+    shingle_rows,
     simhash,
     word_shingles,
 )
@@ -76,10 +79,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard >= 0.8 via the
-    inverted-index self-join (sub-quadratic: only docs sharing a shingle
-    are paired)."""
-    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    return shingle_jaccard_pairs(shingles, min_jaccard=0.8)
+    inverted-index (sub-quadratic: only docs sharing a shingle are paired);
+    per-doc counts ride inside the postings, so the whole plan is 3
+    exchanges with no count-table joins."""
+    sets = doc_shingle_sets(load_table(spark, sf_dir, "documents"), n=3)
+    return jaccard_pairs_from_sets(sets, min_jaccard=0.8)
 
 
 def _minhash_oracle_sig_cte(k: int = 8) -> str:
@@ -102,8 +106,9 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k map-side min-aggregations in one shuffle). Not separately registered:
     the full signature computation is embedded (and therefore verified) in
     the ``minhash_lsh_candidates`` oracle's sig CTE."""
-    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    return minhash_signatures(shingles, k=8)
+    return minhash_signatures(
+        shingle_rows(load_table(spark, sf_dir, "documents"), n=3), k=8
+    )
 
 
 def _band_union_sql(bands: int = 4, rows: int = 2) -> str:
@@ -135,8 +140,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: 4 bands x 2 rows over the MinHash signature;
     pairs sharing any band bucket. The banding join is the sub-quadratic
     scale path for near-dup detection on a 100 TB corpus."""
-    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    sig = minhash_signatures(shingles, k=8)
+    sig = minhash_signatures(
+        shingle_rows(load_table(spark, sf_dir, "documents"), n=3), k=8
+    )
     return minhash_candidate_pairs(minhash_band_buckets(sig, bands=4, rows_per_band=2))
 
 
@@ -184,8 +190,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components with a recursive CTE)."""
     from ..operators.graph import connected_components
 
-    shingles = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    pairs = shingle_jaccard_pairs(shingles, min_jaccard=0.8)
+    sets = doc_shingle_sets(load_table(spark, sf_dir, "documents"), n=3)
+    pairs = jaccard_pairs_from_sets(sets, min_jaccard=0.8)
     return connected_components(pairs)
 
 

@@ -35,6 +35,10 @@ class VisitStreamDriver:
     resumes from the visits table exactly like the reference
     (``ap_proto.py:258-265``)."""
 
+    # visit budget for bounded runs (run_stream): class-level default so
+    # partially-constructed instances (tests) behave as "unbounded"
+    _stop_after: int | None = None
+
     def __init__(
         self,
         spark: SparkSession,
@@ -94,6 +98,8 @@ class VisitStreamDriver:
         """foreachBatch hook: each non-empty micro-batch = one visit."""
         if batch_df.isEmpty():
             return
+        if self._stop_after is not None and len(self.counts) >= self._stop_after:
+            return
         visit_time = self.start_time + datetime.timedelta(
             seconds=self.interval_s * self.ticks
         )
@@ -107,6 +113,7 @@ class VisitStreamDriver:
         """Run ``n_visits`` micro-batches through a rate source. Synchronous:
         returns after the visits are processed (tests/demo); production
         would leave the query running at Trigger.ProcessingTime('45 seconds')."""
+        self._stop_after = n_visits
         stream = (
             self.spark.readStream.format("rate")
             .option("rowsPerSecond", 1)
