@@ -75,6 +75,39 @@ def test_intent_marker_lifecycle(spark, tmp_path):
     assert not apdb2._fs.exists(apdb2._marker_path(VISIT_T))
 
 
+def test_restore_after_partial_store(spark, tmp_path):
+    """Crash between the DiaObject append and the source append: the first
+    attempt wrote objects (+Last) but no sources and died before save_visit.
+    The re-run must scrub the half-written visit and land exactly once."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    mjd = python_datetime_to_mjd(VISIT_T)
+    # attempt 1 "crashes" after the object writes (sources never appended)
+    apdb.store(VISIT_T, _objects(spark))
+    assert apdb._fs.exists(apdb._marker_path(VISIT_T))
+    # restart: full re-run of the same visit
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))
+    apdb.save_visit(1, VISIT_T, 6)
+    assert apdb._read("DiaObject").count() == 6  # scrubbed, not doubled
+    assert apdb._read("DiaSource").count() == 6
+    assert apdb.count_rows("DiaObjectLast") == 6
+
+
+def test_restore_crash_before_any_write(spark, tmp_path):
+    """Marker exists but no rows were written (crash between touch and the
+    first append): the re-run finds nothing to scrub and stores normally."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    apdb._fs.touch(apdb._marker_path(VISIT_T))
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, python_datetime_to_mjd(VISIT_T)))
+    assert apdb._read("DiaObject").count() == 6
+    assert apdb._read("DiaSource").count() == 6
+
+
 def test_restore_preserves_other_visits(spark, tmp_path):
     """The visit-scoped delete must only remove the re-stored visit's rows —
     a neighbouring visit in the same month partition survives."""
