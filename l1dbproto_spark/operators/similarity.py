@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product in double precision (deterministic)."""
@@ -29,18 +31,33 @@ def dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def dot_chain(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as a left-associated multiply-add CHAIN for a known
+    dimension: ``((0 + a1*b1) + a2*b2) + ...`` — the exact IEEE association
+    of :func:`dot_fold`, so results are bit-identical, but built from plain
+    expressions that whole-stage codegen compiles (higher-order functions
+    like ``aggregate``/``zip_with`` run in the expression interpreter, which
+    dominates CPU when the dot product sits inside a pair join)."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
         )
-    )
+    return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Deterministic dot product; pass ``dim`` when the embedding width is
+    known (fixed-width corpus) to stay inside codegen."""
+    return dot_chain(a, b, dim) if dim is not None else dot_fold(a, b)
+
+
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def brute_force_topk(
@@ -50,17 +67,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     queries is expected to be small (it is broadcast); the corpus side is
-    scanned once per partition with the dot product evaluated in codegen'd
-    array expressions — no shuffle until the per-query top-k window."""
+    scanned once per partition — no shuffle until the per-query top-k
+    window. Norms are precomputed per SIDE (once per query / corpus row)
+    instead of per pair, and the corpus is spread to cluster parallelism
+    first — a small corpus parquet arrives as one split, which would put
+    the whole pair loop on a single core of the broadcast join."""
+    corpus = _spread(corpus, id_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col), dim).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col), dim).alias("cn"),
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")),
+        round_digits,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -107,14 +138,14 @@ def ivf_index(
     return assigned, model
 
 
-def centroid_score(qvec: Column, cvec: Column) -> Column:
+def centroid_score(qvec: Column, cvec: Column, dim: int | None = None) -> Column:
     """Centroid-affinity score: ``2*dot(q,c) - dot(c,c)``. Ranking centroids
     by this descending is identical to ranking by L2 distance ascending
     (``|q-c|^2 = |q|^2 - score``, and |q|^2 is constant per query) but is
     built from the two ordered-fold dot products the DuckDB oracle reproduces
     bit-for-bit (list_dot_product) — so centroid assignment is
     engine-deterministic, unlike a float subtract-square-sum."""
-    return F.lit(2.0) * dot_fold(qvec, cvec) - dot_fold(cvec, cvec)
+    return F.lit(2.0) * dot(qvec, cvec, dim) - dot(cvec, cvec, dim)
 
 
 def _nearest_centroids(
@@ -122,16 +153,17 @@ def _nearest_centroids(
     centroids: DataFrame,
     n: int,
     id_alias: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-n centroids per vector by centroid_score — a broadcast join of the
     (tiny) centroid table against the vector set plus a per-vector window.
     Runs cluster-side: no driver collect, works for arbitrarily large vector
     sets (corpus assignment uses n=1, query probing n=n_probe)."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+    scored = _spread(vecs, "_vid").crossJoin(F.broadcast(centroids)).select(
         F.col("_vid").alias(id_alias),
         F.col("_v"),
         F.col("cluster"),
-        centroid_score(F.col("_v"), F.col("_cvec")).alias("_cscore"),
+        centroid_score(F.col("_v"), F.col("_cvec"), dim).alias("_cscore"),
     )
     if n == 1:
         # corpus assignment: argmax via max_by — partial-aggregatable, so the
@@ -166,6 +198,7 @@ def ivf_topk_with_centroids(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat top-k given an explicit centroid table
     (``cluster int, centroid array``): assign each corpus vector to its
@@ -186,14 +219,28 @@ def ivf_topk_with_centroids(
         cent,
         n=1,
         id_alias="neighbor_id",
-    ).select("neighbor_id", F.col("_v").alias("cvec"), "cluster")
+        dim=dim,
+    ).select(
+        "neighbor_id",
+        F.col("_v").alias("cvec"),
+        l2_norm(F.col("_v"), dim).alias("cn"),
+        "cluster",
+    )
     probes = _nearest_centroids(
         queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
         cent,
         n=n_probe,
         id_alias="query_id",
-    ).select("query_id", F.col("_v").alias("qvec"), "cluster")
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+        dim=dim,
+    ).select(
+        "query_id",
+        F.col("_v").alias("qvec"),
+        l2_norm(F.col("_v"), dim).alias("qn"),
+        "cluster",
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")), 9
+    )
     scored = (
         assigned.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -241,22 +288,29 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket (expected 1/2^n_bits of the corpus scanned per query). The
     bucket equi-join replaces the cross join — at 100 TB this is the
     difference between a full scan per query and a pruned hash-join."""
+    corpus = _spread(corpus, id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col), dim).alias("qn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col), dim).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")),
+        round_digits,
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

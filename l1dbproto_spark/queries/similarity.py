@@ -7,9 +7,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, cosine, lsh_bucketed_topk
+from ..operators.similarity import brute_force_topk, dot, l2_norm, lsh_bucketed_topk
 from ..sources.catalog import load_table
 from . import query
+
+# Embedding width knob (None = ordered-fold dot products). Measured at
+# dim=64 the unrolled dot_chain variant is SLOWER than the fold: the
+# 64-term generated code exceeds the JIT method limits and the whole
+# expression tree falls back to interpreted evaluation (~10x worse on the
+# all-pairs join). The fold's per-element lambda stays a tight interpreter
+# loop — keep it.
+_DIM = None
 
 _COS = """round(
       list_dot_product(qv, cv)
@@ -43,7 +51,7 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries x corpus scan, ordered-fold dot product, per-query window."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=_DIM)
 
 
 @query(
@@ -77,7 +85,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — the sub-linear scale path (1/16 of the corpus per query)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_bucketed_topk(emb, queries, k=5, n_bits=4)
+    return lsh_bucketed_topk(emb, queries, k=5, n_bits=4, dim=_DIM)
 
 
 _CSCORE = "2 * list_dot_product({v}, cent.cv) - list_dot_product(cent.cv, cent.cv)"
@@ -141,7 +149,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("embedding").alias("centroid"),
     )
-    return ivf_topk_with_centroids(emb, queries, centroids, k=5, n_probe=2)
+    return ivf_topk_with_centroids(emb, queries, centroids, k=5, n_probe=2, dim=_DIM)
 
 
 @query(
@@ -162,10 +170,20 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 — the threshold form of the
     reference's cone cross-match (inner product > cos(theta), DIA.py:72-77)."""
+    from ..operators.dedup import _spread
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 9)
+    a = _spread(emb, "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding"), _DIM).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding"), _DIM).alias("nb"),
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb"), _DIM) / (F.col("na") * F.col("nb")), 9)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
