@@ -1,0 +1,105 @@
+"""Sequence packing for LLM training data.
+
+Pretraining pipelines concatenate documents and chunk the token stream into
+fixed-length context windows ("packing"); the map of which document
+contributes which token span to which training chunk is what the data
+loader consumes. This operator family computes that map Spark-side.
+
+Scale design: packing is SHARD-LOCAL, matching how real loaders operate
+(each data-parallel worker packs its own shard) — the running token offset
+is a window cumsum partitioned by shard, so there is no global sort and no
+single serial stream; shards pack independently across the cluster. One
+shuffle (the per-shard window), then a per-row chunk-range explode.
+
+Everything is closed-form column algebra (cumsum + integer chunk
+arithmetic), so a DuckDB oracle reproduces it exactly
+(tests/test_packing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Whitespace tokenization — the same counting rule as queries/text.py
+# token_stats (n_tokens), so packed token budgets agree with the token
+# statistics the rest of the pipeline reports.
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r" +"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous (concat-and-chunk) packing map.
+
+    Documents are assigned round-robin to ``n_shards`` shards (``doc_id %
+    n_shards``), concatenated in doc_id order within each shard, and the
+    token stream is cut into ``ctx_len``-token chunks. Output: one row per
+    (document, chunk) overlap —
+
+    ``shard, chunk, doc_id, n_tokens, start_tok, tokens_in_chunk``
+
+    where ``start_tok`` is the document's offset in its shard's token
+    stream and ``tokens_in_chunk`` is how many of its tokens land in that
+    chunk (a long document spans several chunks; a chunk typically holds
+    several documents). Invariant: ``sum(tokens_in_chunk) over a doc ==
+    n_tokens``; every chunk except possibly each shard's last holds exactly
+    ``ctx_len`` tokens.
+
+    At 100 TB, choose ``n_shards`` >> cluster parallelism: each shard's
+    window is an independent sort of ~corpus/n_shards rows and shards pack
+    concurrently (the real loader topology, not an artifact)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % F.lit(n_shards)).cast("int").alias("shard"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = toks.withColumn("end_tok", F.sum("n_tokens").over(w)).withColumn(
+        "start_tok", F.col("end_tok") - F.col("n_tokens")
+    )
+    first_chunk = F.floor(F.col("start_tok") / F.lit(ctx_len))
+    last_chunk = F.floor((F.col("end_tok") - 1) / F.lit(ctx_len))
+    exploded = spans.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk"),
+    )
+    chunk_start = F.col("chunk") * F.lit(ctx_len)
+    chunk_end = chunk_start + F.lit(ctx_len)
+    tokens_in_chunk = F.least(F.col("end_tok"), chunk_end) - F.greatest(
+        F.col("start_tok"), chunk_start
+    )
+    return exploded.select(
+        "shard",
+        F.col("chunk").cast("long").alias("chunk"),
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        tokens_in_chunk.alias("tokens_in_chunk"),
+    )
+
+
+def pack_chunk_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
+    """Per-chunk fill statistics over a :func:`pack_sequences` map:
+    documents per chunk, filled tokens, fill ratio. All chunks except each
+    shard's tail chunk are exactly full — the aggregate that validates a
+    packing run (and the number a training-efficiency dashboard reports)."""
+    return (
+        packed.groupBy("shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens_in_chunk").alias("filled_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.col("filled_tokens") / F.lit(float(ctx_len))
+        )
+    )
