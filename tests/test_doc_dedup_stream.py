@@ -1,0 +1,71 @@
+"""Streaming document dedup (streaming/doc_dedup.py): incremental admission
+equals batch-mode dedup over the union of batches; the fingerprint store
+survives a restart."""
+
+from __future__ import annotations
+
+from l1dbproto_spark.operators.dedup import exact_dedup_groups
+from l1dbproto_spark.streaming.doc_dedup import StreamingDocDedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_streaming_admission_equals_batch_dedup(spark, tmp_path):
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    b1 = [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha beta gamma")]
+    b2 = [(4, "delta epsilon"), (5, "zeta eta"), (6, "  ALPHA   beta GAMMA ")]
+    b3 = [(7, "zeta eta"), (8, "theta iota")]
+
+    admitted = []
+    for batch in (b1, b2, b3):
+        admitted += [
+            (r.fingerprint, r.doc_id) for r in gate.admit(_docs(spark, batch)).collect()
+        ]
+
+    # one admission per distinct normalized text, winner = first-seen min id
+    batch_groups = exact_dedup_groups(_docs(spark, b1 + b2 + b3)).collect()
+    want = {(r.fingerprint, r.keep_doc_id) for r in batch_groups}
+    assert set(admitted) == want
+    assert len(admitted) == len(want)  # no fingerprint admitted twice
+
+    # normalization folded case/whitespace: doc 6 never admitted
+    assert 6 not in {d for _, d in admitted}
+
+
+def test_fingerprint_store_survives_restart(spark, tmp_path):
+    path = str(tmp_path / "fp_store")
+    gate = StreamingDocDedup(spark, path)
+    assert gate.admit(_docs(spark, [(1, "a b c")])).count() == 1
+    # "restart": a new gate over the same store rejects the duplicate
+    gate2 = StreamingDocDedup(spark, path)
+    assert gate2.admit(_docs(spark, [(2, "a b c")])).count() == 0
+    assert gate2.admit(_docs(spark, [(3, "x y z")])).count() == 1
+    assert gate2.seen().count() == 2
+
+
+def test_bind_stream_end_to_end(spark, tmp_path):
+    """The gate wired into a real Structured Streaming query over a file
+    source: duplicates across micro-batches are rejected."""
+    src = tmp_path / "incoming"
+    out = tmp_path / "admitted"
+    src.mkdir()
+    _docs(spark, [(1, "one two"), (2, "three four")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = gate.bind_stream(stream, str(out))
+    try:
+        q.processAllAvailable()
+        # second file: one dup, one new
+        _docs(spark, [(3, "one two"), (4, "five six")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 2, 4}
