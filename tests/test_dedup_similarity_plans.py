@@ -1,0 +1,88 @@
+"""Executed-plan regression guards for the dedup/similarity families —
+locks in the round-2 plan shapes (exchange counts, join strategies, spread
+parallelism) the same way test_bucketed_join/test_q1_scale_plan guard the
+APDB layout. A refactor that silently re-introduces the count-table joins,
+a global distinct, or the 1-split pair join fails here before it shows up
+in the bench."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.dedup import (
+    doc_shingle_sets,
+    jaccard_pairs_from_sets,
+    minhash_band_buckets,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+)
+from l1dbproto_spark.operators.similarity import brute_force_topk, ivf_topk_with_centroids
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_jaccard_three_exchange_no_join_plan(spark):
+    """Count-threaded Jaccard: exactly 3 exchanges (spread doubles as the
+    collect_set distribution; postings groupBy; pair groupBy) and NO join
+    operator of any kind — the per-doc counts ride inside the postings."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _executed(jaccard_pairs_from_sets(doc_shingle_sets(docs)))
+    assert _exchanges(plan) == 3, plan
+    assert "Join" not in plan, plan
+    # within-doc dedup is the collect_set aggregate, not a global distinct:
+    # both ObjectHashAggregates for the set build share the spread partitioning
+    assert "ObjectHashAggregate" in plan
+
+
+def test_minhash_pipeline_exchange_budget(spark):
+    """MinHash LSH candidates: 3 exchanges total (spread; band-bucket
+    groupBy; candidate distinct) — the signature aggregation reuses the
+    spread partitioning and there is no shingle-dedup pass at all."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_band_buckets(minhash_signatures(shingle_rows(docs)))
+    )
+    plan = _executed(pairs)
+    assert _exchanges(plan) == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_brute_force_ann_spreads_corpus(spark):
+    """Brute-force ANN: queries broadcast (BNLJ BuildRight), corpus side
+    spread to cluster parallelism (the 1-split pair loop regression)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _executed(brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan  # the corpus spread
+
+
+def test_ivf_cluster_side_no_cartesian(spark):
+    """IVF: centroid table broadcast to both assignment and probe joins; the
+    probe-to-corpus join is a broadcast hash join on cluster — never a
+    cartesian/sort-merge over the corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    plan = _executed(
+        ivf_topk_with_centroids(
+            emb, emb.filter(F.col("vec_id") < 20), centroids, k=5, n_probe=2
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
