@@ -1,0 +1,125 @@
+"""Embedding quantization — the bandwidth/memory lever for vector search at
+corpus scale.
+
+A float32 corpus at 100 TB is mostly embedding bytes; symmetric int8
+quantization cuts scan volume 4x and turns the candidate-generation dot
+product into exact integer arithmetic. The standard serving pattern is
+implemented here: quantized dot products PRE-FILTER to ``k * refine`` candidates
+per query, exact float cosine RE-RANKS the survivors — full recall loss is
+bounded by the refine margin while the full-precision column is only read
+for ~k*refine rows per query.
+
+Determinism: rounding is the explicit ``floor(x + 0.5)`` formula (identical
+in DuckDB — engine ``round()`` half-rule differences make the builtin
+non-portable), and the int dot is exact integer math, so every stage is
+oracle-checkable bit-for-bit (tests/test_quantize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot_fold, l2_norm
+
+
+def _round_half_up(x: Column) -> Column:
+    return F.floor(x + F.lit(0.5))
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_prefix: str = "q"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = amax/127``,
+    ``q_i = floor(v_i/scale + 0.5)`` (all-zero vectors quantize to zeros with
+    scale 0). Adds ``<prefix>vec array<int>`` and ``<prefix>scale double``;
+    dequantized value is ``q_i * scale``."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (amax / F.lit(127.0)).alias(f"{out_prefix}scale")
+    qvec = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(
+            v,
+            lambda x: _round_half_up(x.cast("double") / (amax / F.lit(127.0))).cast(
+                "int"
+            ),
+        )
+    )
+    return df.withColumn(f"{out_prefix}scale", scale).withColumn(
+        f"{out_prefix}vec", qvec
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (ordered fold;
+    values bounded by 127^2 * dim, safely inside int64)."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("long"))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors via int8 pre-filter + exact re-rank.
+
+    Stage 1 scores every (query, corpus) pair with the integer dot product
+    of the quantized vectors (scaled back by the two scales) and keeps the
+    ``k * refine`` best candidates per query; stage 2 re-ranks the
+    survivors with the exact float cosine. Output schema matches
+    :func:`l1dbproto_spark.operators.similarity.brute_force_topk` — the two
+    agree wherever the true top-k survive the pre-filter (pinned by test).
+
+    Scale: stage 1 reads only int8 vectors (4x less I/O than float32);
+    stage 2 touches full-precision vectors for k*refine rows per query —
+    at a 10^9-vector corpus that is the difference between scanning 256 GB
+    and 1 TB per query batch. Candidate ordering ties broken by
+    neighbor_id; ranks are deterministic in both stages."""
+    q = quantize_embeddings(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+        "qq",
+    )
+    c = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        "qc",
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    q = q.withColumn("qn", l2_norm(F.col("qvec")))
+    approx = (
+        int_dot(F.col("qcvec"), F.col("qqvec")).cast("double")
+        * F.col("qqscale")
+        * F.col("qcscale")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qvec",
+            "cvec",
+            "qn",
+            "cn",
+            approx.alias("approx_dot"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    )
+    sim = F.round(
+        dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 9
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
