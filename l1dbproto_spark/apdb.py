@@ -422,6 +422,38 @@ class ApdbSpark:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(part_col).parquet(self._path(table))
 
+    def partition_file_counts(self, table: str) -> dict[str, int]:
+        """Parquet data files per hive partition directory — the small-file
+        health metric (driver-side FS metadata only, no Spark job)."""
+        counts: dict[str, int] = {}
+        root = self._path(table)
+        for child in self._fs.list_names(root):
+            if "=" not in child:
+                continue
+            counts[child] = sum(
+                1
+                for name in self._fs.list_names(f"{root}/{child}")
+                if name.endswith(".parquet")
+            )
+        return counts
+
+    def maintenance(self, max_files_per_partition: int = 8) -> list[str]:
+        """Compact every table whose worst partition exceeds
+        ``max_files_per_partition`` data files. This is the periodic
+        maintenance job that keeps the sustained visit cadence flat: each
+        visit appends one file per touched partition, so read fan-in grows
+        linearly until compaction folds it back to ~1 file/partition.
+        Runs OUTSIDE the visit hot path (a separate scheduled job at scale,
+        like the reference backend's own compaction). Returns the tables
+        compacted."""
+        compacted = []
+        for table in ("DiaObject", "DiaSource", "DiaForcedSource", "DiaObjectLast"):
+            counts = self.partition_file_counts(table)
+            if counts and max(counts.values()) > max_files_per_partition:
+                self.compact(table)
+                compacted.append(table)
+        return compacted
+
     # ------------------------------------------------------------ update-join
     def reassign_sources(self, mapping: DataFrame, debug_checks: bool = False) -> int:
         """J6: DiaSource reassignment to different objects — the reference's

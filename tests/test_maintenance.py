@@ -1,0 +1,53 @@
+"""Auto-maintenance (ApdbSpark.maintenance): file-count policy triggers
+compaction, data survives byte-identically, reads stay correct."""
+
+from __future__ import annotations
+
+import datetime
+
+from l1dbproto_spark.apdb import ApdbSpark
+from l1dbproto_spark.plans.region import Circle
+from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
+from l1dbproto_spark.workload.generators import rand_cone_xyz
+from l1dbproto_spark.workload.visit_pipeline import process_visit
+
+
+def test_maintenance_compacts_and_preserves_data(spark, tmp_path):
+    pointing = Circle(40.0, -30.0, 1.76)
+    db = ApdbSpark(spark, str(tmp_path / "apdb"))
+    db.make_schema(drop=True)
+    cat = rand_cone_xyz(
+        spark, 2000, pointing.ra, pointing.dec, pointing.radius_deg, seed=5
+    ).cache()
+    cat.count()
+    cfg = DiaConfig(false_per_visit=200, transient_per_visit=20)
+    t0 = datetime.datetime(2026, 1, 1, 3, 0)
+    last_obj = 0
+    for v in range(1, 7):
+        det, last_obj = detect_sources(
+            spark, cat, pointing, cfg, visit_seed=40 + v, last_object_id=last_obj
+        )
+        process_visit(
+            db, v, t0 + datetime.timedelta(seconds=45 * v),
+            det.select("diaObjectId", "ra", "dec"), pointing,
+        )
+    cat.unpersist()
+
+    before_counts = db.partition_file_counts("DiaObject")
+    assert max(before_counts.values()) >= 6  # one file per visit per bucket
+    before_rows = db._read("DiaObject").count()
+    before_src = db._read("DiaSource").count()
+
+    # threshold above worst -> no-op
+    assert db.maintenance(max_files_per_partition=100) == []
+    # real run compacts the append-heavy tables
+    done = db.maintenance(max_files_per_partition=2)
+    assert "DiaObject" in done
+
+    after_counts = db.partition_file_counts("DiaObject")
+    assert set(after_counts) == set(before_counts)  # same partitions
+    assert max(after_counts.values()) <= 2
+    assert db._read("DiaObject").count() == before_rows
+    assert db._read("DiaSource").count() == before_src
+    # hot read still correct after the rewrite
+    assert db.get_dia_objects(pointing).count() > 0
