@@ -1,0 +1,110 @@
+"""End-to-end corpus preparation: the composition layer that turns the
+dedup / packing operator families into the training-data flow a pipeline
+actually runs — filter, exact-dedup, near-dedup, pack.
+
+Each stage is one of the engine's first-class operators; this module only
+wires them and keeps an auditable drop log (every removed document with the
+reason and its surviving canonical), because at corpus scale "what did the
+cleaner delete and why" is an operational requirement, not a nicety.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    doc_shingle_sets,
+    jaccard_pairs_from_sets,
+    normalize_text,
+)
+from .graph import connected_components
+from .packing import pack_sequences, whitespace_token_count
+
+
+@dataclass
+class CorpusCleanResult:
+    cleaned: DataFrame  # surviving documents (original columns)
+    dropped: DataFrame  # (doc_id, reason, canonical_id)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 3,
+    min_jaccard: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> CorpusCleanResult:
+    """Three-stage cleaning, canonical = min doc id at every stage:
+
+    1. length gate: fewer than ``min_tokens`` whitespace tokens → dropped
+       (``reason='too_short'``, no canonical);
+    2. exact dedup: same normalized text → only the min id survives
+       (``reason='exact_dup'``);
+    3. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
+       components → only each component's min id survives
+       (``reason='near_dup'``).
+
+    Scale shape: stage 2 is one uniform-key shuffle; stage 3 is the
+    3-exchange inverted-index Jaccard plus O(diameter) label-propagation
+    rounds — nothing quadratic anywhere. The stages short-circuit: later
+    stages only scan survivors."""
+    n_tok = whitespace_token_count(F.col(text_col))
+    long_enough = docs.filter(n_tok >= min_tokens)
+    too_short = docs.filter(n_tok < min_tokens).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("too_short").alias("reason"),
+        F.lit(None).cast("long").alias("canonical_id"),
+    )
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keeper = F.min(id_col).alias("canonical_id")
+    exact_groups = (
+        long_enough.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(keeper)
+    )
+    # equi-join on the uniform fingerprint key; one row per distinct text on
+    # the right, so AQE picks broadcast vs shuffle by actual size
+    with_canon = long_enough.withColumn("_fp", fp).join(exact_groups, "_fp")
+    exact_dups = with_canon.filter(F.col(id_col) != F.col("canonical_id")).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("exact_dup").alias("reason"),
+        "canonical_id",
+    )
+    exact_survivors = with_canon.filter(F.col(id_col) == F.col("canonical_id")).drop(
+        "_fp", "canonical_id"
+    )
+
+    pairs = jaccard_pairs_from_sets(
+        doc_shingle_sets(exact_survivors, text_col=text_col, id_col=id_col),
+        min_jaccard=min_jaccard,
+    )
+    comps = connected_components(pairs)  # (node, component=min reachable id)
+    near_dups = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"),
+        F.lit("near_dup").alias("reason"),
+        F.col("component").alias("canonical_id"),
+    )
+    cleaned = exact_survivors.join(
+        near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    dropped = too_short.unionByName(exact_dups).unionByName(near_dups)
+    return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    min_tokens: int = 3,
+    min_jaccard: float = 0.8,
+) -> tuple[CorpusCleanResult, DataFrame]:
+    """clean → pack. Returns (clean result, packing map) — the two outputs a
+    training run consumes (which documents, and where each lands in the
+    fixed-length chunk stream)."""
+    result = clean_corpus(docs, min_tokens=min_tokens, min_jaccard=min_jaccard)
+    packed = pack_sequences(result.cleaned, ctx_len=ctx_len, n_shards=n_shards)
+    return result, packed

@@ -1,0 +1,50 @@
+"""Corpus preparation pipeline (operators/corpus.py): planted-corpus
+cleaning semantics and clean→pack composition invariants."""
+
+from __future__ import annotations
+
+from l1dbproto_spark.operators.corpus import clean_corpus, prepare_training_corpus
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "the quick brown fox jumps over the lazy dog every single day"),  # exact dup of 1
+        (3, "THE  quick Brown fox jumps over the lazy dog every single day"),  # normalized dup of 1
+        (4, "the quick brown fox jumps over the lazy cat every single day"),  # near dup of 1
+        (5, "completely different content about distributed query engines here"),
+        (6, "tiny"),  # too short
+        (7, "completely different content about distributed query engines here today"),  # near dup of 5
+        (8, "unrelated third topic entirely about astronomy and alert pipelines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_clean_corpus_semantics(spark):
+    res = clean_corpus(_corpus(spark), min_tokens=3, min_jaccard=0.5)
+    cleaned = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+
+    assert cleaned == {1, 5, 8}
+    assert (6, "too_short", None) in dropped
+    assert (2, "exact_dup", 1) in dropped
+    assert (3, "exact_dup", 1) in dropped
+    assert (4, "near_dup", 1) in dropped
+    assert (7, "near_dup", 5) in dropped
+    # partition property: every input doc is either cleaned or dropped, once
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 9))
+    assert len(dropped) + len(cleaned) == 8
+
+
+def test_prepare_training_corpus_composes(spark):
+    res, packed = prepare_training_corpus(
+        _corpus(spark), ctx_len=8, n_shards=2, min_tokens=3, min_jaccard=0.5
+    )
+    pdf = packed.toPandas()
+    # only cleaned docs are packed, and all of them
+    assert set(pdf.doc_id) == {r.doc_id for r in res.cleaned.collect()}
+    # token conservation through the composition
+    per_doc = pdf.groupby("doc_id").agg(
+        assigned=("tokens_in_chunk", "sum"), n=("n_tokens", "first")
+    )
+    assert (per_doc.assigned == per_doc.n).all()
