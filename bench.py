@@ -137,9 +137,11 @@ def main() -> None:
     timings["ap_visit"] = bench_visit(spark)
 
     # sustained streaming cadence (not folded into the headline total so the
-    # round-over-round total stays comparable; reported alongside)
+    # round-over-round total stays comparable; reported alongside).
+    # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
+    # pauses in local mode; the max is reported alongside for transparency.
     visit_times = bench_visit_stream(spark, n_visits=6)
-    steady = visit_times[1:] if len(visit_times) > 1 else visit_times
+    steady = sorted(visit_times[1:] if len(visit_times) > 1 else visit_times)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -151,7 +153,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming_visit_times": visit_times,
-                "ap_visit_sustained": round(sum(steady) / max(len(steady), 1), 3),
+                "ap_visit_sustained": steady[len(steady) // 2],
+                "ap_visit_worst": steady[-1],
                 "visit_budget_sec": 45.0,
             }
         )
