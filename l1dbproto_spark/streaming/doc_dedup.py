@@ -109,3 +109,99 @@ class StreamingDocDedup:
             admitted.write.mode("append").parquet(output_path)
 
         return doc_stream.writeStream.foreachBatch(_each).start()
+
+
+class StreamingNearDupGate:
+    """Incremental NEAR-dup admission via a persistent MinHash-LSH bucket
+    store — the approximate counterpart of :class:`StreamingDocDedup`.
+
+    A document is rejected when it shares any LSH band bucket with a
+    previously-admitted document (standard LSH admission: P[reject] tracks
+    the banding S-curve over Jaccard similarity, tuned by bands x rows).
+    Admitted documents append their (band, bucket) keys to the store.
+
+    Scale: the store is hive-partitioned by ``band`` (bands are few and
+    uniform) and the per-batch semi-join runs bucket-to-bucket — the batch
+    side is tiny, the store side is an equi-join key scan. State is a
+    table (MERGE-per-microbatch), restart-safe and queryable like the
+    exact gate's fingerprint store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        bands: int = 4,
+        rows_per_band: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.spark = spark
+        self.store_path = store_path
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _store_exists(self) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.store_path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs.exists(p) and fs.listFiles(p, True).hasNext()
+
+    def seen_buckets(self) -> DataFrame:
+        if not self._store_exists():
+            return self.spark.createDataFrame(
+                [], "band int, bucket string, doc_id long"
+            )
+        return self.spark.read.parquet(self.store_path)
+
+    def _batch_buckets(self, batch: DataFrame) -> DataFrame:
+        from ..operators.dedup import (
+            minhash_band_buckets,
+            minhash_signatures,
+            shingle_rows,
+        )
+
+        sig = minhash_signatures(
+            shingle_rows(batch, text_col=self.text_col, id_col=self.id_col),
+            k=self.bands * self.rows_per_band,
+        )
+        return minhash_band_buckets(
+            sig, bands=self.bands, rows_per_band=self.rows_per_band
+        )
+
+    def admit(self, batch: DataFrame) -> DataFrame:
+        """Admit documents with no LSH bucket collision against the store or
+        against an earlier (lower-id) document of the same batch; append the
+        admitted documents' bucket keys. Returns the admitted (doc_id)
+        rows with their bucket count (= bands, a sanity column)."""
+        buckets = self._batch_buckets(batch).localCheckpoint(eager=True)
+        # collide vs store
+        store_hit = (
+            buckets.join(self.seen_buckets(), ["band", "bucket"], "left_semi")
+            .select(self.id_col)
+            .distinct()
+        )
+        # collide within batch: earlier (min) doc per bucket wins
+        first_per_bucket = buckets.groupBy("band", "bucket").agg(
+            F.min(self.id_col).alias("_first")
+        )
+        batch_hit = (
+            buckets.join(first_per_bucket, ["band", "bucket"])
+            .filter(F.col(self.id_col) > F.col("_first"))
+            .select(self.id_col)
+            .distinct()
+        )
+        rejected = store_hit.unionByName(batch_hit).distinct()
+        admitted = (
+            buckets.join(rejected, self.id_col, "left_anti")
+            .groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("n_buckets"))
+            .localCheckpoint(eager=True)
+        )
+        buckets.join(admitted.select(self.id_col), self.id_col, "left_semi").select(
+            "band", "bucket", F.col(self.id_col).alias("doc_id")
+        ).repartition("band").write.mode("append").partitionBy("band").parquet(
+            self.store_path
+        )
+        return admitted

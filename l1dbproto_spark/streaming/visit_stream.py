@@ -50,6 +50,8 @@ class VisitStreamDriver:
         start_time: datetime.datetime | None = None,
         interval_s: int = 45,
         gate_day_night: bool = False,
+        maintain_every: int | None = None,
+        maintain_max_files: int = 8,
     ) -> None:
         self.spark = spark
         self.apdb = apdb
@@ -59,6 +61,13 @@ class VisitStreamDriver:
         self.visit_cfg = visit_cfg or VisitConfig()
         self.interval_s = interval_s
         self.gate_day_night = gate_day_night
+        # periodic small-file maintenance: compact when the worst partition
+        # exceeds maintain_max_files, checked every maintain_every visits.
+        # In production this is a separate scheduled job; inline here it
+        # bounds the file-count growth that would otherwise slowly raise
+        # per-visit read latency (PERFORMANCE.md "sustained drift").
+        self.maintain_every = maintain_every
+        self.maintain_max_files = maintain_max_files
         last = apdb.last_visit()
         self.next_visit_id = (last["visitId"] + 1) if last else 1
         self.last_object_id = last["lastObjectId"] if last else 0
@@ -93,6 +102,8 @@ class VisitStreamDriver:
         )
         self.apdb.save_visit(visit_id, visit_time, self.last_object_id)
         self.counts.append((visit_id, c))
+        if self.maintain_every and visit_id % self.maintain_every == 0:
+            self.apdb.maintenance(self.maintain_max_files)
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch hook: each non-empty micro-batch = one visit."""

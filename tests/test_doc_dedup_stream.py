@@ -45,6 +45,56 @@ def test_fingerprint_store_survives_restart(spark, tmp_path):
     assert gate2.seen().count() == 2
 
 
+def test_streaming_near_dup_gate(spark, tmp_path):
+    """LSH near-dup admission: rephrased near-duplicates across batches are
+    rejected, distinct content admitted; agrees with the batch LSH candidate
+    graph on the same corpus."""
+    from l1dbproto_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "completely unrelated writing about spark catalyst optimizer internals"),
+    ]
+    b2 = [
+        (3, "the quick brown fox jumps over the lazy dog every day"),  # dup of 1
+        (4, "new third topic discussing astronomy alert production pipelines"),
+    ]
+    gate = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    a1 = {r.doc_id for r in gate.admit(_docs(spark, b1)).collect()}
+    a2 = {r.doc_id for r in gate.admit(_docs(spark, b2)).collect()}
+    assert a1 == {1, 2}
+    assert 3 not in a2 and 4 in a2
+
+    # consistency with the batch candidate graph: every streaming rejection
+    # corresponds to a batch LSH candidate pair with an earlier admitted doc
+    all_docs = _docs(spark, b1 + b2)
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            minhash_band_buckets(minhash_signatures(shingle_rows(all_docs)))
+        ).collect()
+    }
+    rejected = {d for d, _ in b1 + b2} - (a1 | a2)
+    for d in rejected:
+        assert any(a == d or b == d for a, b in cand)
+
+    # restart survival: a fresh gate over the same store still rejects
+    gate2 = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    again = {
+        r.doc_id
+        for r in gate2.admit(
+            _docs(spark, [(9, "the quick brown fox jumps over the lazy dog every day")])
+        ).collect()
+    }
+    assert again == set()
+
+
 def test_bind_stream_end_to_end(spark, tmp_path):
     """The gate wired into a real Structured Streaming query over a file
     source: duplicates across micro-batches are rejected."""

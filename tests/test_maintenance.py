@@ -51,3 +51,33 @@ def test_maintenance_compacts_and_preserves_data(spark, tmp_path):
     assert db._read("DiaSource").count() == before_src
     # hot read still correct after the rewrite
     assert db.get_dia_objects(pointing).count() > 0
+
+
+def test_visit_stream_auto_maintenance(spark, tmp_path):
+    """maintain_every wires the file-count policy into the visit loop:
+    file growth is bounded while the loop runs."""
+    from l1dbproto_spark.streaming.visit_stream import VisitStreamDriver
+
+    pointing = Circle(40.0, -30.0, 1.76)
+    db = ApdbSpark(spark, str(tmp_path / "apdb"))
+    db.make_schema(drop=True)
+    cat = rand_cone_xyz(
+        spark, 1000, pointing.ra, pointing.dec, pointing.radius_deg, seed=9
+    ).cache()
+    cat.count()
+    drv = VisitStreamDriver(
+        spark,
+        db,
+        cat,
+        pointing,
+        dia_cfg=DiaConfig(false_per_visit=100, transient_per_visit=10),
+        start_time=datetime.datetime(2026, 1, 1, 3, 0),
+        maintain_every=3,
+        maintain_max_files=2,
+    )
+    drv.run_batch(6)
+    cat.unpersist()
+    counts = db.partition_file_counts("DiaObject")
+    # 6 appends happened, but maintenance at visits 3 and 6 folded them
+    assert max(counts.values()) <= 2
+    assert db.last_visit()["visitId"] == 6
