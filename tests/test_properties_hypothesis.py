@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the packing and quantization
+operators — randomized inputs, algebraic invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.packing import pack_sequences
+from l1dbproto_spark.operators.quantize import quantize_embeddings
+
+_SPARK = {}
+
+
+def _get_spark():
+    # reuse the session across hypothesis examples (fixture-per-example would
+    # rebuild plans only, but session startup is the expensive part)
+    if "s" not in _SPARK:
+        from l1dbproto_spark.session import get_spark
+
+        _SPARK["s"] = get_spark("hypothesis", cpus=8)
+    return _SPARK["s"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    ctx=st.integers(min_value=2, max_value=17),
+    shards=st.integers(min_value=1, max_value=4),
+)
+def test_packing_invariants_random(n_tokens, ctx, shards):
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(n_tokens)],
+        ["doc_id", "text"],
+    )
+    pdf = pack_sequences(docs, ctx_len=ctx, n_shards=shards).toPandas()
+    # token conservation per document
+    per_doc = pdf.groupby("doc_id").agg(
+        assigned=("tokens_in_chunk", "sum"), n=("n_tokens", "first")
+    )
+    assert (per_doc.assigned == per_doc.n).all()
+    assert dict(per_doc.n) == {i: n for i, n in enumerate(n_tokens)}
+    # every chunk except each shard's last is exactly full; none overflows
+    stats = pdf.groupby(["shard", "chunk"]).tokens_in_chunk.sum()
+    for shard in {s for s, _ in stats.index}:
+        chunks = stats.loc[shard].sort_index()
+        assert (chunks.iloc[:-1] == ctx).all()
+        assert chunks.iloc[-1] <= ctx
+    # chunk membership spans are contiguous positions (no doc appears in
+    # non-adjacent chunks)
+    for _, g in pdf.groupby(["shard", "doc_id"]):
+        cs = sorted(g.chunk)
+        assert cs == list(range(cs[0], cs[0] + len(cs)))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantization_error_bound_random(vecs):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_embeddings(df).collect()
+    for r in rows:
+        orig = [float(x) for x in vecs[r.vec_id]]
+        if max(abs(x) for x in orig) == 0:
+            assert all(q == 0 for q in r.qvec)
+            continue
+        # int8 range and per-element dequantization error <= scale/2
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        for q, x in zip(r.qvec, orig):
+            assert abs(q * r.qscale - x) <= r.qscale / 2 + 1e-9
