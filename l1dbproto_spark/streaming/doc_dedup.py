@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import TableFS
 from ..operators.dedup import normalize_text
 
 
@@ -48,16 +49,11 @@ class StreamingDocDedup:
         self.store_path = store_path
         self.text_col = text_col
         self.id_col = id_col
-
-    def _store_exists(self) -> bool:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(self.store_path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs.exists(p) and fs.listFiles(p, True).hasNext()
+        self._fs = TableFS(spark, store_path)
 
     def seen(self) -> DataFrame:
         """The fingerprint store: (fp_bucket, fingerprint, keep_doc_id)."""
-        if not self._store_exists():
+        if not self._fs.has_parquet_file(self.store_path):
             return self.spark.createDataFrame(
                 [], "fp_bucket string, fingerprint string, keep_doc_id long"
             )
@@ -141,15 +137,10 @@ class StreamingNearDupGate:
         self.rows_per_band = rows_per_band
         self.text_col = text_col
         self.id_col = id_col
-
-    def _store_exists(self) -> bool:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(self.store_path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs.exists(p) and fs.listFiles(p, True).hasNext()
+        self._fs = TableFS(spark, store_path)
 
     def seen_buckets(self) -> DataFrame:
-        if not self._store_exists():
+        if not self._fs.has_parquet_file(self.store_path):
             return self.spark.createDataFrame(
                 [], "band int, bucket string, doc_id long"
             )
