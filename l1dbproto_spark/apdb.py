@@ -282,7 +282,6 @@ class ApdbSpark:
         # checkpoint commit — scrub its rows (rare path, derives touched
         # partitions from the data). Clean path: touch the marker, no jobs.
         visit_mjd = python_datetime_to_mjd(visit_time)
-        visit_month = int(visit_mjd // 30.0)
         restoring = False
         if self.exactly_once:
             marker = self._marker_path(visit_time)
