@@ -95,6 +95,59 @@ def byte_histogram_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    out_width: int = 16,
+    out_height: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize plumbing with a DETERMINISTIC FAKE decode: the payload bytes
+    are interpreted as a row-major grayscale image of the declared
+    dimensions (truncated / zero-padded — the fake stands in for the absent
+    image library), then genuinely nearest-neighbor-resampled in numpy to
+    ``out_width x out_height`` and re-emitted as bytes. The resize
+    arithmetic, Arrow batch path, and output schema are exactly what a real
+    decoder swap-in would use; only the bytes->pixels step is fake (see
+    ``decode_media``)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("resized", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, blob, w, h in zip(
+                pdf[id_col], pdf[payload_col], pdf["declared_width"], pdf["declared_height"]
+            ):
+                w = int(w) if w and w > 0 else 8
+                h = int(h) if h and h > 0 else 8
+                buf = np.frombuffer(bytes(blob), dtype=np.uint8)
+                img = np.resize(buf, (h, w))  # fake decode: truncate/tile
+                rows = (np.arange(out_height) * h) // out_height
+                cols = (np.arange(out_width) * w) // out_width
+                resized = img[np.ix_(rows, cols)]  # nearest-neighbor
+                ids.append(mid)
+                blobs.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "width": [out_width] * len(ids),
+                    "height": [out_height] * len(ids),
+                }
+            )
+
+    return df.select(
+        id_col, payload_col, "declared_width", "declared_height"
+    ).mapInPandas(resize, out_schema)
+
+
 def chunk_fingerprints(
     df: DataFrame,
     n_chunks: int = 4,

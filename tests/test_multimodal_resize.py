@@ -1,0 +1,49 @@
+"""resize_media (operators/multimodal.py): deterministic fake-decode resize
+— numpy-reference equivalence, schema, and identity-resize property."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.multimodal import resize_media
+
+
+def _media(spark):
+    rows = [
+        (1, bytes(range(48)), 8, 6),          # exact-fit 6x8 image
+        (2, b"\x10" * 10, 4, 4),              # short payload -> tiled
+        (3, bytes(range(256)) * 2, 16, 16),   # larger than out size
+        (4, b"ab", None, None),               # missing dims -> 8x8 default
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, declared_width int, declared_height int"
+    )
+
+
+def test_resize_matches_numpy_reference(spark):
+    out_w, out_h = 4, 3
+    got = {
+        r.media_id: (bytes(r.resized), r.width, r.height)
+        for r in resize_media(_media(spark), out_w, out_h).collect()
+    }
+    for mid, blob, w, h in [
+        (1, bytes(range(48)), 8, 6),
+        (2, b"\x10" * 10, 4, 4),
+        (3, bytes(range(256)) * 2, 16, 16),
+        (4, b"ab", 8, 8),
+    ]:
+        img = np.resize(np.frombuffer(blob, dtype=np.uint8), (h, w))
+        rows = (np.arange(out_h) * h) // out_h
+        cols = (np.arange(out_w) * w) // out_w
+        want = img[np.ix_(rows, cols)].tobytes()
+        assert got[mid] == (want, out_w, out_h), mid
+        assert len(got[mid][0]) == out_w * out_h
+
+
+def test_resize_to_same_size_is_identity(spark):
+    """Resizing an exact-fit image to its own declared size reproduces the
+    payload bytes (nearest-neighbor with unit scale is the identity)."""
+    df = _media(spark).filter(F.col("media_id") == 1)
+    (row,) = resize_media(df, out_width=8, out_height=6).collect()
+    assert bytes(row.resized) == bytes(range(48))
