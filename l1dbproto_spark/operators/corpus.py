@@ -95,6 +95,39 @@ def clean_corpus(
     return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
 
 
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id: the md5 of
+    ``salt + doc_id`` maps each document to [0, 1), and cumulative weight
+    intervals pick the split. Properties a training pipeline needs and a
+    random() split lacks: stable across runs/engines (the salt versions the
+    split), no shuffle (a per-row expression), and membership is decidable
+    for a single document without seeing the corpus. Adds a ``split``
+    column."""
+    total = sum(weights.values())
+    # 12 hex chars = 48 bits, exact in a double; u in [0, 1)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 48))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return docs.withColumn("split", expr)
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     ctx_len: int = 512,

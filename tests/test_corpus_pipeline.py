@@ -36,6 +36,45 @@ def test_clean_corpus_semantics(spark):
     assert len(dropped) + len(cleaned) == 8
 
 
+def test_split_corpus_deterministic_and_oracle(spark):
+    """Hash split: DuckDB oracle equivalence, determinism across calls,
+    proportions near the weights, and salt-versioning changes membership."""
+    import duckdb
+
+    from l1dbproto_spark.operators.corpus import split_corpus
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in split_corpus(docs, w).collect()}
+    again = {r.doc_id: r.split for r in split_corpus(docs, w).collect()}
+    assert got == again
+
+    want = dict(
+        duckdb.sql(
+            """
+        SELECT doc_id,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('split-v1', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   / CAST(281474976710656 AS DOUBLE) AS u
+          FROM '/root/testdata/sf0.01/documents.parquet'
+        )
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+    n = len(got)
+    frac_train = sum(1 for s in got.values() if s == "train") / n
+    assert 0.72 <= frac_train <= 0.88
+    other = {r.doc_id: r.split for r in split_corpus(docs, w, salt="v2").collect()}
+    assert other != got  # salt versions the split
+
+
 def test_prepare_training_corpus_composes(spark):
     res, packed = prepare_training_corpus(
         _corpus(spark), ctx_len=8, n_shards=2, min_tokens=3, min_jaccard=0.5
