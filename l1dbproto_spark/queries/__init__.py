@@ -110,11 +110,14 @@ _PRIORITY = [
     "metrics_pivot_wide",
     "session_window_agg",
     "json_payload_extract",
+    # LLM-pipeline: packing + quantization (r3: replaced the array_functions
+    # and date_null_battery batteries so the two newest operator families sit
+    # under the driver's hard signal — VERDICT r2 item 1)
+    "pack_sequences",
+    "quantized_topk",
     # batteries (pruned first if the cap ever tightens)
-    "array_functions",
     "schema_fill",
     "string_pattern_rank_battery",
-    "date_null_battery",
 ]
 
 

@@ -280,38 +280,16 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "date_null_battery",
-    oracle="""
-    WITH v AS (
-      SELECT
-        o_orderkey, o_orderdate,
-        LEAD(o_orderdate) OVER (
-          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ) AS next_date
-      FROM orders
-    )
-    SELECT
-      o_orderkey,
-      EXTRACT(year FROM o_orderdate) AS yr,
-      EXTRACT(month FROM o_orderdate) AS mo,
-      EXTRACT(dow FROM o_orderdate) AS dow,
-      CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP) AS due_date,
-      date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
-      CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
-      next_date IS NULL AS is_latest,
-      COALESCE(next_date, TIMESTAMP '2199-12-31 00:00:00') AS next_or_max,
-      CASE WHEN next_date IS NULL THEN -1
-           ELSE date_diff('day', o_orderdate, next_date) END AS gap_days,
-      NULLIF(date_diff('day', o_orderdate, COALESCE(next_date, o_orderdate)), 0) AS gap_or_null
-    FROM v
-    """,
-    survey="F9,F10 date battery + null semantics (coalesce / nullif / case / IS NULL)",
-)
 def date_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic + null-semantics battery in one per-order projection:
     extract/interval/datediff/last_day (F9/F10) plus the lead()-derived
-    next-order gap with coalesce / nullif / CASE / IS NULL handling."""
+    next-order gap with coalesce / nullif / CASE / IS NULL handling.
+
+    Unregistered in round 3 (50-slot registry cap): its slot went to
+    ``pack_sequences``; F9/F10 stay oracle-covered by
+    ``forced_photometry_eligibility`` and pytest (test_timeutil), and its
+    lead()-derived validity semantics moved into ``window_frames_battery``
+    (W2 SCD-2 close-out). Kept for API use and tests."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")

@@ -189,3 +189,62 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.4)
     )
+
+
+@query(
+    "quantized_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               AS amax
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, v, amax / 127.0 AS scale,
+             CASE WHEN amax = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(
+                    v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))
+             END AS qvint
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, qvint AS qq
+          FROM qz WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, scale AS cscale, qvint AS qc
+          FROM qz),
+    scored AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             (CAST(list_dot_product(qc, qq) AS DOUBLE) * qscale) * cscale
+               AS approx_dot
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id
+        ) AS prn
+        FROM scored
+      ) t WHERE prn <= 20
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id
+             ) AS rank
+      FROM cand
+    ) t WHERE rank <= 5
+    """,
+    survey="ext:similarity (int8 quantized pre-filter + exact re-rank top-k)",
+)
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors via int8 symmetric quantization: integer-dot
+    pre-filter to k*refine=20 candidates per query, exact float cosine
+    re-rank. Every stage is closed-form (floor-half-up rounding, exact int64
+    dot) so DuckDB reproduces candidates, similarities, and ranks
+    bit-for-bit (operators/quantize.py)."""
+    from ..operators.quantize import quantized_topk as _qtopk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return _qtopk(emb, queries, k=5, refine=4)

@@ -214,3 +214,43 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+               AS start_tok
+      FROM toks
+    )
+    SELECT shard,
+           CAST(chunk AS BIGINT) AS chunk,
+           doc_id,
+           n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(end_tok, (chunk + 1) * 256)
+                - greatest(start_tok, chunk * 256) AS BIGINT) AS tokens_in_chunk
+    FROM spans,
+         unnest(range(CAST(start_tok // 256 AS BIGINT),
+                      CAST((end_tok - 1) // 256 + 1 AS BIGINT))) AS t(chunk)
+    """,
+    survey="ext:packing (LLM context-window packing map; W-family shard-local cumsum)",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous concat-and-chunk packing map (ctx=256 tokens, 8 shards):
+    one row per (document, chunk) overlap with the document's token span.
+    Shard-local window cumsum + chunk-range explode — no global sort; shards
+    pack independently across the cluster (operators/packing.py)."""
+    from ..operators.packing import pack_sequences as _pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _pack(docs, ctx_len=256, n_shards=8)

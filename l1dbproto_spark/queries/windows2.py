@@ -147,21 +147,13 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "array_functions",
-    oracle="""
-    SELECT
-      vec_id,
-      len(embedding) AS dim,
-      CAST(embedding[1] AS DOUBLE) AS first_dim,
-      CAST(list_max(embedding) AS DOUBLE) AS max_dim,
-      CAST(list_min(embedding) AS DOUBLE) AS min_dim,
-      len(list_filter(embedding, x -> x > 0)) AS n_positive
-    FROM embeddings
-    """,
-    survey="array function battery (size / element_at / max / min / filter)",
-)
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (size / element_at / max / min / filter).
+
+    Unregistered in round 3 (50-slot registry cap): its slot went to
+    ``quantized_topk``, which exercises a strictly larger array surface
+    (transform / zip_with / aggregate / array_max) under a driver oracle.
+    Kept for API use and tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     return emb.select(
