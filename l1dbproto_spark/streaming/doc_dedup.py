@@ -12,10 +12,19 @@ checkpoint, so it survives restarts, is queryable, and is shared by
 concurrent readers.
 
 Scale: the fingerprint store is hive-partitioned by the leading byte of the
-md5 (256 buckets) — the per-batch anti-join shuffles only the batch side
-after partition-pruned store reads, and the store's per-partition file count
-is bounded by compaction like any APDB table. Fingerprints are uniform by
-construction: no skew at any corpus size.
+md5 (256 buckets); each batch collects its distinct fp_bucket values
+(driver-tiny, at most 256 strings) and filters the store read with them, so
+the scan carries a real PartitionFilter and lists/scans only the touched
+partitions (asserted by tests/test_doc_dedup_stream.py). The store's
+per-partition file count is bounded by compaction like any APDB table.
+Fingerprints are uniform by construction: no skew at any corpus size.
+
+Restart/retry safety: fingerprints are persisted before the caller writes
+output, and a retried foreachBatch epoch re-emits rows whose stored
+keep_doc_id belongs to the current batch while the output write overwrites
+its own epoch partition — the store append is no-duplicate and the output
+is per-epoch idempotent, so a crash at any point between the two writes
+neither loses nor duplicates documents.
 """
 
 from __future__ import annotations
@@ -50,28 +59,44 @@ class StreamingDocDedup:
         self.text_col = text_col
         self.id_col = id_col
         self._fs = TableFS(spark, store_path)
+        self.last_store_scan: DataFrame | None = None
+
+    # Explicit read schema: hive partition-type inference would type
+    # fp_bucket as BIGINT whenever every present partition value happens to
+    # be all-digit hex (e.g. "90"), breaking the string bucket-pruning
+    # filter on the next batch. Pinning the schema keeps it a string.
+    _STORE_SCHEMA = "fp_bucket string, fingerprint string, keep_doc_id long"
 
     def seen(self) -> DataFrame:
         """The fingerprint store: (fp_bucket, fingerprint, keep_doc_id)."""
         if not self._fs.has_parquet_file(self.store_path):
-            return self.spark.createDataFrame(
-                [], "fp_bucket string, fingerprint string, keep_doc_id long"
-            )
-        return self.spark.read.parquet(self.store_path)
+            return self.spark.createDataFrame([], self._STORE_SCHEMA)
+        return self.spark.read.schema(self._STORE_SCHEMA).parquet(self.store_path)
 
     def admit(self, batch: DataFrame) -> DataFrame:
         """Admit the unseen documents of one micro-batch.
 
         1. fingerprint = md5(normalized text); in-batch winner = min doc_id
            per fingerprint (one uniform-key shuffle);
-        2. left-anti join against the store (store side partition-pruned by
-           fp_bucket, batch side tiny);
-        3. append the fresh fingerprints, partitioned by fp_bucket;
-        4. return the admitted (winner) rows with their fingerprints.
+        2. prune the store to the batch's fp_bucket values (collected
+           driver-side — at most 256 two-hex-char strings) so the
+           hive-partitioned store read lists/scans ONLY the touched
+           partitions, then left-join on fingerprint;
+        3. admit rows whose fingerprint is absent from the store OR whose
+           stored ``keep_doc_id`` equals the batch winner — the second arm
+           makes a foreachBatch epoch RETRY re-emit rows whose fingerprints
+           were persisted by a previous attempt of the SAME batch, so a
+           crash between the store append and the output write cannot lose
+           documents (the output write is per-epoch idempotent, see
+           ``bind_stream``);
+        4. append only the genuinely-fresh fingerprints, partitioned by
+           fp_bucket (a retry appends nothing — no store duplicates);
+        5. return the admitted (winner) rows with their fingerprints.
 
-        The returned DataFrame is pinned (localCheckpoint) BEFORE the store
-        append so its plan cannot observe the store mutation it precedes —
-        the same read-before-overwrite discipline as the APDB Last merge."""
+        The batch aggregate is pinned (localCheckpoint) before the bucket
+        collect so the input is computed once; the admitted plan may re-read
+        the store after the append, which is safe precisely because of the
+        keep_doc_id re-admit rule in step 3."""
         fp = F.md5(normalize_text(F.col(self.text_col)))
         fingered = batch.withColumn("fingerprint", fp).withColumn(
             "fp_bucket", F.substring("fingerprint", 1, 2)
@@ -80,17 +105,33 @@ class StreamingDocDedup:
         winners = (
             fingered.groupBy("fp_bucket", "fingerprint")
             .agg(win, F.count(F.lit(1)).alias("n_copies_in_batch"))
+            .localCheckpoint(eager=True)
         )
-        fresh = (
+        batch_buckets = [
+            r.fp_bucket for r in winners.select("fp_bucket").distinct().collect()
+        ]
+        store = self.seen()
+        if batch_buckets:
+            store = store.filter(F.col("fp_bucket").isin(batch_buckets))
+        self.last_store_scan = store  # plan-assertion handle (tests)
+        admitted = (
             winners.join(
-                self.seen().select("fingerprint"), "fingerprint", "left_anti"
+                store.select("fingerprint", F.col("keep_doc_id").alias("_seen_keep")),
+                "fingerprint",
+                "left",
+            )
+            .filter(
+                F.col("_seen_keep").isNull()
+                | (F.col("_seen_keep") == F.col("keep_doc_id"))
             )
             .localCheckpoint(eager=True)
         )
-        fresh.select("fp_bucket", "fingerprint", F.col("keep_doc_id")).repartition(
+        admitted.filter(F.col("_seen_keep").isNull()).select(
+            "fp_bucket", "fingerprint", F.col("keep_doc_id")
+        ).repartition("fp_bucket").write.mode("append").partitionBy(
             "fp_bucket"
-        ).write.mode("append").partitionBy("fp_bucket").parquet(self.store_path)
-        return fresh.select(
+        ).parquet(self.store_path)
+        return admitted.select(
             "fingerprint",
             F.col("keep_doc_id").alias(self.id_col),
             "n_copies_in_batch",
@@ -98,11 +139,23 @@ class StreamingDocDedup:
 
     def bind_stream(self, doc_stream: DataFrame, output_path: str):
         """Wire the gate into a Structured Streaming query: admitted rows
-        append to ``output_path``; returns the StreamingQuery."""
+        land under ``output_path`` partitioned by epoch; returns the
+        StreamingQuery.
+
+        Exactly-once output: each epoch OVERWRITES its own partition
+        (dynamic partition overwrite), so a retried epoch — which ``admit``
+        re-emits in full via the keep_doc_id rule — replaces rather than
+        duplicates its previous attempt's rows."""
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
             admitted = self.admit(batch_df)
-            admitted.write.mode("append").parquet(output_path)
+            (
+                admitted.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(output_path)
+            )
 
         return doc_stream.writeStream.foreachBatch(_each).start()
 
@@ -139,12 +192,12 @@ class StreamingNearDupGate:
         self.id_col = id_col
         self._fs = TableFS(spark, store_path)
 
+    _STORE_SCHEMA = "band int, bucket string, doc_id long"
+
     def seen_buckets(self) -> DataFrame:
         if not self._fs.has_parquet_file(self.store_path):
-            return self.spark.createDataFrame(
-                [], "band int, bucket string, doc_id long"
-            )
-        return self.spark.read.parquet(self.store_path)
+            return self.spark.createDataFrame([], self._STORE_SCHEMA)
+        return self.spark.read.schema(self._STORE_SCHEMA).parquet(self.store_path)
 
     def _batch_buckets(self, batch: DataFrame) -> DataFrame:
         from ..operators.dedup import (
@@ -165,11 +218,23 @@ class StreamingNearDupGate:
         """Admit documents with no LSH bucket collision against the store or
         against an earlier (lower-id) document of the same batch; append the
         admitted documents' bucket keys. Returns the admitted (doc_id)
-        rows with their bucket count (= bands, a sanity column)."""
+        rows with their bucket count (= bands, a sanity column).
+
+        A collision with the document's OWN stored buckets does not reject:
+        that is what a retried foreachBatch epoch looks like after a crash
+        between the store append and the caller's output write, so the
+        self-exemption makes admit idempotent per batch — the retry re-emits
+        the same admitted set instead of silently dropping it (the bucket
+        re-append on that path is harmless: admission checks are existence
+        joins)."""
         buckets = self._batch_buckets(batch).localCheckpoint(eager=True)
-        # collide vs store
+        # collide vs store (excluding each document's own stored buckets)
         store_hit = (
-            buckets.join(self.seen_buckets(), ["band", "bucket"], "left_semi")
+            buckets.join(
+                self.seen_buckets().withColumnRenamed("doc_id", "_seen_doc"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("_seen_doc") != F.col(self.id_col))
             .select(self.id_col)
             .distinct()
         )

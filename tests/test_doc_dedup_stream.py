@@ -119,3 +119,50 @@ def test_bind_stream_end_to_end(spark, tmp_path):
         q.stop()
     got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert got == {1, 2, 4}
+
+
+def test_store_scan_is_partition_pruned(spark, tmp_path):
+    """VERDICT r2 item 2: the per-batch store read must carry a real hive
+    PartitionFilter on fp_bucket — not a full store scan — so a 10^10-doc
+    fingerprint store is never listed/shuffled wholesale per micro-batch."""
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    gate.admit(_docs(spark, [(1, "one two"), (2, "three four")]))
+    gate.admit(_docs(spark, [(3, "one two"), (4, "five six")]))
+    scan = gate.last_store_scan
+    scan.count()
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "fp_bucket" in pf, plan
+
+
+def test_exact_gate_epoch_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r2: a retried epoch (store append succeeded, output write
+    didn't) must re-emit the same admitted rows and append nothing new."""
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    batch = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]
+    first = {(r.fingerprint, r.doc_id) for r in gate.admit(_docs(spark, batch)).collect()}
+    store_rows = gate.seen().count()
+    retry = {(r.fingerprint, r.doc_id) for r in gate.admit(_docs(spark, batch)).collect()}
+    assert retry == first and len(first) == 2
+    assert gate.seen().count() == store_rows  # no duplicate fingerprints
+    # a genuinely-later duplicate (different winner id) is still rejected
+    assert gate.admit(_docs(spark, [(9, "alpha beta")])).count() == 0
+
+
+def test_near_dup_gate_epoch_retry_is_idempotent(spark, tmp_path):
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    gate = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    batch = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "completely unrelated writing about spark catalyst optimizer internals"),
+    ]
+    first = {r.doc_id for r in gate.admit(_docs(spark, batch)).collect()}
+    retry = {r.doc_id for r in gate.admit(_docs(spark, batch)).collect()}
+    assert retry == first == {1, 2}
+    # different doc, same content: still rejected after the retry
+    dup = gate.admit(
+        _docs(spark, [(9, "the quick brown fox jumps over the lazy dog every day")])
+    )
+    assert dup.count() == 0
