@@ -65,25 +65,30 @@ def shingle_rows(
     through :func:`doc_shingle_sets` (one ``collect_set``) or
     :func:`word_shingles` (``distinct()``)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    # greatest(..., 1): a doc with fewer than n words yields one truncated
-    # shingle (mirrors the oracle's greatest(len(w)-(n-1), 1)); try_element_at
-    # past the end returns NULL and concat_ws skips NULLs, reproducing the
-    # truncated array_join(slice(...)) exactly.
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
     # a document corpus often arrives as few large files -> few partitions;
     # the shingle construction and hashing are the CPU-heavy map work, so
     # spread docs across the cluster first (tiny shuffle of raw docs)
     docs = _spread(docs, id_col)
+    # Materialize the word array in its own projection BELOW the explode:
+    # selecting words and explode(positions) in ONE select puts the split
+    # expression in the Project ABOVE the Generate, re-running
+    # regexp_replace+lower+split once per POSITION row (~n_words x per doc,
+    # measured ~25% of the minhash headline query and its whole run-to-run
+    # variance). With the boundary, split runs once per doc and the Generate
+    # replicates only the materialized array attribute.
+    with_words = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    # greatest(..., 1): a doc with fewer than n words yields one truncated
+    # shingle (mirrors the oracle's greatest(len(w)-(n-1), 1)); try_element_at
+    # past the end returns NULL and concat_ws skips NULLs, reproducing the
+    # truncated array_join(slice(...)) exactly.
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("w")) - F.lit(n - 1), F.lit(1))
+    )
     shingle = F.concat_ws(
         " ", *[F.try_element_at("w", F.col("pos") + F.lit(i)) for i in range(n)]
     )
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            words.alias("w"),
-            F.explode(starts).alias("pos"),
-        )
-        .select("doc_id", shingle.alias("shingle"))
+    return with_words.select("doc_id", "w", F.explode(starts).alias("pos")).select(
+        "doc_id", shingle.alias("shingle")
     )
 
 
