@@ -304,9 +304,7 @@ class ApdbSpark:
         if sources is not None:
             if restoring:
                 self._delete_visit_rows(
-                    "DiaSource",
-                    F.col("midpointMjdTai") == F.lit(visit_mjd),
-                    "mjd_month",
+                    "DiaSource", self._source_scrub_pred(sources, visit_mjd), "mjd_month"
                 )
             src = sources
             if "pixelId" not in src.columns:
@@ -326,7 +324,7 @@ class ApdbSpark:
             if restoring:
                 self._delete_visit_rows(
                     "DiaForcedSource",
-                    F.col("midpointMjdTai") == F.lit(visit_mjd),
+                    self._source_scrub_pred(forced_sources, visit_mjd),
                     "mjd_month",
                 )
             fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
@@ -336,6 +334,27 @@ class ApdbSpark:
 
         if self.enable_replica:
             chunk = int(visit_time.timestamp()) // self.replica_chunk_seconds
+            if restoring:
+                # the replica stream is part of the store+checkpoint unit:
+                # a crashed attempt's chunk rows must be scrubbed too or the
+                # re-run duplicates the visit in the replica tables. The
+                # predicates mirror the main-table scrubs; the rewrite is
+                # scoped to the visit's replica_chunk partition.
+                self._delete_visit_rows(
+                    "DiaObjectChunks", F.col("validityStart") == ts, "replica_chunk"
+                )
+                if sources is not None:
+                    self._delete_visit_rows(
+                        "DiaSourceChunks",
+                        self._source_scrub_pred(sources, visit_mjd),
+                        "replica_chunk",
+                    )
+                if forced_sources is not None:
+                    self._delete_visit_rows(
+                        "DiaForcedSourceChunks",
+                        self._source_scrub_pred(forced_sources, visit_mjd),
+                        "replica_chunk",
+                    )
             for name, df in (
                 ("DiaObjectChunks", obj.drop("pixel_bucket")),
                 ("DiaSourceChunks", sources),
@@ -345,6 +364,25 @@ class ApdbSpark:
                     df.withColumn("replica_chunk", F.lit(chunk)).write.mode(
                         "append"
                     ).partitionBy("replica_chunk").parquet(self._path(name))
+
+    def _source_scrub_pred(self, batch: DataFrame, visit_mjd: float):
+        """Predicate identifying a crashed attempt's DiaSource/DiaForcedSource
+        rows on the exactly-once restore path. Scrub by the batch's distinct
+        ``visit`` ids (exact integer identity — collected driver-side, one or
+        a handful of values): caller-supplied sources may carry per-exposure
+        ``midpointMjdTai`` values that do NOT equal the visit MJD, so float
+        equality on the midpoint would silently miss them. The MJD-equality
+        form remains only as the fallback when the batch has no usable visit
+        column."""
+        if "visit" in batch.columns:
+            visits = [
+                r[0]
+                for r in batch.select("visit").distinct().collect()
+                if r[0] is not None
+            ]
+            if visits:
+                return F.col("visit").isin(visits)
+        return F.col("midpointMjdTai") == F.lit(visit_mjd)
 
     def _marker_path(self, visit_time: datetime.datetime) -> str:
         return (

@@ -166,11 +166,14 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency x ln(N/df), top-3 terms per document.
 
-    Three aggregations (tf, df, N) joined back — df is broadcast (vocabulary
-    is small relative to the corpus); at 100 TB the tf table is the only
-    corpus-sized shuffle. tfidf rounded to 6 decimals (ln() may differ by an
-    ulp between libm implementations); the top-3 rank uses the rounded value
-    with a term tie-break, so ordering is engine-identical."""
+    Three aggregations (tf, df, N) joined back. The df-side join strategy is
+    left to AQE: a web-scale vocabulary (URLs, typos, code tokens) is NOT
+    bounded, so a forced broadcast of the document-frequency table would OOM
+    at 100 TB — AQE broadcasts it when its runtime size is actually small
+    and falls back to a shuffle join otherwise (the tf-side shuffle is
+    intrinsic either way). tfidf rounded to 6 decimals (ln() may differ by
+    an ulp between libm implementations); the top-3 rank uses the rounded
+    value with a term tie-break, so ordering is engine-identical."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -180,7 +183,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # plan constant (tiny driver-side count)
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(

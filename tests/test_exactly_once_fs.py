@@ -243,3 +243,55 @@ def test_simhash_near_dup_pairs_exact(spark):
             # >3 bits exceeds the 4-block pigeonhole guarantee: recall may
             # drop but precision cannot — every returned pair must be real
             assert got <= expected
+
+
+def _sources_visit(spark, mjds, visit_id, n=6, start_id=1):
+    """Sources with PER-EXPOSURE midpoints (not equal to the visit MJD) and
+    an explicit visit id — the realistic caller-supplied shape."""
+    rows = [
+        (1000 * start_id + i, start_id + i, 10.0 + i, 1.0 + 0.1 * i,
+         mjds[i % len(mjds)], visit_id)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        ["diaSourceId", "diaObjectId", "ra", "dec", "midpointMjdTai", "visit"],
+    )
+
+
+def test_restore_scrubs_replica_chunks(spark, tmp_path):
+    """ADVICE r2: with enable_replica, the restore path must scrub the
+    crashed attempt's rows from the three chunk tables too — the replica
+    stream is part of the store+checkpoint exactly-once unit."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"), enable_replica=True)
+    apdb.make_schema(drop=True)
+    mjd = python_datetime_to_mjd(VISIT_T)
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))  # crash pre-save
+    apdb.store(VISIT_T, _objects(spark), _sources(spark, mjd))  # re-run
+    apdb.save_visit(1, VISIT_T, 6)
+    assert apdb._read("DiaObjectChunks").count() == 6
+    src_chunks = apdb._read("DiaSourceChunks")
+    assert src_chunks.count() == 6
+    assert src_chunks.select("diaSourceId").distinct().count() == 6
+
+
+def test_restore_scrubs_per_exposure_midpoints(spark, tmp_path):
+    """ADVICE r2: sources whose midpointMjdTai differs from the visit MJD
+    (per-exposure midpoints) must still be scrubbed on re-run — the scrub
+    keys on the visit id, not float MJD equality."""
+    from l1dbproto_spark.functions.timeutil import python_datetime_to_mjd
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"), enable_replica=True)
+    apdb.make_schema(drop=True)
+    mjd = python_datetime_to_mjd(VISIT_T)
+    exposures = [mjd - 2e-4, mjd + 1e-4, mjd + 3e-4]
+    src = _sources_visit(spark, exposures, visit_id=1)
+    apdb.store(VISIT_T, _objects(spark), src)  # crash pre-save
+    apdb.store(VISIT_T, _objects(spark), src)  # re-run
+    apdb.save_visit(1, VISIT_T, 6)
+    dia_src = apdb._read("DiaSource")
+    assert dia_src.count() == 6
+    assert dia_src.select("diaSourceId").distinct().count() == 6
+    assert apdb._read("DiaSourceChunks").count() == 6
