@@ -36,6 +36,7 @@ def clean_corpus(
     min_jaccard: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = 1000,
 ) -> CorpusCleanResult:
     """Three-stage cleaning, canonical = min doc id at every stage:
 
@@ -78,9 +79,14 @@ def clean_corpus(
         "_fp", "canonical_id"
     )
 
+    # the production composition keeps the document-frequency guard ON by
+    # default (restricted-vocabulary Jaccard, recall-lossy for pairs whose
+    # every shared shingle is high-df — see shingle_jaccard_pairs); pass
+    # df_cap=None for the exact oracle-matched form on bounded corpora
     pairs = jaccard_pairs_from_sets(
         doc_shingle_sets(exact_survivors, text_col=text_col, id_col=id_col),
         min_jaccard=min_jaccard,
+        df_cap=df_cap,
     )
     comps = connected_components(pairs)  # (node, component=min reachable id)
     near_dups = comps.filter(F.col("node") != F.col("component")).select(

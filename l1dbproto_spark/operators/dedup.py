@@ -128,35 +128,51 @@ def shingle_jaccard_pairs(
     shingles: DataFrame,
     min_jaccard: float = 0.8,
     materialize: bool = True,
-    df_cap: int | None = 1000,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard similarity via the inverted index: join docs sharing a
     shingle, count intersections, then J = |A∩B| / (|A|+|B|-|A∩B|).
 
     ``df_cap`` is the document-frequency cap — the scale guard: a stop-phrase
     shingle shared by d docs expands to C(d,2) pairs, so shingles with more
-    than df_cap postings are dropped from the inverted index. For a corpus
-    with a bounded minimum shingle count per doc this is sound for a fixed
-    Jaccard threshold (a universally-common shingle contributes one unit of
-    intersection to pairs that must share many shingles anyway to pass the
-    threshold); it bounds the worst bucket at C(df_cap, 2). Use
-    ``capped_shingle_count`` to log how many shingles the cap dropped.
+    than df_cap postings are dropped from the inverted index, bounding any
+    posting list's expansion at C(df_cap, 2).
+
+    Capped SEMANTICS (r3, ADVICE fix): with a cap set, the per-doc set sizes
+    are computed over the SAME df-filtered vocabulary as the intersections,
+    so the reported value is the exact Jaccard of the restricted shingle
+    sets — numerator and denominator consistent (the previous form kept full
+    set sizes, silently underestimating J for pairs sharing capped shingles).
+    The cap is still RECALL-LOSSY by nature: a pair whose shared shingles are
+    ALL high-df (templated docs) generates no candidate at all — that is the
+    price of bounding the worst posting list, and why the cap defaults to
+    None (exact, oracle-matched) and is opt-in for web-scale corpora. Use
+    ``capped_shingle_count`` to log how many shingles a cap drops.
     """
     if materialize:
         # both the per-doc counts and the inverted index scan the shingle
         # set; materialize it once instead of recomputing the explode+distinct
         shingles = shingles.localCheckpoint(eager=True)
-    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # inverted index: docs per shingle, then in-list pair expansion — one
     # aggregation instead of a two-sided self-join shuffle; df_cap bounds the
     # in-list expansion of any single posting list.
-    by_shingle = (
-        shingles.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    index = shingles.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     if df_cap is not None:
-        by_shingle = by_shingle.filter(F.size("ids") <= df_cap)
+        index = index.filter(F.size("ids") <= df_cap)
+        # restricted-vocabulary set sizes: recount per doc AFTER the df
+        # filter (df=1 shingles included — they are part of the union)
+        counts = (
+            index.select(F.explode("ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+    else:
+        counts = shingles.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+    by_shingle = index.filter(F.size("ids") > 1)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -182,7 +198,7 @@ def shingle_jaccard_pairs(
 def jaccard_pairs_from_sets(
     sets: DataFrame,
     min_jaccard: float = 0.8,
-    df_cap: int | None = 1000,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs from :func:`doc_shingle_sets` output —
     the minimum-shuffle plan (3 exchanges total vs 6 for the exploded-input
@@ -190,8 +206,15 @@ def jaccard_pairs_from_sets(
     aggregated array attribute and THREADED THROUGH the inverted-index
     postings, so the final Jaccard needs no count-table joins at all.
 
-    Same semantics and ``df_cap`` scale guard as
-    :func:`shingle_jaccard_pairs`; identical output."""
+    The count-threading is only valid when every shingle counts, so with a
+    ``df_cap`` set this delegates to :func:`shingle_jaccard_pairs`, whose
+    capped path recounts set sizes over the df-filtered vocabulary
+    (consistent restricted-vocabulary Jaccard — see its docstring)."""
+    if df_cap is not None:
+        exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+        return shingle_jaccard_pairs(
+            exploded, min_jaccard, materialize=False, df_cap=df_cap
+        )
     posts = sets.select(
         "doc_id",
         F.size("shingles").alias("n"),
@@ -204,8 +227,6 @@ def jaccard_pairs_from_sets(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if df_cap is not None:
-        by_shingle = by_shingle.filter(F.size("ids") <= df_cap)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(x.doc_id AS doc_a, x.n AS n_a, y.doc_id AS doc_b, y.n AS n_b))))"

@@ -295,3 +295,61 @@ def test_restore_scrubs_per_exposure_midpoints(spark, tmp_path):
     assert dia_src.count() == 6
     assert dia_src.select("diaSourceId").distinct().count() == 6
     assert apdb._read("DiaSourceChunks").count() == 6
+
+
+def test_jaccard_df_cap_consistent_vocabulary(spark):
+    """ADVICE r2: with a cap, the reported value is the exact Jaccard of the
+    df-restricted shingle sets (numerator AND denominator drop the capped
+    shingles) — the old form kept full set sizes, underestimating J and
+    silently missing near-threshold pairs."""
+    import duckdb
+    from l1dbproto_spark.operators.dedup import shingle_jaccard_pairs, word_shingles
+
+    stop = "click here now for more info today"  # several high-df shingles
+    docs = [(i, f"unique text body number {i} " + stop) for i in range(30)]
+    # planted pair: identical apart from one word — high restricted-vocab
+    # Jaccard, but full-vocab J is diluted by the shared stop shingles
+    docs += [(100, "alpha beta gamma delta epsilon zeta " + stop)]
+    docs += [(101, "alpha beta gamma delta epsilon eta " + stop)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(
+            word_shingles(df, n=3), min_jaccard=0.3, df_cap=10
+        ).collect()
+    }
+    # oracle: restricted-vocabulary Jaccard computed by DuckDB from scratch
+    rows = [(d, t) for d, t in docs]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(
+            """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS ws
+              FROM docs
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i : i + 2], ' ') AS shingle
+              FROM w, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            kept AS (
+              SELECT * FROM sh QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 10
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT da, db, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS j
+            FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+            WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.3
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert (100, 101) in got  # the near-dup pair survives the cap
