@@ -62,13 +62,20 @@ def bench_visit(spark) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_visit_stream(spark, n_visits: int = 6) -> list[float]:
+def bench_visit_stream(
+    spark, n_visits: int = 20, maintain_every: int = 8
+) -> tuple[list[float], list[tuple[int, list[str]]]]:
     """Sustained cadence: run ``n_visits`` visits through the Structured
     Streaming driver (rate source + foreachBatch) against ONE growing APDB —
-    the reference's actual operating mode — and return per-visit wall
-    seconds. Visit 1 populates an empty store; the tail visits measure the
-    steady state with tables accumulating (the number that must stay inside
-    the 45 s budget as history grows)."""
+    the reference's actual operating mode — and return (per-visit wall
+    seconds, maintenance events). Visit 1 populates an empty store; the tail
+    visits measure the steady state with tables accumulating (the number
+    that must stay inside the 45 s budget as history grows).
+
+    Auto-maintenance is ON (checked every ``maintain_every`` visits): the
+    window is long enough to show the compaction cycle actually triggering
+    and the visit times recovering after it — each event is reported as
+    (visit_id, [tables compacted])."""
     from l1dbproto_spark.apdb import ApdbSpark
     from l1dbproto_spark.plans.region import Circle
     from l1dbproto_spark.streaming.visit_stream import VisitStreamDriver
@@ -91,19 +98,29 @@ def bench_visit_stream(spark, n_visits: int = 6) -> list[float]:
             pointing,
             dia_cfg=DiaConfig(),
             start_time=datetime.datetime(2026, 1, 1, 3, 0),
+            maintain_every=maintain_every,
         )
         times: list[float] = []
+        events: list[tuple[int, list[str]]] = []
         inner = drv._process_one
+        maint = db.maintenance
 
         def timed(visit_id, visit_time):
             start = time.time()
             inner(visit_id, visit_time)
             times.append(round(time.time() - start, 3))
 
+        def logged_maintenance(max_files):
+            compacted = maint(max_files)
+            if compacted:
+                events.append((len(times), compacted))
+            return compacted
+
         drv._process_one = timed
+        db.maintenance = logged_maintenance
         drv.run_stream(n_visits)
         cat.unpersist()
-        return times
+        return times, events
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -140,7 +157,9 @@ def main() -> None:
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
     # pauses in local mode; the max is reported alongside for transparency.
-    visit_times = bench_visit_stream(spark, n_visits=6)
+    # 20 visits with auto-maintenance: long enough for the compaction cycle
+    # to trigger inside the window (maintenance_events records when/what).
+    visit_times, maintenance_events = bench_visit_stream(spark, n_visits=20)
     steady = sorted(visit_times[1:] if len(visit_times) > 1 else visit_times)
 
     total = round(sum(timings.values()), 3)
@@ -153,6 +172,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming_visit_times": visit_times,
+                "maintenance_events": maintenance_events,
                 "ap_visit_sustained": steady[len(steady) // 2],
                 "ap_visit_worst": steady[-1],
                 "visit_budget_sec": 45.0,

@@ -120,10 +120,15 @@ class VisitStreamDriver:
         self._process_one(self.next_visit_id, visit_time)
         self.next_visit_id += 1
 
-    def run_stream(self, n_visits: int, trigger_seconds: float = 0.1):
+    def run_stream(self, n_visits: int, trigger_seconds: float = 0.0):
         """Run ``n_visits`` micro-batches through a rate source. Synchronous:
         returns after the visits are processed (tests/demo); production
-        would leave the query running at Trigger.ProcessingTime('45 seconds')."""
+        would leave the query running at Trigger.ProcessingTime('45 seconds').
+
+        The default trigger is 0 (run micro-batches back-to-back): a fixed
+        sub-batch-time interval only produces a "Current batch is falling
+        behind" warning per batch without changing throughput, so bounded
+        runs pace themselves by batch duration alone."""
         self._stop_after = n_visits
         stream = (
             self.spark.readStream.format("rate")
