@@ -565,16 +565,25 @@ class ApdbSpark:
         buckets = [r[0] for r in new_last.select("pixel_bucket").distinct().collect()]
         merged = new_last
         if self._exists("DiaObjectLast"):
+            # delete+insert semantics, exactly the reference's Last merge
+            # (DELETE matching ids, INSERT the new rows): existing rows of
+            # the touched buckets that are NOT being replaced, plus all new
+            # rows. The visit batch is bounded (~10^4 rows at any corpus
+            # size), so the anti-join broadcasts it — no shuffle of the
+            # existing side at all, where the previous argmax-window form
+            # paid a full diaObjectId exchange per visit. Equivalent to
+            # argmax(validityStart) whenever stores are time-ordered (the
+            # streaming driver's invariant; the restore path scrubs before
+            # re-appending, preserving it).
             existing = self._read("DiaObjectLast").filter(
                 F.col("pixel_bucket").isin(buckets)
             )
-            merged = existing.select(*last_cols).unionByName(new_last)
-        w = Window.partitionBy("diaObjectId").orderBy(F.desc("validityStart"))
-        merged = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+            kept = existing.select(*last_cols).join(
+                F.broadcast(new_last.select("diaObjectId")),
+                "diaObjectId",
+                "left_anti",
+            )
+            merged = kept.unionByName(new_last)
         # Materialize before overwriting the table the plan reads from
         # (read-while-overwrite on the same path); repartition so each bucket
         # is rewritten as one file, then sort by pixelId so the hot Q1 read
