@@ -64,6 +64,7 @@ class ApdbSpark:
         enable_replica: bool = False,
         replica_chunk_seconds: int = 600,
         exactly_once: bool = True,
+        concurrent_writes: bool = True,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -73,6 +74,7 @@ class ApdbSpark:
         self.enable_replica = enable_replica
         self.replica_chunk_seconds = replica_chunk_seconds
         self.exactly_once = exactly_once
+        self.concurrent_writes = concurrent_writes
         # all root metadata ops go through the Hadoop FS of the root URI, so
         # the same code runs on file:, hdfs:, s3a:, gs:, abfs: roots
         self._fs = TableFS(spark, root)
@@ -292,14 +294,16 @@ class ApdbSpark:
                 )
             else:
                 self._fs.touch(marker)
-        obj.select(
-            *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
-        ).repartition("pixel_bucket").sortWithinPartitions(
-            "pixel_bucket", "pixelId"
-        ).write.mode("append").partitionBy("pixel_bucket").parquet(
-            self._path("DiaObject")
-        )
-        self._merge_last(obj)
+        def _append_objects() -> None:
+            obj.select(
+                *[f.name for f in TABLE_SCHEMAS["DiaObject"].fields], "pixel_bucket"
+            ).repartition("pixel_bucket").sortWithinPartitions(
+                "pixel_bucket", "pixelId"
+            ).write.mode("append").partitionBy("pixel_bucket").parquet(
+                self._path("DiaObject")
+            )
+
+        writes = [_append_objects, lambda: self._merge_last(obj)]
 
         if sources is not None:
             if restoring:
@@ -313,13 +317,17 @@ class ApdbSpark:
                     pixel_expr_radec(F.col("ra"), F.col("dec"), self.pixel_level),
                 )
             src = self._with_layout_columns("DiaSource", src)
+
             # mjd_month leads the sort for the same partitionBy-ordering
             # reason as the DiaObject write above
-            src.repartition("mjd_month").sortWithinPartitions(
-                "mjd_month", "diaObjectId"
-            ).write.mode("append").partitionBy("mjd_month").parquet(
-                self._path("DiaSource")
-            )
+            def _append_sources(src=src) -> None:
+                src.repartition("mjd_month").sortWithinPartitions(
+                    "mjd_month", "diaObjectId"
+                ).write.mode("append").partitionBy("mjd_month").parquet(
+                    self._path("DiaSource")
+                )
+
+            writes.append(_append_sources)
         if forced_sources is not None:
             if restoring:
                 self._delete_visit_rows(
@@ -328,10 +336,13 @@ class ApdbSpark:
                     "mjd_month",
                 )
             fsrc = self._with_layout_columns("DiaForcedSource", forced_sources)
-            fsrc.repartition("mjd_month").write.mode("append").partitionBy(
-                "mjd_month"
-            ).parquet(self._path("DiaForcedSource"))
 
+            def _append_forced(fsrc=fsrc) -> None:
+                fsrc.repartition("mjd_month").write.mode("append").partitionBy(
+                    "mjd_month"
+                ).parquet(self._path("DiaForcedSource"))
+
+            writes.append(_append_forced)
         if self.enable_replica:
             chunk = int(visit_time.timestamp()) // self.replica_chunk_seconds
             if restoring:
@@ -361,9 +372,42 @@ class ApdbSpark:
                 ("DiaForcedSourceChunks", forced_sources),
             ):
                 if df is not None:
-                    df.withColumn("replica_chunk", F.lit(chunk)).write.mode(
-                        "append"
-                    ).partitionBy("replica_chunk").parquet(self._path(name))
+
+                    def _append_chunk(name=name, df=df) -> None:
+                        df.withColumn("replica_chunk", F.lit(chunk)).write.mode(
+                            "append"
+                        ).partitionBy("replica_chunk").parquet(self._path(name))
+
+                    writes.append(_append_chunk)
+        # The per-table writes have no data dependency on one another (the
+        # Last merge reads DiaObjectLast + the pinned obj snapshot; the
+        # appends go to distinct paths), and the intent marker already makes
+        # the whole group crash-atomic, so they run CONCURRENTLY — Spark
+        # schedules the jobs in parallel and the visit pays the slowest
+        # write instead of the sum. On the restore path they stay sequential
+        # (each scrub must precede its table's re-append anyway).
+        self._run_writes(writes, sequential=restoring)
+
+    def _run_writes(self, thunks, sequential: bool = False) -> None:
+        """Run independent table writes, concurrently unless ``sequential``.
+
+        Contract (same one the sequential form already imposed): the input
+        DataFrames must not lazily scan the APDB tables being written — the
+        bundled visit pipeline pins its inputs with localCheckpoint. Errors
+        propagate after all submitted writes settle, so a failure cannot
+        leave an unobserved in-flight job."""
+        if sequential or not self.concurrent_writes or len(thunks) <= 1:
+            for t in thunks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(t) for t in thunks]
+            errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
 
     def _source_scrub_pred(self, batch: DataFrame, visit_mjd: float):
         """Predicate identifying a crashed attempt's DiaSource/DiaForcedSource

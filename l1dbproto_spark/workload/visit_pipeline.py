@@ -149,12 +149,19 @@ def process_visit(
 
     # --- store (g)
     apdb.store(visit_time, objects, sources, forced)
+    # one metrics job over the pinned objects snapshot: the forced count is
+    # count_if of the same eligibility predicate `forced` filters on, so it
+    # needs no separate job over the forced plan
     row = objects.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("diaObjectId") >= 1_000_000_000).alias("trans"),
+        F.count_if(
+            (F.col("nDiaSources") > 1)
+            & (F.col("lastNonForcedSource") > F.lit(cutoff).cast("timestamp"))
+        ).alias("forced"),
     ).collect()[0]
     counts.objects_stored = row["n"]
     counts.transients_stored = row["trans"]
     counts.sources_stored = counts.objects_stored
-    counts.forced_stored = forced.count()
+    counts.forced_stored = row["forced"]
     return counts
