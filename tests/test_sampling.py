@@ -1,0 +1,109 @@
+"""Deterministic sampling operators (operators/sampling.py): DuckDB-oracle
+equivalence of the hash draws plus the mixture/stratification invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.sampling import (
+    sample_mixture,
+    stratified_sample,
+    with_repeats,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# DuckDB rendering of _unit_hash (same md5/substr/conv formula)
+U = (
+    "CAST(concat('0x', substr(md5(concat('{salt}', CAST(doc_id AS VARCHAR))), 1, 12))"
+    " AS BIGINT) / CAST(281474976710656 AS DOUBLE)"
+)
+
+
+def test_sample_mixture_matches_oracle(spark):
+    rates = {"en": 0.8, "es": 0.25}
+    got = sorted(
+        r.doc_id
+        for r in sample_mixture(
+            load_table(spark, SF_DIR, "documents"), rates, source_col="lang"
+        ).collect()
+    )
+    u = U.format(salt="mix-v1")
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM '{SF_DIR}/documents.parquet'
+            WHERE {u} < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.25
+                        ELSE 0.0 END
+            """
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got)
+
+
+def test_sample_mixture_append_stable(spark):
+    """Re-sampling a SUPERSET corpus keeps every previously-kept document —
+    the property that lets a 100 TB mixture be rebuilt incrementally."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"en": 0.5}
+    small = sample_mixture(docs.filter(F.col("doc_id") < 200), rates)
+    big = sample_mixture(docs, rates)
+    small_ids = {r.doc_id for r in small.collect()}
+    big_ids = {r.doc_id for r in big.collect()}
+    assert small_ids <= big_ids
+
+
+def test_with_repeats_upsamples(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = with_repeats(docs, {"en": 2.25, "es": 0.5}).cache()
+    try:
+        pdf = out.select("doc_id", "lang", "repeat").toPandas()
+        en = pdf[pdf.lang == "en"].groupby("doc_id").size()
+        n_en_docs = docs.filter(F.col("lang") == "en").count()
+        # every en doc appears 2 or 3 times, repeats indexed from 0
+        assert set(en.unique()) <= {2, 3}
+        assert len(en) == n_en_docs
+        assert (2.0 < en.sum() / n_en_docs < 2.5)  # ~2.25 on average
+        es = pdf[pdf.lang == "es"].groupby("doc_id").size()
+        assert set(es.unique()) <= {1}  # fractional-only rate: 0 or 1 copies
+        # repeat indices are dense from 0 per doc
+        reps = pdf[pdf.lang == "en"].groupby("doc_id")["repeat"].apply(
+            lambda s: sorted(s)
+        )
+        assert all(r == list(range(len(r))) for r in reps)
+    finally:
+        out.unpersist()
+
+
+def test_stratified_sample_matches_oracle(spark):
+    got = (
+        stratified_sample(
+            load_table(spark, SF_DIR, "documents"), k=7, strata_cols="lang"
+        )
+        .select("doc_id", "lang", "sample_rank")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    u = U.format(salt="strat-v1")
+    want = (
+        duckdb.sql(
+            f"""
+            SELECT doc_id, lang, rnk AS sample_rank FROM (
+              SELECT doc_id, lang, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY {u}, doc_id
+              ) AS rnk
+              FROM '{SF_DIR}/documents.parquet'
+            ) t WHERE rnk <= 7
+            """
+        )
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exactly 7 per stratum (each language has >= 7 docs at sf0.001)
+    per = got.groupby("lang").size()
+    assert (per == 7).all()
