@@ -141,11 +141,21 @@ def process_visit(
     # --- duty-cycled history reads (f): _executors.py:162-164
     phase = visit_id % cfg.src_read_period
     if phase < cfg.src_read_period * cfg.src_read_duty_cycle:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # two independent month-pruned reads over different tables; both run
+        # BEFORE store() (they must not observe this visit's rows), so they
+        # can overlap each other safely
         ids = objects.select("diaObjectId")
-        counts.sources_read = apdb.get_dia_sources(padded, ids, visit_time).count()
-        counts.forced_read = apdb.get_dia_forced_sources(
-            padded, ids, visit_time
-        ).count()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_src = ex.submit(
+                lambda: apdb.get_dia_sources(padded, ids, visit_time).count()
+            )
+            f_forced = ex.submit(
+                lambda: apdb.get_dia_forced_sources(padded, ids, visit_time).count()
+            )
+            counts.sources_read = f_src.result()
+            counts.forced_read = f_forced.result()
 
     # --- store (g)
     apdb.store(visit_time, objects, sources, forced)
