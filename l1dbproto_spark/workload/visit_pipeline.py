@@ -69,35 +69,43 @@ def process_visit(
     padded = region.dilated(cfg.detector_region_padding_arcsec)
     mjd = python_datetime_to_mjd(visit_time)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     # --- Q1: latest objects in padded region, exact-refined (b)
     # (A2 note: df.observe would piggyback this count on the checkpoint
     # materialization, but localCheckpoint does not complete observations —
-    # the explicit count on the pruned read is one small job.)
+    # the explicit count on the pruned read is one small job, overlapped
+    # with the match-checkpoint job below: both only READ the pre-store
+    # DiaObjectLast, so they are safe to run concurrently.)
     known = apdb.get_dia_objects(padded).select(
         "diaObjectId", "nDiaSources", "lastNonForcedSource"
     )
-    counts.objects_read = known.count()
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        f_objects_read = ex.submit(known.count)
 
-    # --- match + increment (c): left join with default 0 then +1
-    if "detector" not in detections.columns:
-        detections = detections.withColumn("detector", F.lit(detector))
-    matched = detections.join(F.broadcast(known), "diaObjectId", "left").select(
-        "diaObjectId",
-        "ra",
-        "dec",
-        "detector",
-        (F.coalesce(F.col("nDiaSources"), F.lit(0)) + F.lit(1)).alias("nDiaSources"),
-    )
-    objects = matched.withColumn(
-        "lastNonForcedSource", F.lit(visit_time).cast("timestamp")
-    )
-    # Pin the matched catalog NOW: its plan scans DiaObjectLast, which store()
-    # will overwrite — the overwrite invalidates caches on that path
-    # (refreshByPath), and a lazy re-evaluation would then see post-store
-    # state (transients self-matching to nDiaSources=2). localCheckpoint
-    # truncates the lineage so every downstream consumer (sources, forced,
-    # counts) sees the pre-store snapshot.
-    objects = objects.localCheckpoint(eager=True)
+        # --- match + increment (c): left join with default 0 then +1
+        if "detector" not in detections.columns:
+            detections = detections.withColumn("detector", F.lit(detector))
+        matched = detections.join(F.broadcast(known), "diaObjectId", "left").select(
+            "diaObjectId",
+            "ra",
+            "dec",
+            "detector",
+            (F.coalesce(F.col("nDiaSources"), F.lit(0)) + F.lit(1)).alias(
+                "nDiaSources"
+            ),
+        )
+        objects = matched.withColumn(
+            "lastNonForcedSource", F.lit(visit_time).cast("timestamp")
+        )
+        # Pin the matched catalog NOW: its plan scans DiaObjectLast, which
+        # store() will overwrite — the overwrite invalidates caches on that
+        # path (refreshByPath), and a lazy re-evaluation would then see
+        # post-store state (transients self-matching to nDiaSources=2).
+        # localCheckpoint truncates the lineage so every downstream consumer
+        # (sources, forced, counts) sees the pre-store snapshot.
+        objects = objects.localCheckpoint(eager=True)
+        counts.objects_read = f_objects_read.result()
 
     # --- DiaSource build (d): id = (visit*n_det + detector)*1e6 + 1..n
     w = Window.partitionBy("detector").orderBy("diaObjectId")
@@ -157,19 +165,20 @@ def process_visit(
             counts.sources_read = f_src.result()
             counts.forced_read = f_forced.result()
 
-    # --- store (g)
-    apdb.store(visit_time, objects, sources, forced)
-    # one metrics job over the pinned objects snapshot: the forced count is
-    # count_if of the same eligibility predicate `forced` filters on, so it
-    # needs no separate job over the forced plan
-    row = objects.agg(
+    # --- store (g); the metrics aggregate reads only the pinned objects
+    # snapshot, so it overlaps the store writes
+    metrics = objects.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("diaObjectId") >= 1_000_000_000).alias("trans"),
         F.count_if(
             (F.col("nDiaSources") > 1)
             & (F.col("lastNonForcedSource") > F.lit(cutoff).cast("timestamp"))
         ).alias("forced"),
-    ).collect()[0]
+    )
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        f_metrics = ex.submit(metrics.collect)
+        apdb.store(visit_time, objects, sources, forced)
+        row = f_metrics.result()[0]
     counts.objects_stored = row["n"]
     counts.transients_stored = row["trans"]
     counts.sources_stored = counts.objects_stored
