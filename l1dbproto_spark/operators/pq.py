@@ -1,0 +1,233 @@
+"""Product quantization (PQ) for vector search at corpus scale.
+
+IVF prunes WHICH vectors a query scans (operators/similarity.py) and int8
+cuts scan bytes 4x (operators/quantize.py); PQ is the third standard lever
+(Jegou et al., "Product Quantization for Nearest Neighbor Search", IEEE
+TPAMI 2011): split each vector into ``m`` subvectors, quantize each against
+a per-subspace codebook of ``k_codes`` centroids, and score candidates by
+ASYMMETRIC DISTANCE COMPUTATION (ADC) — the query precomputes a small
+``m x k_codes`` lookup table of subvector dot products and every corpus
+vector is scored with ``m`` table lookups instead of ``dim`` multiplies.
+A dim=64 float32 vector compresses to m=8 single-byte codes (32x), which
+is what lets a 10^10-vector index fit in cluster memory.
+
+Spark shape: encoding is one broadcast-codebook join + per-(vector,
+subspace) argmin — all column algebra; ADC scoring is zero-join per pair
+(the per-query LUT is carried as an ``array<array<double>>`` column and
+scoring is ``m`` element_at lookups inside codegen). Exact re-rank of the
+``k * refine`` survivors mirrors operators/quantize.py.
+
+Codebooks here are DETERMINISTIC (the first ``k_codes`` corpus vectors'
+subvectors — the same fixed-quantizer pattern as the IVF oracle), so every
+stage is engine-reproducible; a KMeans-trained codebook plugs into the
+same plan (tests pin recall, not centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot_fold, l2_norm
+
+
+def subvector(vec: Column, j: int, sub_dim: int) -> Column:
+    """Subvector j (0-based) of a flat array column: elements
+    ``[j*sub_dim + 1, (j+1)*sub_dim]`` (Spark slice is 1-based)."""
+    return F.slice(vec, j * sub_dim + 1, sub_dim)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic codebooks: subspace j's codebook is the j-th subvector
+    of the first ``k_codes`` corpus vectors — (subspace, code, centroid)
+    with ``code`` in [0, k_codes). Swap in KMeans-per-subspace centroids for
+    production; the plan downstream is identical."""
+    sub_dim = dim // m
+    base = corpus.orderBy(id_col).limit(k_codes).select(
+        F.col(id_col).alias("_cb_id"), F.col(vec_col).alias("_cb_vec")
+    )
+    w = Window.orderBy("_cb_id")
+    coded = base.withColumn("code", F.row_number().over(w) - 1)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                subvector(F.col("_cb_vec"), j, sub_dim).alias("centroid"),
+            )
+            for j in range(m)
+        ]
+    )
+    return coded.select("code", F.explode(subs).alias("s")).select(
+        F.col("s.subspace").alias("subspace"), "code", F.col("s.centroid").alias("centroid")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` codes: per subspace, the code of the
+    L2-nearest centroid (ties broken by lower code). One broadcast join of
+    the (m x k_codes)-row codebook against the exploded subvectors, one
+    argmin window per (vector, subspace), then codes re-assembled in
+    subspace order via ``array_sort`` on (subspace, code) structs — no
+    second shuffle. Output: (``id_col``, codes array<int>).
+
+    At 10^10 vectors this is a single corpus scan with map-side broadcast
+    work; the argmin groupBy keys on (vec_id, subspace) — uniform, no
+    skew."""
+    sub_dim = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                subvector(F.col(vec_col), j, sub_dim).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )
+    exploded = corpus.select(F.col(id_col), F.explode(subs).alias("s")).select(
+        id_col, F.col("s.subspace").alias("subspace"), F.col("s.sub").alias("sub")
+    )
+    # L2 argmin == argmax(2*<x,c> - <c,c>), the same centroid-score ordering
+    # as the IVF assignment (similarity.py) — shared determinism contract
+    cscore = 2 * dot_fold(F.col("sub"), F.col("centroid")) - dot_fold(
+        F.col("centroid"), F.col("centroid")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.desc("_cs"), F.asc("code")
+    )
+    assigned = (
+        exploded.join(F.broadcast(codebooks), "subspace")
+        .withColumn("_cs", cscore)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # array_sort on (subspace, code) structs orders codes by subspace; then
+    # strip to the bare code — one groupBy, no per-subspace pivot
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors via PQ-ADC pre-filter + exact re-rank.
+
+    Stage 1: each query builds its ``m x k_codes`` lookup table (dot of the
+    query subvector with every centroid — m*k_codes fold evaluations per
+    QUERY, not per pair) and every corpus vector is scored as
+    ``sum_j LUT[j][code_j]`` — m element_at lookups per pair, no joins, no
+    floating work proportional to dim. Stage 2: exact cosine re-rank of the
+    ``k * refine`` survivors (same pattern as quantized_topk). Output
+    schema matches ``brute_force_topk``.
+
+    Scale: the scored side carries only the m-byte codes; full-precision
+    vectors are read for ~k*refine rows per query. The LUT column is
+    ~m*k_codes doubles per query — broadcast with the (bounded) query
+    batch."""
+    sub_dim = dim // m
+    codes = pq_encode(corpus, codebooks, m, dim, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    coded_corpus = codes.join(cvec, "neighbor_id")
+
+    # per-query LUT: for subspace j, LUT[j][c] = <q_j, centroid_{j,c}>
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qsubs = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        subvector(F.col("qvec"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "qvec", F.col("s.subspace").alias("subspace"), F.col("s.qsub").alias("qsub"))
+    lut_entries = qsubs.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "qvec",
+        F.struct(
+            "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
+        ).alias("e"),
+    )
+    # assemble LUT as array<array<double>>: sort (subspace, code, d) structs,
+    # then reshape into m rows of k_codes — deterministic order by construction
+    lut = lut_entries.groupBy("query_id").agg(
+        F.first("qvec").alias("qvec"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("e")),
+                    j * k_codes + 1,
+                    k_codes,
+                ),
+                lambda s: s["d"],
+            ),
+        ).alias("lut"),
+    )
+    # ADC score: m element_at lookups per (query, corpus) pair
+    score = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded_corpus.crossJoin(F.broadcast(lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec", score.alias("adc"))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    )
+    sim = F.round(
+        dot_fold(F.col("qvec"), F.col("cvec"))
+        / (l2_norm(F.col("qvec")) * l2_norm(F.col("cvec"))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
