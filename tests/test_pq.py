@@ -92,3 +92,17 @@ def test_adc_topk_recall_and_exact_rerank(spark):
     for key, sim in approx.items():
         if key in exact:
             assert sim == exact[key]
+
+
+def test_adc_scoring_plan_shape(spark):
+    """Stage-1 ADC scoring must not shuffle the corpus: the only join
+    against the coded corpus is the broadcast of the per-query LUTs
+    (encode's internal argmin aggregates on uniform (vec, subspace) keys)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    df = adc_topk(emb, queries, cb, k=3, refine=2, m=M, k_codes=K_CODES, dim=DIM)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -107,3 +107,14 @@ def test_stratified_sample_matches_oracle(spark):
     # exactly 7 per stratum (each language has >= 7 docs at sf0.001)
     per = got.groupby("lang").size()
     assert (per == 7).all()
+
+
+def test_sample_mixture_plan_is_shuffle_free(spark):
+    """The mixture filter must stay a pure per-row scan — zero exchanges —
+    so the 100 TB pass is bounded by the scan alone."""
+    df = sample_mixture(
+        load_table(spark, SF_DIR, "documents"), {"en": 0.5}, source_col="lang"
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
