@@ -257,3 +257,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _pack(docs, ctx_len=256, n_shards=8)
+
+
+def unigram_logprob_score(
+    spark: SparkSession, sf_dir: str, smoothing: float = 0.5
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the classic cheap LM-quality signal: documents of
+    rare/garbled tokens score far below fluent text, without training a
+    model. (Unregistered: the 50-slot registry is full; oracle-checked
+    in-suite by tests/test_text_extras.py.)
+
+    score(d) = mean over tokens t of ln((count(t) + s) / (N + s*V))
+    with add-s smoothing over the corpus vocabulary (V types, N tokens).
+
+    Plan shape at 100 TB: one corpus token aggregation (uniform keys) for
+    the distribution, one tf aggregation per doc, one join threading the
+    token log-probs back through the per-doc tf rows — the same
+    AQE-decides-broadcast join discipline as tfidf_top_terms. ln() inputs
+    are integer-derived doubles evaluated in identical operand order, and
+    the per-doc mean is a weighted decimal-free sum/count division, so the
+    DuckDB oracle matches after a 9-decimal round."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_types")
+    ).collect()[0]
+    n_tok, v = float(totals["n_tokens"]), float(totals["v_types"])
+    logp = F.log(
+        (F.col("cnt") + F.lit(smoothing)) / F.lit(n_tok + smoothing * v)
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(vocab.select("term", logp.alias("lp")), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 9
+            ).alias("mean_logprob"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
