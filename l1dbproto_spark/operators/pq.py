@@ -49,6 +49,8 @@ def pq_codebooks(
     of the first ``k_codes`` corpus vectors — (subspace, code, centroid)
     with ``code`` in [0, k_codes). Swap in KMeans-per-subspace centroids for
     production; the plan downstream is identical."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     sub_dim = dim // m
     base = corpus.orderBy(id_col).limit(k_codes).select(
         F.col(id_col).alias("_cb_id"), F.col(vec_col).alias("_cb_vec")

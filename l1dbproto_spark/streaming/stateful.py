@@ -66,3 +66,57 @@ def running_object_counts(detections_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningCountsProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` (state API v2, Spark 4) form of the
+    running per-object counter — same semantics as
+    :func:`running_object_counts`, expressed as a StatefulProcessor with a
+    typed ValueState variable. The v2 API adds what the GroupState form
+    lacks at scale: named state variables, per-state TTL, and timers —
+    wired here so pipelines on the modern API have a drop-in operator.
+
+    Must be a plain module-level subclass: the TWS runner pickles the
+    processor into its driver worker, and a dynamically-built class kills
+    that worker with an opaque 'exited unexpectedly (crashed)'."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getValueState("counts", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ARG002
+        (obj_id,) = key
+        if self._counts.exists():
+            n, last_mjd = self._counts.get()
+        else:
+            n, last_mjd = 0, None
+        for pdf in rows:
+            n += len(pdf)
+            m = pdf["midpointMjdTai"].max()
+            last_mjd = m if last_mjd is None else max(last_mjd, m)
+        self._counts.update((n, last_mjd))
+        yield pd.DataFrame(
+            {"diaObjectId": [obj_id], "nDiaSources": [n], "lastSeenMjd": [last_mjd]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_object_counts_v2(detections_stream: DataFrame) -> DataFrame:
+    """The state-API-v2 twin of :func:`running_object_counts`:
+    ``transformWithStateInPandas`` with a named ValueState. Update mode, no
+    time semantics (timeMode='None'); state is per-key in the state store
+    exactly like the v1 form, so outputs are identical batch-for-batch
+    (pinned by tests/test_stateful_streaming.py)."""
+    return detections_stream.groupBy("diaObjectId").transformWithStateInPandas(
+        statefulProcessor=RunningCountsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

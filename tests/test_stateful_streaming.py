@@ -81,3 +81,43 @@ def test_state_survives_restart_with_checkpoint(spark, tmp_path):
     q2.awaitTermination(60)
     n = max(r["nDiaSources"] for r in collected if r["diaObjectId"] == 7)
     assert n == 2  # state carried across the restart
+
+
+def test_tws_v2_matches_v1(spark, tmp_path):
+    """transformWithStateInPandas (state API v2) produces the same running
+    totals as the applyInPandasWithState form over the same batches."""
+    from l1dbproto_spark.streaming.stateful import running_object_counts_v2
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = str(tmp_path / "det_v2")
+    spark.createDataFrame(
+        [(1, 60000.0), (2, 60000.0), (1, 60000.0)],
+        "diaObjectId long, midpointMjdTai double",
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(1, 60001.0), (3, 60001.0)],
+        "diaObjectId long, midpointMjdTai double",
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(
+        "diaObjectId long, midpointMjdTai double"
+    ).parquet(d)
+    out = running_object_counts_v2(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("obj_counts_v2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pdf = spark.sql(
+        "SELECT diaObjectId, max(nDiaSources) AS n, max(lastSeenMjd) AS m "
+        "FROM obj_counts_v2 GROUP BY diaObjectId ORDER BY diaObjectId"
+    ).toPandas()
+    got = {int(r.diaObjectId): (int(r.n), float(r.m)) for r in pdf.itertuples()}
+    assert got == {1: (3, 60001.0), 2: (1, 60000.0), 3: (1, 60001.0)}
