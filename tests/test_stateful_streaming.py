@@ -85,39 +85,56 @@ def test_state_survives_restart_with_checkpoint(spark, tmp_path):
 
 def test_tws_v2_matches_v1(spark, tmp_path):
     """transformWithStateInPandas (state API v2) produces the same running
-    totals as the applyInPandasWithState form over the same batches."""
+    totals as the applyInPandasWithState form over the same batches.
+
+    Spark's TWS Python pre-init worker requires a working google.protobuf;
+    skip (rather than fail) where that optional dependency is absent/broken.
+    """
+    pytest.importorskip("google.protobuf.descriptor")
     from l1dbproto_spark.streaming.stateful import running_object_counts_v2
 
-    # transformWithState requires the RocksDB state store provider
+    # transformWithState requires the RocksDB state store provider; restore
+    # the previous provider afterwards so later streaming tests in the shared
+    # session run under the default HDFS-backed provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    d = str(tmp_path / "det_v2")
-    spark.createDataFrame(
-        [(1, 60000.0), (2, 60000.0), (1, 60000.0)],
-        "diaObjectId long, midpointMjdTai double",
-    ).coalesce(1).write.mode("append").parquet(d)
-    spark.createDataFrame(
-        [(1, 60001.0), (3, 60001.0)],
-        "diaObjectId long, midpointMjdTai double",
-    ).coalesce(1).write.mode("append").parquet(d)
+    try:
+        d = str(tmp_path / "det_v2")
+        spark.createDataFrame(
+            [(1, 60000.0), (2, 60000.0), (1, 60000.0)],
+            "diaObjectId long, midpointMjdTai double",
+        ).coalesce(1).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [(1, 60001.0), (3, 60001.0)],
+            "diaObjectId long, midpointMjdTai double",
+        ).coalesce(1).write.mode("append").parquet(d)
 
-    stream = spark.readStream.schema(
-        "diaObjectId long, midpointMjdTai double"
-    ).parquet(d)
-    out = running_object_counts_v2(stream)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("obj_counts_v2")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    pdf = spark.sql(
-        "SELECT diaObjectId, max(nDiaSources) AS n, max(lastSeenMjd) AS m "
-        "FROM obj_counts_v2 GROUP BY diaObjectId ORDER BY diaObjectId"
-    ).toPandas()
-    got = {int(r.diaObjectId): (int(r.n), float(r.m)) for r in pdf.itertuples()}
-    assert got == {1: (3, 60001.0), 2: (1, 60000.0), 3: (1, 60001.0)}
+        stream = spark.readStream.schema(
+            "diaObjectId long, midpointMjdTai double"
+        ).parquet(d)
+        out = running_object_counts_v2(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("obj_counts_v2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pdf = spark.sql(
+            "SELECT diaObjectId, max(nDiaSources) AS n, max(lastSeenMjd) AS m "
+            "FROM obj_counts_v2 GROUP BY diaObjectId ORDER BY diaObjectId"
+        ).toPandas()
+        got = {
+            int(r.diaObjectId): (int(r.n), float(r.m)) for r in pdf.itertuples()
+        }
+        assert got == {1: (3, 60001.0), 2: (1, 60000.0), 3: (1, 60001.0)}
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
