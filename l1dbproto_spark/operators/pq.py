@@ -37,6 +37,15 @@ def subvector(vec: Column, j: int, sub_dim: int) -> Column:
     return F.slice(vec, j * sub_dim + 1, sub_dim)
 
 
+def _sub_dim(dim: int, m: int) -> int:
+    """Subspace width, rejecting non-divisible (dim, m) combinations —
+    F.slice past the array end would otherwise silently truncate the
+    trailing subvectors and codes would quietly ignore tail dimensions."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    return dim // m
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -49,9 +58,7 @@ def pq_codebooks(
     of the first ``k_codes`` corpus vectors — (subspace, code, centroid)
     with ``code`` in [0, k_codes). Swap in KMeans-per-subspace centroids for
     production; the plan downstream is identical."""
-    if dim % m:
-        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
-    sub_dim = dim // m
+    sub_dim = _sub_dim(dim, m)
     base = corpus.orderBy(id_col).limit(k_codes).select(
         F.col(id_col).alias("_cb_id"), F.col(vec_col).alias("_cb_vec")
     )
@@ -89,7 +96,7 @@ def pq_encode(
     At 10^10 vectors this is a single corpus scan with map-side broadcast
     work; the argmin groupBy keys on (vec_id, subspace) — uniform, no
     skew."""
-    sub_dim = dim // m
+    sub_dim = _sub_dim(dim, m)
     subs = F.array(
         *[
             F.struct(
@@ -148,24 +155,21 @@ def adc_topk(
     ``k * refine`` survivors (same pattern as quantized_topk). Output
     schema matches ``brute_force_topk``.
 
-    Scale: the scored side carries only the m-byte codes; full-precision
-    vectors are read for ~k*refine rows per query. The LUT column is
+    Scale: the scored side carries ONLY the m-byte codes — no embedding
+    column enters the all-pairs stage; full-precision vectors are joined
+    back for the ~k*refine survivors per query (survivor side broadcast, so
+    the corpus parquet is probed, never shuffled). The LUT column is
     ~m*k_codes doubles per query — broadcast with the (bounded) query
     batch."""
-    sub_dim = dim // m
+    sub_dim = _sub_dim(dim, m)
     codes = pq_encode(corpus, codebooks, m, dim, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    coded_corpus = codes.join(cvec, "neighbor_id")
 
     # per-query LUT: for subspace j, LUT[j][c] = <q_j, centroid_{j,c}>
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     qsubs = q.select(
         "query_id",
-        "qvec",
         F.explode(
             F.array(
                 *[
@@ -177,10 +181,9 @@ def adc_topk(
                 ]
             )
         ).alias("s"),
-    ).select("query_id", "qvec", F.col("s.subspace").alias("subspace"), F.col("s.qsub").alias("qsub"))
+    ).select("query_id", F.col("s.subspace").alias("subspace"), F.col("s.qsub").alias("qsub"))
     lut_entries = qsubs.join(F.broadcast(codebooks), "subspace").select(
         "query_id",
-        "qvec",
         F.struct(
             "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
         ).alias("e"),
@@ -188,7 +191,6 @@ def adc_topk(
     # assemble LUT as array<array<double>>: sort (subspace, code, d) structs,
     # then reshape into m rows of k_codes — deterministic order by construction
     lut = lut_entries.groupBy("query_id").agg(
-        F.first("qvec").alias("qvec"),
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda j: F.transform(
@@ -201,7 +203,8 @@ def adc_topk(
             ),
         ).alias("lut"),
     )
-    # ADC score: m element_at lookups per (query, corpus) pair
+    # ADC score: m element_at lookups per (query, corpus) pair — the scored
+    # rows are (codes, query_id) only, which is the whole point of PQ
     score = F.aggregate(
         F.zip_with(
             F.col("lut"),
@@ -212,13 +215,23 @@ def adc_topk(
         lambda acc, x: acc + x,
     )
     scored = (
-        coded_corpus.crossJoin(F.broadcast(lut))
+        codes.crossJoin(F.broadcast(lut))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qvec", "cvec", score.alias("adc"))
+        .select("query_id", "neighbor_id", score.alias("adc"))
     )
     wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
         F.col("_prn") <= k * refine
+    ).select("query_id", "neighbor_id")
+
+    # exact re-rank: full-precision vectors enter here only, for the bounded
+    # survivor set (queries x k*refine rows) — broadcast that side so the
+    # corpus is probed by a broadcast-hash join, not shuffled
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    refined = cvec.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(q), "query_id"
     )
     sim = F.round(
         dot_fold(F.col("qvec"), F.col("cvec"))
@@ -229,7 +242,7 @@ def adc_topk(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        refined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -5,6 +5,7 @@ recall against exact brute force."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.pq import adc_topk, pq_codebooks, pq_encode
@@ -106,3 +107,22 @@ def test_adc_scoring_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the all-pairs ADC stage must score on the m-byte codes alone: the plan
+    # subtree below the k*refine window filter (printed after the last _prn
+    # node) is the crossJoin + encode — the full-precision corpus column
+    # (aliased cvec) may only appear above it, in the survivor re-rank join
+    below_prefilter = plan.split("_prn")[-1]
+    assert "cvec" not in below_prefilter, below_prefilter
+
+
+def test_pq_rejects_non_divisible_m(spark):
+    """dim % m != 0 must raise in every entry point — a silent F.slice past
+    the array end would drop the tail dimensions from the codes."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=7, k_codes=K_CODES, dim=DIM)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(emb, cb, m=7, dim=DIM)
+    with pytest.raises(ValueError, match="divisible"):
+        adc_topk(emb, emb.limit(1), cb, m=7, dim=DIM)
