@@ -21,10 +21,14 @@ Fingerprints are uniform by construction: no skew at any corpus size.
 
 Restart/retry safety: fingerprints are persisted before the caller writes
 output, and a retried foreachBatch epoch re-emits rows whose stored
-keep_doc_id belongs to the current batch while the output write overwrites
-its own epoch partition — the store append is no-duplicate and the output
-is per-epoch idempotent, so a crash at any point between the two writes
-neither loses nor duplicates documents.
+keep_doc_id AND admitting epoch match the current batch, while the output
+write overwrites its own epoch partition — the store append is
+no-duplicate and the output is per-epoch idempotent, so a crash at any
+point between the two writes neither loses nor duplicates documents. The
+epoch is stored alongside each fingerprint so a LATER genuine re-delivery
+of the same doc_id by an at-least-once source (which would match its own
+stored keep_doc_id) is distinguished from a true same-epoch retry and
+rejected instead of duplicated.
 """
 
 from __future__ import annotations
@@ -65,15 +69,17 @@ class StreamingDocDedup:
     # fp_bucket as BIGINT whenever every present partition value happens to
     # be all-digit hex (e.g. "90"), breaking the string bucket-pruning
     # filter on the next batch. Pinning the schema keeps it a string.
-    _STORE_SCHEMA = "fp_bucket string, fingerprint string, keep_doc_id long"
+    _STORE_SCHEMA = "fp_bucket string, fingerprint string, keep_doc_id long, epoch long"
 
     def seen(self) -> DataFrame:
-        """The fingerprint store: (fp_bucket, fingerprint, keep_doc_id)."""
+        """The fingerprint store: (fp_bucket, fingerprint, keep_doc_id,
+        epoch) — ``epoch`` is the foreachBatch epoch that admitted the
+        fingerprint (-1 for direct/backfill calls)."""
         if not self._fs.has_parquet_file(self.store_path):
             return self.spark.createDataFrame([], self._STORE_SCHEMA)
         return self.spark.read.schema(self._STORE_SCHEMA).parquet(self.store_path)
 
-    def admit(self, batch: DataFrame) -> DataFrame:
+    def admit(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
         """Admit the unseen documents of one micro-batch.
 
         1. fingerprint = md5(normalized text); in-batch winner = min doc_id
@@ -83,20 +89,25 @@ class StreamingDocDedup:
            hive-partitioned store read lists/scans ONLY the touched
            partitions, then left-join on fingerprint;
         3. admit rows whose fingerprint is absent from the store OR whose
-           stored ``keep_doc_id`` equals the batch winner — the second arm
-           makes a foreachBatch epoch RETRY re-emit rows whose fingerprints
-           were persisted by a previous attempt of the SAME batch, so a
-           crash between the store append and the output write cannot lose
-           documents (the output write is per-epoch idempotent, see
-           ``bind_stream``);
+           stored (``keep_doc_id``, ``epoch``) BOTH equal the batch winner
+           and the current epoch — that conjunction makes a foreachBatch
+           epoch RETRY (fingerprints persisted, output write lost) re-emit
+           its rows, while a LATER genuine re-delivery of the same doc_id
+           by an at-least-once source fails the epoch check and is rejected
+           rather than duplicated across epoch partitions;
         4. append only the genuinely-fresh fingerprints, partitioned by
            fp_bucket (a retry appends nothing — no store duplicates);
         5. return the admitted (winner) rows with their fingerprints.
 
+        Direct/backfill calls (``epoch_id=None``) all share the sentinel
+        epoch -1, i.e. a re-run of the same backfill batch is treated as a
+        retry and stays idempotent.
+
         The batch aggregate is pinned (localCheckpoint) before the bucket
         collect so the input is computed once; the admitted plan may re-read
         the store after the append, which is safe precisely because of the
-        keep_doc_id re-admit rule in step 3."""
+        re-admit rule in step 3."""
+        ep = -1 if epoch_id is None else int(epoch_id)
         fp = F.md5(normalize_text(F.col(self.text_col)))
         fingered = batch.withColumn("fingerprint", fp).withColumn(
             "fp_bucket", F.substring("fingerprint", 1, 2)
@@ -116,18 +127,25 @@ class StreamingDocDedup:
         self.last_store_scan = store  # plan-assertion handle (tests)
         admitted = (
             winners.join(
-                store.select("fingerprint", F.col("keep_doc_id").alias("_seen_keep")),
+                store.select(
+                    "fingerprint",
+                    F.col("keep_doc_id").alias("_seen_keep"),
+                    F.col("epoch").alias("_seen_epoch"),
+                ),
                 "fingerprint",
                 "left",
             )
             .filter(
                 F.col("_seen_keep").isNull()
-                | (F.col("_seen_keep") == F.col("keep_doc_id"))
+                | (
+                    (F.col("_seen_keep") == F.col("keep_doc_id"))
+                    & (F.col("_seen_epoch") == F.lit(ep))
+                )
             )
             .localCheckpoint(eager=True)
         )
         admitted.filter(F.col("_seen_keep").isNull()).select(
-            "fp_bucket", "fingerprint", F.col("keep_doc_id")
+            "fp_bucket", "fingerprint", F.col("keep_doc_id"), F.lit(ep).alias("epoch")
         ).repartition("fp_bucket").write.mode("append").partitionBy(
             "fp_bucket"
         ).parquet(self.store_path)
@@ -148,7 +166,7 @@ class StreamingDocDedup:
         duplicates its previous attempt's rows."""
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
-            admitted = self.admit(batch_df)
+            admitted = self.admit(batch_df, epoch_id=epoch_id)
             (
                 admitted.withColumn("epoch", F.lit(int(epoch_id)))
                 .write.mode("overwrite")
@@ -169,11 +187,14 @@ class StreamingNearDupGate:
     the banding S-curve over Jaccard similarity, tuned by bands x rows).
     Admitted documents append their (band, bucket) keys to the store.
 
-    Scale: the store is hive-partitioned by ``band`` (bands are few and
-    uniform) and the per-batch semi-join runs bucket-to-bucket — the batch
-    side is tiny, the store side is an equi-join key scan. State is a
-    table (MERGE-per-microbatch), restart-safe and queryable like the
-    exact gate's fingerprint store."""
+    Scale: the store is hive-partitioned by ``bkt_pfx`` — the first two hex
+    chars of the (md5) bucket key, 256 uniform partitions, exactly the
+    exact gate's fp_bucket pattern. Each batch collects its distinct
+    prefixes (bounded by batch_docs x bands, capped at 256 strings) and
+    filters the store read with them, so every micro-batch lists/scans only
+    the touched partitions instead of joining the entire bucket history.
+    State is a table (MERGE-per-microbatch), restart-safe and queryable
+    like the exact gate's fingerprint store."""
 
     def __init__(
         self,
@@ -191,8 +212,10 @@ class StreamingNearDupGate:
         self.text_col = text_col
         self.id_col = id_col
         self._fs = TableFS(spark, store_path)
+        self.last_store_scan: DataFrame | None = None
 
-    _STORE_SCHEMA = "band int, bucket string, doc_id long"
+    # bkt_pfx pinned string for the same hive-inference reason as fp_bucket
+    _STORE_SCHEMA = "bkt_pfx string, band int, bucket string, doc_id long, epoch long"
 
     def seen_buckets(self) -> DataFrame:
         if not self._fs.has_parquet_file(self.store_path):
@@ -214,27 +237,49 @@ class StreamingNearDupGate:
             sig, bands=self.bands, rows_per_band=self.rows_per_band
         )
 
-    def admit(self, batch: DataFrame) -> DataFrame:
+    def admit(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
         """Admit documents with no LSH bucket collision against the store or
         against an earlier (lower-id) document of the same batch; append the
         admitted documents' bucket keys. Returns the admitted (doc_id)
         rows with their bucket count (= bands, a sanity column).
 
-        A collision with the document's OWN stored buckets does not reject:
-        that is what a retried foreachBatch epoch looks like after a crash
-        between the store append and the caller's output write, so the
-        self-exemption makes admit idempotent per batch — the retry re-emits
-        the same admitted set instead of silently dropping it (the bucket
-        re-append on that path is harmless: admission checks are existence
-        joins)."""
-        buckets = self._batch_buckets(batch).localCheckpoint(eager=True)
-        # collide vs store (excluding each document's own stored buckets)
+        A collision with the document's OWN stored buckets from the SAME
+        epoch does not reject: that is what a retried foreachBatch epoch
+        looks like after a crash between the store append and the caller's
+        output write, so the self-exemption makes admit idempotent per
+        batch — the retry re-emits the same admitted set instead of
+        silently dropping it (the bucket re-append on that path is
+        harmless: admission checks are existence joins). An own-bucket row
+        from an EARLIER epoch is a real collision — an at-least-once source
+        re-delivering the document later — and rejects, so re-delivery is
+        not duplicated. Direct calls (``epoch_id=None``) share the sentinel
+        epoch -1, keeping backfill re-runs idempotent."""
+        ep = -1 if epoch_id is None else int(epoch_id)
+        buckets = (
+            self._batch_buckets(batch)
+            .withColumn("bkt_pfx", F.substring("bucket", 1, 2))
+            .localCheckpoint(eager=True)
+        )
+        batch_prefixes = [
+            r.bkt_pfx for r in buckets.select("bkt_pfx").distinct().collect()
+        ]
+        store = self.seen_buckets()
+        if batch_prefixes:
+            store = store.filter(F.col("bkt_pfx").isin(batch_prefixes))
+        self.last_store_scan = store  # plan-assertion handle (tests)
+        # collide vs store, exempting each document's own same-epoch buckets
         store_hit = (
-            buckets.join(
-                self.seen_buckets().withColumnRenamed("doc_id", "_seen_doc"),
-                ["band", "bucket"],
+            store.select(
+                "band",
+                "bucket",
+                F.col("doc_id").alias("_seen_doc"),
+                F.col("epoch").alias("_seen_epoch"),
             )
-            .filter(F.col("_seen_doc") != F.col(self.id_col))
+            .join(buckets, ["band", "bucket"])
+            .filter(
+                (F.col("_seen_doc") != F.col(self.id_col))
+                | (F.col("_seen_epoch") != F.lit(ep))
+            )
             .select(self.id_col)
             .distinct()
         )
@@ -255,9 +300,13 @@ class StreamingNearDupGate:
             .agg(F.count(F.lit(1)).alias("n_buckets"))
             .localCheckpoint(eager=True)
         )
-        buckets.join(admitted.select(self.id_col), self.id_col, "left_semi").select(
-            "band", "bucket", F.col(self.id_col).alias("doc_id")
-        ).repartition("band").write.mode("append").partitionBy("band").parquet(
+        fresh = buckets.join(
+            admitted.select(self.id_col), self.id_col, "left_semi"
+        )
+        fresh.select(
+            "bkt_pfx", "band", "bucket", F.col(self.id_col).alias("doc_id"),
+            F.lit(ep).alias("epoch"),
+        ).repartition("bkt_pfx").write.mode("append").partitionBy("bkt_pfx").parquet(
             self.store_path
         )
         return admitted

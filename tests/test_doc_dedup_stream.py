@@ -150,6 +150,23 @@ def test_exact_gate_epoch_retry_is_idempotent(spark, tmp_path):
     assert gate.admit(_docs(spark, [(9, "alpha beta")])).count() == 0
 
 
+def test_exact_gate_later_epoch_redelivery_rejected(spark, tmp_path):
+    """ADVICE r3: a doc re-delivered by an at-least-once source in a LATER
+    epoch matches its own stored keep_doc_id but NOT the stored epoch —
+    it must be rejected, not re-admitted into a second epoch partition.
+    A same-epoch retry still re-emits in full."""
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    batch = [(1, "alpha beta"), (2, "gamma delta")]
+    first = {r.doc_id for r in gate.admit(_docs(spark, batch), epoch_id=5).collect()}
+    assert first == {1, 2}
+    # true retry of epoch 5: full re-emit, no store growth
+    retry = {r.doc_id for r in gate.admit(_docs(spark, batch), epoch_id=5).collect()}
+    assert retry == first
+    assert gate.seen().count() == 2
+    # the SAME rows re-delivered in epoch 6: all rejected
+    assert gate.admit(_docs(spark, batch), epoch_id=6).count() == 0
+
+
 def test_near_dup_gate_epoch_retry_is_idempotent(spark, tmp_path):
     from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
 
@@ -166,3 +183,37 @@ def test_near_dup_gate_epoch_retry_is_idempotent(spark, tmp_path):
         _docs(spark, [(9, "the quick brown fox jumps over the lazy dog every day")])
     )
     assert dup.count() == 0
+
+
+def test_near_dup_gate_later_epoch_redelivery_rejected(spark, tmp_path):
+    """The self-exemption only covers same-epoch retries: the same docs
+    re-delivered in a later epoch collide with their own stored buckets."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    gate = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    batch = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "completely unrelated writing about spark catalyst optimizer internals"),
+    ]
+    assert {r.doc_id for r in gate.admit(_docs(spark, batch), epoch_id=3).collect()} == {1, 2}
+    # same-epoch retry re-emits in full
+    assert {r.doc_id for r in gate.admit(_docs(spark, batch), epoch_id=3).collect()} == {1, 2}
+    # later-epoch re-delivery of the same doc ids: rejected
+    assert gate.admit(_docs(spark, batch), epoch_id=4).count() == 0
+
+
+def test_near_dup_store_scan_is_partition_pruned(spark, tmp_path):
+    """VERDICT r3 item 3: the near-dup bucket store read must carry a real
+    hive PartitionFilter on bkt_pfx — each micro-batch touches only the
+    partitions its bucket keys hash into, never the whole bucket history."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    gate = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    gate.admit(_docs(spark, [(1, "one two three four five"), (2, "six seven eight nine")]))
+    gate.admit(_docs(spark, [(3, "ten eleven twelve thirteen"), (4, "one two three four five")]))
+    scan = gate.last_store_scan
+    scan.count()
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bkt_pfx" in pf, plan
