@@ -52,18 +52,15 @@ def sample_mixture(
     document (the hash is per-id, so the sample is append-stable — the
     property that lets a mixture be rebuilt incrementally at 100 TB)."""
     u = _unit_hash(F.col(id_col), salt)
+    clamp = lambda r: min(max(float(r), 0.0), 1.0)  # noqa: E731
     thresh = None
     for name, rate in rates.items():
-        r = F.lit(min(max(float(rate), 0.0), 1.0))
-        branch = (F.col(source_col) == name, r)
+        branch = (F.col(source_col) == name, F.lit(clamp(rate)))
         thresh = (
             F.when(*branch) if thresh is None else thresh.when(*branch)
         )
-    thresh = (
-        thresh.otherwise(F.lit(float(default_rate)))
-        if thresh is not None
-        else F.lit(float(default_rate))
-    )
+    default = F.lit(clamp(default_rate))
+    thresh = thresh.otherwise(default) if thresh is not None else default
     return docs.filter(u < thresh)
 
 
@@ -73,21 +70,27 @@ def with_repeats(
     source_col: str = "lang",
     salt: str = "mix-v1",
     id_col: str = "doc_id",
+    default_rate: float = 0.0,
 ) -> DataFrame:
     """Mixture sampling with upsampling: a rate of 2.3 emits every document
     of that source twice (``repeat`` 0 and 1) plus a 0.3-probability third
     copy. Adds a ``repeat`` index column (the loader's dedup/epoch key).
+    Sources absent from ``rates`` get ``default_rate`` (0.0 — dropped —
+    unless overridden), mirroring :func:`sample_mixture`; rates are clamped
+    below at 0 but NOT above (values > 1 are the point here).
     Implemented as floor(rate) full repeats via a ``sequence`` explode plus
     one fractional-tail hash draw — deterministic like everything else
     here."""
+    clamp = lambda r: max(float(r), 0.0)  # noqa: E731
     rate_expr = None
     for name, rate in rates.items():
-        branch = (F.col(source_col) == name, F.lit(float(rate)))
+        branch = (F.col(source_col) == name, F.lit(clamp(rate)))
         rate_expr = (
             F.when(*branch) if rate_expr is None else rate_expr.when(*branch)
         )
+    default = F.lit(clamp(default_rate))
     rate_expr = (
-        rate_expr.otherwise(F.lit(0.0)) if rate_expr is not None else F.lit(0.0)
+        rate_expr.otherwise(default) if rate_expr is not None else default
     )
     u = _unit_hash(F.col(id_col), salt)
     full = F.floor(rate_expr).cast("int")
@@ -117,9 +120,11 @@ def stratified_sample(
     48-bit id hash (tie-break on id) and keep rank <= k. Adds the rank as
     ``sample_rank``.
 
-    This is exactly distributed reservoir sampling's output, computed
-    declaratively: one hash-partitioned window per stratum; each task sorts
-    only its stratum's rows by a uniform 48-bit key, so the plan is
+    This is a deterministic hash-rank sample — the same marginal coverage a
+    reservoir sample gives, with the stronger property that the chosen set
+    is a pure function of (ids, salt): stable across runs, engines, and row
+    order. One hash-partitioned window per stratum; each task sorts only
+    its stratum's rows by a uniform 48-bit key, so the plan is
     skew-tolerant and engine-reproducible (ROW_NUMBER over the same hash in
     DuckDB)."""
     if isinstance(strata_cols, str):
