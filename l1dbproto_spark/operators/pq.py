@@ -85,18 +85,22 @@ def pq_encode(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` codes: per subspace, the code of the
     L2-nearest centroid (ties broken by lower code). One broadcast join of
     the (m x k_codes)-row codebook against the exploded subvectors, one
     argmin window per (vector, subspace), then codes re-assembled in
     subspace order via ``array_sort`` on (subspace, code) structs — no
-    second shuffle. Output: (``id_col``, codes array<int>).
+    second shuffle. Output: (``id_col``, codes array<int>) plus any
+    ``carry_cols`` threaded through the aggregation (one value per vector —
+    e.g. an IVF cluster id), which avoids a re-join against the corpus.
 
     At 10^10 vectors this is a single corpus scan with map-side broadcast
     work; the argmin groupBy keys on (vec_id, subspace) — uniform, no
     skew."""
     sub_dim = _sub_dim(dim, m)
+    carry_cols = carry_cols or []
     subs = F.array(
         *[
             F.struct(
@@ -106,8 +110,13 @@ def pq_encode(
             for j in range(m)
         ]
     )
-    exploded = corpus.select(F.col(id_col), F.explode(subs).alias("s")).select(
-        id_col, F.col("s.subspace").alias("subspace"), F.col("s.sub").alias("sub")
+    exploded = corpus.select(
+        F.col(id_col), *carry_cols, F.explode(subs).alias("s")
+    ).select(
+        id_col,
+        *carry_cols,
+        F.col("s.subspace").alias("subspace"),
+        F.col("s.sub").alias("sub"),
     )
     # L2 argmin == argmax(2*<x,c> - <c,c>), the same centroid-score ordering
     # as the IVF assignment (similarity.py) — shared determinism contract
@@ -129,7 +138,108 @@ def pq_encode(
         F.transform(
             F.array_sort(F.collect_list(F.struct("subspace", "code"))),
             lambda s: s["code"],
-        ).alias("codes")
+        ).alias("codes"),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
+
+
+def query_luts(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ADC lookup tables: (query_id, lut array<array<double>>)
+    where ``lut[j][c] = <q_j, centroid_{j,c}>`` — m*k_codes fold
+    evaluations per QUERY, assembled in deterministic (subspace, code)
+    order. Broadcast-sized: ~m*k_codes doubles per query."""
+    sub_dim = _sub_dim(dim, m)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        subvector(F.col("qvec"), j, sub_dim).alias("qsub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.subspace").alias("subspace"), F.col("s.qsub").alias("qsub"))
+    lut_entries = qsubs.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        F.struct(
+            "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
+        ).alias("e"),
+    )
+    # assemble LUT as array<array<double>>: sort (subspace, code, d) structs,
+    # then reshape into m rows of k_codes — deterministic order by construction
+    return lut_entries.groupBy("query_id").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("e")),
+                    j * k_codes + 1,
+                    k_codes,
+                ),
+                lambda s: s["d"],
+            ),
+        ).alias("lut"),
+    )
+
+
+def adc_score() -> Column:
+    """ADC score of a ``codes`` row against a ``lut`` column: m element_at
+    lookups summed by an ordered left fold (starting 0.0 — bit-identical to
+    an in-order list sum)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    q: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of (query_id, neighbor_id) survivors: the
+    full-precision vectors enter HERE only, for the bounded survivor set
+    (queries x k*refine rows) — broadcast that side so the corpus is probed
+    by a broadcast-hash join, not shuffled."""
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    refined = cvec.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    sim = F.round(
+        dot_fold(F.col("qvec"), F.col("cvec"))
+        / (l2_norm(F.col("qvec")) * l2_norm(F.col("cvec"))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        refined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -161,88 +271,97 @@ def adc_topk(
     the corpus parquet is probed, never shuffled). The LUT column is
     ~m*k_codes doubles per query — broadcast with the (bounded) query
     batch."""
-    sub_dim = _sub_dim(dim, m)
+    _sub_dim(dim, m)
     codes = pq_encode(corpus, codebooks, m, dim, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-
-    # per-query LUT: for subspace j, LUT[j][c] = <q_j, centroid_{j,c}>
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    qsubs = q.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        subvector(F.col("qvec"), j, sub_dim).alias("qsub"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", F.col("s.subspace").alias("subspace"), F.col("s.qsub").alias("qsub"))
-    lut_entries = qsubs.join(F.broadcast(codebooks), "subspace").select(
-        "query_id",
-        F.struct(
-            "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
-        ).alias("e"),
-    )
-    # assemble LUT as array<array<double>>: sort (subspace, code, d) structs,
-    # then reshape into m rows of k_codes — deterministic order by construction
-    lut = lut_entries.groupBy("query_id").agg(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.transform(
-                F.slice(
-                    F.array_sort(F.collect_list("e")),
-                    j * k_codes + 1,
-                    k_codes,
-                ),
-                lambda s: s["d"],
-            ),
-        ).alias("lut"),
-    )
+    lut = query_luts(queries, codebooks, m, k_codes, dim, vec_col, id_col)
     # ADC score: m element_at lookups per (query, corpus) pair — the scored
     # rows are (codes, query_id) only, which is the whole point of PQ
-    score = F.aggregate(
-        F.zip_with(
-            F.col("lut"),
-            F.col("codes"),
-            lambda row, c: F.element_at(row, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored = (
         codes.crossJoin(F.broadcast(lut))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("adc"))
+        .select("query_id", "neighbor_id", adc_score().alias("adc"))
     )
     wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
         F.col("_prn") <= k * refine
     ).select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)
 
-    # exact re-rank: full-precision vectors enter here only, for the bounded
-    # survivor set (queries x k*refine rows) — broadcast that side so the
-    # corpus is probed by a broadcast-hash join, not shuffled
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    refine: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF x PQ top-k — the production ANN shape at 10^10 vectors: IVF
+    prunes WHICH vectors each query scans (to ~n_probe/n_clusters of the
+    corpus), PQ-ADC cuts the BYTES per scanned vector to m codes, and the
+    exact re-rank restores exact cosine on the k*refine survivors. This
+    composes ``similarity.ivf_topk_with_centroids``'s cluster machinery
+    with ``adc_topk``'s scoring, generalizing the reference's cone scan
+    (DIA.py:72-77) one more step: region pruning -> cluster pruning,
+    full-precision scan -> coded scan.
+
+    Plan shape: corpus is scanned ONCE — nearest-centroid assignment
+    (broadcast centroids + map-side argmax) feeds straight into PQ encode
+    with the cluster id threaded through (``carry_cols``); scoring is an
+    equi-join of the coded corpus against the broadcast (query, probed
+    cluster, LUT) table on ``cluster`` — a BroadcastHashJoin touching only
+    probed clusters, never a full-corpus crossJoin. Full-precision vectors
+    appear only in the survivor re-rank. Codebooks here encode raw vectors
+    (matching ``pq_encode``); per-cluster residual codebooks drop into the
+    same plan unchanged.
+
+    Determinism: centroid assignment/probing use ``centroid_score``'s
+    ordered-fold ordering and integer tie-breaks (shared with the IVF-Flat
+    oracle), encoding/LUT/ADC are the deterministic PQ stages — the whole
+    composition is reproducible in DuckDB (tests/test_ivf_pq.py)."""
+    _sub_dim(dim, m)
+    from .similarity import _nearest_centroids
+
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("centroid").alias("_cvec"),
     )
-    refined = cvec.join(F.broadcast(cand), "neighbor_id").join(
-        F.broadcast(q), "query_id"
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=1,
+        id_alias=id_col,
+    ).select(id_col, F.col("_v").alias(vec_col), "cluster")
+    coded = pq_encode(
+        assigned, codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=n_probe,
+        id_alias="query_id",
+    ).select("query_id", "cluster")
+    lut = query_luts(queries, codebooks, m, k_codes, dim, vec_col, id_col)
+    probed_luts = probes.join(lut, "query_id")
+
+    scored = (
+        coded.join(F.broadcast(probed_luts), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc_score().alias("adc"))
     )
-    sim = F.round(
-        dot_fold(F.col("qvec"), F.col("cvec"))
-        / (l2_norm(F.col("qvec")) * l2_norm(F.col("cvec"))),
-        9,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        refined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    ).select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)

@@ -112,7 +112,7 @@ def test_adc_scoring_plan_shape(spark):
     # node) is the crossJoin + encode — the full-precision corpus column
     # (aliased cvec) may only appear above it, in the survivor re-rank join
     below_prefilter = plan.split("_prn")[-1]
-    assert "cvec" not in below_prefilter, below_prefilter
+    assert "AS cvec" not in below_prefilter, below_prefilter
 
 
 def test_pq_rejects_non_divisible_m(spark):
