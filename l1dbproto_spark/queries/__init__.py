@@ -115,9 +115,11 @@ _PRIORITY = [
     # under the driver's hard signal — VERDICT r2 item 1)
     "pack_sequences",
     "quantized_topk",
-    # batteries (pruned first if the cap ever tightens)
-    "schema_fill",
-    "string_pattern_rank_battery",
+    # LLM-pipeline: composed ANN + mixture sampling (r4: replaced the
+    # schema_fill and string_pattern_rank batteries — VERDICT r3 items 5/8;
+    # the batteries keep their oracles in tests/test_unregistered_batteries)
+    "ivf_pq_topk",
+    "sample_mixture",
 ]
 
 
@@ -133,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         dedup,
         similarity,
+        sampling,
         geo,
         apdb_domain,
         multimodal,

@@ -152,6 +152,124 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_with_centroids(emb, queries, centroids, k=5, n_probe=2, dim=_DIM)
 
 
+_PQ_SUB = 8  # dim=64 / m=8 subspaces
+_PQ_ADC_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cluster FROM (
+        SELECT e.vec_id, cent.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_CSCORE.format(v='e.v')} DESC, cent.cluster
+               ) AS rn
+        FROM e CROSS JOIN cent
+      ) t WHERE rn = 1
+    ),
+    cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM e WHERE vec_id < 16),
+    cbsubs AS (
+      SELECT code, j.j AS subspace,
+             v[j.j * {_PQ_SUB} + 1 : (j.j + 1) * {_PQ_SUB}] AS centroid
+      FROM cb, unnest(range(0, 8)) AS j(j)
+    ),
+    subs AS (
+      SELECT vec_id, j.j AS subspace,
+             v[j.j * {_PQ_SUB} + 1 : (j.j + 1) * {_PQ_SUB}] AS sub
+      FROM e, unnest(range(0, 8)) AS j(j)
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, subspace, code FROM (
+        SELECT s.vec_id, s.subspace, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.subspace
+                 ORDER BY 2 * list_dot_product(sub, centroid)
+                          - list_dot_product(centroid, centroid) DESC, code
+               ) AS rn
+        FROM subs s JOIN cbsubs c ON s.subspace = c.subspace
+      ) t WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT q.vec_id, cent.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_CSCORE.format(v='q.v')} DESC, cent.cluster
+               ) AS rn
+        FROM e q CROSS JOIN cent WHERE q.vec_id < 10
+      ) t WHERE rn <= 2
+    ),
+    qsubs AS (
+      SELECT vec_id AS query_id, j.j AS subspace,
+             v[j.j * {_PQ_SUB} + 1 : (j.j + 1) * {_PQ_SUB}] AS qsub
+      FROM e, unnest(range(0, 8)) AS j(j) WHERE vec_id < 10
+    ),
+    adc AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_sum(list(list_dot_product(q.qsub, cb2.centroid)
+                           ORDER BY c.subspace)) AS adc
+      FROM probes p
+      JOIN assigned a USING (cluster)
+      JOIN codes c ON c.neighbor_id = a.neighbor_id
+      JOIN qsubs q ON q.query_id = p.query_id AND q.subspace = c.subspace
+      JOIN cbsubs cb2 ON cb2.subspace = c.subspace AND cb2.code = c.code
+      WHERE a.neighbor_id <> p.query_id
+      GROUP BY p.query_id, a.neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+        ) AS prn FROM adc
+      ) t WHERE prn <= 20
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v))), 9) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v))), 9) DESC,
+                   cand.neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ) t WHERE rank <= 5
+"""
+
+
+@query(
+    "ivf_pq_topk",
+    oracle=_PQ_ADC_ORACLE,
+    survey="ext:similarity (IVF x PQ-ADC composed ANN: cluster pruning + coded scoring + exact re-rank); J1 generalization",
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ top-5 — the production 10^10-vector ANN shape under the
+    driver oracle: 16 fixed centroids (first corpus vectors, the shared
+    deterministic-quantizer pattern), n_probe=2 cluster pruning, PQ m=8 /
+    k_codes=16 ADC scoring on codes only, exact cosine re-rank of the
+    k*refine=20 survivors. Every stage (assignment, encoding, LUT, ADC sum,
+    both windows) is engine-reproducible; DuckDB mirrors the ordered ADC
+    fold with list(ORDER BY) + list_sum (operators/pq.py)."""
+    from ..operators.pq import ivf_pq_topk as _ivf_pq
+    from ..operators.pq import pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = pq_codebooks(emb, m=8, k_codes=16, dim=64)
+    return _ivf_pq(
+        emb, queries, centroids, cb, k=5, n_probe=2, refine=4,
+        m=8, k_codes=16, dim=64,
+    )
+
+
 @query(
     "embedding_near_dup_pairs",
     oracle=f"""

@@ -75,34 +75,16 @@ def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "string_pattern_rank_battery",
-    oracle="""
-    SELECT
-      p_partkey,
-      upper(p_name) AS up,
-      substr(p_name, 5, 6) AS mid,
-      replace(p_name, ' ', '_') AS repl,
-      lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
-      concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brandsize,
-      length(p_name) AS name_len,
-      CAST(strpos(p_name, 'o') AS BIGINT) AS o_pos,
-      p_name LIKE '%widget%' AS has_widget,
-      p_name LIKE 'cold%' AS starts_cold,
-      p_brand LIKE 'Brand#1_' AS brand_1x,
-      regexp_matches(p_type, '^(ECONOMY|STANDARD)$') AS simple_type,
-      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drank,
-      NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile,
-      PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS prank
-    FROM part
-    WHERE p_name LIKE '%o%'
-    """,
-    survey="F13 string battery + pattern predicates (LIKE / regex) + ranking (dense_rank / ntile / percent_rank)",
-)
 def string_pattern_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions, LIKE/regex predicates, and ranking windows in one
     per-part projection (the three former separate batteries, merged to keep
-    the registry within the driver's correctness budget)."""
+    the registry within the driver's correctness budget).
+
+    Unregistered in round 4 (50-slot registry cap): its slot went to
+    ``ivf_pq_topk`` so the composed ANN family sits under the driver's hard
+    signal; F13 stays driver-covered via ``doc_fingerprint``. Kept as API
+    surface under the same DuckDB oracle in
+    tests/test_unregistered_batteries.py."""
     part = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return part.filter(F.col("p_name").like("%o%")).select(

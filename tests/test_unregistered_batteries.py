@@ -1,6 +1,8 @@
-"""The date/null and array batteries lost their driver-registry slots in
-round 3 (50-cap: replaced by pack_sequences / quantized_topk) but remain API
-surface — this keeps them under the SAME DuckDB oracles in-suite."""
+"""Batteries that lost their driver-registry slots (50-cap) but remain API
+surface — this keeps them under the SAME DuckDB oracles in-suite.
+Round 3: date/null + array (slots to pack_sequences / quantized_topk).
+Round 4: schema_fill + string/pattern/rank (slots to ivf_pq_topk /
+sample_mixture)."""
 
 from __future__ import annotations
 
@@ -8,7 +10,8 @@ import duckdb
 import pandas as pd
 
 from l1dbproto_spark.queries.relational2 import date_null_battery
-from l1dbproto_spark.queries.windows2 import array_functions
+from l1dbproto_spark.queries.synthesis import schema_fill
+from l1dbproto_spark.queries.windows2 import array_functions, string_pattern_rank_battery
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -68,4 +71,62 @@ def test_date_null_battery_matches_oracle(spark):
 def test_array_functions_matches_oracle(spark):
     got = _normalize(array_functions(spark, SF_DIR).toPandas(), "vec_id")
     want = _normalize(duckdb.sql(ARRAY_ORACLE).df(), "vec_id")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+_HASH = "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+_HASH2 = (
+    "CAST(concat('0x', substr(md5(concat('sample:', CAST(o_orderkey AS VARCHAR))), 1, 15))"
+    " AS BIGINT)"
+)
+
+SCHEMA_FILL_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderkey, {_HASH} AS hv, {_HASH2} AS hs
+  FROM '{SF_DIR}/orders.parquet'
+)
+SELECT
+  o_orderkey,
+  CAST(hv AS DOUBLE) / 1152921504606846976.0 AS f64,
+  CAST(hv % 1000 AS INTEGER) AS i32,
+  CAST(hv % 2 = 0 AS BOOLEAN) AS flag,
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS s8,
+  make_timestamp(hv % 31536000000000) AS ts
+FROM h
+WHERE hs % 10 < 9
+"""
+
+STRING_PATTERN_RANK_ORACLE = f"""
+SELECT
+  p_partkey,
+  upper(p_name) AS up,
+  substr(p_name, 5, 6) AS mid,
+  replace(p_name, ' ', '_') AS repl,
+  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+  concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brandsize,
+  length(p_name) AS name_len,
+  CAST(strpos(p_name, 'o') AS BIGINT) AS o_pos,
+  p_name LIKE '%widget%' AS has_widget,
+  p_name LIKE 'cold%' AS starts_cold,
+  p_brand LIKE 'Brand#1_' AS brand_1x,
+  regexp_matches(p_type, '^(ECONOMY|STANDARD)$') AS simple_type,
+  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drank,
+  NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile,
+  PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS prank
+FROM '{SF_DIR}/part.parquet'
+WHERE p_name LIKE '%o%'
+"""
+
+
+def test_schema_fill_matches_oracle(spark):
+    got = _normalize(schema_fill(spark, SF_DIR).toPandas(), "o_orderkey")
+    want = _normalize(duckdb.sql(SCHEMA_FILL_ORACLE).df(), "o_orderkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_string_pattern_rank_matches_oracle(spark):
+    got = _normalize(
+        string_pattern_rank_battery(spark, SF_DIR).toPandas(), "p_partkey"
+    )
+    want = _normalize(duckdb.sql(STRING_PATTERN_RANK_ORACLE).df(), "p_partkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
