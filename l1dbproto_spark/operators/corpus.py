@@ -37,21 +37,28 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = 1000,
+    min_logprob: float | None = None,
 ) -> CorpusCleanResult:
-    """Three-stage cleaning, canonical = min doc id at every stage:
+    """Staged cleaning, canonical = min doc id at every dedup stage:
 
     1. length gate: fewer than ``min_tokens`` whitespace tokens → dropped
        (``reason='too_short'``, no canonical);
-    2. exact dedup: same normalized text → only the min id survives
+    2. optional quality gate (``min_logprob`` set): mean unigram
+       log-probability under the surviving corpus's own distribution below
+       the threshold → dropped (``reason='low_quality'``, no canonical —
+       operators/quality.py);
+    3. exact dedup: same normalized text → only the min id survives
        (``reason='exact_dup'``);
-    3. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
+    4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
        components → only each component's min id survives
        (``reason='near_dup'``).
 
-    Scale shape: stage 2 is one uniform-key shuffle; stage 3 is the
+    Scale shape: stage 3 is one uniform-key shuffle; stage 4 is the
     3-exchange inverted-index Jaccard plus O(diameter) label-propagation
-    rounds — nothing quadratic anywhere. The stages short-circuit: later
-    stages only scan survivors."""
+    rounds — nothing quadratic anywhere. The optional quality gate adds two
+    token aggregations (distribution + per-doc score) over stage-1
+    survivors. The stages short-circuit: later stages only scan
+    survivors."""
     n_tok = whitespace_token_count(F.col(text_col))
     long_enough = docs.filter(n_tok >= min_tokens)
     too_short = docs.filter(n_tok < min_tokens).select(
@@ -59,6 +66,21 @@ def clean_corpus(
         F.lit("too_short").alias("reason"),
         F.lit(None).cast("long").alias("canonical_id"),
     )
+
+    low_quality = None
+    if min_logprob is not None:
+        from .quality import unigram_logprob_scores
+
+        scores = unigram_logprob_scores(
+            long_enough, text_col=text_col, id_col=id_col
+        )
+        failing = scores.filter(F.col("mean_logprob") < min_logprob).select(id_col)
+        low_quality = failing.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("low_quality").alias("reason"),
+            F.lit(None).cast("long").alias("canonical_id"),
+        )
+        long_enough = long_enough.join(failing, id_col, "left_anti")
 
     fp = F.md5(normalize_text(F.col(text_col)))
     keeper = F.min(id_col).alias("canonical_id")
@@ -97,7 +119,10 @@ def clean_corpus(
     cleaned = exact_survivors.join(
         near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
-    dropped = too_short.unionByName(exact_dups).unionByName(near_dups)
+    dropped = too_short
+    if low_quality is not None:
+        dropped = dropped.unionByName(low_quality)
+    dropped = dropped.unionByName(exact_dups).unionByName(near_dups)
     return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
 
 
@@ -140,10 +165,16 @@ def prepare_training_corpus(
     n_shards: int = 8,
     min_tokens: int = 3,
     min_jaccard: float = 0.8,
+    min_logprob: float | None = None,
 ) -> tuple[CorpusCleanResult, DataFrame]:
     """clean → pack. Returns (clean result, packing map) — the two outputs a
     training run consumes (which documents, and where each lands in the
     fixed-length chunk stream)."""
-    result = clean_corpus(docs, min_tokens=min_tokens, min_jaccard=min_jaccard)
+    result = clean_corpus(
+        docs,
+        min_tokens=min_tokens,
+        min_jaccard=min_jaccard,
+        min_logprob=min_logprob,
+    )
     packed = pack_sequences(result.cleaned, ctx_len=ctx_len, n_shards=n_shards)
     return result, packed

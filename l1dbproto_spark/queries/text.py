@@ -277,27 +277,9 @@ def unigram_logprob_score(
     AQE-decides-broadcast join discipline as tfidf_top_terms. ln() inputs
     are integer-derived doubles evaluated in identical operand order, and
     the per-doc mean is a weighted decimal-free sum/count division, so the
-    DuckDB oracle matches after a 9-decimal round."""
+    DuckDB oracle matches after a 9-decimal round. Core in
+    operators/quality.py (shared with clean_corpus's quality gate)."""
+    from ..operators.quality import unigram_logprob_scores
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("term")
-    )
-    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    totals = vocab.agg(
-        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_types")
-    ).collect()[0]
-    n_tok, v = float(totals["n_tokens"]), float(totals["v_types"])
-    logp = F.log(
-        (F.col("cnt") + F.lit(smoothing)) / F.lit(n_tok + smoothing * v)
-    )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return (
-        tf.join(vocab.select("term", logp.alias("lp")), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 9
-            ).alias("mean_logprob"),
-            F.sum("tf").cast("long").alias("n_tokens"),
-        )
-    )
+    return unigram_logprob_scores(docs, smoothing=smoothing)

@@ -36,6 +36,45 @@ def test_clean_corpus_semantics(spark):
     assert len(dropped) + len(cleaned) == 8
 
 
+def test_clean_corpus_quality_gate(spark):
+    """min_logprob gates garbled documents between the length gate and the
+    dedup stages, with its drops logged like the others (reason
+    'low_quality', no canonical) and the partition property preserved."""
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.quality import unigram_logprob_scores
+
+    rows = _corpus(spark).collect()
+    # a garbled doc: every token is unique in the corpus, so its mean token
+    # log-prob sits far below the repeated-vocabulary documents
+    garbled = [(9, "zxqv wkjh plmf gtrd bnys qwop xcvu mnbh asdl fgjk")]
+    docs = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows] + garbled, ["doc_id", "text"]
+    )
+    # pick a threshold between the garbled score and the fluent scores
+    scores = {
+        r.doc_id: r.mean_logprob
+        for r in unigram_logprob_scores(
+            docs.filter(F.length("text") > 10)
+        ).collect()
+    }
+    fluent_min = min(v for k, v in scores.items() if k != 9)
+    assert scores[9] < fluent_min
+    threshold = (scores[9] + fluent_min) / 2
+
+    res = clean_corpus(docs, min_tokens=3, min_jaccard=0.5, min_logprob=threshold)
+    cleaned = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert (9, "low_quality", None) in dropped
+    assert cleaned == {1, 5, 8}
+    # drop-log audit: the same reasons as the ungated run, plus low_quality
+    assert {reason for _, reason, _ in dropped} == {
+        "too_short", "low_quality", "exact_dup", "near_dup"
+    }
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 10))
+    assert len(dropped) + len(cleaned) == 9
+
+
 def test_split_corpus_deterministic_and_oracle(spark):
     """Hash split: DuckDB oracle equivalence, determinism across calls,
     proportions near the weights, and salt-versioning changes membership."""
