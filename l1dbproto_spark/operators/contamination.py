@@ -1,0 +1,93 @@
+"""Benchmark-contamination detection — n-gram overlap between a training
+corpus and an evaluation set.
+
+Before a corpus ships, the pipeline must answer "which training documents
+contain verbatim chunks of the eval benchmarks?" (the GPT-3 paper's 13-gram
+and Gopher's 8-gram decontamination checks). The shape here is the same
+inverted-index join the Jaccard near-dup family uses (operators/dedup.py):
+explode both sides into distinct word n-grams, join on the n-gram, and
+aggregate per (train doc, eval doc) pair — pairs are only materialized for
+documents that actually share a shingle, never all-pairs.
+
+Scale shape at 100 TB: the eval side is tiny (benchmarks are MBs), so the
+shingle join is a broadcast of the eval shingle set against one pass over
+the corpus shingles — no shuffle of the corpus side at all until the
+per-pair aggregation, whose key space is bounded by (matching corpus docs
+x eval docs). A df-cap on pathologically common shingles (mirroring
+jaccard's) is unnecessary under a broadcast eval side but available via
+``min_shingle_len`` pre-filtering of trivial n-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per (corpus doc, eval doc) contamination report:
+
+    (``doc_id``, ``eval_id``, ``n_shared`` distinct shared n-grams,
+    ``eval_ngrams`` = eval doc's distinct n-gram count, ``contamination`` =
+    n_shared / eval_ngrams) for pairs with ``n_shared >= min_overlap``.
+
+    A contamination of 1.0 means every n-gram of the eval document appears
+    in the training document (verbatim inclusion); the usual policy drops
+    or flags training docs above a small threshold. Eval shingles are
+    broadcast (benchmarks are small by construction); corpus shingles
+    stream through the join map-side."""
+    c = word_shingles(corpus, n, text_col, id_col)
+    e = word_shingles(eval_set, n, text_col, id_col).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    e_sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    shared = (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return shared.join(F.broadcast(e_sizes), "eval_id").select(
+        "doc_id",
+        "eval_id",
+        "n_shared",
+        "eval_ngrams",
+        (F.col("n_shared").cast("double") / F.col("eval_ngrams")).alias(
+            "contamination"
+        ),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    max_contamination: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Drop corpus documents whose contamination against ANY eval document
+    exceeds ``max_contamination`` (0.0 = any shared n-gram disqualifies).
+    Returns (clean corpus, drop log of (doc_id, eval_id, contamination)
+    keeping each dropped doc's WORST eval match). The drop set is built
+    from :func:`ngram_contamination` and removed with a broadcast anti-join
+    — the corpus is scanned, never shuffled."""
+    report = ngram_contamination(corpus, eval_set, n, 1, text_col, id_col)
+    flagged = report.filter(F.col("contamination") > max_contamination)
+    worst = flagged.groupBy("doc_id").agg(
+        F.max_by("eval_id", F.struct("contamination", "eval_id")).alias("eval_id"),
+        F.max("contamination").alias("contamination"),
+    )
+    clean = corpus.join(
+        F.broadcast(worst.select("doc_id")), id_col, "left_anti"
+    )
+    return clean, worst

@@ -1,10 +1,20 @@
 """Document quality scoring — the filter stage of corpus preparation.
 
-The unigram log-probability score is the classic cheap LM-quality signal:
-score each document by the mean log-probability of its tokens under the
-corpus's OWN smoothed unigram distribution. Garbled/rare-token documents
-score far below fluent text, with no model to train or ship. Used
-standalone (queries/text.py) and as clean_corpus's optional quality gate
+Two signal families:
+
+* unigram log-probability — the classic cheap LM-quality signal: score
+  each document by the mean log-probability of its tokens under the
+  corpus's OWN smoothed unigram distribution. Garbled/rare-token documents
+  score far below fluent text, with no model to train or ship.
+* Gopher-style rule signals (Rae et al. 2021, "Scaling Language Models",
+  appendix A1.1) — the published heuristic battery (word count, mean word
+  length, symbol-to-word ratio, alphabetic-word fraction, bullet/ellipsis
+  line fractions, required-stopword hits) plus the combined pass flag.
+
+Both are pure column algebra over one text scan — no UDFs, no shuffle for
+the rule battery (the unigram score needs the corpus distribution: two
+uniform-key aggregations and one AQE-decided join). Used standalone
+(queries/text.py) and as clean_corpus's optional quality gates
 (operators/corpus.py).
 """
 
@@ -60,4 +70,71 @@ def unigram_logprob_scores(
             ).alias("mean_logprob"),
             F.sum("tf").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# The 8 words Gopher requires at least 2 of — presence, not frequency.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule battery: appends the per-document signal columns and a
+    combined ``passes_gopher`` flag. Thresholds default to the published
+    values (Rae et al. 2021 A1.1); real pipelines tune them per source.
+
+    Single projection over one text scan — every signal is a
+    codegen-compiled string/array expression, so at 100 TB this costs
+    exactly the scan. Ratios are int/int divisions in double and the flag
+    is pure comparisons, so a DuckDB oracle reproduces every column
+    bit-for-bit (tests/test_quality_rules.py)."""
+    words = _words(F.col(text_col))
+    words_lower = _words(F.lower(F.col(text_col)))
+    n_words = F.size(words)
+    # sum of word lengths == chars left after deleting the split separators
+    word_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), " +", ""))
+    mean_wl = word_chars.cast("double") / n_words
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")).cast("long")
+    sym_ratio = n_symbols.cast("double") / n_words
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    bullet_frac = n_bullet.cast("double") / n_lines
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    stop_hits = F.size(F.filter(req, lambda s: F.array_contains(words_lower, s)))
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return (
+        docs.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", sym_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("stopword_hits", stop_hits.cast("long"))
+        .withColumn("passes_gopher", passes)
     )

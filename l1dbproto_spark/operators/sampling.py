@@ -137,3 +137,97 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("_u")
     )
+
+
+def temperature_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float | None = None,
+    source_col: str = "lang",
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the standard multilingual /
+    multi-source rebalancing rule, e.g. mBERT / XLM-R exponential
+    smoothing): with q_s = n_s / N the corpus share of source s, the
+    TARGET share is p_s = q_s^alpha / sum(q^alpha) — alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform, lifting small sources.
+
+    Returns one row per source: (source, n_docs, natural_share,
+    target_share, rate) where ``rate`` is the per-document keep/repeat
+    probability ``sample_mixture`` / ``with_repeats`` consumes:
+    ``rate_s = T * p_s / n_s`` with T the target corpus size
+    (``target_frac * N``; default scales so the largest rate is exactly
+    1.0 — pure downsampling, no repeats).
+
+    One count aggregation (uniform keys) + arithmetic on the one-row
+    totals — the rate table is small by construction (one row per
+    source). Deterministic given the corpus, so the composed
+    sample stays engine-reproducible (DuckDB oracle in
+    tests/test_quality_rules.py)."""
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(0.0) + alpha)).alias("_za"),
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") / F.col("_n")).alias("natural_share"),
+        (F.pow(F.col("n_docs"), F.lit(0.0) + alpha) / F.col("_za")).alias(
+            "target_share"
+        ),
+        F.col("_n").alias("_n"),
+    )
+    # unscaled per-doc weight; T is chosen so rates are <= 1 by default
+    w = F.col("target_share") * F.col("_n") / F.col("n_docs")
+    if target_frac is None:
+        wmax = shares.agg(
+            F.max(F.col("target_share") * F.col("_n") / F.col("n_docs")).alias(
+                "_wmax"
+            )
+        )
+        return shares.crossJoin(F.broadcast(wmax)).select(
+            "source",
+            "n_docs",
+            "natural_share",
+            "target_share",
+            (w / F.col("_wmax")).alias("rate"),
+        )
+    return shares.select(
+        "source",
+        "n_docs",
+        "natural_share",
+        "target_share",
+        (F.lit(target_frac) * w).alias("rate"),
+    )
+
+
+def sample_with_temperature(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float | None = None,
+    source_col: str = "lang",
+    salt: str = "mix-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compose :func:`temperature_rates` with the per-row hash filter: keep
+    each document with its source's temperature rate. The rate table is
+    broadcast-joined (one row per source), so this stays a single corpus
+    scan with zero wide shuffles; rates computed with ``target_frac`` may
+    exceed 1.0 and are clamped (use :func:`with_repeats` with collected
+    rates for true upsampling)."""
+    rates = temperature_rates(docs, alpha, target_frac, source_col)
+    u = _unit_hash(F.col(id_col), salt)
+    return (
+        docs.join(
+            F.broadcast(
+                rates.select(
+                    F.col("source").alias(source_col), F.col("rate")
+                )
+            ),
+            source_col,
+        )
+        .filter(u < F.least(F.col("rate"), F.lit(1.0)))
+        .drop("rate")
+    )
