@@ -6,7 +6,7 @@ Both operators are pure column algebra (``regexp_count`` /
 exactly one scan of the text column: no shuffle, no UDF, no state. The
 patterns are deliberately written in the common subset of Java regex
 (Spark) and RE2 (DuckDB) — character classes, bounded repetition, ``\\b``
-word boundaries — so the DuckDB oracle in tests/test_pii.py reproduces
+word boundaries — so the DuckDB oracle in tests/test_pii_quality.py reproduces
 detection counts and redacted text byte-for-byte.
 
 Pattern scope mirrors the usual first-pass scrubbers (email, NANP-style

@@ -98,7 +98,7 @@ def gopher_quality_signals(
     codegen-compiled string/array expression, so at 100 TB this costs
     exactly the scan. Ratios are int/int divisions in double and the flag
     is pure comparisons, so a DuckDB oracle reproduces every column
-    bit-for-bit (tests/test_quality_rules.py)."""
+    bit-for-bit (tests/test_pii_quality.py)."""
     words = _words(F.col(text_col))
     words_lower = _words(F.lower(F.col(text_col)))
     n_words = F.size(words)

@@ -162,7 +162,7 @@ def temperature_rates(
     totals — the rate table is small by construction (one row per
     source). Deterministic given the corpus, so the composed
     sample stays engine-reproducible (DuckDB oracle in
-    tests/test_quality_rules.py)."""
+    tests/test_sampling.py)."""
     counts = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )

@@ -124,7 +124,9 @@ def test_gopher_signals_match_oracle(spark):
             r.passes_gopher,
         )
         for r in gopher_quality_signals(
-            load_table(spark, SF_DIR, "documents"), min_words=5
+            # thresholds tuned so the flag discriminates on the synthetic
+            # corpus: docs hold 0 or 1 of the 8 required stopwords
+            load_table(spark, SF_DIR, "documents"), min_words=5, min_stop_hits=1
         ).collect()
     }
     want = {
@@ -158,7 +160,7 @@ def test_gopher_signals_match_oracle(spark):
               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
               AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
               AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-              AND stopword_hits >= 2 AS passes_gopher
+              AND stopword_hits >= 1 AS passes_gopher
             FROM s
             """
         ).fetchall()
