@@ -1,0 +1,122 @@
+"""Benchmark-contamination detection (operators/contamination.py): DuckDB
+oracle parity for the n-gram overlap report plus the decontamination
+invariants. The eval set is carved out of the corpus itself (every 50th
+doc), so self-pairs are verbatim inclusions (contamination exactly 1.0)
+and cross-doc overlaps exercise the partial-overlap path."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.contamination import (
+    decontaminate,
+    ngram_contamination,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# mirrors queries/dedup.py's _SHINGLES_CTE (normalize_text + word_shingles,
+# n=3) but parameterized on the parquet path
+_SHINGLES = rf"""
+docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM '{SF_DIR}/documents.parquet'
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM docs, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+)
+"""
+
+
+def _eval_set(docs):
+    return docs.filter(F.col("doc_id") % 50 == 0)
+
+
+def test_ngram_contamination_matches_oracle(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.doc_id, r.eval_id): (
+            r.n_shared,
+            r.eval_ngrams,
+            round(r.contamination, 9),
+        )
+        for r in ngram_contamination(
+            docs, _eval_set(docs), n=3, min_overlap=2
+        ).collect()
+    }
+    want = {
+        (row[0], row[1]): (row[2], row[3], round(row[4], 9))
+        for row in duckdb.sql(
+            f"""
+            WITH {_SHINGLES},
+            esh AS (
+              SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0
+            ),
+            esz AS (
+              SELECT eval_id, COUNT(*) AS eval_ngrams FROM esh GROUP BY 1
+            ),
+            shared AS (
+              SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+              FROM sh c JOIN esh e USING (shingle)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, eval_id, n_shared, eval_ngrams,
+                   CAST(n_shared AS DOUBLE) / eval_ngrams AS contamination
+            FROM shared JOIN esz USING (eval_id)
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # every eval doc is its own verbatim inclusion: contamination exactly 1.0
+    self_pairs = {k: v for k, v in got.items() if k[0] == k[1]}
+    assert len(self_pairs) == 10  # 500 docs, every 50th
+    assert all(v[2] == 1.0 for v in self_pairs.values())
+
+
+def test_decontaminate_removes_all_overlap(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = _eval_set(docs)
+    clean, dropped = decontaminate(docs, ev, n=3, max_contamination=0.0)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    drop_rows = {r.doc_id: (r.eval_id, r.contamination) for r in dropped.collect()}
+    # partition: every doc is kept or dropped, never both
+    assert clean_ids.isdisjoint(drop_rows)
+    assert len(clean_ids) + len(drop_rows) == docs.count()
+    # eval members are verbatim inclusions of themselves -> always dropped
+    # at worst-contamination exactly 1.0 (the worst EVAL ID may be another
+    # eval doc: the repetitive synthetic corpus produces cross-doc 1.0 ties,
+    # broken by largest eval_id)
+    for eid in (r.doc_id for r in ev.select("doc_id").collect()):
+        assert drop_rows[eid][1] == 1.0
+    # fixed point: the clean corpus has NO shared n-gram with the eval set
+    assert ngram_contamination(clean, ev, n=3, min_overlap=1).count() == 0
+
+
+def test_decontaminate_threshold_keeps_light_overlap(spark):
+    """With a permissive threshold only heavy matches drop; the drop log
+    carries each doc's WORST eval match."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = _eval_set(docs)
+    report = ngram_contamination(docs, ev, n=3, min_overlap=1)
+    clean, dropped = decontaminate(docs, ev, n=3, max_contamination=0.5)
+    flagged = {
+        r.doc_id
+        for r in report.filter(F.col("contamination") > 0.5)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {r.doc_id for r in dropped.collect()} == flagged
+    # worst-match bookkeeping: dropped contamination == max over the report
+    worst = {
+        r.doc_id: round(r.m, 9)
+        for r in report.groupBy("doc_id")
+        .agg(F.max("contamination").alias("m"))
+        .collect()
+    }
+    for r in dropped.collect():
+        assert round(r.contamination, 9) == worst[r.doc_id]

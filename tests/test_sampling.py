@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.sampling import (
     sample_mixture,
+    sample_with_temperature,
     stratified_sample,
+    temperature_rates,
     with_repeats,
 )
 from l1dbproto_spark.sources.catalog import load_table
@@ -118,3 +120,103 @@ def test_sample_mixture_plan_is_shuffle_free(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# DuckDB rendering of temperature_rates: per-source counts -> exponentially
+# smoothed target shares -> per-doc keep rates (same arithmetic, same
+# association order as the Spark plan)
+_RATES_SQL = f"""
+c AS (
+  SELECT lang AS source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM '{SF_DIR}/documents.parquet' GROUP BY 1
+),
+t AS (SELECT SUM(n) AS tot, SUM(pow(n, 0.3)) AS za FROM c),
+s AS (
+  SELECT source, CAST(n AS BIGINT) AS n_docs,
+         n / tot AS natural_share,
+         pow(n, 0.3) / za AS target_share,
+         n, tot
+  FROM c, t
+),
+w AS (SELECT *, target_share * tot / n AS wgt FROM s),
+m AS (SELECT MAX(wgt) AS wmax FROM w),
+rates AS (
+  SELECT source, n_docs, natural_share, target_share, wgt / wmax AS rate
+  FROM w, m
+)
+"""
+
+
+def test_temperature_rates_match_oracle(spark):
+    got = {
+        r.source: (
+            r.n_docs,
+            round(r.natural_share, 9),
+            round(r.target_share, 9),
+            round(r.rate, 9),
+        )
+        for r in temperature_rates(
+            load_table(spark, SF_DIR, "documents"), alpha=0.3
+        ).collect()
+    }
+    want = {
+        row[0]: (row[1], *[round(x, 9) for x in row[2:]])
+        for row in duckdb.sql(f"WITH {_RATES_SQL} SELECT * FROM rates").fetchall()
+    }
+    assert got == want
+    # default scaling: pure downsampling, the most-lifted (smallest) source
+    # pinned at rate exactly 1.0
+    assert max(v[3] for v in got.values()) == 1.0
+    assert all(0.0 < v[3] <= 1.0 for v in got.values())
+    smallest = min(got, key=lambda s: got[s][0])
+    assert got[smallest][3] == 1.0
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    rates = {
+        r.source: (r.natural_share, r.target_share, r.rate)
+        for r in temperature_rates(
+            load_table(spark, SF_DIR, "documents"), alpha=1.0
+        ).collect()
+    }
+    for nat, tgt, rate in rates.values():
+        assert abs(nat - tgt) < 1e-12
+        assert abs(rate - 1.0) < 1e-12
+
+
+def test_sample_with_temperature_matches_oracle(spark):
+    got = sorted(
+        r.doc_id
+        for r in sample_with_temperature(
+            load_table(spark, SF_DIR, "documents"), alpha=0.3
+        ).collect()
+    )
+    u = U.format(salt="mix-v1")
+    want = sorted(
+        row[0]
+        for row in duckdb.sql(
+            f"""
+            WITH {_RATES_SQL}
+            SELECT doc_id FROM '{SF_DIR}/documents.parquet' d
+            JOIN rates ON rates.source = d.lang
+            WHERE {u} < LEAST(rate, 1.0)
+            """
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got)
+    # the smallest source keeps everything (rate 1.0); larger sources shrink
+    docs = load_table(spark, SF_DIR, "documents")
+    per_src = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in sample_with_temperature(docs, alpha=0.3)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    smallest = min(per_src, key=per_src.get)
+    largest = max(per_src, key=per_src.get)
+    assert kept[smallest] == per_src[smallest]
+    assert kept[largest] < per_src[largest]
