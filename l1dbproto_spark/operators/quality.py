@@ -10,6 +10,9 @@ Two signal families:
   appendix A1.1) — the published heuristic battery (word count, mean word
   length, symbol-to-word ratio, alphabetic-word fraction, bullet/ellipsis
   line fractions, required-stopword hits) plus the combined pass flag.
+* Gopher repetition signals (A1.1's other half) — duplicate-line
+  fractions and the most-frequent-n-gram character share, the rules that
+  catch boilerplate and template spam rule batteries miss.
 
 Both are pure column algebra over one text scan — no UDFs, no shuffle for
 the rule battery (the unigram score needs the corpus distribution: two
@@ -22,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import normalize_text, shingle_rows
 
 
 def _words(col: Column) -> Column:
@@ -137,4 +142,89 @@ def gopher_quality_signals(
         .withColumn("ellipsis_line_frac", ellipsis_frac)
         .withColumn("stopword_hits", stop_hits.cast("long"))
         .withColumn("passes_gopher", passes)
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_ngram_char_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher repetition battery (Rae et al. 2021 A1.1, repetition rules):
+
+    * ``dup_line_frac`` — fraction of lines that occur more than once;
+    * ``dup_line_char_frac`` — fraction of line characters inside such
+      duplicated lines;
+    * ``top_ngram`` / ``top_ngram_count`` / ``top_ngram_char_frac`` — the
+      document's most frequent word n-gram (count ties broken to the
+      lexicographically largest gram) and the share of the document's
+      word characters its occurrences cover
+      (``count * len(gram sans spaces) / total word chars``, over the
+      normalized text — the same canonical form the dedup family shingles);
+    * ``passes_repetition`` — all three under their thresholds.
+
+    Plan shape: the line signals are per-row array algebra over the text
+    scan — the nested count runs per line pair WITHIN a document (lines
+    per doc is small), no shuffle. The n-gram mode needs within-doc
+    frequencies, so it reuses dedup's codegen-friendly shingle explode and
+    aggregates (doc, gram) counts — both aggregations partial-combine
+    map-side and key on (doc_id, gram) / doc_id, so the shuffle is uniform
+    and bounded by the distinct-gram count, never the 100 TB scan. The two
+    halves meet in one per-doc join (AQE-decided)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    dup_lines = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(dup_lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    dup_line_frac = F.size(dup_lines).cast("double") / n_lines
+    dup_line_char_frac = F.when(line_chars > 0, dup_line_chars.cast("double") / line_chars).otherwise(F.lit(0.0))
+    with_lines = (
+        docs.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .withColumn(
+            "_word_chars",
+            F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", "")),
+        )
+    )
+    grams = shingle_rows(docs, ngram_n, text_col, id_col)
+    top = (
+        grams.groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.col("shingle"), F.struct("_cnt", "shingle")).alias("top_ngram"),
+            F.max(F.struct("_cnt", "shingle")).getField("_cnt").alias(
+                "top_ngram_count"
+            ),
+        )
+    )
+    out = with_lines.join(top, id_col, "left")
+    top_chars = (
+        F.col("top_ngram_count")
+        * F.length(F.regexp_replace(F.col("top_ngram"), " ", ""))
+    ).cast("double")
+    top_frac = F.coalesce(
+        F.when(F.col("_word_chars") > 0, top_chars / F.col("_word_chars")),
+        F.lit(0.0),
+    )
+    passes = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (top_frac <= max_top_ngram_char_frac)
+    )
+    return (
+        out.withColumn("top_ngram_char_frac", top_frac)
+        .withColumn("passes_repetition", passes)
+        .drop("_word_chars")
     )

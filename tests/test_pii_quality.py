@@ -10,7 +10,10 @@ import duckdb
 from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.pii import pii_signals, redact_pii
-from l1dbproto_spark.operators.quality import gopher_quality_signals
+from l1dbproto_spark.operators.quality import (
+    gopher_quality_signals,
+    repetition_signals,
+)
 from l1dbproto_spark.sources.catalog import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -169,5 +172,106 @@ def test_gopher_signals_match_oracle(spark):
     for d in got:
         assert got[d] == want[d], (d, got[d], want[d])
     # discriminative on this corpus: some pass, some fail
+    flags = {v[-1] for v in got.values()}
+    assert flags == {True, False}
+
+
+def test_repetition_signals_match_oracle(spark):
+    """Repetition battery vs DuckDB, on a corpus seeded with known
+    repetition: every 9th doc gets a duplicated line appended, every 13th
+    gets a bigram stutter."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" spam ham spam ham spam ham spam ham")),
+        )
+        .otherwise(F.col("text")),
+    )
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            round(r.dup_line_frac, 9),
+            round(r.dup_line_char_frac, 9),
+            r.top_ngram,
+            r.top_ngram_count,
+            round(r.top_ngram_char_frac, 9),
+            r.passes_repetition,
+        )
+        for r in repetition_signals(docs, ngram_n=2).collect()
+    }
+    want = {
+        row[0]: (row[1], round(row[2], 9), round(row[3], 9), row[4], row[5],
+                 round(row[6], 9), row[7])
+        for row in duckdb.sql(
+            rf"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 9 = 0 THEN concat(text, chr(10), 'repeat me', chr(10), 'repeat me')
+                  WHEN doc_id % 13 = 0 THEN concat(text, ' spam ham spam ham spam ham spam ham')
+                  ELSE text
+                END AS text
+              FROM '{SF_DIR}/documents.parquet'
+            ),
+            lined AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                length(regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', '', 'g')) AS word_chars
+              FROM raw
+            ),
+            linesig AS (
+              SELECT doc_id, word_chars,
+                len(lines) AS n_lines,
+                CAST(len(list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1)) AS DOUBLE)
+                  / len(lines) AS dup_line_frac,
+                CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                  THEN CAST(coalesce(list_sum(list_transform(
+                         list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+                         l -> length(l))), 0) AS DOUBLE)
+                       / list_sum(list_transform(lines, l -> length(l)))
+                  ELSE 0.0 END AS dup_line_char_frac
+              FROM lined
+            ),
+            w AS (
+              SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM raw
+            ),
+            sh AS (
+              SELECT doc_id, array_to_string(w[i:i+1], ' ') AS shingle
+              FROM w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, shingle AS top_ngram, c AS top_cnt FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, shingle DESC) AS rn
+                FROM cnt) t WHERE rn = 1
+            )
+            SELECT s.doc_id, s.n_lines, s.dup_line_frac, s.dup_line_char_frac,
+              t.top_ngram, t.top_cnt,
+              CASE WHEN s.word_chars > 0
+                THEN CAST(t.top_cnt * length(replace(t.top_ngram, ' ', '')) AS DOUBLE)
+                     / s.word_chars
+                ELSE 0.0 END AS top_frac,
+              s.dup_line_frac <= 0.3 AND s.dup_line_char_frac <= 0.2
+                AND (CASE WHEN s.word_chars > 0
+                     THEN CAST(t.top_cnt * length(replace(t.top_ngram, ' ', '')) AS DOUBLE)
+                          / s.word_chars ELSE 0.0 END) <= 0.2 AS passes
+            FROM linesig s JOIN top t USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == want[d], (d, got[d], want[d])
+    # the seeded docs trip their rules; clean docs exist on both sides
+    seeded_dup = [d for d in got if d % 9 == 0]
+    assert all(got[d][1] > 0 for d in seeded_dup)
     flags = {v[-1] for v in got.values()}
     assert flags == {True, False}
