@@ -38,6 +38,7 @@ def clean_corpus(
     id_col: str = "doc_id",
     df_cap: int | None = 1000,
     min_logprob: float | None = None,
+    repetition_gate: bool = False,
 ) -> CorpusCleanResult:
     """Staged cleaning, canonical = min doc id at every dedup stage:
 
@@ -47,6 +48,10 @@ def clean_corpus(
        log-probability under the surviving corpus's own distribution below
        the threshold → dropped (``reason='low_quality'``, no canonical —
        operators/quality.py);
+    2b. optional repetition gate (``repetition_gate=True``): documents
+       failing the Gopher repetition battery (duplicate-line fractions,
+       top-bigram character share at the published defaults) → dropped
+       (``reason='repetitive'``, no canonical);
     3. exact dedup: same normalized text → only the min id survives
        (``reason='exact_dup'``);
     4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
@@ -57,8 +62,8 @@ def clean_corpus(
     3-exchange inverted-index Jaccard plus O(diameter) label-propagation
     rounds — nothing quadratic anywhere. The optional quality gate adds two
     token aggregations (distribution + per-doc score) over stage-1
-    survivors. The stages short-circuit: later stages only scan
-    survivors."""
+    survivors; the repetition gate one (doc, gram) aggregation + per-doc
+    join. The stages short-circuit: later stages only scan survivors."""
     n_tok = whitespace_token_count(F.col(text_col))
     long_enough = docs.filter(n_tok >= min_tokens)
     too_short = docs.filter(n_tok < min_tokens).select(
@@ -81,6 +86,19 @@ def clean_corpus(
             F.lit(None).cast("long").alias("canonical_id"),
         )
         long_enough = long_enough.join(failing, id_col, "left_anti")
+
+    repetitive = None
+    if repetition_gate:
+        from .quality import repetition_signals
+
+        rep = repetition_signals(long_enough, text_col=text_col, id_col=id_col)
+        failing_rep = rep.filter(~F.col("passes_repetition")).select(id_col)
+        repetitive = failing_rep.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("repetitive").alias("reason"),
+            F.lit(None).cast("long").alias("canonical_id"),
+        )
+        long_enough = long_enough.join(failing_rep, id_col, "left_anti")
 
     fp = F.md5(normalize_text(F.col(text_col)))
     keeper = F.min(id_col).alias("canonical_id")
@@ -122,6 +140,8 @@ def clean_corpus(
     dropped = too_short
     if low_quality is not None:
         dropped = dropped.unionByName(low_quality)
+    if repetitive is not None:
+        dropped = dropped.unionByName(repetitive)
     dropped = dropped.unionByName(exact_dups).unionByName(near_dups)
     return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
 

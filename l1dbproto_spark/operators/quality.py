@@ -165,7 +165,12 @@ def repetition_signals(
       word characters its occurrences cover
       (``count * len(gram sans spaces) / total word chars``, over the
       normalized text — the same canonical form the dedup family shingles);
-    * ``passes_repetition`` — all three under their thresholds.
+    * ``passes_repetition`` — all three under their thresholds. The
+      top-n-gram rule only binds when the gram actually REPEATS
+      (``top_ngram_count > 1``): a once-occurring gram covering a large
+      character share is a short-document artifact, not repetition —
+      Gopher's pipeline orders the <50-word gate before these rules for
+      the same reason.
 
     Plan shape: the line signals are per-row array algebra over the text
     scan — the nested count runs per line pair WITHIN a document (lines
@@ -221,7 +226,10 @@ def repetition_signals(
     passes = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
-        & (top_frac <= max_top_ngram_char_frac)
+        & (
+            (F.coalesce(F.col("top_ngram_count"), F.lit(0)) <= 1)
+            | (top_frac <= max_top_ngram_char_frac)
+        )
     )
     return (
         out.withColumn("top_ngram_char_frac", top_frac)

@@ -33,14 +33,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as raw long and truncate to microseconds
-        # — exactly what DuckDB does when it reads the same file, so oracle
-        # comparisons agree.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read nanos as raw long, truncate to
+        # micros like DuckDB does) and as naive TIMESTAMP(MICROS) (which
+        # Spark reads as TIMESTAMP_NTZ — a type watermarks/windows reject).
+        # Normalize both to TIMESTAMP: under the engine's UTC sessions the
+        # NTZ cast is a numeric identity, so oracle comparisons agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        t = df.schema["ts"].dataType
+        if isinstance(t, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(t, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -126,3 +126,32 @@ def test_prepare_training_corpus_composes(spark):
         assigned=("tokens_in_chunk", "sum"), n=("n_tokens", "first")
     )
     assert (per_doc.assigned == per_doc.n).all()
+
+
+def test_clean_corpus_repetition_gate(spark):
+    """repetition_gate=True drops boilerplate docs (reason 'repetitive', no
+    canonical) between the quality gate and the dedup stages, preserving
+    the partition property."""
+    rows = _corpus(spark).collect()
+    # a stuttering doc: one bigram dominates its characters and a line
+    # repeats, tripping both repetition rules
+    spam = [
+        (
+            9,
+            "buy now buy now buy now buy now buy now\n"
+            "buy now buy now buy now buy now buy now",
+        )
+    ]
+    docs = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows] + spam, ["doc_id", "text"]
+    )
+    res = clean_corpus(docs, min_tokens=3, min_jaccard=0.5, repetition_gate=True)
+    cleaned = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert (9, "repetitive", None) in dropped
+    assert cleaned == {1, 5, 8}
+    assert {reason for _, reason, _ in dropped} == {
+        "too_short", "repetitive", "exact_dup", "near_dup"
+    }
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 10))
+    assert len(dropped) + len(cleaned) == 9

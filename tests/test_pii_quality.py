@@ -260,9 +260,9 @@ def test_repetition_signals_match_oracle(spark):
                      / s.word_chars
                 ELSE 0.0 END AS top_frac,
               s.dup_line_frac <= 0.3 AND s.dup_line_char_frac <= 0.2
-                AND (CASE WHEN s.word_chars > 0
+                AND (t.top_cnt <= 1 OR (CASE WHEN s.word_chars > 0
                      THEN CAST(t.top_cnt * length(replace(t.top_ngram, ' ', '')) AS DOUBLE)
-                          / s.word_chars ELSE 0.0 END) <= 0.2 AS passes
+                          / s.word_chars ELSE 0.0 END) <= 0.2) AS passes
             FROM linesig s JOIN top t USING (doc_id)
             """
         ).fetchall()
