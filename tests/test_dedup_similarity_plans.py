@@ -86,3 +86,36 @@ def test_ivf_cluster_side_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """ngram_contamination: the eval shingle set and size table ride as
+    broadcasts — the corpus side never shuffles for the join (its only
+    exchanges are the spread + the two groupBys)."""
+    from l1dbproto_spark.operators.contamination import ngram_contamination
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = _executed(ngram_contamination(docs, ev, n=3))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_pair_join_shuffles_on_cluster(spark):
+    """semantic_dedup_pairs: centroid assignment collapses map-side (max_by
+    argmax behind a broadcast of the tiny centroid table); the pair join
+    itself is a shuffle keyed on the cluster id — the unbounded vector
+    table is never broadcast."""
+    from l1dbproto_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            (F.col("vec_id") / 100).cast("int").alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    plan = _executed(semantic_dedup_pairs(emb, cents, eps=0.05))
+    # pair join must be a shuffled join on cluster, not a broadcast of vecs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
