@@ -103,3 +103,51 @@ def pack_chunk_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
             "fill_ratio", F.col("filled_tokens") / F.lit(float(ctx_len))
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the passage extraction an
+    eval / retrieval pipeline runs (stride = chunk - overlap), as opposed
+    to :func:`pack_sequences`' cross-document concat-and-chunk.
+
+    Output: one row per (document, window) —
+    ``id_col, chunk_index, start_tok (1-based), n_chunk_tokens,
+    chunk_text`` — where ``chunk_text`` re-joins the whitespace tokens
+    (chunks are whitespace-normalized by construction). Start positions
+    are ``1, 1+stride, ...`` up to ``max(n_words - chunk + stride, 1)``:
+    every token is covered, the final window may be short, and a document
+    shorter than ``chunk_tokens`` yields exactly one window.
+
+    Plan shape: tokenize once per document below the Generate (the same
+    projection-boundary trick as dedup's shingle explode), then a per-row
+    ``sequence`` explode and one ``slice``/``array_join`` per window — no
+    shuffle at all; the 100 TB pass is the text scan plus the ~1/stride
+    row expansion."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    tokenized = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " +").alias("_w")
+    )
+    n = F.size("_w")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(chunk_tokens) + F.lit(stride), F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = tokenized.select(
+        F.col(id_col), F.col("_w"), F.explode(starts).alias("start_tok")
+    )
+    piece = F.slice(F.col("_w"), F.col("start_tok"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("start_tok") - 1) / stride).cast("long").alias("chunk_index"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -74,3 +74,62 @@ def test_packing_invariants(spark):
         assert ((stats.fill_ratio > 0) & (stats.fill_ratio <= 1.0)).all()
     finally:
         packed.unpersist()
+
+
+def test_chunk_documents_matches_oracle(spark):
+    from l1dbproto_spark.operators.packing import chunk_documents
+
+    got = {
+        (r.doc_id, r.chunk_index): (r.start_tok, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            load_table(spark, SF_DIR, "documents"), chunk_tokens=16, overlap_tokens=4
+        ).collect()
+    }
+    want = {
+        (row[0], row[1]): (row[2], row[3], row[4])
+        for row in duckdb.sql(
+            rf"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              FROM '{SF_DIR}/documents.parquet'
+            ),
+            e AS (
+              SELECT doc_id, w, CAST(i AS BIGINT) AS start_tok
+              FROM t, unnest(range(1, greatest(len(w) - 16 + 12, 1) + 1, 12)) AS u(i)
+            )
+            SELECT doc_id, CAST((start_tok - 1) / 12 AS BIGINT) AS chunk_index,
+              start_tok,
+              CAST(len(w[start_tok:start_tok+15]) AS BIGINT) AS n_chunk_tokens,
+              array_to_string(w[start_tok:start_tok+15], ' ') AS chunk_text
+            FROM e
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # coverage + shape invariants
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for (d, ci), (st, ntok, _) in got.items():
+        per_doc[d].append((ci, st, ntok))
+    for d, chunks in per_doc.items():
+        chunks.sort()
+        # chunk indices dense from 0, starts follow the stride
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert all(c[1] == 1 + c[0] * 12 for c in chunks)
+        # every chunk but the last is full-width; windows overlap by 4
+        assert all(c[2] == 16 for c in chunks[:-1])
+        last = chunks[-1]
+        assert 1 <= last[2] <= 16
+    # multi-chunk docs exist and single-chunk (short) docs exist
+    sizes = {len(v) for v in per_doc.values()}
+    assert max(sizes) > 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from l1dbproto_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(load_table(spark, SF_DIR, "documents"), 16, 16)
