@@ -100,13 +100,11 @@ _PRIORITY = [
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
     "salted_skew_agg",
-    "cube_pricing",
     "set_ops_customers",
     # windows / events
     "partitioned_source_ids",
     "top_k_per_group",
     "window_frames_battery",
-    "unpivot_order_metrics",
     "metrics_pivot_wide",
     "session_window_agg",
     "json_payload_extract",
@@ -120,6 +118,11 @@ _PRIORITY = [
     # the batteries keep their oracles in tests/test_unregistered_batteries)
     "ivf_pq_topk",
     "sample_mixture",
+    # LLM-pipeline: decontamination + semantic dedup (r4: replaced the
+    # unpivot_order_metrics and cube_pricing batteries, whose oracles also
+    # moved to tests/test_unregistered_batteries)
+    "contamination_report",
+    "semdedup_drops",
 ]
 
 

@@ -7,6 +7,7 @@ is oracle-checked against DuckDB using the engine-portable md5-derived hash
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     doc_shingle_sets,
@@ -272,3 +273,34 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = simhash(load_table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(fps, max_bits=3)
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    esh AS (
+      SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    esz AS (SELECT eval_id, COUNT(*) AS eval_ngrams FROM esh GROUP BY 1),
+    shared AS (
+      SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+      FROM sh c JOIN esh e USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id, eval_id, n_shared, eval_ngrams,
+           CAST(n_shared AS DOUBLE) / eval_ngrams AS contamination
+    FROM shared JOIN esz USING (eval_id)
+    """,
+    survey="ext:contamination (n-gram benchmark-overlap report; GPT-3/Gopher decontamination)",
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-eval n-gram contamination (operators/contamination.py):
+    eval set = every 50th document, word 3-grams, pairs sharing >= 2
+    distinct shingles. The eval shingle set is broadcast — the corpus side
+    is scanned, never shuffled for the join."""
+    from ..operators.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, ev, n=3, min_overlap=2)

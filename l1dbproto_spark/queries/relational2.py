@@ -14,24 +14,14 @@ from ..sources.catalog import load_table
 from . import query
 
 
-@query(
-    "cube_pricing",
-    oracle="""
-    SELECT
-      l_returnflag,
-      l_linestatus,
-      GROUPING(l_returnflag, l_linestatus) AS gid,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    survey="A-agg beyond reference (cube / rollup / grouping sets; cube is the superset)",
-)
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level totals with grouping id: every grouping-set combination
     (CUBE, whose result is a superset of ROLLUP's) in one pass — map-side
-    partial aggregation handles all levels."""
+    partial aggregation handles all levels.
+
+    Unregistered in round 4 (50-slot registry cap): its slot went to
+    ``semdedup_drops``. Oracle kept in
+    tests/test_unregistered_batteries.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),

@@ -366,3 +366,75 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return _qtopk(emb, queries, k=5, refine=4)
+
+
+@query(
+    "semdedup_drops",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, v FROM base WHERE vec_id < 30
+    ),
+    cent AS (
+      SELECT CASE vec_id WHEN 0 THEN 0 WHEN 123 THEN 1
+                         WHEN 251 THEN 2 WHEN 377 THEN 3 END AS cluster,
+             v AS cv
+      FROM base WHERE vec_id IN (0, 123, 251, 377)
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, cent.cluster,
+          ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY 2 * list_dot_product(e.v, cent.cv)
+                     - list_dot_product(cent.cv, cent.cv) DESC, cent.cluster
+          ) AS rn
+        FROM e, cent
+      ) t WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine_sim
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    flt AS (SELECT * FROM pairs WHERE cosine_sim >= 0.95)
+    SELECT vec_id, canonical_id, cosine_sim FROM (
+      SELECT id_b AS vec_id, id_a AS canonical_id,
+        MAX(cosine_sim) OVER (PARTITION BY id_b) AS cosine_sim,
+        ROW_NUMBER() OVER (
+          PARTITION BY id_b ORDER BY cosine_sim DESC, id_a ASC
+        ) AS rn
+      FROM flt
+    ) t WHERE rn = 1
+    """,
+    survey="ext:semdedup (SemDeDup drop log: cluster-assign + within-cluster cosine, Abbas et al. 2023)",
+)
+def semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop log (operators/semdedup.py) on a clone-seeded corpus:
+    embeddings ∪ exact clones of vec_id<30 (ids +1e6), centroids pinned to
+    four corpus vectors — every clone must be dropped with its original as
+    canonical. Assignment collapses map-side behind a broadcast centroid
+    table; the pair join shuffles once per side on the cluster key."""
+    from ..operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    lookup = spark.createDataFrame(
+        [(c, v) for c, v in enumerate([0, 123, 251, 377])],
+        "cluster int, vec_id long",
+    )
+    cents = emb.join(F.broadcast(lookup), "vec_id").select(
+        "cluster", F.col("embedding").alias("centroid")
+    )
+    _, dropped = semantic_dedup(corpus, cents, eps=0.05)
+    return dropped

@@ -108,17 +108,12 @@ def string_pattern_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unpivot_order_metrics",
-    oracle="""
-    SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
-    UNION ALL
-    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
-    """,
-    survey="unpivot / stack (inverse of A9)",
-)
 def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide -> long unpivot via stack() — the inverse of the metrics pivot."""
+    """Wide -> long unpivot via stack() — the inverse of the metrics pivot.
+
+    Unregistered in round 4 (50-slot registry cap): its slot went to
+    ``contamination_report``. Oracle kept in
+    tests/test_unregistered_batteries.py."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",

@@ -130,3 +130,53 @@ def test_string_pattern_rank_matches_oracle(spark):
     )
     want = _normalize(duckdb.sql(STRING_PATTERN_RANK_ORACLE).df(), "p_partkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 4: unpivot + cube (slots to contamination_report / semdedup_drops)
+
+UNPIVOT_ORACLE = f"""
+WITH orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+"""
+
+CUBE_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM '{SF_DIR}/lineitem.parquet'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def test_unpivot_order_metrics_matches_oracle(spark):
+    from l1dbproto_spark.queries.windows2 import unpivot_order_metrics
+
+    got = (
+        unpivot_order_metrics(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["o_orderkey", "metric"], ignore_index=True)
+    )
+    want = (
+        duckdb.sql(UNPIVOT_ORACLE)
+        .df()
+        .sort_values(["o_orderkey", "metric"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cube_pricing_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import cube_pricing
+
+    keys = ["gid", "l_returnflag", "l_linestatus"]
+    got = (
+        cube_pricing(spark, SF_DIR)
+        .toPandas()
+        .sort_values(keys, ignore_index=True)
+    )
+    want = duckdb.sql(CUBE_ORACLE).df().sort_values(keys, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
