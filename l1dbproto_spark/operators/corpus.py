@@ -39,6 +39,7 @@ def clean_corpus(
     df_cap: int | None = 1000,
     min_logprob: float | None = None,
     repetition_gate: bool = False,
+    max_pii: int | None = None,
 ) -> CorpusCleanResult:
     """Staged cleaning, canonical = min doc id at every dedup stage:
 
@@ -52,6 +53,11 @@ def clean_corpus(
        failing the Gopher repetition battery (duplicate-line fractions,
        top-bigram character share at the published defaults) → dropped
        (``reason='repetitive'``, no canonical);
+    2c. optional PII gate (``max_pii`` set): documents with more than
+       ``max_pii`` detected PII hits (operators/pii.py defaults:
+       email/phone/IPv4/SSN) → dropped (``reason='pii'``, no canonical —
+       the redact-in-place alternative is ``redact_pii``, which keeps the
+       document);
     3. exact dedup: same normalized text → only the min id survives
        (``reason='exact_dup'``);
     4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
@@ -100,6 +106,19 @@ def clean_corpus(
         )
         long_enough = long_enough.join(failing_rep, id_col, "left_anti")
 
+    pii_heavy = None
+    if max_pii is not None:
+        from .pii import pii_signals
+
+        sig = pii_signals(long_enough, text_col=text_col)
+        failing_pii = sig.filter(F.col("n_pii") > max_pii).select(id_col)
+        pii_heavy = failing_pii.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("pii").alias("reason"),
+            F.lit(None).cast("long").alias("canonical_id"),
+        )
+        long_enough = long_enough.join(failing_pii, id_col, "left_anti")
+
     fp = F.md5(normalize_text(F.col(text_col)))
     keeper = F.min(id_col).alias("canonical_id")
     exact_groups = (
@@ -142,6 +161,8 @@ def clean_corpus(
         dropped = dropped.unionByName(low_quality)
     if repetitive is not None:
         dropped = dropped.unionByName(repetitive)
+    if pii_heavy is not None:
+        dropped = dropped.unionByName(pii_heavy)
     dropped = dropped.unionByName(exact_dups).unionByName(near_dups)
     return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
 

@@ -155,3 +155,24 @@ def test_clean_corpus_repetition_gate(spark):
     }
     assert cleaned | {d for d, _, _ in dropped} == set(range(1, 10))
     assert len(dropped) + len(cleaned) == 9
+
+
+def test_clean_corpus_pii_gate(spark):
+    """max_pii drops documents with more PII hits than allowed (reason
+    'pii', no canonical); documents at or under the limit survive."""
+    rows = _corpus(spark).collect()
+    pii_docs = [
+        (9, "contact alice@example.com or bob@example.com at 555-123-4567 today"),
+        (10, "one lonely address carol@example.org inside otherwise fine text"),
+    ]
+    docs = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows] + pii_docs, ["doc_id", "text"]
+    )
+    res = clean_corpus(docs, min_tokens=3, min_jaccard=0.5, max_pii=1)
+    cleaned = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert (9, "pii", None) in dropped
+    assert 10 in cleaned  # exactly one hit <= max_pii survives
+    assert cleaned == {1, 5, 8, 10}
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 11))
+    assert len(dropped) + len(cleaned) == 10
