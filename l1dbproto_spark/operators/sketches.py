@@ -1,0 +1,140 @@
+"""Approximate-analytics sketches — the operators that replace exact
+distinct/quantile/frequency aggregation when the column is 100 TB wide.
+
+Exact COUNT(DISTINCT) shuffles every distinct value; a quantile sort is a
+full exchange of the column. The sketch forms bound both to a fixed-size
+state per group that PARTIAL-AGGREGATES map-side and MERGES associatively,
+so the shuffle carries kilobytes per group regardless of input size:
+
+* ``approx_distinct_per_group`` — HyperLogLog++ distinct counts
+  (``approx_count_distinct``, relative error ``rsd``);
+* ``hll_rollup`` / ``hll_estimate`` — persistent Apache DataSketches HLL
+  sketches as binary columns (``hll_sketch_agg``): build per-group
+  sketches ONCE, then answer any union of groups (`hll_union_agg`)
+  without rescanning the data — the re-aggregatable form a metrics layer
+  stores;
+* ``approx_quantiles_per_group`` — rank-error-bounded quantiles
+  (``percentile_approx``, Greenwald-Khanna style, error ``1/accuracy``);
+* ``frequent_items_per_group`` — exact heavy hitters above a support
+  threshold via conditional count aggregation (two uniform-key
+  aggregations; the candidate set is bounded by 1/support per group).
+
+Sketch estimates are implementation-defined (Spark's HLL++ and DuckDB's
+HLL disagree by design), so these are checked in-suite against EXACT
+answers with the published error bounds (tests/test_sketches.py), not by
+value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group approximate distinct count: (group cols, approx_distinct).
+    HLL++ with relative standard deviation ``rsd`` — fixed sketch size per
+    group, fully partial-aggregatable, so the exchange is O(groups), never
+    O(distinct values)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Materialize a per-group DataSketches HLL sketch: (group cols,
+    ``hll_sketch`` binary, ``approx_distinct``). The sketch column is the
+    re-aggregatable artifact: store it per (day, source) and roll up any
+    (date range, source set) later via :func:`hll_estimate` without
+    touching the raw data — the pattern that turns a 100 TB distinct-user
+    question into a kilobyte merge."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    sk = F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k))
+    return df.groupBy(*group_cols).agg(
+        sk.alias("hll_sketch"),
+    ).withColumn(
+        "approx_distinct", F.hll_sketch_estimate("hll_sketch").cast("long")
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame,
+    group_cols: list[str] | str | None = None,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge previously-built HLL sketches (optionally re-grouped by a
+    coarser key) and estimate: (group cols?, approx_distinct). Union of
+    sketches == sketch of unions, so estimates over any group combination
+    come from the stored sketches alone."""
+    merged = F.hll_union_agg(F.col(sketch_col))
+    if group_cols is None:
+        agg = sketches.agg(merged.alias("_m"))
+    else:
+        if isinstance(group_cols, str):
+            group_cols = [group_cols]
+        agg = sketches.groupBy(*group_cols).agg(merged.alias("_m"))
+    return agg.withColumn(
+        "approx_distinct", F.hll_sketch_estimate("_m").cast("long")
+    ).drop("_m")
+
+
+def approx_quantiles_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    probabilities: list[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate quantiles: (group cols, ``quantiles`` array,
+    one entry per requested probability). Rank error is at most
+    ``1/accuracy`` of the group size — the returned value is an ACTUAL
+    group element whose rank is within that bound, so tests can verify the
+    rank directly. Partial-aggregatable; the exchange carries one bounded
+    summary per group."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(value_col, probs, F.lit(accuracy)).alias("quantiles")
+    )
+
+
+def frequent_items_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    min_support: float = 0.01,
+) -> DataFrame:
+    """Heavy hitters: values occurring in more than ``min_support`` of a
+    group's rows — (group cols, ``item``, ``item_count``, ``group_count``,
+    ``support``). Two aggregations, both keyed on uniform (group, value) /
+    group keys with map-side partial combine; the output is bounded by
+    ``groups / min_support`` rows total, so the result set stays small at
+    any input scale (the exact-counting analogue of a count-min pass)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    counts = df.groupBy(*group_cols, F.col(value_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("item_count")
+    )
+    totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("group_count"))
+    # totals has one row per group — AQE broadcasts it when small
+    return (
+        counts.join(totals, group_cols)
+        .withColumn(
+            "support", F.col("item_count").cast("double") / F.col("group_count")
+        )
+        .filter(F.col("support") > min_support)
+    )
