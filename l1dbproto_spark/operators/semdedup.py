@@ -127,3 +127,32 @@ def semantic_dedup(
         F.broadcast(dropped.select(id_col)), id_col, "left_anti"
     )
     return kept, dropped
+
+
+def semantic_dedup_trained(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup with a KMeans-trained quantizer (the paper's actual
+    pipeline): train via ``similarity.ivf_index`` (MLlib, distributed),
+    lift the fitted centroids into the (cluster, centroid) table, and run
+    :func:`semantic_dedup`. The centroid table is n_clusters rows — it
+    crosses the driver once and broadcasts, the same shape as the pinned
+    path, so everything downstream keeps its plan. At 100 TB: train on a
+    sample (KMeans cost is per-iteration linear in rows), pick
+    ``n_clusters`` ~ sqrt(corpus) or higher so the within-cluster
+    quadratic term stays bounded."""
+    from .similarity import ivf_index
+
+    _, model = ivf_index(vectors, n_clusters, vec_col, seed)
+    spark = vectors.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return semantic_dedup(vectors, centroids, eps, vec_col, id_col, dim)

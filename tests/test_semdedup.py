@@ -136,3 +136,19 @@ def test_semantic_dedup_drops_clones(spark):
     assert semantic_dedup_pairs(kept, cents, eps=0.05).count() == 0
     # kept rows preserve the original schema
     assert kept.columns == corpus.columns
+
+
+def test_semantic_dedup_trained_drops_clones(spark):
+    """The KMeans-trained path: clones are identical vectors, so whatever
+    the trained quantizer looks like they share their original's cluster
+    and must be dropped against it."""
+    from l1dbproto_spark.operators.semdedup import semantic_dedup_trained
+
+    corpus = _corpus(spark)
+    kept, dropped = semantic_dedup_trained(corpus, n_clusters=8, eps=0.05)
+    drop_rows = {r.vec_id: r.canonical_id for r in dropped.collect()}
+    for vid in range(30):
+        assert drop_rows[vid + 1000] == vid
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert kept_ids.isdisjoint(drop_rows)
+    assert len(kept_ids) + len(drop_rows) == corpus.count()
