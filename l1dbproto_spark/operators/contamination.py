@@ -20,19 +20,54 @@ jaccard's) is unnecessary under a broadcast eval side but available via
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
 
 
+@dataclass
+class EvalIndex:
+    """Precomputed eval-side state for contamination checks: the distinct
+    (eval_id, shingle) rows and the per-eval-doc shingle counts. Build it
+    ONCE (``build_eval_index``) and reuse across corpus partitions or
+    streaming micro-batches — the eval side is static by construction."""
+
+    shingles: DataFrame  # (eval_id, shingle)
+    sizes: DataFrame  # (eval_id, eval_ngrams)
+
+
+def build_eval_index(
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache: bool = True,
+) -> EvalIndex:
+    """Shingle the eval set once. With ``cache=True`` both frames are
+    Spark-cached — they are MBs by construction (benchmarks are small), and
+    every subsequent contamination check broadcasts them without
+    re-scanning the eval parquet."""
+    e = word_shingles(eval_set, n, text_col, id_col).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    if cache:
+        e = e.cache()
+        sizes = sizes.cache()
+    return EvalIndex(shingles=e, sizes=sizes)
+
+
 def ngram_contamination(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None = None,
     n: int = 8,
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: EvalIndex | None = None,
 ) -> DataFrame:
     """Per (corpus doc, eval doc) contamination report:
 
@@ -44,19 +79,21 @@ def ngram_contamination(
     in the training document (verbatim inclusion); the usual policy drops
     or flags training docs above a small threshold. Eval shingles are
     broadcast (benchmarks are small by construction); corpus shingles
-    stream through the join map-side."""
+    stream through the join map-side. Pass a prebuilt ``index``
+    (:func:`build_eval_index`) to skip re-shingling the eval side — the
+    streaming gate's per-micro-batch path."""
+    if index is None:
+        if eval_set is None:
+            raise ValueError("pass eval_set or a prebuilt index")
+        index = build_eval_index(eval_set, n, text_col, id_col, cache=False)
     c = word_shingles(corpus, n, text_col, id_col)
-    e = word_shingles(eval_set, n, text_col, id_col).withColumnRenamed(
-        "doc_id", "eval_id"
-    )
-    e_sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
     shared = (
-        c.join(F.broadcast(e), "shingle")
+        c.join(F.broadcast(index.shingles), "shingle")
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
-    return shared.join(F.broadcast(e_sizes), "eval_id").select(
+    return shared.join(F.broadcast(index.sizes), "eval_id").select(
         "doc_id",
         "eval_id",
         "n_shared",
@@ -69,11 +106,12 @@ def ngram_contamination(
 
 def decontaminate(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None = None,
     n: int = 8,
     max_contamination: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: EvalIndex | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Drop corpus documents whose contamination against ANY eval document
     exceeds ``max_contamination`` (0.0 = any shared n-gram disqualifies).
@@ -81,7 +119,9 @@ def decontaminate(
     keeping each dropped doc's WORST eval match). The drop set is built
     from :func:`ngram_contamination` and removed with a broadcast anti-join
     — the corpus is scanned, never shuffled."""
-    report = ngram_contamination(corpus, eval_set, n, 1, text_col, id_col)
+    report = ngram_contamination(
+        corpus, eval_set, n, 1, text_col, id_col, index=index
+    )
     flagged = report.filter(F.col("contamination") > max_contamination)
     worst = flagged.groupBy("doc_id").agg(
         F.max_by("eval_id", F.struct("contamination", "eval_id")).alias("eval_id"),
