@@ -184,3 +184,75 @@ def chunk_fingerprints(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling with the same DETERMINISTIC FAKE decode as
+    ``resize_media``: the payload is interpreted as consecutive row-major
+    grayscale frames of the declared dimensions (zero-padded tail frame),
+    and every ``every_k``-th frame is emitted up to ``max_frames`` —
+    (media_id, frame_idx, t_ms, frame bytes, width, height) rows, where
+    ``t_ms`` spreads the declared duration uniformly over the frames.
+
+    The Spark-side contract is the real one a decoder swap-in keeps: one
+    Arrow pass, ~1/every_k output-to-input byte ratio, frame rows fanned
+    out of a single blob row without shuffling the blob (the explode
+    happens INSIDE the task), and downstream ops key on (media_id,
+    frame_idx) — never the frame bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("t_ms", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames, ws, hs = [], [], [], [], [], []
+            for mid, blob, w, h, ms in zip(
+                pdf[id_col],
+                pdf[payload_col],
+                pdf["declared_width"],
+                pdf["declared_height"],
+                pdf["declared_ms"],
+            ):
+                w = int(w) if w and w > 0 else 8
+                h = int(h) if h and h > 0 else 8
+                ms = int(ms) if ms and ms > 0 else 0
+                b = bytes(blob)
+                fsize = w * h
+                n_frames = max(1, -(-len(b) // fsize))  # ceil, >= 1
+                buf = np.frombuffer(b, dtype=np.uint8)
+                buf = np.resize(buf, (n_frames, fsize))  # pad/tile tail
+                picked = list(range(0, n_frames, max(1, every_k)))[:max_frames]
+                for fi in picked:
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ts.append(ms * fi // n_frames)
+                    frames.append(buf[fi].tobytes())
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "t_ms": ts,
+                    "frame": frames,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return df.select(
+        id_col, payload_col, "declared_width", "declared_height", "declared_ms"
+    ).mapInPandas(sample, out_schema)

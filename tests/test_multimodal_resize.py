@@ -47,3 +47,37 @@ def test_resize_to_same_size_is_identity(spark):
     df = _media(spark).filter(F.col("media_id") == 1)
     (row,) = resize_media(df, out_width=8, out_height=6).collect()
     assert bytes(row.resized) == bytes(range(48))
+
+
+def test_sample_frames_matches_numpy_reference(spark):
+    from l1dbproto_spark.operators.multimodal import sample_frames
+
+    # 4x2 frames of 8 bytes each: 3 exact frames + one padded tail
+    rows = [
+        (1, bytes(range(26)), 4, 2, 1000),   # 26 bytes -> 4 frames (tail padded)
+        (2, bytes(range(8)), 4, 2, 500),     # exactly 1 frame
+        (3, b"\x05" * 64, 4, 2, 800),        # 8 frames
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, declared_width int,"
+        " declared_height int, declared_ms int",
+    )
+    got = {}
+    for r in sample_frames(media, every_k=2, max_frames=3).collect():
+        got.setdefault(r.media_id, []).append(
+            (r.frame_idx, r.t_ms, bytes(r.frame), r.width, r.height)
+        )
+    for mid, frames in got.items():
+        frames.sort()
+    for mid, blob, w, h, ms in rows:
+        fsize = w * h
+        n = max(1, -(-len(blob) // fsize))
+        buf = np.resize(np.frombuffer(blob, dtype=np.uint8), (n, fsize))
+        picked = list(range(0, n, 2))[:3]
+        want = [
+            (fi, ms * fi // n, buf[fi].tobytes(), w, h) for fi in picked
+        ]
+        assert got[mid] == want, mid
+    # frame counts: ceil(26/8)=4 -> picks 0,2; 1 frame -> picks 0; 8 -> 0,2,4
+    assert len(got[1]) == 2 and len(got[2]) == 1 and len(got[3]) == 3
