@@ -97,3 +97,41 @@ def test_quantization_error_bound_random(vecs):
         assert all(-127 <= q <= 127 for q in r.qvec)
         for q, x in zip(r.qvec, orig):
             assert abs(q * r.qscale - x) <= r.qscale / 2 + 1e-9
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=12),
+    chunk=st.integers(min_value=2, max_value=20),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_invariants_random(n_tokens, chunk, overlap_frac):
+    from l1dbproto_spark.operators.packing import chunk_documents
+
+    overlap = min(chunk - 1, int(chunk * overlap_frac))
+    stride = chunk - overlap
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(n_tokens)],
+        ["doc_id", "text"],
+    )
+    pdf = chunk_documents(docs, chunk, overlap).toPandas()
+    for i, n in enumerate(n_tokens):
+        g = pdf[pdf.doc_id == i].sort_values("chunk_index")
+        # dense indices, strided starts
+        assert list(g.chunk_index) == list(range(len(g)))
+        assert (g.start_tok == 1 + g.chunk_index * stride).all()
+        # every token covered: union of [start, start+n_chunk) == [1, n]
+        covered = set()
+        for st_, k in zip(g.start_tok, g.n_chunk_tokens):
+            covered |= set(range(st_, st_ + k))
+        assert covered == set(range(1, n + 1)), (i, n, chunk, overlap)
+        # all but the last window are full width
+        assert (g.n_chunk_tokens.iloc[:-1] == chunk).all()
+        # chunk text round-trips the token slice
+        for st_, k, txt in zip(g.start_tok, g.n_chunk_tokens, g.chunk_text):
+            assert txt == " ".join(f"t{j}" for j in range(st_ - 1, st_ - 1 + k))
