@@ -40,6 +40,9 @@ def clean_corpus(
     min_logprob: float | None = None,
     repetition_gate: bool = False,
     max_pii: int | None = None,
+    embeddings: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    sem_eps: float = 0.05,
 ) -> CorpusCleanResult:
     """Staged cleaning, canonical = min doc id at every dedup stage:
 
@@ -62,7 +65,14 @@ def clean_corpus(
        (``reason='exact_dup'``);
     4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
        components → only each component's min id survives
-       (``reason='near_dup'``).
+       (``reason='near_dup'``);
+    5. optional semantic dedup (``embeddings`` set — rows keyed by
+       ``id_col`` with an ``embedding`` column; ``centroids`` a
+       (cluster, centroid) table, or None to train KMeans on the
+       survivors' embeddings): SemDeDup over the survivors
+       (operators/semdedup.py) → dropped (``reason='semantic_dup'``,
+       canonical = the most-similar smaller-id survivor) — the published
+       filter → exact → fuzzy → semantic pipeline order.
 
     Scale shape: stage 3 is one uniform-key shuffle; stage 4 is the
     3-exchange inverted-index Jaccard plus O(diameter) label-propagation
@@ -156,6 +166,33 @@ def clean_corpus(
     cleaned = exact_survivors.join(
         near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+    semantic_dups = None
+    if embeddings is not None:
+        from .semdedup import semantic_dedup, semantic_dedup_trained
+
+        # embeddings must carry the corpus id under ``id_col``; restrict
+        # to survivors so the semantic stage only scans what is left
+        vecs = embeddings.join(cleaned.select(id_col), id_col, "left_semi")
+        if centroids is None:
+            _, sem_dropped = semantic_dedup_trained(
+                vecs, eps=sem_eps, id_col=id_col
+            )
+        else:
+            _, sem_dropped = semantic_dedup(
+                vecs, centroids, eps=sem_eps, id_col=id_col
+            )
+        semantic_dups = sem_dropped.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("semantic_dup").alias("reason"),
+            F.col("canonical_id"),
+        )
+        cleaned = cleaned.join(
+            semantic_dups.select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+
     dropped = too_short
     if low_quality is not None:
         dropped = dropped.unionByName(low_quality)
@@ -164,6 +201,8 @@ def clean_corpus(
     if pii_heavy is not None:
         dropped = dropped.unionByName(pii_heavy)
     dropped = dropped.unionByName(exact_dups).unionByName(near_dups)
+    if semantic_dups is not None:
+        dropped = dropped.unionByName(semantic_dups)
     return CorpusCleanResult(cleaned=cleaned, dropped=dropped)
 
 

@@ -176,3 +176,41 @@ def test_clean_corpus_pii_gate(spark):
     assert cleaned == {1, 5, 8, 10}
     assert cleaned | {d for d, _, _ in dropped} == set(range(1, 11))
     assert len(dropped) + len(cleaned) == 10
+
+
+def test_clean_corpus_semantic_stage(spark):
+    """Stage 5: SemDeDup over the survivors using a pinned quantizer —
+    embedding clones of two surviving docs are dropped with reason
+    'semantic_dup' and the right canonical; docs without embeddings pass
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    # embeddings for the three expected survivors {1, 5, 8}: 1 and 101 are
+    # identical vectors (101 is a synthetic extra doc cloned from 1)
+    extra = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over that other lazy dog today")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(extra)
+    emb_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (8, [0.0, 0.0, 1.0, 0.0]),
+        (101, [1.0, 0.0, 0.0, 0.0]),  # clone of doc 1
+    ]
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+    res = clean_corpus(
+        docs, min_tokens=3, min_jaccard=0.5, embeddings=emb, centroids=cents
+    )
+    cleaned = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert (101, "semantic_dup", 1) in dropped
+    assert cleaned == {1, 5, 8}
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 9)) | {101}
+    assert len(dropped) + len(cleaned) == 9
