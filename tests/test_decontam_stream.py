@@ -59,3 +59,30 @@ def test_bind_stream_end_to_end(spark, tmp_path):
     }
     clean, _ = decontaminate(docs, ev, n=3, max_contamination=0.0)
     assert got == {r.doc_id for r in clean.select("doc_id").collect()}
+
+
+def test_epoch_retry_overwrites_not_duplicates(spark, tmp_path):
+    """A retried foreachBatch epoch must REPLACE its own output partition:
+    simulate the retry by invoking the epoch writer twice and assert the
+    output equals one clean run (per-epoch dynamic overwrite)."""
+    docs = _docs(spark).filter(F.col("doc_id") < 100)
+    ev = _docs(spark).filter(F.col("doc_id") % 50 == 0)
+    out = str(tmp_path / "out")
+    gate = StreamingDecontamGate(spark, ev, n=3, max_contamination=0.0)
+
+    def write_epoch(batch, epoch_id):
+        admitted = gate.admit(batch).withColumn("epoch", F.lit(epoch_id))
+        (
+            admitted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out)
+        )
+
+    write_epoch(docs, 0)
+    once = spark.read.parquet(out).count()
+    write_epoch(docs, 0)  # the retry
+    again = spark.read.parquet(out)
+    assert again.count() == once
+    # no doc appears twice
+    assert again.groupBy("doc_id").count().filter("count > 1").count() == 0
