@@ -320,3 +320,35 @@ def lsh_bucketed_topk(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """In-engine ANN quality evaluation: per-query recall of an approximate
+    top-k result against the exact one — (query_id, n_exact, n_hit,
+    recall). The tuning loop for n_probe / n_bits / refine factors runs
+    this at full corpus scale instead of collecting both results to the
+    driver: one left-semi join keyed on (query, neighbor) + one per-query
+    aggregation, both uniform keys.
+
+    Pass any two frames carrying (query_col, neighbor_col) — ivf vs brute,
+    quantized vs exact, pq vs flat. Mean recall = avg(recall) over the
+    output (one more tiny aggregation)."""
+    hits = approx.select(query_col, neighbor_col).join(
+        exact.select(query_col, neighbor_col),
+        [query_col, neighbor_col],
+        "left_semi",
+    )
+    n_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_exact = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        n_exact.join(n_hit, query_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall", F.col("n_hit").cast("double") / F.col("n_exact")
+        )
+    )

@@ -32,3 +32,26 @@ def test_ivf_deterministic(spark, sf_dir):
     a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (a == b).all().all()
+
+
+def test_ann_recall_operator(spark, sf_dir):
+    """ann_recall reproduces the python-side recall computation used above,
+    entirely in-engine."""
+    from l1dbproto_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
+    rec = ann_recall(approx, exact).collect()
+    # python-side reference
+    a = set(map(tuple, approx.select("query_id", "neighbor_id").collect()))
+    e = {}
+    for r in exact.select("query_id", "neighbor_id").collect():
+        e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for row in rec:
+        want_hit = len(e[row.query_id] & {n for q, n in a if q == row.query_id})
+        assert row.n_exact == len(e[row.query_id]) == 5
+        assert row.n_hit == want_hit
+        assert abs(row.recall - want_hit / 5) < 1e-12
+    assert len(rec) == 10
