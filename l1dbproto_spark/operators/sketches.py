@@ -27,7 +27,7 @@ value-hash oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,16 +123,20 @@ def frequent_items_per_group(
     ``support``). Two aggregations, both keyed on uniform (group, value) /
     group keys with map-side partial combine; the output is bounded by
     ``groups / min_support`` rows total, so the result set stays small at
-    any input scale (the exact-counting analogue of a count-min pass)."""
+    any input scale (the exact-counting analogue of a count-min pass).
+
+    The input is scanned ONCE: group totals come from a window over the
+    already-aggregated (group, item) counts — sum(item_count) per group —
+    not a second pass over the raw rows, so everything after the first
+    aggregation operates on the distinct-item table, never the corpus."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     counts = df.groupBy(*group_cols, F.col(value_col).alias("item")).agg(
         F.count(F.lit(1)).alias("item_count")
     )
-    totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("group_count"))
-    # totals has one row per group — AQE broadcasts it when small
+    w = Window.partitionBy(*group_cols)
     return (
-        counts.join(totals, group_cols)
+        counts.withColumn("group_count", F.sum("item_count").over(w))
         .withColumn(
             "support", F.col("item_count").cast("double") / F.col("group_count")
         )

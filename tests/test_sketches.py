@@ -144,3 +144,13 @@ def test_sketch_aggs_partial_aggregate(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert len(re.findall(r"Exchange hash", plan)) == 1, plan
         assert "partial" in plan.lower(), plan
+
+
+def test_frequent_items_single_scan(spark):
+    """Heavy hitters must scan the corpus ONCE: the group totals window
+    over the aggregated counts, never a second FileScan of the input."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = frequent_items_per_group(li, "l_returnflag", "l_quantity", 0.015)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
