@@ -44,18 +44,23 @@ def unigram_logprob_scores(
     with add-s smoothing over the corpus vocabulary (V types, N tokens).
     Output: (``id_col``, mean_logprob, n_tokens).
 
-    Plan shape at 100 TB: one corpus token aggregation (uniform keys) for
-    the distribution, one tf aggregation per doc, one join threading the
-    token log-probs back through the per-doc tf rows (AQE decides
-    broadcast vs shuffle — a web-scale vocabulary is not bounded). The
-    (N, V) totals are a 1-row aggregate joined back by broadcast, so the
-    whole plan is lazy and cluster-side — no driver collect. ln() inputs
-    are integer-derived doubles in identical operand order and the mean is
-    one division, so a DuckDB oracle matches after a 9-decimal round."""
+    Plan shape at 100 TB: the corpus is scanned ONCE — the per-doc tf
+    aggregation is the only operator that touches raw text, and both the
+    vocabulary counts (``sum(tf)`` per term) and the (N, V) totals derive
+    from the tf table, whose shuffle every branch shares — the DAG
+    scheduler skips the duplicate map stages at runtime (r4 fix; the
+    earlier form aggregated the corpus separately per branch with
+    differing projections, which defeated reuse: 3 real scans). The totals are a 1-row
+    aggregate joined back by broadcast; the vocab join is AQE-decided
+    (a web-scale vocabulary is not bounded). No driver collect anywhere.
+    ln() inputs are integer-derived doubles in identical operand order and
+    the mean is one division, so a DuckDB oracle matches after a 9-decimal
+    round."""
     words = docs.select(
         F.col(id_col), F.explode(_words(F.lower(F.col(text_col)))).alias("term")
     )
-    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").cast("double").alias("_n_tok"),
         F.count(F.lit(1)).cast("double").alias("_v"),
@@ -65,7 +70,6 @@ def unigram_logprob_scores(
         / (F.col("_n_tok") + F.lit(smoothing) * F.col("_v"))
     )
     lp = vocab.crossJoin(F.broadcast(totals)).select("term", logp.alias("lp"))
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tf.join(lp, "term")
         .groupBy(id_col)

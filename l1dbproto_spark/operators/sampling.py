@@ -160,12 +160,17 @@ def temperature_rates(
 
     One count aggregation (uniform keys) + arithmetic on the one-row
     totals — the rate table is small by construction (one row per
-    source). Deterministic given the corpus, so the composed
-    sample stays engine-reproducible (DuckDB oracle in
-    tests/test_sampling.py)."""
+    source). The per-source counts are locally checkpointed: every
+    downstream branch (totals, shares, the wmax scaling) references the
+    SAME materialized O(sources)-row table instead of re-running the
+    corpus aggregation per branch — without it the composed sample paid
+    4 full corpus scans for the rate table alone (r4 fix; the branches'
+    differing projections defeat exchange reuse). Deterministic given the
+    corpus, so the composed sample stays engine-reproducible (DuckDB
+    oracle in tests/test_sampling.py)."""
     counts = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         F.sum("n_docs").alias("_n"),
         F.sum(F.pow(F.col("n_docs"), F.lit(0.0) + alpha)).alias("_za"),
