@@ -298,9 +298,19 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-vs-eval n-gram contamination (operators/contamination.py):
     eval set = every 50th document, word 3-grams, pairs sharing >= 2
     distinct shingles. The eval shingle set is broadcast — the corpus side
-    is scanned, never shuffled for the join."""
-    from ..operators.contamination import ngram_contamination
+    is scanned, never shuffled for the join. Because this demo carves the
+    eval set out of the corpus itself, the eval index is built by
+    FILTERING the corpus shingle stream (identical subtree → the runtime
+    skips the duplicate shingle stages) instead of re-shingling a second
+    scan; a production eval set is a separate tiny table and builds its
+    index directly."""
+    from ..operators.contamination import EvalIndex, ngram_contamination
 
     docs = load_table(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    return ngram_contamination(docs, ev, n=3, min_overlap=2)
+    sh = word_shingles(docs, 3)
+    esh = sh.filter(F.col("doc_id") % 50 == 0).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    sizes = esh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    index = EvalIndex(shingles=esh, sizes=sizes)
+    return ngram_contamination(docs, n=3, min_overlap=2, index=index)

@@ -166,14 +166,19 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency x ln(N/df), top-3 terms per document.
 
-    Three aggregations (tf, df, N) joined back. The df-side join strategy is
-    left to AQE: a web-scale vocabulary (URLs, typos, code tokens) is NOT
-    bounded, so a forced broadcast of the document-frequency table would OOM
-    at 100 TB — AQE broadcasts it when its runtime size is actually small
-    and falls back to a shuffle join otherwise (the tf-side shuffle is
-    intrinsic either way). tfidf rounded to 6 decimals (ln() may differ by
-    an ulp between libm implementations); the top-3 rank uses the rounded
-    value with a term tie-break, so ordering is engine-identical."""
+    The corpus is scanned ONCE: document frequency derives from the tf
+    table (one row per (doc, term), so rows-per-term == distinct docs),
+    and both branches share the tf shuffle — the DAG scheduler skips the
+    duplicate map stage at runtime (r4 fix; the earlier independent
+    ``words.groupBy(term).countDistinct`` branch re-scanned the corpus).
+    The df-side join strategy is left to AQE: a web-scale vocabulary
+    (URLs, typos, code tokens) is NOT bounded, so a forced broadcast of
+    the document-frequency table would OOM at 100 TB — AQE broadcasts it
+    when its runtime size is actually small and falls back to a shuffle
+    join otherwise (the tf-side shuffle is intrinsic either way). tfidf
+    rounded to 6 decimals (ln() may differ by an ulp between libm
+    implementations); the top-3 rank uses the rounded value with a term
+    tie-break, so ordering is engine-identical."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -181,7 +186,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # plan constant (tiny driver-side count)
     scored = tf.join(df, "term").select(
         "doc_id",
