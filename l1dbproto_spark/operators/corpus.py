@@ -79,7 +79,16 @@ def clean_corpus(
     rounds — nothing quadratic anywhere. The optional quality gate adds two
     token aggregations (distribution + per-doc score) over stage-1
     survivors; the repetition gate one (doc, gram) aggregation + per-doc
-    join. The stages short-circuit: later stages only scan survivors."""
+    join. The stages short-circuit: later stages only scan survivors.
+
+    Each gate's failing-id set (and the near/semantic drop logs) is
+    locally checkpointed: every stage's signal computation EMBEDS the
+    surviving-corpus subtree, so without the lineage cut each additional
+    gate doubled the static plan (measured: 48-72 corpus-scan references
+    with all gates on) and recomputed earlier gates per branch. The
+    checkpointed frames are id-sized, the survivor chain stays a linear
+    sequence of anti-joins, and each gate's work runs exactly once across
+    BOTH returned frames."""
     n_tok = whitespace_token_count(F.col(text_col))
     long_enough = docs.filter(n_tok >= min_tokens)
     too_short = docs.filter(n_tok < min_tokens).select(
@@ -95,7 +104,11 @@ def clean_corpus(
         scores = unigram_logprob_scores(
             long_enough, text_col=text_col, id_col=id_col
         )
-        failing = scores.filter(F.col("mean_logprob") < min_logprob).select(id_col)
+        failing = (
+            scores.filter(F.col("mean_logprob") < min_logprob)
+            .select(id_col)
+            .localCheckpoint(eager=False)
+        )
         low_quality = failing.select(
             F.col(id_col).alias("doc_id"),
             F.lit("low_quality").alias("reason"),
@@ -108,7 +121,11 @@ def clean_corpus(
         from .quality import repetition_signals
 
         rep = repetition_signals(long_enough, text_col=text_col, id_col=id_col)
-        failing_rep = rep.filter(~F.col("passes_repetition")).select(id_col)
+        failing_rep = (
+            rep.filter(~F.col("passes_repetition"))
+            .select(id_col)
+            .localCheckpoint(eager=False)
+        )
         repetitive = failing_rep.select(
             F.col(id_col).alias("doc_id"),
             F.lit("repetitive").alias("reason"),
@@ -121,7 +138,11 @@ def clean_corpus(
         from .pii import pii_signals
 
         sig = pii_signals(long_enough, text_col=text_col)
-        failing_pii = sig.filter(F.col("n_pii") > max_pii).select(id_col)
+        failing_pii = (
+            sig.filter(F.col("n_pii") > max_pii)
+            .select(id_col)
+            .localCheckpoint(eager=False)
+        )
         pii_heavy = failing_pii.select(
             F.col(id_col).alias("doc_id"),
             F.lit("pii").alias("reason"),
@@ -162,7 +183,7 @@ def clean_corpus(
         F.col("node").alias("doc_id"),
         F.lit("near_dup").alias("reason"),
         F.col("component").alias("canonical_id"),
-    )
+    ).localCheckpoint(eager=False)
     cleaned = exact_survivors.join(
         near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
@@ -186,7 +207,7 @@ def clean_corpus(
             F.col(id_col).alias("doc_id"),
             F.lit("semantic_dup").alias("reason"),
             F.col("canonical_id"),
-        )
+        ).localCheckpoint(eager=False)
         cleaned = cleaned.join(
             semantic_dups.select(F.col("doc_id").alias(id_col)),
             id_col,

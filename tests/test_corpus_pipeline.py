@@ -214,3 +214,19 @@ def test_clean_corpus_semantic_stage(spark):
     assert cleaned == {1, 5, 8}
     assert cleaned | {d for d, _, _ in dropped} == set(range(1, 9)) | {101}
     assert len(dropped) + len(cleaned) == 9
+
+
+def test_clean_corpus_gated_plan_stays_linear(spark):
+    """The all-gates plan must not re-embed the corpus subtree per stage:
+    the returned frames reference the documents scan a bounded number of
+    times (pre-fix: 48/72 references — exponential in the gate count)."""
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    res = clean_corpus(
+        docs, min_tokens=3, min_jaccard=0.5, min_logprob=-12.0,
+        repetition_gate=True, max_pii=2,
+    )
+    for df in (res.cleaned, res.dropped):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") <= 4, plan.count("documents.parquet")
