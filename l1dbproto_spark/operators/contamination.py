@@ -123,10 +123,13 @@ def decontaminate(
         corpus, eval_set, n, 1, text_col, id_col, index=index
     )
     flagged = report.filter(F.col("contamination") > max_contamination)
+    # the drop log is id-sized but feeds BOTH outputs (returned directly
+    # and anti-joined into the clean corpus) — checkpoint it so the
+    # corpus-scale shingle join behind it runs once, not once per output
     worst = flagged.groupBy("doc_id").agg(
         F.max_by("eval_id", F.struct("contamination", "eval_id")).alias("eval_id"),
         F.max("contamination").alias("contamination"),
-    )
+    ).localCheckpoint(eager=False)
     clean = corpus.join(
         F.broadcast(worst.select("doc_id")), id_col, "left_anti"
     )

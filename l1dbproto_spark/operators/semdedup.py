@@ -117,12 +117,14 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         vectors, centroids, eps, vec_col, id_col, dim
     )
+    # id-sized drop log consumed by both outputs — checkpoint so the
+    # within-cluster pair join behind it runs once, not once per output
     dropped = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.max_by(
             "id_a", F.struct(F.col("cosine_sim"), (-F.col("id_a")).alias("na"))
         ).alias("canonical_id"),
         F.max("cosine_sim").alias("cosine_sim"),
-    )
+    ).localCheckpoint(eager=False)
     kept = vectors.join(
         F.broadcast(dropped.select(id_col)), id_col, "left_anti"
     )
