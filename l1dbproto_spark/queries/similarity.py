@@ -259,11 +259,15 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # the index artifacts are tiny (16 centroids, m*k_codes=128 codebook
+    # rows) but feed several plan branches (assignment, encoding, LUTs) —
+    # checkpoint them, modeling the production shape where both are
+    # PREBUILT tables, so their derivation runs once instead of per branch
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("embedding").alias("centroid"),
-    )
-    cb = pq_codebooks(emb, m=8, k_codes=16, dim=64)
+    ).localCheckpoint(eager=False)
+    cb = pq_codebooks(emb, m=8, k_codes=16, dim=64).localCheckpoint(eager=False)
     return _ivf_pq(
         emb, queries, centroids, cb, k=5, n_probe=2, refine=4,
         m=8, k_codes=16, dim=64,
