@@ -164,7 +164,7 @@ def clean_corpus(
         F.col(id_col).alias("doc_id"),
         F.lit("exact_dup").alias("reason"),
         "canonical_id",
-    )
+    ).localCheckpoint(eager=False)
     exact_survivors = with_canon.filter(F.col(id_col) == F.col("canonical_id")).drop(
         "_fp", "canonical_id"
     )
