@@ -195,7 +195,8 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling with the same DETERMINISTIC FAKE decode as
     ``resize_media``: the payload is interpreted as consecutive row-major
-    grayscale frames of the declared dimensions (zero-padded tail frame),
+    grayscale frames of the declared dimensions (the short tail frame is
+    tiled from the buffer start, like resize_media's fake decode),
     and every ``every_k``-th frame is emitted up to ``max_frames`` —
     (media_id, frame_idx, t_ms, frame bytes, width, height) rows, where
     ``t_ms`` spreads the declared duration uniformly over the frames.
@@ -233,7 +234,7 @@ def sample_frames(
                 fsize = w * h
                 n_frames = max(1, -(-len(b) // fsize))  # ceil, >= 1
                 buf = np.frombuffer(b, dtype=np.uint8)
-                buf = np.resize(buf, (n_frames, fsize))  # pad/tile tail
+                buf = np.resize(buf, (n_frames, fsize))  # fake decode: tile tail
                 picked = list(range(0, n_frames, max(1, every_k)))[:max_frames]
                 for fi in picked:
                     ids.append(mid)
