@@ -131,6 +131,8 @@ def decontaminate(
         F.max("contamination").alias("contamination"),
     ).localCheckpoint(eager=False)
     clean = corpus.join(
-        F.broadcast(worst.select("doc_id")), id_col, "left_anti"
+        F.broadcast(worst.select(F.col("doc_id").alias(id_col))),
+        id_col,
+        "left_anti",
     )
     return clean, worst

@@ -120,3 +120,21 @@ def test_decontaminate_threshold_keeps_light_overlap(spark):
     }
     for r in dropped.collect():
         assert round(r.contamination, 9) == worst[r.doc_id]
+
+
+def test_decontaminate_custom_id_col(spark):
+    """The report canonicalizes ids to 'doc_id' (word_shingles contract),
+    but the clean side must anti-join on the CALLER's id column."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta iota")],
+        ["my_id", "text"],
+    )
+    ev = docs.filter(F.col("my_id") == 1)
+    clean, worst = decontaminate(docs, ev, n=3, id_col="my_id")
+    assert clean.columns == docs.columns
+    kept = {r.my_id for r in clean.collect()}
+    dropped = {r.doc_id for r in worst.collect()}
+    assert 1 in dropped  # self-inclusion
+    assert 3 in dropped  # contains all of doc 1's trigrams
+    assert kept == {2}
