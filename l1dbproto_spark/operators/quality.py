@@ -206,7 +206,11 @@ def repetition_signals(
             F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", "")),
         )
     )
-    grams = shingle_rows(docs, ngram_n, text_col, id_col)
+    # shingle_rows canonicalizes the id column to "doc_id" — rename it back
+    # so callers with a custom id_col aggregate and join on their own key
+    grams = shingle_rows(docs, ngram_n, text_col, id_col).withColumnRenamed(
+        "doc_id", id_col
+    )
     top = (
         grams.groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("_cnt"))

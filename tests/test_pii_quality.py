@@ -275,3 +275,16 @@ def test_repetition_signals_match_oracle(spark):
     assert all(got[d][1] > 0 for d in seeded_dup)
     flags = {v[-1] for v in got.values()}
     assert flags == {True, False}
+
+
+def test_repetition_signals_custom_id_col(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham"), (2, "one two three four")],
+        ["my_id", "text"],
+    )
+    got = {
+        r.my_id: (r.top_ngram, r.top_ngram_count, r.passes_repetition)
+        for r in repetition_signals(docs, id_col="my_id").collect()
+    }
+    assert got[1][0] == "spam ham" and got[1][1] == 4 and not got[1][2]
+    assert got[2][1] == 1 and got[2][2]
