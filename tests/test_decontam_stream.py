@@ -86,3 +86,22 @@ def test_epoch_retry_overwrites_not_duplicates(spark, tmp_path):
     assert again.count() == once
     # no doc appears twice
     assert again.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_bind_stream_restart_is_noop(spark, tmp_path):
+    """Restarting the bound stream against its checkpoint reprocesses
+    nothing: the output is unchanged after a second run over the same
+    source."""
+    docs = _docs(spark).filter(F.col("doc_id") < 150)
+    ev = _docs(spark).filter(F.col("doc_id") % 50 == 0)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    docs.write.parquet(src)
+    gate = StreamingDecontamGate(spark, ev, n=3)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gate.bind_stream(stream, out).awaitTermination(120)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # second run: same source, same checkpoint -> no new epoch, same rows
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gate.bind_stream(stream2, out).awaitTermination(120)
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == second
