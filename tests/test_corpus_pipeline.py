@@ -230,3 +230,18 @@ def test_clean_corpus_gated_plan_stays_linear(spark):
     for df in (res.cleaned, res.dropped):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") <= 4, plan.count("documents.parquet")
+
+
+def test_clean_corpus_custom_id_col(spark):
+    """The full staged cleaner works with a non-default id column (the
+    drop log canonicalizes to 'doc_id'; survivors keep the caller's
+    schema)."""
+    rows = [(r.doc_id, r.text) for r in _corpus(spark).collect()]
+    docs = spark.createDataFrame(rows, ["my_id", "text"])
+    res = clean_corpus(docs, min_tokens=3, min_jaccard=0.5, id_col="my_id")
+    cleaned = {r.my_id for r in res.cleaned.collect()}
+    dropped = {(r.doc_id, r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert res.cleaned.columns == docs.columns
+    assert cleaned == {1, 5, 8}
+    assert (2, "exact_dup", 1) in dropped and (7, "near_dup", 5) in dropped
+    assert cleaned | {d for d, _, _ in dropped} == set(range(1, 9))
