@@ -55,3 +55,27 @@ def test_ann_recall_operator(spark, sf_dir):
         assert row.n_hit == want_hit
         assert abs(row.recall - want_hit / 5) < 1e-12
     assert len(rec) == 10
+
+
+def test_ivf_recall_monotonic_in_probes(spark, sf_dir):
+    """Probing more clusters only ADDS candidates, so mean recall against
+    the exact top-k is non-decreasing in n_probe — the tuning invariant
+    ann_recall exists to measure, computed fully in-engine."""
+    from l1dbproto_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    means = []
+    for probe in (1, 2, 4, 8):
+        approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=probe, seed=7)
+        m = (
+            ann_recall(approx, exact)
+            .agg(F.avg("recall").alias("m"))
+            .collect()[0]
+            .m
+        )
+        means.append(m)
+    assert all(b >= a - 1e-12 for a, b in zip(means, means[1:])), means
+    # probing every cluster IS the exact scan: recall 1.0
+    assert abs(means[-1] - 1.0) < 1e-12, means

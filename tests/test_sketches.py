@@ -154,3 +154,16 @@ def test_frequent_items_single_scan(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_hll_sketch_parquet_roundtrip(spark, tmp_path):
+    """The sketch column survives a parquet write/read and still merges —
+    the store-now-aggregate-later contract a metrics layer relies on."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    per_flag = hll_rollup(li, "l_returnflag", "l_orderkey")
+    path = str(tmp_path / "sketches")
+    per_flag.select("l_returnflag", "hll_sketch").write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    merged = hll_estimate(reloaded).collect()[0].approx_distinct
+    direct = hll_estimate(per_flag).collect()[0].approx_distinct
+    assert merged == direct
