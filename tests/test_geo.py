@@ -92,3 +92,36 @@ def test_dec_poles(spark):
     df = spark.createDataFrame([(0.0, 0.0, 1.0), (0.0, 0.0, -1.0)], "x double, y double, z double")
     out = [r["dec"] for r in df.select(xyz_to_dec(F.col("z")).alias("dec")).collect()]
     assert out == [90.0, -90.0]
+
+
+def test_cone_crossmatch_matches_exact_oracle(spark):
+    """The unregistered standalone cone filter (COVERAGE P1) against the
+    exact DuckDB cone predicate — same derived points, same constants.
+    sf0.01: the cone is empty at sf0.001's order count."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    from l1dbproto_spark.queries.geo import (
+        _CX, _CY, _CZ, _COS_T, _D2R, _DERIVED_SQL, cone_crossmatch,
+    )
+
+    got = sorted(r.o_orderkey for r in cone_crossmatch(spark, sf_dir).collect())
+    want = sorted(
+        row[0]
+        for row in duckdb.sql(
+            f"""
+            WITH derived AS ({_DERIVED_SQL.replace('orders', f"'{sf_dir}/orders.parquet'")}),
+            xyz AS (
+              SELECT o_orderkey,
+                cos(dec * {_D2R}) * cos(ra * {_D2R}) AS x,
+                cos(dec * {_D2R}) * sin(ra * {_D2R}) AS y,
+                sin(dec * {_D2R}) AS z
+              FROM derived
+            )
+            SELECT o_orderkey FROM xyz
+            WHERE x * {_CX!r} + y * {_CY!r} + z * {_CZ!r} > {_COS_T}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
