@@ -16,6 +16,7 @@ via Spark jobs.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 class TableFS:
@@ -47,6 +48,55 @@ class TableFS:
         if not self._fs.exists(p):
             return []
         return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def partition_file_counts(self, path: str) -> dict[str, int]:
+        """Parquet data files per hive partition directory under ``path`` —
+        the small-file health metric (driver-side FS metadata only, no
+        Spark job). Mirrors ApdbSpark.partition_file_counts for any
+        hive-partitioned store."""
+        counts: dict[str, int] = {}
+        for child in self.list_names(path):
+            if "=" not in child:
+                continue
+            counts[child] = sum(
+                1
+                for name in self.list_names(f"{path}/{child}")
+                if name.endswith(".parquet")
+            )
+        return counts
+
+    def compact_store(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: str,
+        part_col: str,
+        sort_cols: list[str] | None = None,
+        num_tasks: int = 64,
+    ) -> None:
+        """Fold an append-per-batch hive-partitioned store back to ONE data
+        file per partition directory: each micro-batch append leaves one
+        file per touched partition, so read fan-in grows linearly with
+        batch count until this rewrite folds it back. ``repartition`` on
+        the partition column routes every value to exactly one of
+        ``num_tasks`` tasks, so the partitioned write emits one file per
+        value; ``num_tasks`` only bounds rewrite parallelism. The read is
+        pinned (localCheckpoint) before the same-path overwrite — the
+        standard read-then-overwrite hazard guard, same as
+        ApdbSpark.compact. Partition-scoped maintenance, run OUTSIDE the
+        per-batch hot path (a scheduled job at scale); rows are preserved
+        exactly, so store semantics are unchanged."""
+        if not self.has_parquet_file(path):
+            return
+        df = spark.read.schema(schema).parquet(path)
+        compacted = df.repartition(num_tasks, F.col(part_col)).localCheckpoint(
+            eager=True
+        )
+        if sort_cols:
+            compacted = compacted.sortWithinPartitions(part_col, *sort_cols)
+        compacted.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(path)
 
     def has_parquet_file(self, path: str) -> bool:
         """True when any .parquet data file exists under path (recursive) —

@@ -117,8 +117,12 @@ def decontaminate(
     exceeds ``max_contamination`` (0.0 = any shared n-gram disqualifies).
     Returns (clean corpus, drop log of (doc_id, eval_id, contamination)
     keeping each dropped doc's WORST eval match). The drop set is built
-    from :func:`ngram_contamination` and removed with a broadcast anti-join
-    — the corpus is scanned, never shuffled."""
+    from :func:`ngram_contamination` and removed with an anti-join that
+    carries NO broadcast hint: how many corpus docs touch an eval shingle
+    is data-dependent (a template leak can flag a large corpus fraction),
+    so a mandatory broadcast would OOM executors at scale. AQE broadcasts
+    when the drop set is genuinely small and shuffles otherwise
+    (plan-asserted in test_contamination.py)."""
     report = ngram_contamination(
         corpus, eval_set, n, 1, text_col, id_col, index=index
     )
@@ -131,8 +135,6 @@ def decontaminate(
         F.max("contamination").alias("contamination"),
     ).localCheckpoint(eager=False)
     clean = corpus.join(
-        F.broadcast(worst.select(F.col("doc_id").alias(id_col))),
-        id_col,
-        "left_anti",
+        worst.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
     return clean, worst

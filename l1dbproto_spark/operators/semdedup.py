@@ -112,8 +112,15 @@ def semantic_dedup(
     vector's most-similar smaller-id neighbor, ties to the smallest id).
 
     Drop rule: id_b is dropped iff some same-cluster id_a < id_b has
-    ``cos(a, b) >= 1 - eps``. One aggregation over the pair stream + a
-    broadcast anti-join — no iteration, no driver collect."""
+    ``cos(a, b) >= 1 - eps``. One aggregation over the pair stream + an
+    anti-join — no iteration, no driver collect.
+
+    The anti-join deliberately carries NO broadcast hint: the drop set is a
+    data-dependent fraction of the corpus (SemDeDup's published operating
+    points drop 20-50% of documents), so forcing a broadcast would OOM
+    executors at real scale. AQE sizes the join at runtime — it broadcasts
+    when the drop set is genuinely small and falls back to a shuffled
+    anti-join when it is not (plan-asserted in test_semdedup.py)."""
     pairs = semantic_dedup_pairs(
         vectors, centroids, eps, vec_col, id_col, dim
     )
@@ -125,9 +132,7 @@ def semantic_dedup(
         ).alias("canonical_id"),
         F.max("cosine_sim").alias("cosine_sim"),
     ).localCheckpoint(eager=False)
-    kept = vectors.join(
-        F.broadcast(dropped.select(id_col)), id_col, "left_anti"
-    )
+    kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
     return kept, dropped
 
 

@@ -15,8 +15,12 @@ Scale: the fingerprint store is hive-partitioned by the leading byte of the
 md5 (256 buckets); each batch collects its distinct fp_bucket values
 (driver-tiny, at most 256 strings) and filters the store read with them, so
 the scan carries a real PartitionFilter and lists/scans only the touched
-partitions (asserted by tests/test_doc_dedup_stream.py). The store's
-per-partition file count is bounded by compaction like any APDB table.
+partitions (asserted by tests/test_doc_dedup_stream.py). Each admit appends
+one file per touched partition, so both gates expose
+``partition_file_counts()`` / ``compact()`` / ``maintenance()``
+(TableFS.compact_store — the same fold-to-one-file rewrite ApdbSpark
+tables get) to keep the per-partition file count bounded; run
+``maintenance()`` on a schedule outside the per-batch hot path.
 Fingerprints are uniform by construction: no skew at any corpus size.
 
 Restart/retry safety: fingerprints are persisted before the caller writes
@@ -154,6 +158,32 @@ class StreamingDocDedup:
             F.col("keep_doc_id").alias(self.id_col),
             "n_copies_in_batch",
         )
+
+    def partition_file_counts(self) -> dict[str, int]:
+        """Data files per fp_bucket partition (driver FS metadata only)."""
+        return self._fs.partition_file_counts(self.store_path)
+
+    def compact(self) -> None:
+        """Fold the fingerprint store to one file per fp_bucket partition
+        (rows preserved exactly — admit semantics unchanged)."""
+        self._fs.compact_store(
+            self.spark,
+            self.store_path,
+            self._STORE_SCHEMA,
+            "fp_bucket",
+            sort_cols=["fingerprint"],
+        )
+
+    def maintenance(self, max_files_per_partition: int = 8) -> bool:
+        """Compact when the worst partition exceeds the file threshold;
+        returns True when a compaction ran. The gate-store analog of
+        ApdbSpark.maintenance — call it every N batches or on a timer,
+        never inside admit()."""
+        counts = self.partition_file_counts()
+        if counts and max(counts.values()) > max_files_per_partition:
+            self.compact()
+            return True
+        return False
 
     def bind_stream(self, doc_stream: DataFrame, output_path: str):
         """Wire the gate into a Structured Streaming query: admitted rows
@@ -310,3 +340,27 @@ class StreamingNearDupGate:
             self.store_path
         )
         return admitted
+
+    def partition_file_counts(self) -> dict[str, int]:
+        """Data files per bkt_pfx partition (driver FS metadata only)."""
+        return self._fs.partition_file_counts(self.store_path)
+
+    def compact(self) -> None:
+        """Fold the bucket store to one file per bkt_pfx partition (rows
+        preserved exactly — admit semantics unchanged)."""
+        self._fs.compact_store(
+            self.spark,
+            self.store_path,
+            self._STORE_SCHEMA,
+            "bkt_pfx",
+            sort_cols=["band", "bucket"],
+        )
+
+    def maintenance(self, max_files_per_partition: int = 8) -> bool:
+        """Compact when the worst partition exceeds the file threshold;
+        returns True when a compaction ran (see StreamingDocDedup.maintenance)."""
+        counts = self.partition_file_counts()
+        if counts and max(counts.values()) > max_files_per_partition:
+            self.compact()
+            return True
+        return False

@@ -138,3 +138,37 @@ def test_decontaminate_custom_id_col(spark):
     assert 1 in dropped  # self-inclusion
     assert 3 in dropped  # contains all of doc 1's trigrams
     assert kept == {2}
+
+
+def test_decontaminate_anti_join_not_forced_broadcast(spark):
+    """The clean-side anti-join must carry NO broadcast hint: how many
+    corpus docs touch an eval shingle is data-dependent (a template leak
+    can flag a large corpus fraction), so a mandatory broadcast OOMs
+    executors at scale. With the broadcast threshold disabled the planner
+    must be free to pick a shuffled anti-join — a lingering F.broadcast
+    hint would still show BroadcastHashJoin on the drop set and fail.
+    (The EVAL-side joins inside the report keep their hints: benchmarks
+    are MB-sized by construction.)"""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        for k in saved:
+            conf.set(k, "-1")
+        clean, _ = decontaminate(docs, _eval_set(docs), n=3)
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert not any("BroadcastHashJoin" in ln for ln in anti), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -217,3 +217,75 @@ def test_near_dup_store_scan_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "bkt_pfx" in pf, plan
+
+
+def test_gate_store_compaction_bounds_files_and_preserves_admission(
+    spark, tmp_path
+):
+    """The bounded-file-count claim (doc_dedup.py module docstring): N
+    appended micro-batches leave up to N files in a touched partition;
+    maintenance() folds every partition back to exactly 1 file, the store
+    rows are preserved exactly, and admission behaves identically after
+    the rewrite (duplicates still rejected, fresh content admitted)."""
+    path = str(tmp_path / "fp_store")
+    gate = StreamingDocDedup(spark, path)
+    n_batches = 10
+    for b in range(n_batches):
+        # distinct text per batch, constant fp_bucket spread
+        assert gate.admit(
+            _docs(spark, [(b * 10 + i, f"unique text {b} {i}") for i in range(20)])
+        ).count() == 20
+    before = gate.partition_file_counts()
+    assert before and max(before.values()) > 1
+    store_before = {
+        (r.fp_bucket, r.fingerprint, r.keep_doc_id, r.epoch)
+        for r in gate.seen().collect()
+    }
+    assert gate.maintenance(max_files_per_partition=1) is True
+    after = gate.partition_file_counts()
+    assert after and set(after) == set(before)
+    assert max(after.values()) == 1, after
+    # rows preserved exactly
+    store_after = {
+        (r.fp_bucket, r.fingerprint, r.keep_doc_id, r.epoch)
+        for r in gate.seen().collect()
+    }
+    assert store_after == store_before
+    # admission semantics unchanged: old duplicate rejected, fresh admitted
+    assert gate.admit(_docs(spark, [(9001, "unique text 0 0")])).count() == 0
+    assert gate.admit(_docs(spark, [(9002, "never seen before")])).count() == 1
+    # below threshold -> no-op (the fresh admits above add at most one
+    # file to their buckets, still within a threshold of 2)
+    assert gate.maintenance(max_files_per_partition=2) is False
+
+
+def test_near_dup_gate_store_compaction(spark, tmp_path):
+    """Same bounded-file-count contract for the LSH bucket store."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    path = str(tmp_path / "bkt_store")
+    gate = StreamingNearDupGate(spark, path)
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "completely different content about spark partition pruning at scale",
+        "a third unrelated document discussing minhash signatures and bands",
+        "yet another body of text on streaming gates and bucket stores",
+    ]
+    for b, t in enumerate(texts):
+        assert gate.admit(_docs(spark, [(b, t + f" tail {b}")])).count() == 1
+    before = gate.partition_file_counts()
+    store_before = {
+        (r.bkt_pfx, r.band, r.bucket, r.doc_id, r.epoch)
+        for r in gate.seen_buckets().collect()
+    }
+    gate.compact()
+    after = gate.partition_file_counts()
+    assert after and set(after) == set(before)
+    assert max(after.values()) == 1, after
+    store_after = {
+        (r.bkt_pfx, r.band, r.bucket, r.doc_id, r.epoch)
+        for r in gate.seen_buckets().collect()
+    }
+    assert store_after == store_before
+    # near-dup of an admitted doc still rejected after the rewrite
+    assert gate.admit(_docs(spark, [(100, texts[0] + " tail 0")])).count() == 0

@@ -138,6 +138,36 @@ def test_semantic_dedup_drops_clones(spark):
     assert kept.columns == corpus.columns
 
 
+def test_semantic_dedup_anti_join_not_forced_broadcast(spark):
+    """The kept-side anti-join must carry NO broadcast hint: the drop set
+    is a data-dependent corpus fraction (20-50% at SemDeDup's published
+    operating points), so a mandatory broadcast OOMs executors at scale.
+    With the broadcast threshold disabled the planner must be free to pick
+    a shuffled anti-join — a lingering F.broadcast hint would still show
+    BroadcastHashJoin here and fail."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            conf.set(k, "-1")
+        kept, _ = semantic_dedup(_corpus(spark), _centroids(spark), eps=0.05)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "LeftAnti" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_semantic_dedup_trained_drops_clones(spark):
     """The KMeans-trained path: clones are identical vectors, so whatever
     the trained quantizer looks like they share their original's cluster
@@ -152,3 +182,68 @@ def test_semantic_dedup_trained_drops_clones(spark):
     kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
     assert kept_ids.isdisjoint(drop_rows)
     assert len(kept_ids) + len(drop_rows) == corpus.count()
+
+
+def test_semantic_dedup_high_drop_rate_at_scale(spark):
+    """Stress the drop-set path at SemDeDup's published operating points
+    (20-50% drops) on sf0.1-scale row counts: a 30k-row corpus built from
+    the sf0.1 embeddings where HALF of every base vector's replicas are
+    exact clones, so >=40% of the corpus is guaranteed to drop. Guards the
+    no-forced-broadcast fix: the cleaned-side plan must stay a plain
+    anti-join (no nested-loop/cartesian fallback) and complete in bounded
+    time even when the "small" side is a large corpus fraction."""
+    import time
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # 15 replicas per base vector: r in [0,7) exact clones (6 of each 7
+    # guaranteed dropped against the min-id), r in [7,15) perturbed with
+    # deterministic noise ~1.7x the unit vector norm -> cosine far below
+    # the 0.95 keep threshold
+    corpus = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(14))).alias("r"),
+        )
+        .select(
+            (F.col("vec_id") * 15 + F.col("r")).alias("vec_id"),
+            F.when(F.col("r") < 7, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + 0.3
+                    * F.sin(
+                        F.col("vec_id") * 1.7 + F.col("r") * 13.37 + i * 0.61
+                    ),
+                )
+            )
+            .alias("embedding"),
+        )
+    )
+    # pinned quantizer: every 8th base vector -> 250 clusters of ~120 rows
+    cents = (
+        emb.filter(F.col("vec_id") % 8 == 0)
+        .select(
+            (F.col("vec_id") / 8).cast("int").alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    t0 = time.monotonic()
+    kept, dropped = semantic_dedup(corpus, cents, eps=0.05)
+    n_kept, n_dropped = kept.count(), dropped.count()
+    elapsed = time.monotonic() - t0
+    total = 2000 * 15
+    assert n_kept + n_dropped == total
+    assert n_dropped / total >= 0.30, (n_kept, n_dropped)
+    # every base keeps at most 1 of its 7 exact clones
+    assert n_dropped >= 2000 * 6
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # bounded runtime: the whole cycle (assign + pair join + anti-join)
+    # on 30k rows x 64 dims must stay interactive on the 8-thread session
+    assert elapsed < 240, elapsed
