@@ -126,8 +126,14 @@ def pq_encode(
     w = Window.partitionBy(id_col, "subspace").orderBy(
         F.desc("_cs"), F.asc("code")
     )
+    # per-cluster codebooks (residual_codebooks) add a `cluster` key: each
+    # vector then competes only against its OWN cluster's codes — the join
+    # key grows, the plan shape (broadcast join + argmin window) does not
+    join_keys = ["subspace"] + (
+        ["cluster"] if "cluster" in codebooks.columns else []
+    )
     assigned = (
-        exploded.join(F.broadcast(codebooks), "subspace")
+        exploded.join(F.broadcast(codebooks), join_keys)
         .withColumn("_cs", cscore)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -321,8 +327,8 @@ def ivf_pq_topk(
     cluster, LUT) table on ``cluster`` — a BroadcastHashJoin touching only
     probed clusters, never a full-corpus crossJoin. Full-precision vectors
     appear only in the survivor re-rank. Codebooks here encode raw vectors
-    (matching ``pq_encode``); per-cluster residual codebooks drop into the
-    same plan unchanged.
+    (matching ``pq_encode``); :func:`ivf_pq_residual_topk` is the
+    residual-encoded variant (same plan, better recall at equal m).
 
     Determinism: centroid assignment/probing use ``centroid_score``'s
     ordered-fold ordering and integer tie-breaks (shared with the IVF-Flat
@@ -364,4 +370,224 @@ def ivf_pq_topk(
         F.col("_prn") <= k * refine
     ).select("query_id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)
+
+
+def _residual(vec: Column, cvec: Column) -> Column:
+    """Element-wise residual x - c(x) against the assigned coarse centroid."""
+    return F.zip_with(vec, cvec, lambda a, b: a - b)
+
+
+def _assign_with_centroids(
+    corpus: DataFrame,
+    cent: DataFrame,
+    vec_col: str,
+    id_col: str,
+    id_alias: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment keeping BOTH the vector and its centroid:
+    (id, vec_col, cluster, _cvec) — the broadcast join back on cluster is
+    against the n_clusters-row centroid table, map-side free."""
+    from .similarity import _nearest_centroids
+
+    out_id = id_alias or id_col
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=1,
+        id_alias=out_id,
+    ).select(out_id, F.col("_v").alias(vec_col), "cluster")
+    return assigned.join(F.broadcast(cent), "cluster")
+
+
+def residual_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    per_cluster: bool = True,
+) -> DataFrame:
+    """Deterministic RESIDUAL codebooks (Jegou 2011 §IV-A, IVFADC): each
+    vector's residual against its assigned coarse centroid is what gets
+    product-quantized — residuals are far more concentrated than raw
+    vectors (the coarse quantizer has already removed the cluster mean), so
+    the same code budget spends its resolution on a smaller cell and recall
+    at equal ``m`` strictly improves (tests pin the inequality).
+
+    ``per_cluster=True`` trains one codebook per (cluster, subspace) from
+    the cluster's first ``k_codes`` members — (cluster, subspace, code,
+    centroid), memory ``n_clusters x m x k_codes x sub_dim``;
+    ``per_cluster=False`` is the paper's shared residual quantizer (first
+    ``k_codes`` residuals corpus-wide), constant memory. Both are
+    broadcast-sized for any realistic (n_clusters, m, k_codes). As with
+    ``pq_codebooks``, swap in KMeans-per-subspace centroids for production
+    — the downstream plan is identical."""
+    sub_dim = _sub_dim(dim, m)
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("centroid").alias("_cvec"),
+    )
+    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
+    res = assigned.select(
+        F.col(id_col).alias("_cb_id"),
+        "cluster",
+        _residual(F.col(vec_col), F.col("_cvec")).alias("_cb_vec"),
+    )
+    if per_cluster:
+        w = Window.partitionBy("cluster").orderBy("_cb_id")
+    else:
+        w = Window.orderBy("_cb_id")
+    coded = res.withColumn("code", F.row_number().over(w) - 1).filter(
+        F.col("code") < k_codes
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                subvector(F.col("_cb_vec"), j, sub_dim).alias("centroid"),
+            )
+            for j in range(m)
+        ]
+    )
+    keys = ["cluster"] if per_cluster else []
+    return coded.select(*keys, "code", F.explode(subs).alias("s")).select(
+        *keys,
+        F.col("s.subspace").alias("subspace"),
+        "code",
+        F.col("s.centroid").alias("centroid"),
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    res_codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    refine: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF x PQ top-k with RESIDUAL encoding — the full IVFADC composition
+    (Jegou 2011 §IV-A). Corpus vectors store codes of ``x - c(x)``; at
+    query time the estimated inner product decomposes as
+
+        <q, x> ~= <q, c(x)> + <q, r_hat(x)>
+
+    so scoring inside a probed cluster is the raw-query-vs-residual-codebook
+    ADC sum plus a per-(query, cluster) OFFSET ``<q, c>`` — one extra double
+    in the broadcast LUT table, nothing else changes: the plan is byte-for-
+    byte the raw composition's (single corpus scan into assignment+encode,
+    BroadcastHashJoin on probed clusters, exact re-rank of k*refine
+    survivors; plan-guarded in tests/test_ivf_pq.py). The cross-cluster
+    offset is what makes ADC scores comparable BETWEEN probed clusters.
+
+    ``res_codebooks`` comes from :func:`residual_codebooks` — per-cluster
+    (cluster, subspace, code, centroid) or shared (subspace, code,
+    centroid); both broadcast. LUTs are built per (query, PROBED cluster)
+    only — queries x n_probe x m x k_codes doubles, bounded by the probe
+    budget, never by n_clusters."""
+    _sub_dim(dim, m)
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("centroid").alias("_cvec"),
+    )
+    per_cluster = "cluster" in res_codebooks.columns
+
+    # corpus: assign -> residual -> PQ-encode (cluster threaded through;
+    # per-cluster codebooks join on (subspace, cluster) inside pq_encode)
+    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
+    residuals = assigned.select(
+        F.col(id_col),
+        "cluster",
+        _residual(F.col(vec_col), F.col("_cvec")).alias(vec_col),
+    )
+    coded = pq_encode(
+        residuals, res_codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    # queries: probe n_probe clusters; per (query, probed cluster) build the
+    # RAW-query-vs-residual-codebook LUT and the <q, c> offset
+    from .similarity import _nearest_centroids
+
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=n_probe,
+        id_alias="query_id",
+    ).select("query_id", "cluster")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    offsets = (
+        probes.join(F.broadcast(cent), "cluster")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "cluster",
+            dot_fold(F.col("qvec"), F.col("_cvec")).alias("offset"),
+            "qvec",
+        )
+    )
+    sub_dim = dim // m
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                subvector(F.col("qvec"), j, sub_dim).alias("qsub"),
+            )
+            for j in range(m)
+        ]
+    )
+    entries = offsets.select(
+        "query_id", "cluster", "offset", F.explode(qsubs).alias("s")
+    ).select(
+        "query_id",
+        "cluster",
+        "offset",
+        F.col("s.subspace").alias("subspace"),
+        F.col("s.qsub").alias("qsub"),
+    )
+    cb_keys = ["subspace", "cluster"] if per_cluster else ["subspace"]
+    lut_entries = entries.join(F.broadcast(res_codebooks), cb_keys).select(
+        "query_id",
+        "cluster",
+        "offset",
+        F.struct(
+            "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
+        ).alias("e"),
+    )
+    # filter-based LUT assembly (vs query_luts' fixed-stride slice): robust
+    # to clusters holding fewer than k_codes members, where a per-cluster
+    # codebook legitimately has short code rows
+    sorted_e = F.array_sort(F.collect_list("e"))
+    probed_luts = lut_entries.groupBy("query_id", "cluster").agg(
+        F.first("offset").alias("offset"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.filter(sorted_e, lambda s: s["subspace"] == j),
+                lambda s: s["d"],
+            ),
+        ).alias("lut"),
+    )
+
+    scored = (
+        coded.join(F.broadcast(probed_luts), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("offset") + adc_score()).alias("adc"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    ).select("query_id", "neighbor_id")
     return _exact_rerank(cand, corpus, q, k, vec_col, id_col)

@@ -201,3 +201,122 @@ def test_ivf_pq_plan_shape(spark):
     # column _cvec in the assignment subtree would false-positive
     below_prefilter = plan.split("_prn")[-1]
     assert "AS cvec" not in below_prefilter, below_prefilter
+
+
+def test_residual_recall_at_least_raw(spark):
+    """The point of residual encoding (Jegou 2011 §IV-A): at EQUAL code
+    budget (same m, k_codes, n_probe, refine) the residual-encoded
+    composition must recall at least as much of the exact top-k as the
+    raw-codebook one — residuals are concentrated around the origin, so
+    the same codes spend their resolution on a smaller cell."""
+    from l1dbproto_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cent = _fixed_centroids(emb)
+    kw = dict(k=5, n_probe=3, refine=8, m=M, k_codes=K_CODES, dim=DIM)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    raw_cb = pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(emb, queries, cent, raw_cb, **kw).collect()
+    }
+    res_cb = residual_codebooks(emb, cent, m=M, k_codes=K_CODES, dim=DIM)
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_residual_topk(emb, queries, cent, res_cb, **kw).collect()
+    }
+    r_raw = len(exact & raw) / len(exact)
+    r_res = len(exact & res) / len(exact)
+    assert r_res >= r_raw, (r_res, r_raw)
+    assert r_res >= 0.25, r_res
+
+
+def test_residual_shared_codebook_variant(spark):
+    """per_cluster=False is the paper's shared residual quantizer: same
+    output shape, k results per query, and the exact re-rank keeps every
+    returned similarity truthful (matches brute-force cosine for the same
+    pair)."""
+    from l1dbproto_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = _fixed_centroids(emb)
+    res_cb = residual_codebooks(
+        emb, cent, m=M, k_codes=K_CODES, dim=DIM, per_cluster=False
+    )
+    assert "cluster" not in res_cb.columns
+    out = ivf_pq_residual_topk(
+        emb, queries, cent, res_cb, k=5, n_probe=3, refine=4,
+        m=M, k_codes=K_CODES, dim=DIM,
+    ).collect()
+    assert len(out) == 8 * 5
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in out:
+        assert r.cosine_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
+def test_residual_small_cluster_codebooks(spark):
+    """A cluster with fewer than k_codes members gets a short per-cluster
+    codebook; encoding and the filter-based LUT assembly must both handle
+    it (codes stay in range, scoring still returns k results)."""
+    from l1dbproto_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # 64 clusters over 500 vectors -> ~8 members/cluster << k_codes=16
+    cent = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    res_cb = residual_codebooks(emb, cent, m=M, k_codes=K_CODES, dim=DIM)
+    max_codes = res_cb.groupBy("cluster", "subspace").count()
+    assert max_codes.agg(F.max("count")).first()[0] <= K_CODES
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = ivf_pq_residual_topk(
+        emb, queries, cent, res_cb, k=3, n_probe=8, refine=4,
+        m=M, k_codes=K_CODES, dim=DIM,
+    )
+    rows = out.collect()
+    assert len(rows) == 6 * 3
+    assert {r.query_id for r in rows} == set(range(6))
+
+
+def test_residual_plan_shape(spark):
+    """Same guards as the raw composition: scoring is a BroadcastHashJoin
+    on cluster (no SortMergeJoin, no crossJoin), and no full-precision
+    corpus vector flows below the k*refine prefilter."""
+    from l1dbproto_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = _fixed_centroids(emb)
+    res_cb = residual_codebooks(emb, cent, m=M, k_codes=K_CODES, dim=DIM)
+    df = ivf_pq_residual_topk(
+        emb, queries, cent, res_cb, k=3, n_probe=2, refine=2,
+        m=M, k_codes=K_CODES, dim=DIM,
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin [cluster" in plan, plan
+    below_prefilter = plan.split("_prn")[-1]
+    assert "AS cvec" not in below_prefilter, below_prefilter
