@@ -100,7 +100,10 @@ _PRIORITY = [
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
     "salted_skew_agg",
-    "set_ops_customers",
+    # r5: replaced the set_ops_customers battery (oracle moved to
+    # tests/test_unregistered_batteries) with the sketch family's exact,
+    # hash-oracle-able member — VERDICT r4 item 5
+    "frequent_items_per_group",
     # windows / events
     "partitioned_source_ids",
     "top_k_per_group",

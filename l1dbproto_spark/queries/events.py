@@ -17,6 +17,39 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @query(
+    "frequent_items_per_group",
+    oracle="""
+    SELECT event_type, item, item_count,
+           CAST(group_count AS BIGINT) AS group_count,
+           CAST(item_count AS DOUBLE) / group_count AS support
+    FROM (
+      SELECT event_type,
+             date_trunc('day', ts) AS item,
+             COUNT(*) AS item_count,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS group_count
+      FROM events
+      GROUP BY 1, 2
+    )
+    WHERE CAST(item_count AS DOUBLE) / group_count > 0.02
+    """,
+    survey="ext:sketches (exact heavy hitters per group, single scan; operators/sketches.py)",
+)
+def frequent_items_per_group_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/sketches.frequent_items_per_group):
+    per event type, the DAYS holding more than 2% of that type's events —
+    the sketch family's one exact, hash-oracle-able member. Single scan:
+    one (group, item) aggregation; group totals come from a window over the
+    already-aggregated counts, never a second pass over the raw events.
+    Support is exact integer-count division — bit-identical across engines."""
+    from ..operators.sketches import frequent_items_per_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    )
+    return frequent_items_per_group(ev, "event_type", "day", min_support=0.02)
+
+
+@query(
     "visit_window_agg",
     oracle="""
     SELECT

@@ -30,31 +30,15 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
 
 
-@query(
-    "set_ops_customers",
-    oracle="""
-    SELECT o_custkey, 'repeat' AS tag FROM (
-      SELECT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-      INTERSECT
-      SELECT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-    )
-    UNION ALL
-    SELECT o_custkey, 'churned' AS tag FROM (
-      SELECT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-      EXCEPT
-      SELECT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-    )
-    """,
-    survey="set ops beyond reference (intersect + except, tagged union)",
-)
 def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation battery: customers active in both 1996 and 1997
     (INTERSECT) and customers active in 1996 but never after (EXCEPT) — one
-    tagged result. subtract (not exceptAll) keeps SQL set semantics."""
+    tagged result. subtract (not exceptAll) keeps SQL set semantics.
+
+    Unregistered in round 5 (50-slot registry cap): its slot went to
+    ``frequent_items_per_group`` — the sketch family's one exact,
+    hash-oracle-able member (VERDICT r4 item 5). Oracle kept in
+    tests/test_unregistered_batteries.py."""
     orders = load_table(spark, sf_dir, "orders")
 
     def year_range(lo: str, hi: str | None):

@@ -31,7 +31,6 @@ ALLOWED = {
     "exists_anti_semi": {"customer": 2, "orders": 2},  # EXISTS + NOT EXISTS
     "above_average_customers": {"customer": 2},  # row side + average side
     "asof_last_click_before_purchase": {"events": 2},  # clicks + purchases
-    "set_ops_customers": {"orders": 4},     # 2 year ranges x 2 set ops
     "quantized_topk": {"embeddings": 2},    # corpus + queries roles
     "ivf_pq_topk": {"embeddings": 5},       # corpus, queries, re-rank (index
                                             # artifacts checkpointed)

@@ -180,3 +180,35 @@ def test_cube_pricing_matches_oracle(spark):
     )
     want = duckdb.sql(CUBE_ORACLE).df().sort_values(keys, ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+SET_OPS_ORACLE = f"""
+WITH orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT o_custkey, 'repeat' AS tag FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+UNION ALL
+SELECT o_custkey, 'churned' AS tag FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+"""
+
+
+def test_set_ops_customers_matches_oracle(spark):
+    """Round 5: set_ops_customers lost its registry slot to
+    frequent_items_per_group; same oracle, now in-suite."""
+    from l1dbproto_spark.queries.relational2 import set_ops_customers
+
+    got = set_ops_customers(spark, SF_DIR).toPandas()
+    got["key"] = got.o_custkey.astype(str) + ":" + got.tag
+    want = duckdb.sql(SET_OPS_ORACLE).df()
+    want["key"] = want.o_custkey.astype(str) + ":" + want.tag
+    assert sorted(got.key) == sorted(want.key)
