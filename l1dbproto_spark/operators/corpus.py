@@ -43,11 +43,15 @@ def clean_corpus(
     embeddings: DataFrame | None = None,
     centroids: DataFrame | None = None,
     sem_eps: float = 0.05,
+    count_col: str | None = None,
 ) -> CorpusCleanResult:
     """Staged cleaning, canonical = min doc id at every dedup stage:
 
-    1. length gate: fewer than ``min_tokens`` whitespace tokens → dropped
-       (``reason='too_short'``, no canonical);
+    1. length gate: fewer than ``min_tokens`` tokens → dropped
+       (``reason='too_short'``, no canonical). Token counting is
+       pluggable: ``count_col`` names a pre-computed per-document count
+       column (e.g. BPE counts from an upstream tokenizer) — default is
+       the whitespace rule shared with pack_sequences/queries/text.py;
     2. optional quality gate (``min_logprob`` set): mean unigram
        log-probability under the surviving corpus's own distribution below
        the threshold → dropped (``reason='low_quality'``, no canonical —
@@ -89,7 +93,11 @@ def clean_corpus(
     checkpointed frames are id-sized, the survivor chain stays a linear
     sequence of anti-joins, and each gate's work runs exactly once across
     BOTH returned frames."""
-    n_tok = whitespace_token_count(F.col(text_col))
+    n_tok = (
+        F.col(count_col)
+        if count_col is not None
+        else whitespace_token_count(F.col(text_col))
+    )
     long_enough = docs.filter(n_tok >= min_tokens)
     too_short = docs.filter(n_tok < min_tokens).select(
         F.col(id_col).alias("doc_id"),

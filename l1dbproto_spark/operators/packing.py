@@ -34,6 +34,7 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Contiguous (concat-and-chunk) packing map.
 
@@ -53,11 +54,22 @@ def pack_sequences(
 
     At 100 TB, choose ``n_shards`` >> cluster parallelism: each shard's
     window is an independent sort of ~corpus/n_shards rows and shards pack
-    concurrently (the real loader topology, not an artifact)."""
+    concurrently (the real loader topology, not an artifact).
+
+    Token counting is PLUGGABLE: pass ``count_col`` naming a pre-computed
+    per-document token-count column (e.g. BPE counts from an upstream
+    tokenizer pass) and the packing map is computed over those budgets —
+    ``text_col`` is then never touched, so the plan reads only (id,
+    count). Default is the whitespace rule shared with queries/text.py."""
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else whitespace_token_count(F.col(text_col)).cast("long")
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % F.lit(n_shards)).cast("int").alias("shard"),
-        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     spans = toks.withColumn("end_tok", F.sum("n_tokens").over(w)).withColumn(

@@ -133,3 +133,82 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(load_table(spark, SF_DIR, "documents"), 16, 16)
+
+
+CUSTOM_COUNT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(doc_id % {SHARDS} AS INT) AS shard,
+         CAST(1 + (doc_id * 37) % 300 AS BIGINT) AS n_tokens
+  FROM '{SF_DIR}/documents.parquet'
+),
+spans AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS start_tok
+  FROM toks
+)
+SELECT shard, CAST(chunk AS BIGINT) AS chunk, doc_id, n_tokens, start_tok,
+       least(end_tok, (chunk + 1) * {CTX})
+         - greatest(start_tok, chunk * {CTX}) AS tokens_in_chunk
+FROM spans,
+     unnest(range(CAST(start_tok // {CTX} AS BIGINT),
+                  CAST((end_tok - 1) // {CTX} + 1 AS BIGINT))) AS t(chunk)
+"""
+
+
+def test_pack_sequences_custom_count_col(spark):
+    """Pluggable token counts (VERDICT r4 item 6): a pre-computed count
+    column (simulating BPE counts — deterministic 1 + (doc_id*37) % 300,
+    deliberately unrelated to the whitespace count) drives the packing map;
+    the DuckDB oracle re-derives the identical map from the same counts,
+    and the capacity invariants hold over the custom budgets."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "bpe_tokens", (F.lit(1) + (F.col("doc_id") * 37) % 300).cast("long")
+    )
+    packed = pack_sequences(
+        docs, ctx_len=CTX, n_shards=SHARDS, count_col="bpe_tokens"
+    )
+    got = _normalize(packed.toPandas())
+    want = _normalize(duckdb.sql(CUSTOM_COUNT_ORACLE).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # n_tokens is the CUSTOM count, not the whitespace count
+    per_doc = got.groupby("doc_id").agg(
+        n=("n_tokens", "first"), s=("tokens_in_chunk", "sum")
+    )
+    assert (per_doc.n == per_doc.s).all()
+    assert (per_doc.n == 1 + (per_doc.index.to_series() * 37) % 300).all()
+    # capacity: every chunk except each shard's last is exactly full
+    stats = pack_chunk_stats(packed, ctx_len=CTX).toPandas()
+    tail = stats.groupby("shard").chunk.max()
+    non_tail = stats[stats.chunk < stats.shard.map(tail)]
+    assert (non_tail.filled_tokens == CTX).all()
+    assert (stats.filled_tokens <= CTX).all()
+    # text_col untouched: the plan must not read the text column at all
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("text" not in ln for ln in rs), rs
+
+
+def test_clean_corpus_custom_count_col(spark):
+    """clean_corpus's length gate honors count_col: a 2-whitespace-token
+    doc with a custom count of 5 survives min_tokens=3, and a long text
+    with a custom count of 1 is dropped as too_short."""
+    from l1dbproto_spark.operators.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short text", 5),
+            (2, "this one is long in whitespace terms", 1),
+            (3, "normal document body here", 4),
+        ],
+        ["doc_id", "text", "bpe_tokens"],
+    )
+    res = clean_corpus(docs, min_tokens=3, count_col="bpe_tokens")
+    kept = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {r.doc_id: r.reason for r in res.dropped.collect()}
+    assert kept == {1, 3}
+    assert dropped == {2: "too_short"}
