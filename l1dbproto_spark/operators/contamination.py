@@ -129,7 +129,10 @@ def decontaminate(
     flagged = report.filter(F.col("contamination") > max_contamination)
     # the drop log is id-sized but feeds BOTH outputs (returned directly
     # and anti-joined into the clean corpus) — checkpoint it so the
-    # corpus-scale shingle join behind it runs once, not once per output
+    # corpus-scale shingle join behind it runs once, not once per output.
+    # localCheckpoint blocks are executor-resident (job fails rather than
+    # recomputes on executor loss); see clean_corpus's docstring for the
+    # trade-off and the reliable-checkpoint alternative
     worst = flagged.groupBy("doc_id").agg(
         F.max_by("eval_id", F.struct("contamination", "eval_id")).alias("eval_id"),
         F.max("contamination").alias("contamination"),

@@ -57,9 +57,11 @@ def clean_corpus(
        the threshold → dropped (``reason='low_quality'``, no canonical —
        operators/quality.py);
     2b. optional repetition gate (``repetition_gate=True``): documents
-       failing the Gopher repetition battery (duplicate-line fractions,
-       top-bigram character share at the published defaults) → dropped
-       (``reason='repetitive'``, no canonical);
+       failing the full Gopher repetition battery (duplicate line AND
+       paragraph fractions, top 2/3/4-gram character shares, duplicate
+       5..10-gram character coverage — Rae et al. A1.1 at the published
+       Table A1 thresholds; operators/quality.repetition_signals) →
+       dropped (``reason='repetitive'``, no canonical);
     2c. optional PII gate (``max_pii`` set): documents with more than
        ``max_pii`` detected PII hits (operators/pii.py defaults:
        email/phone/IPv4/SSN) → dropped (``reason='pii'``, no canonical —
@@ -92,7 +94,19 @@ def clean_corpus(
     with all gates on) and recomputed earlier gates per branch. The
     checkpointed frames are id-sized, the survivor chain stays a linear
     sequence of anti-joins, and each gate's work runs exactly once across
-    BOTH returned frames."""
+    BOTH returned frames.
+
+    Fault-tolerance trade-off (deliberate): ``localCheckpoint`` blocks
+    live on executors, not reliable storage — lose an executor (or let
+    dynamic allocation decommission one) and the job FAILS instead of
+    recomputing lineage. That is the right default for this operator
+    family: the pinned frames are id-sized and cheap to rebuild by
+    re-running, while a reliable ``checkpoint()`` would write every gate's
+    id-set through the cluster filesystem on every run. For long-running
+    production jobs on preemptible hardware, swap in
+    ``spark.sparkContext.setCheckpointDir(...)`` + ``.checkpoint()`` (or
+    persist the id-sets to a table) at these sites — the plan shape is
+    identical; only the storage of the cut changes."""
     n_tok = (
         F.col(count_col)
         if count_col is not None

@@ -149,98 +149,218 @@ def gopher_quality_signals(
     )
 
 
+def _dup_unit_signals(col: Column, unit: str) -> list[Column]:
+    """Duplicate-line / duplicate-paragraph fractions over an array of text
+    units. COUNTING CONVENTION (explicit, oracle-pinned): every occurrence
+    of a duplicated unit counts, INCLUDING the first — the stricter of the
+    two published readings of Rae et al. A1.1's "fraction of lines that
+    are duplicates"; implementations differ, so the engine pins one."""
+    n_units = F.size(col)
+    unit_chars = F.aggregate(
+        F.transform(col, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    dups = F.filter(col, lambda l: F.size(F.filter(col, lambda x: x == l)) > 1)
+    dup_chars = F.aggregate(
+        F.transform(dups, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    return [
+        n_units.cast("long").alias(f"n_{unit}s"),
+        (F.size(dups).cast("double") / n_units).alias(f"dup_{unit}_frac"),
+        F.when(unit_chars > 0, dup_chars.cast("double") / unit_chars)
+        .otherwise(F.lit(0.0))
+        .alias(f"dup_{unit}_char_frac"),
+    ]
+
+
+# Gopher A1.1 published thresholds (Rae et al. 2021, Table A1):
+# top-n-gram character share for n=2,3,4; duplicate-n-gram character
+# coverage for n=5..10.
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
 def repetition_signals(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    ngram_n: int = 2,
     max_dup_line_frac: float = 0.3,
     max_dup_line_char_frac: float = 0.2,
-    max_top_ngram_char_frac: float = 0.2,
+    max_dup_par_frac: float = 0.3,
+    max_dup_par_char_frac: float = 0.2,
+    top_ngram_thresholds: dict[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_ngram_thresholds: dict[int, float] = DUP_NGRAM_THRESHOLDS,
 ) -> DataFrame:
-    """Gopher repetition battery (Rae et al. 2021 A1.1, repetition rules):
+    """The FULL Gopher repetition battery (Rae et al. 2021 appendix A1.1,
+    repetition rules) at the published defaults:
 
-    * ``dup_line_frac`` — fraction of lines that occur more than once;
-    * ``dup_line_char_frac`` — fraction of line characters inside such
-      duplicated lines;
-    * ``top_ngram`` / ``top_ngram_count`` / ``top_ngram_char_frac`` — the
-      document's most frequent word n-gram (count ties broken to the
-      lexicographically largest gram) and the share of the document's
-      word characters its occurrences cover
-      (``count * len(gram sans spaces) / total word chars``, over the
-      normalized text — the same canonical form the dedup family shingles);
-    * ``passes_repetition`` — all three under their thresholds. The
-      top-n-gram rule only binds when the gram actually REPEATS
-      (``top_ngram_count > 1``): a once-occurring gram covering a large
-      character share is a short-document artifact, not repetition —
-      Gopher's pipeline orders the <50-word gate before these rules for
-      the same reason.
+    * ``dup_line_frac`` / ``dup_line_char_frac`` and ``dup_par_frac`` /
+      ``dup_par_char_frac`` — fraction of lines (resp. blank-line-separated
+      paragraphs) occurring more than once, and the fraction of their
+      characters. Counting convention (explicit, oracle-pinned): every
+      occurrence of a duplicated unit counts, including the first.
+    * ``top_ngram_{n}`` / ``top_ngram_count_{n}`` /
+      ``top_ngram_char_frac_{n}`` for n = 2, 3, 4 — the most frequent word
+      n-gram (ties to the lexicographically largest gram) and the share of
+      the document's word characters its occurrences cover (``count *
+      len(gram sans spaces) / total word chars`` over the normalized text,
+      the same canonical form the dedup family shingles). The rule binds
+      only when the gram REPEATS (count > 1): a once-occurring gram
+      covering a large share is a short-document artifact, not repetition.
+    * ``dup_ngram_char_frac_{n}`` for n = 5..10 — the fraction of word
+      characters covered by ANY occurrence of an n-gram appearing more
+      than once, each word position counted once however many duplicated
+      grams overlap it (the span-marking definition the published
+      reimplementations use).
+    * ``passes_repetition`` — every rule under its threshold
+      (thresholds: 0.20/0.18/0.16 for top 2/3/4-grams, 0.15 down to 0.10
+      for dup 5..10-grams — Table A1's published defaults).
 
-    Plan shape: the line signals are per-row array algebra over the text
-    scan — the nested count runs per line pair WITHIN a document (lines
-    per doc is small), no shuffle. The n-gram mode needs within-doc
-    frequencies, so it reuses dedup's codegen-friendly shingle explode and
-    aggregates (doc, gram) counts — both aggregations partial-combine
-    map-side and key on (doc_id, gram) / doc_id, so the shuffle is uniform
-    and bounded by the distinct-gram count, never the 100 TB scan. The two
-    halves meet in one per-doc join (AQE-decided)."""
+    Plan shape: line/paragraph signals are per-row array algebra over the
+    text scan (the nested count runs within a document — units per doc is
+    small). All nine n-gram sizes ride ONE tagged explode of the
+    materialized word array (the same projection-boundary trick as
+    shingle_rows), one (doc, n, gram) count aggregation, one (doc, n)
+    roll-up, and one per-doc pivot-join — uniform keys throughout, shuffle
+    bounded by the distinct-gram count, never the corpus scan. The ~9x
+    gram-row expansion is the battery's intrinsic cost; it runs as an
+    optional gate, not in every pipeline."""
+    all_ns = sorted(set(top_ngram_thresholds) | set(dup_ngram_thresholds))
+    top_ns = sorted(top_ngram_thresholds)
+    dup_ns = sorted(dup_ngram_thresholds)
+
     lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(
-        F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    paragraphs = F.split(F.col(text_col), r"\n{2,}")
+    word_chars = F.length(
+        F.regexp_replace(normalize_text(F.col(text_col)), " ", "")
     )
-    dup_lines = F.filter(
-        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    with_units = docs.select(
+        "*",
+        *_dup_unit_signals(lines, "line"),
+        *_dup_unit_signals(paragraphs, "par"),
+        word_chars.alias("_word_chars"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
     )
-    dup_line_chars = F.aggregate(
-        F.transform(dup_lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
-    )
-    dup_line_frac = F.size(dup_lines).cast("double") / n_lines
-    dup_line_char_frac = F.when(line_chars > 0, dup_line_chars.cast("double") / line_chars).otherwise(F.lit(0.0))
-    with_lines = (
-        docs.withColumn("n_lines", n_lines.cast("long"))
-        .withColumn("dup_line_frac", dup_line_frac)
-        .withColumn("dup_line_char_frac", dup_line_char_frac)
-        .withColumn(
-            "_word_chars",
-            F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", "")),
-        )
-    )
-    # shingle_rows canonicalizes the id column to "doc_id" — rename it back
-    # so callers with a custom id_col aggregate and join on their own key
-    grams = shingle_rows(docs, ngram_n, text_col, id_col).withColumnRenamed(
-        "doc_id", id_col
-    )
-    top = (
-        grams.groupBy(id_col, "shingle")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(F.col("shingle"), F.struct("_cnt", "shingle")).alias("top_ngram"),
-            F.max(F.struct("_cnt", "shingle")).getField("_cnt").alias(
-                "top_ngram_count"
+
+    # one tagged gram explode for every n: rows (id, n, pos, gram); the
+    # word array is materialized below the Generate (shingle_rows' boundary
+    # trick) so normalize+split runs once per doc, not once per gram row
+    base = with_units.select(F.col(id_col), F.col("_w"))
+    def _tag(n: int) -> Column:
+        # closure helper, NOT a two-arg lambda: F.transform treats a binary
+        # lambda as (element, index) and would silently shadow n
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_w") - F.lit(n - 1), F.lit(1))
             ),
+            lambda p: F.struct(F.lit(n).alias("n"), p.alias("pos")),
         )
+
+    tagged_starts = F.flatten(F.array(*[_tag(n) for n in all_ns]))
+    exploded = base.select(
+        id_col, "_w", F.explode(tagged_starts).alias("s")
+    ).select(
+        id_col,
+        F.col("s.n").alias("n"),
+        F.col("s.pos").alias("pos"),
+        F.concat_ws(
+            " ",
+            *[
+                F.when(
+                    F.lit(i) < F.col("s.n"),
+                    F.try_element_at("_w", F.col("s.pos") + F.lit(i)),
+                )
+                for i in range(max(all_ns))
+            ],
+        ).alias("gram"),
     )
-    out = with_lines.join(top, id_col, "left")
-    top_chars = (
-        F.col("top_ngram_count")
-        * F.length(F.regexp_replace(F.col("top_ngram"), " ", ""))
-    ).cast("double")
-    top_frac = F.coalesce(
-        F.when(F.col("_word_chars") > 0, top_chars / F.col("_word_chars")),
-        F.lit(0.0),
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.collect_list("pos").alias("_pos")
+    )
+    # per (doc, n): the top gram (count ties -> lexicographically largest)
+    # and the distinct word positions covered by duplicated grams' spans
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max_by(F.col("gram"), F.struct("_cnt", "gram")).alias("_top"),
+        F.max(F.struct("_cnt", "gram")).getField("_cnt").alias("_top_cnt"),
+        F.array_distinct(
+            F.flatten(
+                F.flatten(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cnt") > 1,
+                            F.transform(
+                                F.col("_pos"),
+                                lambda p: F.sequence(p, p + F.col("n") - 1),
+                            ),
+                        ).otherwise(F.array().cast("array<array<int>>"))
+                    )
+                )
+            )
+        ).alias("_dup_idx"),
+    )
+    pivoted = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_top"))).alias(f"top_ngram_{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_top_cnt"))).alias(
+                f"top_ngram_count_{n}"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_dup_idx"))).alias(f"_didx_{n}")
+            for n in dup_ns
+        ],
+    )
+    out = with_units.join(pivoted, id_col, "left")
+
+    def top_frac(n: int) -> Column:
+        chars = (
+            F.col(f"top_ngram_count_{n}")
+            * F.length(F.regexp_replace(F.col(f"top_ngram_{n}"), " ", ""))
+        ).cast("double")
+        return F.coalesce(
+            F.when(F.col("_word_chars") > 0, chars / F.col("_word_chars")),
+            F.lit(0.0),
+        )
+
+    def dup_frac(n: int) -> Column:
+        # sum of word lengths at covered positions; positions never exceed
+        # len(_w) by construction (duplicated grams are never truncated)
+        covered = F.aggregate(
+            F.transform(
+                F.coalesce(F.col(f"_didx_{n}"), F.array().cast("array<int>")),
+                lambda k: F.length(F.element_at("_w", k)),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        return F.coalesce(
+            F.when(F.col("_word_chars") > 0, covered.cast("double") / F.col("_word_chars")),
+            F.lit(0.0),
+        )
+
+    out = out.select(
+        "*",
+        *[top_frac(n).alias(f"top_ngram_char_frac_{n}") for n in top_ns],
+        *[dup_frac(n).alias(f"dup_ngram_char_frac_{n}") for n in dup_ns],
     )
     passes = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
-        & (
-            (F.coalesce(F.col("top_ngram_count"), F.lit(0)) <= 1)
-            | (top_frac <= max_top_ngram_char_frac)
-        )
+        & (F.col("dup_par_frac") <= max_dup_par_frac)
+        & (F.col("dup_par_char_frac") <= max_dup_par_char_frac)
     )
-    return (
-        out.withColumn("top_ngram_char_frac", top_frac)
-        .withColumn("passes_repetition", passes)
-        .drop("_word_chars")
+    for n in top_ns:
+        passes = passes & (
+            (F.coalesce(F.col(f"top_ngram_count_{n}"), F.lit(0)) <= 1)
+            | (F.col(f"top_ngram_char_frac_{n}") <= top_ngram_thresholds[n])
+        )
+    for n in dup_ns:
+        passes = passes & (
+            F.col(f"dup_ngram_char_frac_{n}") <= dup_ngram_thresholds[n]
+        )
+    return out.withColumn("passes_repetition", passes).drop(
+        "_word_chars", "_w", *[f"_didx_{n}" for n in dup_ns]
     )

@@ -125,7 +125,10 @@ def semantic_dedup(
         vectors, centroids, eps, vec_col, id_col, dim
     )
     # id-sized drop log consumed by both outputs — checkpoint so the
-    # within-cluster pair join behind it runs once, not once per output
+    # within-cluster pair join behind it runs once, not once per output.
+    # localCheckpoint blocks are executor-resident (job fails rather than
+    # recomputes on executor loss); see clean_corpus's docstring for the
+    # trade-off and the reliable-checkpoint alternative
     dropped = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.max_by(
             "id_a", F.struct(F.col("cosine_sim"), (-F.col("id_a")).alias("na"))

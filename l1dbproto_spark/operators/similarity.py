@@ -336,15 +336,17 @@ def ann_recall(
     aggregation, both uniform keys.
 
     Pass any two frames carrying (query_col, neighbor_col) — ivf vs brute,
-    quantized vs exact, pq vs flat. Mean recall = avg(recall) over the
-    output (one more tiny aggregation)."""
-    hits = approx.select(query_col, neighbor_col).join(
-        exact.select(query_col, neighbor_col),
-        [query_col, neighbor_col],
-        "left_semi",
+    quantized vs exact, pq vs flat. Both projections are de-duplicated
+    first, so frames with repeated (query, neighbor) rows (a bucketed
+    candidate list, say) still count each pair once and recall stays in
+    [0, 1]. Mean recall = avg(recall) over the output (one more tiny
+    aggregation)."""
+    exact_pairs = exact.select(query_col, neighbor_col).distinct()
+    hits = approx.select(query_col, neighbor_col).distinct().join(
+        exact_pairs, [query_col, neighbor_col], "left_semi"
     )
     n_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
-    n_exact = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_exact = exact_pairs.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
     return (
         n_exact.join(n_hit, query_col, "left")
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))

@@ -16,13 +16,15 @@ so the shuffle carries kilobytes per group regardless of input size:
 * ``approx_quantiles_per_group`` — rank-error-bounded quantiles
   (``percentile_approx``, Greenwald-Khanna style, error ``1/accuracy``);
 * ``frequent_items_per_group`` — exact heavy hitters above a support
-  threshold via conditional count aggregation (two uniform-key
-  aggregations; the candidate set is bounded by 1/support per group).
+  threshold: ONE uniform-key aggregation plus a window over the already-
+  aggregated (group, item) counts (the candidate set is bounded by
+  1/support per group).
 
 Sketch estimates are implementation-defined (Spark's HLL++ and DuckDB's
-HLL disagree by design), so these are checked in-suite against EXACT
+HLL disagree by design), so those are checked in-suite against EXACT
 answers with the published error bounds (tests/test_sketches.py), not by
-value-hash oracles.
+value-hash oracles; ``frequent_items_per_group`` is exact and holds a
+driver-registry slot (queries/events.py) with a value-hash oracle.
 """
 
 from __future__ import annotations
@@ -120,10 +122,11 @@ def frequent_items_per_group(
 ) -> DataFrame:
     """Heavy hitters: values occurring in more than ``min_support`` of a
     group's rows — (group cols, ``item``, ``item_count``, ``group_count``,
-    ``support``). Two aggregations, both keyed on uniform (group, value) /
-    group keys with map-side partial combine; the output is bounded by
-    ``groups / min_support`` rows total, so the result set stays small at
-    any input scale (the exact-counting analogue of a count-min pass).
+    ``support``). One uniform-key (group, value) aggregation with map-side
+    partial combine, then a window over the aggregated counts; the output
+    is bounded by ``groups / min_support`` rows total, so the result set
+    stays small at any input scale (the exact-counting analogue of a
+    count-min pass).
 
     The input is scanned ONCE: group totals come from a window over the
     already-aggregated (group, item) counts — sum(item_count) per group —

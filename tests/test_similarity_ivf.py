@@ -79,3 +79,21 @@ def test_ivf_recall_monotonic_in_probes(spark, sf_dir):
     assert all(b >= a - 1e-12 for a, b in zip(means, means[1:])), means
     # probing every cluster IS the exact scan: recall 1.0
     assert abs(means[-1] - 1.0) < 1e-12, means
+
+
+def test_ann_recall_dedups_pairs(spark):
+    """ADVICE r4: duplicate (query, neighbor) rows — a bucketed candidate
+    list replays pairs — must count once; recall stays in [0, 1]."""
+    from l1dbproto_spark.operators.similarity import ann_recall
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (1, 11), (2, 20)],
+        ["query_id", "neighbor_id"],
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 20), (2, 21), (2, 21)],
+        ["query_id", "neighbor_id"],
+    )
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall) for r in ann_recall(approx, exact).collect()}
+    assert got[1] == (2, 1, 0.5)   # dup (1,10) counted once; (1,11) not exact
+    assert got[2] == (2, 1, 0.5)   # dup exact (2,21) counted once
