@@ -534,6 +534,223 @@ def ivf_pq_residual_topk(
             "qvec",
         )
     )
+    # filter-based LUT assembly (vs query_luts' fixed-stride slice): robust
+    # to clusters holding fewer than k_codes members, where a per-cluster
+    # codebook legitimately has short code rows
+    probed_luts = _residual_probed_luts(offsets, res_codebooks, m, dim, per_cluster)
+
+    scored = (
+        coded.join(F.broadcast(probed_luts), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("offset") + adc_score()).alias("adc"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------- persistence
+#
+# Production ANN is build-once / query-many: the corpus is assigned and
+# PQ-encoded ONCE into a persistent index, and every query batch afterwards
+# touches only (a) the tiny centroid/codebook tables and (b) the code rows
+# of its PROBED clusters. Persisting the codes hive-partitioned by
+# ``cluster`` turns probe pruning into PARTITION pruning: a query batch
+# lists and scans only n_probe * n_queries partitions of the code table —
+# at 10^10 vectors the per-batch scan is bounded by the probe budget, not
+# the corpus (the same driver-tiny IN-list pattern as the streaming gate
+# stores' fp_bucket pruning). The full-precision corpus table is touched
+# only by the exact re-rank of k*refine survivors.
+
+from dataclasses import dataclass
+
+
+@dataclass
+class PQIndexMeta:
+    m: int
+    k_codes: int
+    dim: int
+    residual: bool
+    per_cluster_codebooks: bool
+
+
+class PQIndex:
+    """Handle over a persisted IVF-PQ index rooted at a directory:
+    ``centroids.parquet`` (cluster, centroid), ``codebooks.parquet``
+    ([cluster,] subspace, code, centroid), ``codes.parquet`` partitioned
+    by cluster (cluster=<id>/... with neighbor_id, codes), and a one-row
+    ``meta.parquet``."""
+
+    def __init__(self, spark, root: str, meta: PQIndexMeta) -> None:
+        self.spark = spark
+        self.root = root
+        self.meta = meta
+
+    # pinned read schemas: hive partition inference must not retype cluster
+    _CODES_SCHEMA = "cluster int, neighbor_id long, codes array<int>"
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/centroids.parquet")
+
+    def codebooks(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/codebooks.parquet")
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.schema(self._CODES_SCHEMA).parquet(
+            f"{self.root}/codes.parquet"
+        )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    root: str,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> PQIndex:
+    """One corpus scan: nearest-centroid assignment feeds PQ encoding (of
+    the raw vector, or of the residual ``x - c(x)`` when ``residual=True``)
+    with the cluster id carried through; codes land hive-partitioned by
+    cluster. Centroid/codebook tables and the meta row are persisted
+    alongside so a later session reconstructs the exact query plan from
+    the directory alone."""
+    _sub_dim(dim, m)
+    spark = corpus.sparkSession
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("centroid").alias("_cvec"),
+    )
+    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
+    if residual:
+        encoded_input = assigned.select(
+            F.col(id_col),
+            "cluster",
+            _residual(F.col(vec_col), F.col("_cvec")).alias(vec_col),
+        )
+    else:
+        encoded_input = assigned.select(F.col(id_col), "cluster", vec_col)
+    coded = pq_encode(
+        encoded_input, codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
+    ).select(
+        "cluster", F.col(id_col).cast("long").alias("neighbor_id"), "codes"
+    )
+    coded.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{root}/codes.parquet")
+    cent.select("cluster", F.col("_cvec").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids.parquet")
+    codebooks.write.mode("overwrite").parquet(f"{root}/codebooks.parquet")
+    meta = PQIndexMeta(
+        m=m,
+        k_codes=k_codes,
+        dim=dim,
+        residual=residual,
+        per_cluster_codebooks="cluster" in codebooks.columns,
+    )
+    spark.createDataFrame(
+        [(meta.m, meta.k_codes, meta.dim, meta.residual, meta.per_cluster_codebooks)],
+        "m int, k_codes int, dim int, residual boolean, per_cluster_codebooks boolean",
+    ).write.mode("overwrite").parquet(f"{root}/meta.parquet")
+    return PQIndex(spark, root, meta)
+
+
+def load_pq_index(spark, root: str) -> PQIndex:
+    r = spark.read.parquet(f"{root}/meta.parquet").first()
+    return PQIndex(
+        spark,
+        root,
+        PQIndexMeta(r.m, r.k_codes, r.dim, r.residual, r.per_cluster_codebooks),
+    )
+
+
+def pq_index_topk(
+    index: PQIndex,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a persisted index: probe -> PARTITION-PRUNED code
+    scan -> ADC -> exact re-rank. The probed cluster ids are collected
+    driver-side (bounded by n_queries * n_probe ints — the same driver-tiny
+    metadata pattern as the gate stores' bucket pruning) and pushed into
+    the code read as an IN filter, so the scan carries PartitionFilters
+    and lists only the probed directories. ``corpus`` is consulted ONLY by
+    the exact re-rank of the k*refine survivors (broadcast-probed, never
+    shuffled). Output schema matches the in-memory compositions, and for
+    the same quantizers the results are row-identical (tests)."""
+    from .similarity import _nearest_centroids
+
+    meta = index.meta
+    m, k_codes, dim = meta.m, meta.k_codes, meta.dim
+    cent = index.centroids().select(
+        "cluster", F.col("centroid").alias("_cvec")
+    ).localCheckpoint(eager=False)
+    codebooks = index.codebooks().localCheckpoint(eager=False)
+
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
+        cent,
+        n=n_probe,
+        id_alias="query_id",
+    ).select("query_id", "cluster").localCheckpoint(eager=True)
+    probed_ids = [r.cluster for r in probes.select("cluster").distinct().collect()]
+    coded = index.codes().filter(F.col("cluster").isin(probed_ids))
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    if meta.residual:
+        offsets = (
+            probes.join(F.broadcast(cent), "cluster")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "cluster",
+                dot_fold(F.col("qvec"), F.col("_cvec")).alias("offset"),
+                "qvec",
+            )
+        )
+        probed_luts = _residual_probed_luts(
+            offsets, codebooks, m, dim, meta.per_cluster_codebooks
+        )
+        score = F.col("offset") + adc_score()
+    else:
+        lut = query_luts(queries, codebooks, m, k_codes, dim, vec_col, id_col)
+        probed_luts = probes.join(lut, "query_id")
+        score = adc_score()
+
+    scored = (
+        coded.join(F.broadcast(probed_luts), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("adc"))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
+        F.col("_prn") <= k * refine
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)
+
+
+def _residual_probed_luts(
+    offsets: DataFrame, res_codebooks: DataFrame, m: int, dim: int, per_cluster: bool
+) -> DataFrame:
+    """(query_id, cluster, offset, lut) for probed pairs — the query side
+    of the IVFADC composition, shared by ivf_pq_residual_topk and
+    pq_index_topk. ``offsets`` carries (query_id, cluster, offset, qvec)."""
     sub_dim = dim // m
     qsubs = F.array(
         *[
@@ -562,11 +779,8 @@ def ivf_pq_residual_topk(
             "subspace", "code", dot_fold(F.col("qsub"), F.col("centroid")).alias("d")
         ).alias("e"),
     )
-    # filter-based LUT assembly (vs query_luts' fixed-stride slice): robust
-    # to clusters holding fewer than k_codes members, where a per-cluster
-    # codebook legitimately has short code rows
     sorted_e = F.array_sort(F.collect_list("e"))
-    probed_luts = lut_entries.groupBy("query_id", "cluster").agg(
+    return lut_entries.groupBy("query_id", "cluster").agg(
         F.first("offset").alias("offset"),
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -576,18 +790,3 @@ def ivf_pq_residual_topk(
             ),
         ).alias("lut"),
     )
-
-    scored = (
-        coded.join(F.broadcast(probed_luts), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("offset") + adc_score()).alias("adc"),
-        )
-    )
-    wpre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
-        F.col("_prn") <= k * refine
-    ).select("query_id", "neighbor_id")
-    return _exact_rerank(cand, corpus, q, k, vec_col, id_col)
