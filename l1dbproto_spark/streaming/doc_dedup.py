@@ -185,7 +185,13 @@ class StreamingDocDedup:
             return True
         return False
 
-    def bind_stream(self, doc_stream: DataFrame, output_path: str):
+    def bind_stream(
+        self,
+        doc_stream: DataFrame,
+        output_path: str,
+        maintain_every: int | None = None,
+        max_files_per_partition: int = 8,
+    ):
         """Wire the gate into a Structured Streaming query: admitted rows
         land under ``output_path`` partitioned by epoch; returns the
         StreamingQuery.
@@ -193,9 +199,19 @@ class StreamingDocDedup:
         Exactly-once output: each epoch OVERWRITES its own partition
         (dynamic partition overwrite), so a retried epoch — which ``admit``
         re-emits in full via the keep_doc_id rule — replaces rather than
-        duplicates its previous attempt's rows."""
+        duplicates its previous attempt's rows.
+
+        ``maintain_every=N`` runs :meth:`maintenance` after every N epochs
+        (the VisitStreamDriver pattern): each admit appends one file per
+        touched fp_bucket, so a long-running gate needs the periodic fold
+        or store-read fan-in grows without bound. Compaction happens AFTER
+        the epoch's output commits — a crash mid-compaction leaves a
+        consistent store (the rewrite is a whole-partition dynamic
+        overwrite of identical rows) and the epoch is not retried for it."""
+        epochs_seen = 0
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
+            nonlocal epochs_seen
             admitted = self.admit(batch_df, epoch_id=epoch_id)
             (
                 admitted.withColumn("epoch", F.lit(int(epoch_id)))
@@ -204,6 +220,9 @@ class StreamingDocDedup:
                 .partitionBy("epoch")
                 .parquet(output_path)
             )
+            epochs_seen += 1
+            if maintain_every and epochs_seen % maintain_every == 0:
+                self.maintenance(max_files_per_partition)
 
         return doc_stream.writeStream.foreachBatch(_each).start()
 

@@ -289,3 +289,36 @@ def test_near_dup_gate_store_compaction(spark, tmp_path):
     assert store_after == store_before
     # near-dup of an admitted doc still rejected after the rewrite
     assert gate.admit(_docs(spark, [(100, texts[0] + " tail 0")])).count() == 0
+
+
+def test_bind_stream_auto_maintenance(spark, tmp_path):
+    """maintain_every wires compaction into the streaming loop: after the
+    epochs run, the store is folded to 1 file per touched partition and
+    admission is unchanged (dup rejected, fresh admitted)."""
+    src = tmp_path / "incoming"
+    out = tmp_path / "admitted"
+    src.mkdir()
+    gate = StreamingDocDedup(spark, str(tmp_path / "fp_store"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    # maintain after every epoch with threshold 0 -> compaction runs as
+    # soon as any partition holds >=1 file, so 2 epochs exercise both the
+    # fold and admission-over-compacted-store
+    q = gate.bind_stream(
+        stream, str(out), maintain_every=1, max_files_per_partition=0
+    )
+    try:
+        _docs(spark, [(i, f"first batch text {i}") for i in range(8)]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        assert max(gate.partition_file_counts().values()) == 1
+        _docs(
+            spark,
+            [(100, "first batch text 0"), (101, "second batch fresh")],
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert got == set(range(8)) | {101}
+    assert max(gate.partition_file_counts().values()) == 1
