@@ -1,0 +1,249 @@
+"""C4-style corpus cleaning (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning...", §2.2) — the published heuristic battery that produced
+the C4 dataset, complementing the Gopher rules (operators/quality.py):
+C4 FILTERS LINES and REMOVES DUPLICATED SPANS in place, where Gopher only
+scores documents.
+
+Pinned conventions (the paper gives prose, not code; every rule below is
+made explicit and pinned by an independent Python reference in
+tests/test_c4.py):
+
+* lines = text split on ``\\n``, trimmed;
+* a line is KEPT iff it ends in terminal punctuation (``.``, ``!``, ``?``,
+  ``"``), has at least ``line_min_words`` whitespace words (paper: 5), and
+  contains none of the ``drop_line_phrases`` (case-insensitive substring;
+  default: ``javascript`` and the paper's cookie/policy boilerplate list);
+* a document is DROPPED iff its kept text has fewer than ``min_sentences``
+  sentences (counted as terminal-punctuation runs, paper: 3), or contains
+  ``lorem ipsum`` (case-insensitive), or contains a curly brace ``{``
+  (code marker). The paper's bad-words list is a pluggable
+  ``drop_doc_phrases`` parameter — no list ships here;
+* three-sentence-span dedup removes ALL BUT THE FIRST occurrence
+  (corpus-wide order: smallest (doc_id, span start)) of every duplicated
+  three-sentence span; the removed unit is the span's three sentences.
+
+Everything is column algebra over one text scan: line filtering is per-row
+array algebra; span dedup is one sentence explode + per-doc lead() window +
+one uniform hash groupBy + a per-doc semi-join back — no UDFs, nothing
+quadratic, shuffle keys uniform (span hashes / doc ids) at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# the paper's line-level boilerplate phrases + "javascript"
+DEFAULT_DROP_LINE_PHRASES = [
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+]
+
+_TERMINAL = ('.', '!', '?', '"')
+
+
+def _line_kept(line: Column, line_min_words: int, phrases: list[str]) -> Column:
+    trimmed = F.trim(line)
+    ends_ok = F.lit(False)
+    for t in _TERMINAL:
+        ends_ok = ends_ok | trimmed.endswith(t)
+    enough_words = F.size(F.split(trimmed, r" +")) >= line_min_words
+    lower = F.lower(trimmed)
+    no_phrase = F.lit(True)
+    for p in phrases:
+        no_phrase = no_phrase & ~lower.contains(p)
+    return ends_ok & enough_words & no_phrase
+
+
+def c4_quality_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_min_words: int = 5,
+    min_sentences: int = 3,
+    drop_line_phrases: list[str] | None = None,
+    drop_doc_phrases: list[str] | None = None,
+) -> DataFrame:
+    """Per-document C4 battery: original columns plus
+
+    ``c4_text`` (the line-filtered text, kept lines re-joined with \\n),
+    ``n_lines`` / ``n_lines_kept``, ``n_sentences`` (terminal-punctuation
+    runs in the kept text), ``has_lorem_ipsum``, ``has_brace``, and
+    ``passes_c4`` (the document-level keep decision over the KEPT text).
+
+    One per-row projection — no shuffle, no join; the line filter is an
+    array ``filter`` over the split lines."""
+    phrases = (
+        DEFAULT_DROP_LINE_PHRASES if drop_line_phrases is None else drop_line_phrases
+    )
+    doc_phrases = ["lorem ipsum"] + [
+        p.lower() for p in (drop_doc_phrases or [])
+    ]
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: _line_kept(l, line_min_words, phrases))
+    kept_text = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    # sentences = runs of terminal punctuation in the kept text (e.g. "..."
+    # counts once) — the pinned counting convention
+    n_sentences = F.size(
+        F.filter(
+            F.split(kept_text, r'[.!?"]+'),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    # a kept text ENDING in terminal punct splits into n_sentences pieces;
+    # the split above drops the trailing empty piece via the length filter,
+    # so the count equals the number of punctuation-terminated runs
+    lower_kept = F.lower(kept_text)
+    has_phrase = F.lit(False)
+    for p in doc_phrases:
+        has_phrase = has_phrase | lower_kept.contains(p)
+    has_lorem = lower_kept.contains("lorem ipsum")
+    has_brace = kept_text.contains("{")
+    passes = (
+        (n_sentences >= min_sentences) & ~has_phrase & ~has_brace
+    )
+    return docs.select(
+        "*",
+        kept_text.alias("c4_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        passes.alias("passes_c4"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_min_words: int = 5,
+    min_sentences: int = 3,
+    drop_line_phrases: list[str] | None = None,
+    drop_doc_phrases: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply the battery: returns (cleaned docs — original columns with
+    ``text_col`` REPLACED by the line-filtered text, failing docs dropped;
+    drop log (doc_id, reason) with reason one of ``too_few_sentences`` /
+    ``doc_phrase`` / ``brace``). Composes upstream of clean_corpus (which
+    gates and dedups but never rewrites text)."""
+    sig = c4_quality_signals(
+        docs, text_col, id_col, line_min_words, min_sentences,
+        drop_line_phrases, drop_doc_phrases,
+    )
+    reason = (
+        F.when(F.col("n_sentences") < min_sentences, F.lit("too_few_sentences"))
+        .when(F.col("has_brace"), F.lit("brace"))
+        .otherwise(F.lit("doc_phrase"))
+    )
+    dropped = sig.filter(~F.col("passes_c4")).select(
+        F.col(id_col).alias("doc_id"), reason.alias("reason")
+    )
+    extra = [c for c in docs.columns if c != text_col]
+    cleaned = sig.filter(F.col("passes_c4")).select(
+        *extra, F.col("c4_text").alias(text_col)
+    ).select(docs.columns)
+    return cleaned, dropped
+
+
+def c4_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sentences: int = 3,
+) -> DataFrame:
+    """C4's corpus-level dedup: remove all but the FIRST occurrence of any
+    ``span_sentences``-sentence span occurring more than once anywhere in
+    the corpus. First = smallest (doc_id, span start index); the removed
+    unit is the span's sentences, and documents are reconstructed from
+    their surviving sentences (empty documents survive as empty text —
+    compose with :func:`c4_clean` or a length gate to drop them).
+
+    Plan: one sentence explode (per-doc ``posexplode``), spans via
+    ``lead()`` over the per-doc sentence window (uniform doc keys), one
+    groupBy on the span hash (uniform — md5), winners by ``min(struct)``,
+    then the non-winning occurrences expand to their covered sentence
+    indices and anti-join the sentence table per (doc, index). Nothing in
+    the plan scales with anything but the sentence count."""
+    # sentence split keeps the terminator attached: insert a sentinel
+    # after every terminal-punctuation run, split on the sentinel, trim —
+    # a lookbehind-free construction (regex lookbehind support differs
+    # across engines; this one is portable and the reference test mirrors
+    # it verbatim)
+    sentinel = "\x1f"
+    marked = F.regexp_replace(F.col(text_col), r'([.!?"]+)', "$1" + sentinel)
+    # explicit unary lambda: F.trim has an optional second parameter, so
+    # passing it bare would make transform supply the element INDEX as the
+    # trim string (the same binary-callable trap as quality.py's _tag)
+    sentences = F.filter(
+        F.transform(F.split(marked, sentinel), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sentences).alias("sidx", "sentence"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("sidx")
+    span_parts = [F.col("sentence")] + [
+        F.lead("sentence", i).over(w) for i in range(1, span_sentences)
+    ]
+    spans = sent.select(
+        "doc_id",
+        "sidx",
+        F.when(
+            F.lead("sentence", span_sentences - 1).over(w).isNotNull(),
+            F.md5(F.concat_ws("", *span_parts)),
+        ).alias("span_hash"),
+    ).filter(F.col("span_hash").isNotNull())
+    winners = spans.groupBy("span_hash").agg(
+        F.min(F.struct("doc_id", "sidx")).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    losers = (
+        spans.join(winners, "span_hash")
+        .filter(
+            (F.col("n_occ") > 1)
+            & (
+                (F.col("doc_id") != F.col("w.doc_id"))
+                | (F.col("sidx") != F.col("w.sidx"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("sidx"), F.col("sidx") + F.lit(span_sentences - 1)
+                )
+            ).alias("sidx"),
+        )
+        .distinct()
+    )
+    survivors = (
+        sent.join(losers, ["doc_id", "sidx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sidx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("_new_text")
+        )
+    )
+    extra = [c for c in docs.columns if c != text_col]
+    return (
+        docs.select(*docs.columns)
+        .join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            *extra,
+            F.trim(F.coalesce(F.col("_new_text"), F.lit(""))).alias(text_col),
+        )
+        .select(docs.columns)
+    )

@@ -1,0 +1,165 @@
+"""C4 cleaning battery (operators/c4.py): line filter + doc gates + span
+dedup against an independent Python reference implementing the same pinned
+conventions, plus behavioral checks on seeded corpora."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.c4 import (
+    DEFAULT_DROP_LINE_PHRASES,
+    c4_clean,
+    c4_quality_signals,
+    c4_span_dedup,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_signals(text, line_min_words=5, min_sentences=3):
+    lines = text.split("\n")
+    kept = []
+    for l in lines:
+        t = l.strip()
+        if not t.endswith((".", "!", "?", '"')):
+            continue
+        if len(re.split(r" +", t)) < line_min_words:
+            continue
+        low = t.lower()
+        if any(p in low for p in DEFAULT_DROP_LINE_PHRASES):
+            continue
+        kept.append(t)
+    kept_text = "\n".join(kept)
+    n_sent = len([s for s in re.split(r'[.!?"]+', kept_text) if s.strip()])
+    low = kept_text.lower()
+    has_lorem = "lorem ipsum" in low
+    has_brace = "{" in kept_text
+    passes = n_sent >= min_sentences and not has_lorem and not has_brace
+    return {
+        "c4_text": kept_text,
+        "n_lines": len(lines),
+        "n_lines_kept": len(kept),
+        "n_sentences": n_sent,
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "passes_c4": passes,
+    }
+
+
+_SEEDS = [
+    # (suffix-id offset, appended text)
+    (0, "\nShort line\nA full sentence with plenty of words to keep here."
+        "\nSecond complete sentence with enough words to pass easily."
+        "\nThird complete sentence rounds out the passing document."),
+    (1, "\nThis boilerplate mentions our Privacy Policy in the middle of it."),
+    (2, "\nvar x = { key: 1 }. This line has a brace and enough words."),
+    (3, "\nLorem ipsum dolor sit amet consectetur adipiscing elit sed do."),
+    (4, "\nCall our JavaScript widget today for more information please."),
+]
+
+
+def test_c4_signals_match_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    expr = F.col("text")
+    for off, suffix in _SEEDS:
+        expr = F.when(
+            F.col("doc_id") % 5 == off, F.concat(F.col("text"), F.lit(suffix))
+        ).otherwise(expr)
+    docs = docs.withColumn("text", expr)
+    rows = docs.select("doc_id", "text").collect()
+    want = {r.doc_id: _ref_signals(r.text) for r in rows}
+    got = c4_quality_signals(docs).collect()
+    assert len(got) == len(want)
+    for r in got:
+        exp = want[r.doc_id]
+        for k, v in exp.items():
+            assert getattr(r, k) == v, (r.doc_id, k, getattr(r, k), v)
+    # the battery is discriminative on this corpus
+    assert {r.passes_c4 for r in got} == {True, False}
+
+
+def test_c4_clean_partition_and_reasons(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "One good sentence with enough words here.\nAnother fine sentence with words aplenty.\nThird solid sentence closes the document."),
+            (2, "no terminal punctuation here\nalso not here"),
+            (3, "This sentence has a brace { inside it and words.\nSecond sentence with enough words to pass.\nThird sentence with enough words to pass."),
+            (4, "Lorem ipsum dolor sit amet consectetur elit.\nSecond sentence with enough words to pass.\nThird sentence with enough words to pass."),
+        ],
+        ["doc_id", "text"],
+    )
+    cleaned, dropped = c4_clean(docs)
+    kept = {r.doc_id for r in cleaned.collect()}
+    reasons = {r.doc_id: r.reason for r in dropped.collect()}
+    assert kept == {1}
+    assert reasons[2] == "too_few_sentences"
+    assert reasons[3] == "brace"
+    assert reasons[4] == "doc_phrase"
+    assert set(reasons) | kept == {1, 2, 3, 4}
+    # cleaned text is the line-filtered form, schema preserved
+    assert cleaned.columns == docs.columns
+    txt = cleaned.first().text
+    assert txt.count("\n") == 2 and txt.endswith("document.")
+
+
+def _ref_span_dedup(doc_rows, span=3):
+    sents = {}
+    for d, text in doc_rows:
+        marked = re.sub(r'([.!?"]+)', "\\1\x1f", text)
+        sents[d] = [s.strip() for s in marked.split("\x1f") if s.strip()]
+    occ = {}
+    for d in sorted(sents):
+        for i in range(len(sents[d]) - span + 1):
+            h = "".join(sents[d][i : i + span])
+            occ.setdefault(h, []).append((d, i))
+    removed = {d: set() for d in sents}
+    for h, places in occ.items():
+        if len(places) > 1:
+            for d, i in places[1:] if places == sorted(places) else sorted(places)[1:]:
+                removed[d].update(range(i, i + span))
+    return {
+        d: " ".join(
+            s for i, s in enumerate(sents[d]) if i not in removed[d]
+        ).strip()
+        for d in sents
+    }
+
+
+def test_c4_span_dedup_matches_reference(spark):
+    boiler = (
+        "Subscribe to our newsletter today. "
+        "Follow us on all social platforms. "
+        "All rights reserved by the publisher."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique opening sentence one. Unique second sentence here. " + boiler),
+            (2, "Different start for this doc. Another distinct sentence follows. " + boiler),
+            (3, boiler),
+            (4, "No duplicated content lives here. Every sentence is unique text. Nothing is shared with others."),
+        ],
+        ["doc_id", "text"],
+    )
+    want = _ref_span_dedup([(r.doc_id, r.text) for r in docs.collect()])
+    got = {r.doc_id: r.text for r in c4_span_dedup(docs).collect()}
+    assert got == want
+    # doc 1 (smallest id) keeps the boilerplate; 2 and 3 lose it
+    assert "Subscribe" in got[1]
+    assert "Subscribe" not in got[2] and got[3] == ""
+    assert got[4].startswith("No duplicated")
+    # schema preserved
+    assert c4_span_dedup(docs).columns == docs.columns
+
+
+def test_c4_span_dedup_plan_shape(spark):
+    """One sentence explode, uniform-key span hash groupBy, per-doc
+    anti-join — no cartesian products anywhere."""
+    docs = load_table(spark, SF_DIR, "documents")
+    df = c4_span_dedup(docs)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
