@@ -790,3 +790,47 @@ def _residual_probed_luts(
             ),
         ).alias("lut"),
     )
+
+
+def trained_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """KMeans-trained codebooks — the production quantizer (Jegou 2011
+    §II-C trains exactly this way): one MLlib KMeans fit PER SUBSPACE over
+    that subspace's subvectors, centers lifted into the same (subspace,
+    code, centroid) table the deterministic ``pq_codebooks`` emits, so the
+    entire encode/LUT/ADC plan downstream is byte-identical — only the
+    centroid VALUES differ.
+
+    Cost: m distributed fits (m corpus passes). At 100 TB pass
+    ``sample_fraction`` — PQ codebooks need ~100k-1M training points, not
+    the corpus (the paper trains on a held-out sample), and a deterministic
+    per-row hash sample keeps the run reproducible. Pass residuals
+    (``x - c(x)``, see :func:`residual_codebooks`) as ``vectors`` to train
+    residual codebooks the same way."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_dim = _sub_dim(dim, m)
+    base = vectors.select(F.col(vec_col).alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    rows = []
+    for j in range(m):
+        subs = base.select(
+            array_to_vector(subvector(F.col("_v"), j, sub_dim)).alias("_features")
+        )
+        model = KMeans(
+            k=k_codes, seed=seed + j, featuresCol="_features", predictionCol="_c"
+        ).fit(subs)
+        for code, center in enumerate(model.clusterCenters()):
+            rows.append((j, code, [float(x) for x in center]))
+    return vectors.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )

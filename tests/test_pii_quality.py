@@ -312,3 +312,20 @@ def test_repetition_signals_custom_id_col(spark):
     }
     assert got[1][0] == "spam ham" and got[1][1] == 4 and not got[1][2]
     assert got[2][1] == 1 and got[2][2]
+
+
+def test_repetition_battery_plan_shape(spark):
+    """All nine n-gram sizes must ride ONE tagged explode: the documents
+    source is scanned at most twice (the unit-signal side and the gram
+    pipeline side of the per-doc join), there is exactly one Generate for
+    the gram rows, and no cartesian/nested-loop join anywhere."""
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = repetition_signals(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"documents\.parquet", plan))
+    assert scans <= 2, plan
+    assert len(re.findall(r"\bGenerate explode", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

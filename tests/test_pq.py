@@ -126,3 +126,43 @@ def test_pq_rejects_non_divisible_m(spark):
         pq_encode(emb, cb, m=7, dim=DIM)
     with pytest.raises(ValueError, match="divisible"):
         adc_topk(emb, emb.limit(1), cb, m=7, dim=DIM)
+
+
+def test_trained_codebooks_recall_parity(spark):
+    """KMeans-trained codebooks (the paper's training procedure) plug into
+    the same plan and must recall within noise of the first-k
+    deterministic quantizer at equal (m, k_codes). On this SYNTHETIC
+    corpus the embeddings are near-uniform, so actual corpus vectors are
+    already a competitive quantizer and training cannot dominate — the
+    trained path's win appears on clustered real-world distributions; what
+    this pins is that training is wired correctly (right subspaces, right
+    table shape, sane recall), not a structural regression."""
+    from l1dbproto_spark.operators.pq import (
+        adc_topk,
+        pq_codebooks,
+        trained_pq_codebooks,
+    )
+    from l1dbproto_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    kw = dict(k=5, refine=4, m=M, k_codes=K_CODES, dim=DIM)
+    det_cb = pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    det = {
+        (r.query_id, r.neighbor_id)
+        for r in adc_topk(emb, queries, det_cb, **kw).collect()
+    }
+    tr_cb = trained_pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    assert tr_cb.count() == M * K_CODES
+    tr = {
+        (r.query_id, r.neighbor_id)
+        for r in adc_topk(emb, queries, tr_cb, **kw).collect()
+    }
+    r_det = len(exact & det) / len(exact)
+    r_tr = len(exact & tr) / len(exact)
+    assert r_tr >= r_det - 0.1, (r_tr, r_det)
+    assert r_tr >= 0.4, r_tr
