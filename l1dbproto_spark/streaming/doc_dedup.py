@@ -360,6 +360,34 @@ class StreamingNearDupGate:
         )
         return admitted
 
+    def bind_stream(
+        self,
+        doc_stream: DataFrame,
+        output_path: str,
+        maintain_every: int | None = None,
+        max_files_per_partition: int = 8,
+    ):
+        """Wire the near-dup gate into a Structured Streaming query —
+        the same epoch-partitioned exactly-once output and optional
+        periodic store compaction as StreamingDocDedup.bind_stream."""
+        epochs_seen = 0
+
+        def _each(batch_df: DataFrame, epoch_id: int) -> None:
+            nonlocal epochs_seen
+            admitted = self.admit(batch_df, epoch_id=epoch_id)
+            (
+                admitted.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(output_path)
+            )
+            epochs_seen += 1
+            if maintain_every and epochs_seen % maintain_every == 0:
+                self.maintenance(max_files_per_partition)
+
+        return doc_stream.writeStream.foreachBatch(_each).start()
+
     def partition_file_counts(self) -> dict[str, int]:
         """Data files per bkt_pfx partition (driver FS metadata only)."""
         return self._fs.partition_file_counts(self.store_path)

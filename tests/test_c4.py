@@ -163,3 +163,28 @@ def test_c4_span_dedup_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_c4_clean_is_idempotent(spark):
+    """The line filter is a projection onto its own fixed points: applying
+    c4_clean to already-cleaned text changes nothing (every kept line
+    still ends in terminal punct, has enough words, carries no dropped
+    phrase; the doc gates see identical kept text)."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nFirst appended sentence has plenty of words here."
+                "\nshort no punct"
+                "\nSecond appended sentence also has plenty of words."
+                "\nThird appended sentence closes out the passing text."
+            ),
+        ),
+    )
+    once, _ = c4_clean(docs)
+    twice, dropped2 = c4_clean(once)
+    assert dropped2.count() == 0
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b and a

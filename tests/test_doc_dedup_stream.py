@@ -322,3 +322,33 @@ def test_bind_stream_auto_maintenance(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert got == set(range(8)) | {101}
     assert max(gate.partition_file_counts().values()) == 1
+
+
+def test_near_dup_gate_bind_stream(spark, tmp_path):
+    """The near-dup gate wired into a real streaming query: a rephrased
+    near-duplicate arriving in a later micro-batch is rejected."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    src = tmp_path / "incoming"
+    out = tmp_path / "admitted"
+    src.mkdir()
+    gate = StreamingNearDupGate(spark, str(tmp_path / "lsh_store"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = gate.bind_stream(stream, str(out), maintain_every=1,
+                         max_files_per_partition=0)
+    try:
+        _docs(spark, [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely unrelated writing about spark catalyst optimizer internals"),
+        ]).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        assert max(gate.partition_file_counts().values()) == 1
+        _docs(spark, [
+            (3, "the quick brown fox jumps over the lazy dog every day"),
+            (4, "new third topic discussing astronomy alert production pipelines"),
+        ]).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 2, 4}
