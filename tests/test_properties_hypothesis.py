@@ -135,3 +135,38 @@ def test_chunking_invariants_random(n_tokens, chunk, overlap_frac):
         # chunk text round-trips the token slice
         for st_, k, txt in zip(g.start_tok, g.n_chunk_tokens, g.chunk_text):
             assert txt == " ".join(f"t{j}" for j in range(st_ - 1, st_ - 1 + k))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+    ctx=st.integers(min_value=2, max_value=19),
+    shards=st.integers(min_value=1, max_value=3),
+)
+def test_packing_custom_count_col_random(counts, ctx, shards):
+    """Pluggable token counts: packing over an arbitrary pre-computed
+    count column obeys the same conservation/capacity/contiguity
+    invariants, regardless of the text (which is deliberately a constant
+    here — the counts alone drive the map)."""
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, "irrelevant text", n) for i, n in enumerate(counts)],
+        ["doc_id", "text", "bpe_tokens"],
+    )
+    pdf = pack_sequences(
+        docs, ctx_len=ctx, n_shards=shards, count_col="bpe_tokens"
+    ).toPandas()
+    per_doc = pdf.groupby("doc_id").agg(
+        assigned=("tokens_in_chunk", "sum"), n=("n_tokens", "first")
+    )
+    assert (per_doc.assigned == per_doc.n).all()
+    assert dict(per_doc.n) == {i: n for i, n in enumerate(counts)}
+    stats = pdf.groupby(["shard", "chunk"]).tokens_in_chunk.sum()
+    for shard in {s for s, _ in stats.index}:
+        chunks = stats.loc[shard].sort_index()
+        assert (chunks.iloc[:-1] == ctx).all()
+        assert chunks.iloc[-1] <= ctx
