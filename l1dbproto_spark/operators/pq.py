@@ -424,7 +424,14 @@ def residual_codebooks(
     ``k_codes`` residuals corpus-wide), constant memory. Both are
     broadcast-sized for any realistic (n_clusters, m, k_codes). As with
     ``pq_codebooks``, swap in KMeans-per-subspace centroids for production
-    — the downstream plan is identical."""
+    — the downstream plan is identical.
+
+    Scale shape: the shared path takes its ``k_codes`` training rows with
+    ``orderBy().limit()`` — a TakeOrdered, per-partition top-k merged on
+    the driver, never a global sort. The per-cluster path ranks within
+    clusters (a per-cluster sort); codebook TRAINING is a bounded
+    offline step — at 10^10 rows run it on a per-cluster sample, exactly
+    as :func:`trained_pq_codebooks` samples for KMeans."""
     sub_dim = _sub_dim(dim, m)
     cent = centroids.select(
         F.col("cluster").cast("int").alias("cluster"),
@@ -438,11 +445,16 @@ def residual_codebooks(
     )
     if per_cluster:
         w = Window.partitionBy("cluster").orderBy("_cb_id")
+        coded = res.withColumn("code", F.row_number().over(w) - 1).filter(
+            F.col("code") < k_codes
+        )
     else:
+        # TakeOrdered + tiny window, not a global row_number over the
+        # corpus (Window.orderBy with no partition keys funnels every row
+        # through ONE task — a scale-killer for a k_codes-row output)
+        head = res.orderBy("_cb_id").limit(k_codes)
         w = Window.orderBy("_cb_id")
-    coded = res.withColumn("code", F.row_number().over(w) - 1).filter(
-        F.col("code") < k_codes
-    )
+        coded = head.withColumn("code", F.row_number().over(w) - 1)
     subs = F.array(
         *[
             F.struct(
