@@ -236,3 +236,53 @@ def sample_with_temperature(
         .filter(u < F.least(F.col("rate"), F.lit(1.0)))
         .drop("rate")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    target_fraction: float | None = None,
+    salt: str = "wsample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score-proportional acceptance sampling — the importance-resampling
+    selection step quality-aware pipelines run (keep documents with
+    probability proportional to a per-document score: a quality model's
+    output, a DSIR-style importance weight, a dedup-cluster size
+    correction).
+
+    Each row is kept iff ``u < p_i`` where ``u`` is the engine's standard
+    deterministic per-id unit hash and
+
+        p_i = clamp(w_i * scale, 0, 1)
+        scale = target_fraction * N / sum(w)   (or 1/max(w) when no target)
+
+    With ``target_fraction`` the EXPECTED kept fraction is the target
+    (exact when no p_i clamps); without it, acceptance is w_i / max(w) —
+    the classic rejection form that always keeps the best row(s) with
+    probability 1. Negative weights are treated as 0 (never kept).
+
+    Scale shape: one tiny global aggregate (sum/count or max — partial-
+    aggregated, bytes to the driver's broadcast) crossJoin-broadcast onto
+    the scan, then the same zero-shuffle per-row filter as
+    ``sample_mixture``; append-stability holds per (id, salt) as long as
+    the scale factor is frozen — re-running on a GROWN corpus recomputes
+    the scalar, so freeze it (pass the same corpus) or accept a rescaled
+    draw, exactly the trade documented for temperature_rates."""
+    w = F.col(weight_col).cast("double")
+    wpos = F.greatest(w, F.lit(0.0))
+    if target_fraction is not None:
+        stats = docs.select(
+            F.sum(wpos).alias("_wsum"), F.count(F.lit(1)).alias("_n")
+        )
+        scale = F.lit(float(target_fraction)) * F.col("_n") / F.col("_wsum")
+    else:
+        stats = docs.select(F.max(wpos).alias("_wmax"))
+        scale = F.lit(1.0) / F.col("_wmax")
+    u = _unit_hash(F.col(id_col), salt)
+    p = F.least(wpos * scale, F.lit(1.0))
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .filter(u < p)
+        .drop(*stats.columns)
+    )

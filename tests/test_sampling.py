@@ -220,3 +220,64 @@ def test_sample_with_temperature_matches_oracle(spark):
     largest = max(per_src, key=per_src.get)
     assert kept[smallest] == per_src[smallest]
     assert kept[largest] < per_src[largest]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Score-proportional acceptance: the engine's kept set equals an
+    independent Python reproduction of u < clamp(w * scale, 0, 1) with the
+    same md5 unit hash, for both the max-normalized and target-fraction
+    forms; zero-weight rows are never kept, the max-weight row always is."""
+    import hashlib
+
+    from l1dbproto_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 7) % 13) if i % 10 else 0.0) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "score"])
+
+    def unit(i, salt):
+        h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:12]
+        return int(h, 16) / float(1 << 48)
+
+    # max-normalized form
+    wmax = max(w for _, w in rows)
+    want = {i for i, w in rows if unit(i, "wsample-v1") < min(max(w, 0.0) / wmax, 1.0)}
+    got = {r.doc_id for r in weighted_sample(docs, "score").collect()}
+    assert got == want
+    assert all(w > 0 for i, w in rows if i in got)
+    best = [i for i, w in rows if w == wmax]
+    assert set(best) <= got  # p=1 rows always kept
+
+    # target-fraction form: expected kept fraction ~= target
+    n = len(rows)
+    wsum = sum(max(w, 0.0) for _, w in rows)
+    scale = 0.3 * n / wsum
+    want2 = {
+        i for i, w in rows
+        if unit(i, "wsample-v1") < min(max(w, 0.0) * scale, 1.0)
+    }
+    got2 = {
+        r.doc_id
+        for r in weighted_sample(docs, "score", target_fraction=0.3).collect()
+    }
+    assert got2 == want2
+    assert abs(len(got2) / n - 0.3) < 0.1
+    # schema preserved, scalar helper columns dropped
+    out = weighted_sample(docs, "score")
+    assert out.columns == docs.columns
+
+
+def test_weighted_sample_zero_shuffle_scan(spark):
+    """The acceptance filter itself is shuffle-free: the only exchange in
+    the plan is the broadcast of the one-row scalar aggregate."""
+    from l1dbproto_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], ["doc_id", "score"]
+    )
+    df = weighted_sample(docs, "score", target_fraction=0.5)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
