@@ -364,3 +364,51 @@ def repetition_signals(
     return out.withColumn("passes_repetition", passes).drop(
         "_word_chars", "_w", *[f"_didx_{n}" for n in dup_ns]
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    group_col: str | None = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020, §4.3):
+    rank documents by an LM quality score WITHIN each language (or any
+    group), cut at per-group quantiles, and label the thirds — the
+    published pipeline keeps head+middle and drops the tail. Works over
+    any score column; the natural feed is
+    :func:`unigram_logprob_scores`'s ``mean_logprob`` (higher = better,
+    so head = top of the score distribution; a perplexity column works
+    with the same cuts since bucketing only uses within-group rank).
+
+    Exact quantiles (``percentile``, not the sketch form) so the cut is
+    deterministic and engine-reproducible; the per-group cut table is
+    group-count-sized and broadcast back onto the scan. Plan: one
+    uniform-key aggregation + one broadcast join + a per-row CASE — the
+    corpus is scanned once and never shuffled.
+
+    Output: input columns + ``bucket`` in {'head','middle','tail'}
+    (ties at a cut go to the better bucket: ``score >= cut``)."""
+    lo, hi = sorted(cuts)
+    s = F.col(score_col).cast("double")
+    if group_col is None:
+        grouped = scored.groupBy()
+        keys = []
+    else:
+        grouped = scored.groupBy(group_col)
+        keys = [group_col]
+    cuts_df = grouped.agg(
+        F.expr(f"percentile({score_col}, {1.0 - hi})").alias("_cut_head"),
+        F.expr(f"percentile({score_col}, {1.0 - lo})").alias("_cut_mid"),
+    )
+    joined = (
+        scored.join(F.broadcast(cuts_df), keys)
+        if keys
+        else scored.crossJoin(F.broadcast(cuts_df))
+    )
+    bucket = (
+        F.when(s >= F.col("_cut_head"), F.lit("head"))
+        .when(s >= F.col("_cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("bucket", bucket).drop("_cut_head", "_cut_mid")
