@@ -77,7 +77,10 @@ def test_level9_scales(spark):
     t0 = time.time()
     ranges = cone_envelope_ranges(10.0, -40.0, 1.76, level=9)
     plan_time = time.time() - t0
-    assert plan_time < 5.0  # first call builds the cached cell table
+    # generous bound: guards against an algorithmic blowup (the table is
+    # 1.5M cells; a 16x regression would take minutes), while staying
+    # robust to ambient host load — 5.0 s flaked at load average ~5
+    assert plan_time < 20.0  # first call builds the cached cell table
     t0 = time.time()
     cone_envelope_ranges(11.0, -41.0, 1.76, level=9)
     assert time.time() - t0 < 0.5  # cached path
