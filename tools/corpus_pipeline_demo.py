@@ -8,6 +8,8 @@ synthetic tables:
   1. decontaminate against an eval set        (operators/contamination.py)
   2. clean: length / repetition / PII gates,
      exact + near dedup, semantic dedup       (operators/corpus.py + semdedup)
+  2b. CCNet perplexity bucketing: keep
+     head+middle per language                 (operators/quality.py)
   3. temperature-rebalanced mixture sample    (operators/sampling.py)
   4. train/val/test split                     (operators/corpus.py)
   5. pack into fixed-length context windows   (operators/packing.py)
@@ -32,6 +34,10 @@ from l1dbproto_spark.operators.c4 import c4_clean, c4_span_dedup  # noqa: E402
 from l1dbproto_spark.operators.contamination import decontaminate  # noqa: E402
 from l1dbproto_spark.operators.corpus import clean_corpus, split_corpus  # noqa: E402
 from l1dbproto_spark.operators.packing import pack_sequences  # noqa: E402
+from l1dbproto_spark.operators.quality import (  # noqa: E402
+    perplexity_buckets,
+    unigram_logprob_scores,
+)
 from l1dbproto_spark.operators.sampling import sample_with_temperature  # noqa: E402
 from l1dbproto_spark.session import get_spark  # noqa: E402
 from l1dbproto_spark.sources.catalog import load_table  # noqa: E402
@@ -82,8 +88,19 @@ def main() -> None:
     }
     n2 = res.cleaned.count()
 
+    # 2b. CCNet-style bucketing: score survivors under their own unigram
+    # distribution, cut per-language tertiles, drop the tail third
+    scored = res.cleaned.join(
+        unigram_logprob_scores(res.cleaned), "doc_id"
+    )
+    bucketed = perplexity_buckets(scored, group_col="lang")
+    kept_hm = bucketed.filter(F.col("bucket") != "tail").drop(
+        "bucket", "mean_logprob", "n_tokens"
+    )
+    n2b = kept_hm.count()
+
     # 3. temperature-rebalanced mixture (lifts low-resource languages)
-    mixed = sample_with_temperature(res.cleaned, alpha=0.3, source_col="lang")
+    mixed = sample_with_temperature(kept_hm, alpha=0.3, source_col="lang")
     n3 = mixed.count()
 
     # 4. deterministic split
@@ -107,6 +124,7 @@ def main() -> None:
         "decontamination_dropped": n0 - n1,
         "clean_drop_reasons": reasons,
         "after_clean": n2,
+        "after_perplexity_head_middle": n2b,
         "after_mixture": n3,
         "splits": splits,
         "train_chunks_512tok": n_chunks,
