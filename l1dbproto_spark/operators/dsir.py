@@ -109,8 +109,19 @@ def bucket_distribution(
     ``p[b] = (cnt[b] + s) / (total + s * B)`` — dense so the downstream
     ratio join never drops a bucket that one side has and the other
     lacks. ``num_buckets`` rows by construction: bounded, broadcastable,
-    and the natural artifact to persist once per corpus at scale."""
-    counts = features.groupBy("bucket").agg(F.sum("cnt").alias("_c"))
+    and the natural artifact to persist once per corpus at scale.
+
+    The per-bucket counts are locally checkpointed: the smoothing
+    denominator AND the dense join both consume them, and without the
+    checkpoint each branch re-runs the corpus-scale featurize+aggregate
+    subtree behind it (the temperature_rates lesson — differing
+    projections defeat exchange reuse). Bounded at ``num_buckets`` rows,
+    so the materialization is bytes."""
+    counts = (
+        features.groupBy("bucket")
+        .agg(F.sum("cnt").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     dense = features.sparkSession.range(num_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
