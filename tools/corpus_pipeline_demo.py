@@ -5,11 +5,15 @@ synthetic tables:
 
   0. C4 line filter + doc gates + 3-sentence
      span dedup                               (operators/c4.py)
+  0b. exact-substring dedup: duplicated
+     >=W-token runs removed, keep-first       (operators/exact_substr.py)
   1. decontaminate against an eval set        (operators/contamination.py)
   2. clean: length / repetition / PII gates,
      exact + near dedup, semantic dedup       (operators/corpus.py + semdedup)
   2b. CCNet perplexity bucketing: keep
      head+middle per language                 (operators/quality.py)
+  2c. DSIR importance weights against the
+     eval-set "domain" (report only)          (operators/dsir.py)
   3. temperature-rebalanced mixture sample    (operators/sampling.py)
   4. train/val/test split                     (operators/corpus.py)
   5. pack into fixed-length context windows   (operators/packing.py)
@@ -33,6 +37,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from l1dbproto_spark.operators.c4 import c4_clean, c4_span_dedup  # noqa: E402
 from l1dbproto_spark.operators.contamination import decontaminate  # noqa: E402
 from l1dbproto_spark.operators.corpus import clean_corpus, split_corpus  # noqa: E402
+from l1dbproto_spark.operators.dsir import importance_log_weights  # noqa: E402
+from l1dbproto_spark.operators.exact_substr import exact_substring_dedup  # noqa: E402
 from l1dbproto_spark.operators.packing import pack_sequences  # noqa: E402
 from l1dbproto_spark.operators.quality import (  # noqa: E402
     perplexity_buckets,
@@ -67,6 +73,15 @@ def main() -> None:
         c4_docs = docs
         c4_n = n0
 
+    # 0b. exact-substring dedup: remove duplicated >=25-token runs
+    # corpus-wide (keep-first). The synthetic corpus rarely shares runs
+    # this long, so this mostly exercises the plumbing at demo scale.
+    # the rewrite's output is consumed by every downstream stage; pin it
+    # so the token-window machinery runs once (a production pipeline
+    # writes the rewritten corpus to a table at this macro-stage boundary)
+    c4_docs = exact_substring_dedup(c4_docs, window=25).localCheckpoint()
+    n0b = c4_docs.filter(F.length("text") > 0).count()
+
     # 1. decontamination (eval set: every 50th doc stands in for a benchmark)
     ev = c4_docs.filter(F.col("doc_id") % 50 == 0)
     decon, decon_log = decontaminate(c4_docs, ev, n=3, max_contamination=0.5)
@@ -99,6 +114,20 @@ def main() -> None:
     )
     n2b = kept_hm.count()
 
+    # 2c. DSIR weights against the same eval set standing in as the
+    # "target domain" — reported as a distribution audit; the selection
+    # step (dsir_select / weighted_sample) is a drop-in when a pipeline
+    # wants domain-matched downsampling instead of temperature mixing
+    # kept_hm embeds the whole upstream pipeline; pin it so the DSIR
+    # branch (which featurizes it twice: raw model + weights) does not
+    # re-execute the upstream stages per featurization
+    kept_hm = kept_hm.localCheckpoint()
+    dsir_w = importance_log_weights(kept_hm, ev, num_buckets=2048)
+    w_stats = dsir_w.agg(
+        F.round(F.avg("log_weight"), 3).alias("mean"),
+        F.round(F.max("log_weight"), 3).alias("max"),
+    ).first()
+
     # 3. temperature-rebalanced mixture (lifts low-resource languages)
     mixed = sample_with_temperature(kept_hm, alpha=0.3, source_col="lang")
     n3 = mixed.count()
@@ -120,6 +149,8 @@ def main() -> None:
         "sf_dir": sf_dir,
         "input_docs": n0,
         "after_c4": c4_n,
+        "after_exact_substr": n0b,
+        "dsir_log_weight_mean_max": [w_stats["mean"], w_stats["max"]],
         "after_decontamination": n1,
         "decontamination_dropped": n0 - n1,
         "clean_drop_reasons": reasons,
