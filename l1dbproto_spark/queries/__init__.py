@@ -74,7 +74,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "minhash_lsh_candidates",
     "dedup_clusters",
-    "simhash_fingerprints",
+    # r5 late: simhash_fingerprints lost its slot to dsir_log_weights —
+    # the fingerprint table is the registered pairs query's own
+    # intermediate (simhash_near_dup_pairs recomputes it), and its oracle
+    # moved to tests/test_unregistered_batteries.py
     "simhash_near_dup_pairs",
     # LLM-pipeline: similarity family
     "ann_topk_brute",
@@ -126,6 +129,9 @@ _PRIORITY = [
     # moved to tests/test_unregistered_batteries)
     "contamination_report",
     "semdedup_drops",
+    # LLM-pipeline: DSIR importance weights (r5: took simhash_fingerprints'
+    # slot — see the dedup-family comment above)
+    "dsir_log_weights",
 ]
 
 

@@ -230,16 +230,14 @@ _SIMHASH_SIG_CTE = r"""
 """
 
 
-@query(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH {_SIMHASH_SIG_CTE}
-    SELECT doc_id, simhash FROM sim
-    """,
-    survey="ext:dedup (SimHash)",
-)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (frequency-weighted bit votes)."""
+    """60-bit SimHash per document (frequency-weighted bit votes).
+
+    De-registered r5 (slot went to dsir_log_weights): the registered
+    simhash_near_dup_pairs query recomputes this exact table as its
+    candidate-generation prefix, so the fingerprint formula stays under
+    the driver's hard signal transitively; the direct oracle lives in
+    tests/test_unregistered_batteries.py."""
     return simhash(load_table(spark, sf_dir, "documents"))
 
 

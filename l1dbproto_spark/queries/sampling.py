@@ -38,3 +38,86 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mix(
         docs, {"en": 0.8, "es": 0.25}, source_col="lang", default_rate=0.05
     ).select("doc_id", "lang")
+
+
+# DSIR oracle: the full hashed-feature weight computation in one CTE chain.
+# Rounded to 4 decimals on BOTH sides — the per-doc weight is a float sum
+# whose accumulation order differs between engines; terms are O(1)-O(10)
+# magnitude so cross-engine drift is ~1e-11, nine orders below the rounding
+# quantum (the tolerance-safe-decimals pattern from queries/__init__.py).
+_DSIR_B = 512
+_DSIR_FEATS = """
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('dsir-v1', g)), 1, 15))
+                  AS BIGINT) % {b} AS bucket,
+             COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id, unnest(t) AS g FROM {toks}
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM {toks}
+      )
+      GROUP BY 1, 2
+"""
+_DSIR_PROBS = """
+      SELECT b.bucket,
+             (COALESCE(c._c, 0) + 1.0)
+               / ((SELECT SUM(cnt) FROM {feats}) + 1.0 * {b}) AS prob
+      FROM buckets b
+      LEFT JOIN (SELECT bucket, SUM(cnt) AS _c FROM {feats}
+                 GROUP BY bucket) c USING (bucket)
+"""
+
+
+@query(
+    "dsir_log_weights",
+    oracle=f"""
+    WITH raw_toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tgt_toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE lang = 'es' AND doc_id % 5 = 0
+    ),
+    raw_feats AS ({_DSIR_FEATS.format(b=_DSIR_B, toks="raw_toks")}),
+    tgt_feats AS ({_DSIR_FEATS.format(b=_DSIR_B, toks="tgt_toks")}),
+    buckets AS (
+      SELECT unnest(generate_series(0, {_DSIR_B} - 1)) AS bucket
+    ),
+    p_raw AS ({_DSIR_PROBS.format(b=_DSIR_B, feats="raw_feats")}),
+    p_tgt AS ({_DSIR_PROBS.format(b=_DSIR_B, feats="tgt_feats")}),
+    w AS (
+      SELECT f.doc_id,
+             SUM(f.cnt * (ln(t.prob) - ln(r.prob))) AS lw
+      FROM raw_feats f
+      JOIN p_tgt t USING (bucket)
+      JOIN p_raw r USING (bucket)
+      GROUP BY 1
+    )
+    SELECT d.doc_id, ROUND(COALESCE(w.lw, 0.0), 4) AS log_weight
+    FROM documents d LEFT JOIN w USING (doc_id)
+    """,
+    survey="ext:sampling (DSIR importance weights — Xie et al. 2023; operators/dsir.py)",
+)
+def dsir_log_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights of every document against the corpus's
+    own 'es' slice standing in as the target domain: hashed unigram+bigram
+    bag features, dense Laplace-smoothed 512-bucket models, one
+    broadcast-ratio join + per-doc aggregation (operators/dsir.py). The
+    weight pass is a single corpus scan; the bucket models are bounded at
+    512 rows by construction."""
+    from ..operators.dsir import importance_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(
+        (F.col("lang") == "es") & (F.col("doc_id") % 5 == 0)
+    )
+    w = importance_log_weights(docs, target, num_buckets=_DSIR_B)
+    return w.select("doc_id", F.round("log_weight", 4).alias("log_weight"))

@@ -40,6 +40,9 @@ ALLOWED = {
                                             # scheduler skips the duplicate
                                             # map stage at runtime
     "semdedup_drops": {"embeddings": 6},    # union clones x pair-join sides
+    "dsir_log_weights": {"documents": 2},  # id spine + featurize roles
+                                            # (bucket models hide behind
+                                            # their B-row checkpoints)
     "q6_forecast_revenue": {"lineitem": 2},
     "price_percentiles": {"part": 2},
     "argmax_order_per_customer": {"orders": 2},

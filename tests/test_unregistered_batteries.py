@@ -212,3 +212,32 @@ def test_set_ops_customers_matches_oracle(spark):
     want = duckdb.sql(SET_OPS_ORACLE).df()
     want["key"] = want.o_custkey.astype(str) + ":" + want.tag
     assert sorted(got.key) == sorted(want.key)
+
+
+def test_simhash_fingerprints_matches_oracle(spark):
+    """Round 5 (late): simhash_fingerprints lost its registry slot to
+    dsir_log_weights; same oracle, now in-suite (the registered
+    simhash_near_dup_pairs query still exercises the fingerprint formula
+    as its candidate-generation prefix)."""
+    from l1dbproto_spark.queries.dedup import (
+        _SIMHASH_SIG_CTE,
+        simhash_fingerprints,
+    )
+
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {
+        int(d): int(s)
+        for d, s in con.sql(
+            f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, simhash FROM sim"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
