@@ -82,6 +82,99 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED BIGRAM
+    model of the corpus itself — the step up from
+    :func:`unigram_logprob_scores` toward CCNet's real LM perplexity
+    (Wenzek et al. 2020 score with a trained KenLM; scoring the corpus
+    under its own bigram statistics is the shippable no-model analogue,
+    and the output is a drop-in for ``perplexity_buckets``).
+
+    Model, pinned: position 1 scores ``ln p_u(w_1)``; positions i >= 2
+    score ``ln(lam * p_b(w_i | w_{i-1}) + (1-lam) * p_u(w_i))`` with
+
+    * ``p_u(w) = (c(w) + s) / (N + s*V)`` — add-s unigram (same as the
+      unigram scorer);
+    * ``p_b(w | v) = c(v w) / c(v ·)`` — bigram MLE over observed pairs
+      (every scored pair is observed because the corpus scores itself;
+      the unigram interpolation term is what a held-out scorer would
+      lean on for unseen pairs).
+
+    Output: (``id_col``, mean_logprob, n_tokens) — mean over ALL n
+    positions, rounded to 9 decimals for engine portability.
+
+    Plan shape: ONE corpus scan builds (id, prev, w) position rows via a
+    map-side index transform (``element_at`` on the token array — no
+    self-join for adjacency); the per-doc (prev, w) count table feeds
+    every model branch, so the unigram counts, bigram counts, and
+    predecessor totals all share its shuffle (the scheduler skips the
+    duplicate map stages — the unigram scorer's r4 lesson). Probability
+    tables join back by AQE decision (a web-scale vocabulary is not
+    bounded); totals are a 1-row broadcast."""
+    toks = _words(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pos_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w"),
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+        ),
+    )
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0]; empty
+    # token arrays must contribute no rows instead
+    rows = docs.select(
+        F.col(id_col),
+        F.explode(F.when(n >= 1, pos_structs)).alias("_p"),
+    ).select(id_col, F.col("_p.w").alias("w"), F.col("_p.prev").alias("prev"))
+    tf = rows.groupBy(id_col, "prev", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    uni = tf.groupBy("w").agg(F.sum("cnt").alias("c_w"))
+    totals = uni.agg(
+        F.sum("c_w").cast("double").alias("_n_tok"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    p_u = uni.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            (F.col("c_w") + F.lit(smoothing))
+            / (F.col("_n_tok") + F.lit(smoothing) * F.col("_v"))
+        ).alias("_pu"),
+    )
+    bi = tf.filter(F.col("prev").isNotNull()).groupBy("prev", "w").agg(
+        F.sum("cnt").alias("c_vw")
+    )
+    prev_tot = bi.groupBy("prev").agg(F.sum("c_vw").alias("c_v"))
+    p_b = bi.join(prev_tot, "prev").select(
+        "prev", "w", (F.col("c_vw") / F.col("c_v")).alias("_pb")
+    )
+    scored = (
+        tf.join(p_u, "w")
+        .join(p_b, ["prev", "w"], "left")
+        .withColumn(
+            "_lp",
+            F.log(
+                F.when(F.col("prev").isNull(), F.col("_pu")).otherwise(
+                    F.lit(lam) * F.coalesce(F.col("_pb"), F.lit(0.0))
+                    + F.lit(1.0 - lam) * F.col("_pu")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt"), 9
+        ).alias("mean_logprob"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+
+
 # The 8 words Gopher requires at least 2 of — presence, not frequency.
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

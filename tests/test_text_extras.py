@@ -100,3 +100,124 @@ def test_perplexity_buckets_plan_no_corpus_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+BIGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+  FROM '{SF_DIR}/documents.parquet'
+),
+r AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM d
+),
+prows AS (
+  SELECT r.doc_id, r.w,
+         CASE WHEN r.pos > 1 THEN d.t[r.pos - 1] END AS prev
+  FROM r JOIN d USING (doc_id)
+),
+tf AS (
+  SELECT doc_id, prev, w, COUNT(*) AS cnt FROM prows GROUP BY 1, 2, 3
+),
+uni AS (SELECT w, SUM(cnt) AS c_w FROM tf GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tok, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM uni
+),
+pu AS (SELECT w, (c_w + 0.5) / (n_tok + 0.5 * v) AS pu FROM uni, tot),
+bi AS (
+  SELECT prev, w, SUM(cnt) AS c_vw FROM tf WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+),
+pv AS (SELECT prev, SUM(c_vw) AS c_v FROM bi GROUP BY 1),
+pb AS (
+  SELECT b.prev, b.w, CAST(b.c_vw AS DOUBLE) / pv.c_v AS pb
+  FROM bi b JOIN pv USING (prev)
+),
+sc AS (
+  SELECT tf.doc_id, tf.cnt,
+         ln(CASE WHEN tf.prev IS NULL THEN pu.pu
+                 ELSE 0.7 * COALESCE(pb.pb, 0.0) + (1.0 - 0.7) * pu.pu
+            END) AS lp
+  FROM tf
+  JOIN pu USING (w)
+  LEFT JOIN pb ON pb.prev = tf.prev AND pb.w = tf.w
+)
+SELECT doc_id, ROUND(SUM(cnt * lp) / SUM(cnt), 9) AS mean_logprob,
+       SUM(cnt) AS n_tokens
+FROM sc GROUP BY doc_id
+"""
+
+
+def test_bigram_logprob_matches_oracle(spark):
+    """Interpolated-bigram scorer vs the full DuckDB CTE chain. The
+    (1.0 - 0.7) in the oracle is deliberate: it reproduces the exact
+    binary double the Spark side computes for 1 - lam."""
+    import pytest as _pytest
+
+    from l1dbproto_spark.operators.quality import bigram_logprob_scores
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    want = {
+        int(d): (float(m), int(n))
+        for d, m, n in duckdb.sql(BIGRAM_ORACLE).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1], d
+        assert got[d][0] == _pytest.approx(want[d][0], abs=2e-9), d
+
+
+def test_bigram_lam_zero_reduces_to_unigram(spark):
+    """With lam=0 every position scores ln p_u — the bigram scorer must
+    reproduce unigram_logprob_scores exactly (same smoothing, same
+    tokenizer, same mean)."""
+    import pytest as _pytest
+
+    from l1dbproto_spark.operators.quality import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in bigram_logprob_scores(docs, lam=0.0).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d][1] == b[d][1]
+        assert a[d][0] == _pytest.approx(b[d][0], abs=2e-9), d
+
+
+def test_bigram_rewards_predictable_text(spark):
+    """A document whose bigrams are deterministic (ababab...) must score
+    strictly higher under interpolation than under unigram-only (the
+    bigram term is ~1 for it), and empty docs produce no rows."""
+    from l1dbproto_spark.operators.quality import bigram_logprob_scores
+
+    rows = [
+        (1, "a b " * 30),
+        (2, "q w e r t y u i o p z x c v b n m j k l"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    interp = {
+        r.doc_id: r.mean_logprob
+        for r in bigram_logprob_scores(df, lam=0.7).collect()
+    }
+    unionly = {
+        r.doc_id: r.mean_logprob
+        for r in bigram_logprob_scores(df, lam=0.0).collect()
+    }
+    assert interp[1] > unionly[1]
+    # empty text tokenizes to [''] under the space-run rule -> 1 token,
+    # still present (parity with the unigram scorer's convention)
+    assert 3 in interp
