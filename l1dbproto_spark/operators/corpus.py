@@ -44,6 +44,9 @@ def clean_corpus(
     centroids: DataFrame | None = None,
     sem_eps: float = 0.05,
     count_col: str | None = None,
+    classifier_model: tuple[DataFrame, float] | None = None,
+    min_classifier_score: float = 0.5,
+    classifier_buckets: int = 4096,
 ) -> CorpusCleanResult:
     """Staged cleaning, canonical = min doc id at every dedup stage:
 
@@ -67,6 +70,13 @@ def clean_corpus(
        email/phone/IPv4/SSN) → dropped (``reason='pii'``, no canonical —
        the redact-in-place alternative is ``redact_pii``, which keeps the
        document);
+    2d. optional learned-classifier gate (``classifier_model`` set to a
+       fitted ((bucket, coef) table, intercept) pair from
+       operators/classifier.train_quality_classifier): documents scoring
+       below ``min_classifier_score`` → dropped
+       (``reason='classifier'``, no canonical). Scoring is one broadcast
+       join against the bounded coefficient table — the GPT-3/LLaMA
+       quality-filter stage;
     3. exact dedup: same normalized text → only the min id survives
        (``reason='exact_dup'``);
     4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
@@ -172,6 +182,31 @@ def clean_corpus(
         )
         long_enough = long_enough.join(failing_pii, id_col, "left_anti")
 
+    low_score = None
+    if classifier_model is not None:
+        from .classifier import quality_classifier_scores
+
+        coef_table, intercept = classifier_model
+        cls = quality_classifier_scores(
+            long_enough,
+            coef_table,
+            intercept,
+            num_buckets=classifier_buckets,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        failing_cls = (
+            cls.filter(F.col("score") < min_classifier_score)
+            .select(id_col)
+            .localCheckpoint(eager=False)
+        )
+        low_score = failing_cls.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("classifier").alias("reason"),
+            F.lit(None).cast("long").alias("canonical_id"),
+        )
+        long_enough = long_enough.join(failing_cls, id_col, "left_anti")
+
     fp = F.md5(normalize_text(F.col(text_col)))
     keeper = F.min(id_col).alias("canonical_id")
     exact_groups = (
@@ -243,6 +278,8 @@ def clean_corpus(
         dropped = dropped.unionByName(repetitive)
     if pii_heavy is not None:
         dropped = dropped.unionByName(pii_heavy)
+    if low_score is not None:
+        dropped = dropped.unionByName(low_score)
     dropped = dropped.unionByName(exact_dups).unionByName(near_dups)
     if semantic_dups is not None:
         dropped = dropped.unionByName(semantic_dups)
