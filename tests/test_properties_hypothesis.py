@@ -170,3 +170,82 @@ def test_packing_custom_count_col_random(counts, ctx, shards):
         chunks = stats.loc[shard].sort_index()
         assert (chunks.iloc[:-1] == ctx).all()
         assert chunks.iloc[-1] <= ctx
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    window=st.integers(min_value=2, max_value=5),
+)
+def test_exact_substring_dedup_matches_reference_random(docs, window):
+    """Random small-alphabet corpora (duplicates guaranteed at these
+    sizes) against the documented-spec Python reference from
+    test_exact_substr."""
+    from tests.test_exact_substr import _ref
+    from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
+
+    spark = _get_spark()
+    texts = {i: " ".join(ts) for i, ts in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in exact_substring_dedup(df, window=window).collect()
+    }
+    want = _ref(texts, window)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="xyz", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+def test_bpe_random_corpus_properties(words, n_merges):
+    """BPE invariants on random corpora: learned merges match the
+    reference learner, token counts match reference encoding, and the
+    count is bounded by [1, len(word)] per word."""
+    from tests.test_bpe import _ref_encode, _ref_learn
+    from l1dbproto_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_frequencies,
+    )
+
+    spark = _get_spark()
+    texts = {0: " ".join(words), 1: " ".join(words[::2])}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    merges = learn_bpe(word_frequencies(df), n_merges=n_merges)
+    assert merges == _ref_learn(texts, n_merges)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    for d, t in texts.items():
+        toks = t.split()
+        want = sum(len(_ref_encode(w, merges)) for w in toks)
+        assert got[d] == want
+        assert len(toks) <= got[d] <= sum(len(w) for w in toks)
