@@ -14,6 +14,9 @@ synthetic tables:
      head+middle per language                 (operators/quality.py)
   2c. DSIR importance weights against the
      eval-set "domain" (report only)          (operators/dsir.py)
+  2d. self-supervised quality classifier:
+     train head-vs-tail buckets, score all
+     survivors (report only)                  (operators/classifier.py)
   3. temperature-rebalanced mixture sample    (operators/sampling.py)
   4. train/val/test split                     (operators/corpus.py)
   5. pack into fixed-length context windows   (operators/packing.py)
@@ -108,7 +111,10 @@ def main() -> None:
     scored = res.cleaned.join(
         unigram_logprob_scores(res.cleaned), "doc_id"
     )
-    bucketed = perplexity_buckets(scored, group_col="lang")
+    # pin the bucketed frame: every consumer below (head/middle keep,
+    # classifier training labels, DSIR featurizations) embeds the whole
+    # upstream pipeline otherwise
+    bucketed = perplexity_buckets(scored, group_col="lang").localCheckpoint()
     kept_hm = bucketed.filter(F.col("bucket") != "tail").drop(
         "bucket", "mean_logprob", "n_tokens"
     )
@@ -118,15 +124,39 @@ def main() -> None:
     # "target domain" — reported as a distribution audit; the selection
     # step (dsir_select / weighted_sample) is a drop-in when a pipeline
     # wants domain-matched downsampling instead of temperature mixing
-    # kept_hm embeds the whole upstream pipeline; pin it so the DSIR
-    # branch (which featurizes it twice: raw model + weights) does not
-    # re-execute the upstream stages per featurization
-    kept_hm = kept_hm.localCheckpoint()
     dsir_w = importance_log_weights(kept_hm, ev, num_buckets=2048)
     w_stats = dsir_w.agg(
         F.round(F.avg("log_weight"), 3).alias("mean"),
         F.round(F.max("log_weight"), 3).alias("max"),
     ).first()
+
+    # 2d. self-supervised quality classifier: the CCNet buckets label
+    # their own training set (head = positive, tail = negative) — the
+    # GPT-3 filter shape with no external curation; scores are reported
+    # as a sanity audit (head should outscore tail on held-in data)
+    from l1dbproto_spark.operators.classifier import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    head = bucketed.filter(F.col("bucket") == "head").drop(
+        "bucket", "mean_logprob", "n_tokens"
+    )
+    tail = bucketed.filter(F.col("bucket") == "tail").drop(
+        "bucket", "mean_logprob", "n_tokens"
+    )
+    # demo budget: 512 buckets / 15 LBFGS iterations separate these
+    # buckets cleanly; each MLlib iteration is a Spark job, so the demo
+    # keeps the count low (production tunes regParam/maxIter as usual)
+    coef, b0 = train_quality_classifier(
+        head, tail, num_buckets=512, max_iter=15
+    )
+    cls_scores = quality_classifier_scores(
+        kept_hm, coef.localCheckpoint(), b0, num_buckets=512
+    )
+    cls_mean = cls_scores.agg(
+        F.round(F.avg("score"), 3).alias("m")
+    ).first()["m"]
 
     # 3. temperature-rebalanced mixture (lifts low-resource languages)
     mixed = sample_with_temperature(kept_hm, alpha=0.3, source_col="lang")
@@ -151,6 +181,7 @@ def main() -> None:
         "after_c4": c4_n,
         "after_exact_substr": n0b,
         "dsir_log_weight_mean_max": [w_stats["mean"], w_stats["max"]],
+        "classifier_mean_score_on_kept": cls_mean,
         "after_decontamination": n1,
         "decontamination_dropped": n0 - n1,
         "clean_drop_reasons": reasons,
