@@ -111,12 +111,19 @@ def bigram_logprob_scores(
 
     Plan shape: ONE corpus scan builds (id, prev, w) position rows via a
     map-side index transform (``element_at`` on the token array — no
-    self-join for adjacency); the per-doc (prev, w) count table feeds
-    every model branch, so the unigram counts, bigram counts, and
-    predecessor totals all share its shuffle (the scheduler skips the
-    duplicate map stages — the unigram scorer's r4 lesson). Probability
-    tables join back by AQE decision (a web-scale vocabulary is not
-    bounded); totals are a 1-row broadcast."""
+    self-join for adjacency). Every model table (unigram counts, totals,
+    bigram counts, predecessor totals) derives from a single
+    BIGRAM-TYPE-sized (prev, w) pair-count table that is locally
+    checkpointed: the four branches prune different columns, which
+    defeats exchange reuse (the temperature_rates lesson — verified
+    here: without the cut the corpus featurization executed per branch),
+    and the pair-count table is vocabulary², not corpus-sized, so the
+    materialization is cheap. Net corpus work: the featurize+aggregate
+    subtree executes exactly twice (once into the pair counts, once for
+    the per-doc scoring join) — the same two-scan shape as the DSIR
+    weight pass. Probability tables join back by AQE decision (a
+    web-scale vocabulary is not bounded); totals are a 1-row
+    broadcast."""
     toks = _words(F.lower(F.col(text_col)))
     n = F.size(toks)
     pos_structs = F.transform(
@@ -135,7 +142,12 @@ def bigram_logprob_scores(
     tf = rows.groupBy(id_col, "prev", "w").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    uni = tf.groupBy("w").agg(F.sum("cnt").alias("c_w"))
+    pc = (
+        tf.groupBy("prev", "w")
+        .agg(F.sum("cnt").alias("pcnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pc.groupBy("w").agg(F.sum("pcnt").alias("c_w"))
     totals = uni.agg(
         F.sum("c_w").cast("double").alias("_n_tok"),
         F.count(F.lit(1)).cast("double").alias("_v"),
@@ -147,8 +159,8 @@ def bigram_logprob_scores(
             / (F.col("_n_tok") + F.lit(smoothing) * F.col("_v"))
         ).alias("_pu"),
     )
-    bi = tf.filter(F.col("prev").isNotNull()).groupBy("prev", "w").agg(
-        F.sum("cnt").alias("c_vw")
+    bi = pc.filter(F.col("prev").isNotNull()).withColumnRenamed(
+        "pcnt", "c_vw"
     )
     prev_tot = bi.groupBy("prev").agg(F.sum("c_vw").alias("c_v"))
     p_b = bi.join(prev_tot, "prev").select(

@@ -65,3 +65,70 @@ def test_scan_ceiling(spark, name):
             f"re-reading the table; share the subtree or checkpoint the "
             f"small side"
         )
+
+
+def _scans(df, table="documents"):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return Counter(
+        re.findall(r"testdata/sf0\.001/(\w+)\.parquet", plan)
+    ).get(table, 0)
+
+
+def test_exact_substr_scan_ceiling(spark):
+    """exact_substring_dedup: the removal set hides behind its
+    checkpoint; the visible plan reads documents for the token table and
+    the final rebuild join only."""
+    from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = exact_substring_dedup(docs, window=20)
+    assert _scans(out) <= 2
+
+
+def test_bpe_counts_scan_ceiling(spark):
+    """bpe_token_counts: id spine + word-count scan + the vocab branch
+    (which shares the word-count shuffle at runtime) — never more."""
+    from l1dbproto_spark.operators.bpe import bpe_token_counts
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = bpe_token_counts(docs, merges=[("a", "b")])
+    assert _scans(out) <= 3
+
+
+def test_classifier_scoring_scan_ceiling(spark):
+    """quality_classifier_scores: id spine + one featurization scan; the
+    coefficient table is an in-memory bounded frame."""
+    from l1dbproto_spark.operators.classifier import (
+        quality_classifier_scores,
+    )
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    coef = spark.createDataFrame(
+        [(0, 0.5), (1, -0.5)], "bucket long, coef double"
+    )
+    out = quality_classifier_scores(docs, coef, 0.1, num_buckets=64)
+    assert _scans(out) <= 2
+
+
+def test_strip_html_single_scan(spark):
+    from l1dbproto_spark.operators.html import strip_html
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert _scans(strip_html(docs)) == 1
+
+
+def test_bigram_logprob_scan_ceiling(spark):
+    """bigram_logprob_scores: one position-row scan feeds every model
+    branch through the shared (id, prev, w) aggregation."""
+    from l1dbproto_spark.operators.quality import bigram_logprob_scores
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # the pair-count checkpoint hides the model branches' subtree; the
+    # visible scan is the per-doc scoring join's, and materializing the
+    # checkpoint adds exactly one more at runtime (two-scan shape)
+    assert _scans(bigram_logprob_scores(docs)) == 1
