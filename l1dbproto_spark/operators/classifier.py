@@ -44,18 +44,25 @@ def _dense_features(
     with column algebra: per-doc (bucket, cnt) entries become a map, and
     one ``sequence`` transform reads it positionally. Only used on the
     bounded training sample; corpus-scale scoring stays sparse."""
-    m = F.map_from_entries(
-        F.collect_list(
-            F.struct(F.col("bucket"), F.col("cnt").cast("double"))
-        )
+    # aggregate the map FIRST, then densify in a second projection — an
+    # aggregate expression referenced inside a transform() lambda would
+    # re-evaluate per element (num_buckets map builds per doc); a bound
+    # column is read once per row
+    maps = feats.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("bucket"), F.col("cnt").cast("double"))
+            )
+        ).alias("_m")
     )
-    return feats.groupBy(id_col).agg(
+    return maps.select(
+        id_col,
         F.transform(
             F.sequence(F.lit(0), F.lit(num_buckets - 1)),
             lambda i: F.coalesce(
-                F.element_at(m, i.cast("long")), F.lit(0.0)
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
             ),
-        ).alias("features")
+        ).alias("features"),
     )
 
 

@@ -57,10 +57,13 @@ def duplicate_window_seeds(
     n_occ, is_winner) for every window whose hash occurs >1 time
     corpus-wide. ``start`` is the 0-based token index; the winner is the
     smallest (doc_id, start). Diagnostic/report companion to
-    :func:`exact_substring_dedup` — same plan prefix."""
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
+    :func:`exact_substring_dedup` — same plan prefix.
+
+    The token array is materialized as a bound column before the window
+    transform slices it: an expression referenced inside a transform()
+    lambda re-evaluates per element (every window hash would re-split
+    the text), while a column reference is read once per row."""
+    toks = F.col("_toks")
     n = F.size(toks)
     hashes = F.transform(
         F.sequence(F.lit(0), n - F.lit(window)),
@@ -68,6 +71,11 @@ def duplicate_window_seeds(
     )
     wins = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    ).select(
+        "doc_id",
         F.posexplode(F.when(n >= window, hashes)).alias(
             "start", "window_hash"
         ),

@@ -124,7 +124,11 @@ def bigram_logprob_scores(
     weight pass. Probability tables join back by AQE decision (a
     web-scale vocabulary is not bounded); totals are a 1-row
     broadcast."""
-    toks = _words(F.lower(F.col(text_col)))
+    # materialize the token array as a BOUND COLUMN before indexing it:
+    # an expression referenced inside a transform() lambda re-evaluates
+    # per element (n element_at calls would re-split the text n times —
+    # measured 5x slower), while a column reference is read once per row
+    toks = F.col("_toks")
     n = F.size(toks)
     pos_structs = F.transform(
         F.sequence(F.lit(1), n),
@@ -135,10 +139,19 @@ def bigram_logprob_scores(
     )
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0]; empty
     # token arrays must contribute no rows instead
-    rows = docs.select(
-        F.col(id_col),
-        F.explode(F.when(n >= 1, pos_structs)).alias("_p"),
-    ).select(id_col, F.col("_p.w").alias("w"), F.col("_p.prev").alias("prev"))
+    rows = (
+        docs.select(
+            F.col(id_col),
+            _words(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.when(n >= 1, pos_structs)).alias("_p"),
+        )
+        .select(
+            id_col, F.col("_p.w").alias("w"), F.col("_p.prev").alias("prev")
+        )
+    )
     tf = rows.groupBy(id_col, "prev", "w").agg(
         F.count(F.lit(1)).alias("cnt")
     )
