@@ -75,8 +75,10 @@ def hashed_ngram_features(
     One projection builds the gram array per document (tokens ++ adjacent
     pairs via ``zip_with`` on shifted slices — no shuffle), one explode,
     one uniform-key (id, bucket) aggregation. Output rows per doc are
-    bounded by min(doc tokens, num_buckets)."""
-    toks = _tokens(F.col(text_col))
+    bounded by min(doc tokens, num_buckets). The token array is bound as
+    a real column first so the five references below (size, two slices,
+    concat) parse the text once per row, not five times."""
+    toks = F.col("_toks")
     grams = toks
     if include_bigrams:
         n = F.size(toks)
@@ -87,7 +89,10 @@ def hashed_ngram_features(
         )
         grams = F.concat(toks, bigrams)
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("_gram"))
+        docs.select(
+            F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+        )
+        .select(F.col(id_col), F.explode(grams).alias("_gram"))
         .select(
             id_col,
             (portable_hash64(F.col("_gram"), salt) % num_buckets).alias(
