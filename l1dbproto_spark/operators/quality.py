@@ -23,6 +23,8 @@ uniform-key aggregations and one AQE-decided join). Used standalone
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +84,42 @@ def unigram_logprob_scores(
     )
 
 
+def _position_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document (prev, w) position counts: (id, prev, w, cnt) with
+    ``prev`` null exactly at position 1. The token array is materialized
+    as a BOUND COLUMN before indexing: an expression referenced inside a
+    transform() lambda re-evaluates per element (n element_at calls
+    would re-split the text n times — measured 5x slower), while a
+    column reference is read once per row."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    pos_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w"),
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+        ),
+    )
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0]; empty
+    # token arrays must contribute no rows instead
+    rows = (
+        docs.select(
+            F.col(id_col),
+            _words(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.when(n >= 1, pos_structs)).alias("_p"),
+        )
+        .select(
+            id_col, F.col("_p.w").alias("w"), F.col("_p.prev").alias("prev")
+        )
+    )
+    return rows.groupBy(id_col, "prev", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def bigram_logprob_scores(
     docs: DataFrame,
     text_col: str = "text",
@@ -124,37 +162,7 @@ def bigram_logprob_scores(
     weight pass. Probability tables join back by AQE decision (a
     web-scale vocabulary is not bounded); totals are a 1-row
     broadcast."""
-    # materialize the token array as a BOUND COLUMN before indexing it:
-    # an expression referenced inside a transform() lambda re-evaluates
-    # per element (n element_at calls would re-split the text n times —
-    # measured 5x slower), while a column reference is read once per row
-    toks = F.col("_toks")
-    n = F.size(toks)
-    pos_structs = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w"),
-            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
-        ),
-    )
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0]; empty
-    # token arrays must contribute no rows instead
-    rows = (
-        docs.select(
-            F.col(id_col),
-            _words(F.lower(F.col(text_col))).alias("_toks"),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(F.when(n >= 1, pos_structs)).alias("_p"),
-        )
-        .select(
-            id_col, F.col("_p.w").alias("w"), F.col("_p.prev").alias("prev")
-        )
-    )
-    tf = rows.groupBy(id_col, "prev", "w").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    tf = _position_tf(docs, text_col, id_col)
     pc = (
         tf.groupBy("prev", "w")
         .agg(F.sum("cnt").alias("pcnt"))
@@ -197,6 +205,134 @@ def bigram_logprob_scores(
             F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt"), 9
         ).alias("mean_logprob"),
         F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+
+
+@dataclass
+class BigramLM:
+    """A fitted interpolated-bigram language model — the artifact CCNet
+    actually ships (Wenzek et al. 2020 score crawl text under a
+    WIKIPEDIA-trained KenLM, not under the crawl's own statistics).
+
+    ``p_u``: (w, _pu) smoothed unigram probabilities over the TRAINING
+    vocabulary; ``p_b``: (prev, w, _pb) bigram MLE over training pairs;
+    ``oov_pu``: the smoothing floor ``s / (N + s*V)`` an unseen word
+    scores (the add-s mass a zero-count word would get); ``lam``/
+    ``smoothing``: the interpolation/smoothing constants, carried so
+    scoring reproduces training-time math."""
+
+    p_u: DataFrame
+    p_b: DataFrame
+    oov_pu: float
+    lam: float
+    smoothing: float
+
+
+def fit_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    smoothing: float = 0.5,
+) -> BigramLM:
+    """Fit the interpolated-bigram model on a REFERENCE corpus (the
+    CCNet pattern: fit on the high-quality domain, score the crawl).
+    Same model math as :func:`bigram_logprob_scores`; the probability
+    tables are vocabulary-sized (checkpointed pair counts behind them),
+    and the OOV floor is the one scalar that crosses the driver."""
+    tf = _position_tf(docs, text_col, id_col)
+    pc = (
+        tf.groupBy("prev", "w")
+        .agg(F.sum("cnt").alias("pcnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pc.groupBy("w").agg(F.sum("pcnt").alias("c_w"))
+    totals = uni.agg(
+        F.sum("c_w").cast("double").alias("_n_tok"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    ).first()
+    n_tok, v = float(totals["_n_tok"] or 0.0), float(totals["_v"] or 0.0)
+    denom = n_tok + smoothing * v
+    p_u = uni.select(
+        "w",
+        ((F.col("c_w") + F.lit(smoothing)) / F.lit(denom)).alias("_pu"),
+    )
+    bi = pc.filter(F.col("prev").isNotNull()).withColumnRenamed(
+        "pcnt", "c_vw"
+    )
+    prev_tot = bi.groupBy("prev").agg(F.sum("c_vw").alias("c_v"))
+    p_b = bi.join(prev_tot, "prev").select(
+        "prev", "w", (F.col("c_vw") / F.col("c_v")).alias("_pb")
+    )
+    return BigramLM(
+        p_u=p_u,
+        p_b=p_b,
+        oov_pu=smoothing / denom if denom > 0 else 1.0,
+        lam=lam,
+        smoothing=smoothing,
+    )
+
+
+def score_with_bigram_lm(
+    docs: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ANY corpus under a fitted :class:`BigramLM`:
+    (id, mean_logprob, n_tokens), same contract as
+    :func:`bigram_logprob_scores`. Out-of-vocabulary words take the
+    model's smoothing floor ``oov_pu``; unseen bigrams fall back to the
+    interpolated unigram term, exactly as held-out scoring should.
+    Fitting and scoring the SAME corpus reproduces
+    ``bigram_logprob_scores`` bit-for-bit (pinned in
+    tests/test_text_extras.py). Plan: one corpus scan into the position
+    counts, two left joins against the vocabulary-sized model tables
+    (AQE-decided), one per-doc aggregation."""
+    tf = _position_tf(docs, text_col, id_col)
+    scored = (
+        tf.join(lm.p_u, "w", "left")
+        .join(lm.p_b, ["prev", "w"], "left")
+        .withColumn("_pu_eff", F.coalesce("_pu", F.lit(lm.oov_pu)))
+        .withColumn(
+            "_lp",
+            F.log(
+                F.when(F.col("prev").isNull(), F.col("_pu_eff")).otherwise(
+                    F.lit(lm.lam) * F.coalesce(F.col("_pb"), F.lit(0.0))
+                    + F.lit(1.0 - lm.lam) * F.col("_pu_eff")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt"), 9
+        ).alias("mean_logprob"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+
+
+def save_bigram_lm(lm: BigramLM, path: str) -> None:
+    """Persist the model: p_u / p_b as parquet tables plus a one-row
+    meta table (oov_pu, lam, smoothing) — the build-once/score-many
+    artifact, same pattern as the persistent PQ index."""
+    spark = lm.p_u.sparkSession
+    lm.p_u.write.mode("overwrite").parquet(path.rstrip("/") + "/p_u")
+    lm.p_b.write.mode("overwrite").parquet(path.rstrip("/") + "/p_b")
+    spark.createDataFrame(
+        [(lm.oov_pu, lm.lam, lm.smoothing)],
+        "oov_pu double, lam double, smoothing double",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    meta = spark.read.parquet(path.rstrip("/") + "/meta").first()
+    return BigramLM(
+        p_u=spark.read.parquet(path.rstrip("/") + "/p_u"),
+        p_b=spark.read.parquet(path.rstrip("/") + "/p_b"),
+        oov_pu=float(meta["oov_pu"]),
+        lam=float(meta["lam"]),
+        smoothing=float(meta["smoothing"]),
     )
 
 

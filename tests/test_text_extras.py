@@ -221,3 +221,94 @@ def test_bigram_rewards_predictable_text(spark):
     # empty text tokenizes to [''] under the space-run rule -> 1 token,
     # still present (parity with the unigram scorer's convention)
     assert 3 in interp
+
+
+def test_pretrained_lm_self_scoring_reproduces_inline(spark):
+    """fit_bigram_lm on X then score_with_bigram_lm(X) must reproduce
+    bigram_logprob_scores(X) bit-for-bit — same model math, the totals
+    merely cross the driver as literals."""
+    from l1dbproto_spark.operators.quality import (
+        bigram_logprob_scores,
+        fit_bigram_lm,
+        score_with_bigram_lm,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(150)
+    lm = fit_bigram_lm(docs)
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in score_with_bigram_lm(docs, lm).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert a == b
+
+
+def test_pretrained_lm_oov_floor(spark):
+    """Scoring a corpus with unseen words: OOV unigrams take the
+    smoothing floor, unseen bigrams fall back to the interpolated
+    unigram term — verified against a hand-computed reference."""
+    import math
+
+    import pytest as _pytest
+
+    from l1dbproto_spark.operators.quality import (
+        fit_bigram_lm,
+        score_with_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = fit_bigram_lm(train, lam=0.6, smoothing=0.5)
+    # training stats: tokens: a=3 b=3 c=1, N=7, V=3 -> denom = 7 + 1.5
+    pu = {w: (c + 0.5) / 8.5 for w, c in [("a", 3), ("b", 3), ("c", 1)]}
+    oov = 0.5 / 8.5
+    # bigram counts: (a,b)=3 ; (b,a)=1 ; (b,c)=1 -> c_v: a·=3, b·=2
+    pb = {("a", "b"): 1.0, ("b", "a"): 0.5, ("b", "c"): 0.5}
+    test = spark.createDataFrame(
+        [(10, "a b z"), (11, "z q")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in score_with_bigram_lm(test, lm).collect()
+    }
+
+    def p(prev, w):
+        u = pu.get(w, oov)
+        if prev is None:
+            return u
+        return 0.6 * pb.get((prev, w), 0.0) + (1 - 0.6) * u
+
+    want10 = (
+        math.log(p(None, "a")) + math.log(p("a", "b")) + math.log(p("b", "z"))
+    ) / 3
+    want11 = (math.log(p(None, "z")) + math.log(p("z", "q"))) / 2
+    assert got[10] == _pytest.approx(want10, abs=1e-8)
+    assert got[11] == _pytest.approx(want11, abs=1e-8)
+
+
+def test_pretrained_lm_persist_roundtrip(spark, tmp_path):
+    from l1dbproto_spark.operators.quality import (
+        fit_bigram_lm,
+        load_bigram_lm,
+        save_bigram_lm,
+        score_with_bigram_lm,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    lm = fit_bigram_lm(docs)
+    save_bigram_lm(lm, str(tmp_path / "lm"))
+    lm2 = load_bigram_lm(spark, str(tmp_path / "lm"))
+    a = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in score_with_bigram_lm(docs, lm).collect()
+    }
+    b = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in score_with_bigram_lm(docs, lm2).collect()
+    }
+    assert a == b
+    assert lm2.lam == lm.lam and lm2.oov_pu == lm.oov_pu
