@@ -1,0 +1,162 @@
+"""Bloom filters as column algebra — compact set-membership state for
+ingestion gates (the Dolma pipeline deduplicates URLs and paragraphs
+with exactly this structure).
+
+Spark's internal bloom expressions back its runtime join filters but are
+not SQL-exposed, so the engine builds the classic structure from
+first-class operators — and gains properties the opaque binary form
+lacks:
+
+* the filter IS a DataFrame — (word_idx, word) rows holding an m-bit
+  bitmap as 64-bit words — so it persists as parquet, broadcasts into
+  probe joins, and MERGES by ``bit_or`` aggregation (union of filters ==
+  filter of union, partial-aggregatable across partitions/snapshots);
+* probe positions use Kirsch-Mitzenmacher double hashing
+  (``pos_j = (h1 + j * (h2 mod m)) mod m`` — two md5-derived portable
+  hashes generate all k probes, and the inner ``mod`` keeps every
+  intermediate far from int64 overflow, ANSI-safe);
+* build is one explode to (item, position) + one 64-fold-smaller
+  ``bit_or`` aggregation; membership is probe-explode + a join against
+  the m/64-row word table + an all-probes-hit count — the word table is
+  bounded BY CONSTRUCTION (m is a parameter), so the broadcast is safe
+  at any corpus size.
+
+Guarantee: no false negatives — ``filter_definitely_new`` never drops a
+genuinely new item, which is the property an ingestion prefilter needs
+(false positives only cost a redundant exact check downstream).
+
+Standard sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2
+(:func:`bloom_params`). No reference analog; sibling of the HLL /
+quantile / heavy-hitter sketches (operators/sketches.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def bloom_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, k) for ``n_items`` at target false-positive rate
+    ``fpr`` — the textbook formulas, rounded up/to-nearest."""
+    if n_items <= 0:
+        return 64, 1
+    m = max(64, int(math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _positions(col: Column, m_bits: int, k: int, salt: str) -> Column:
+    """Array of k probe bit-positions via double hashing."""
+    h1 = portable_hash64(col, salt + "-h1")
+    h2 = F.pmod(portable_hash64(col, salt + "-h2"), F.lit(m_bits))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.pmod(h1 + j * h2, F.lit(m_bits)),
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int = 5,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Build the filter over a string column: (word_idx, word) rows, one
+    per NON-ZERO 64-bit word of the bitmap (<= m_bits/64 rows). One
+    explode + one uniform-key ``bit_or`` aggregation; map-side partial
+    aggregation shrinks the shuffle to the word table's size."""
+    pos = F.explode(
+        _positions(F.col(col).cast("string"), m_bits, k, salt)
+    ).alias("_pos")
+    return (
+        items.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            # PySpark's shiftleft wrapper takes only a literal shift; the
+            # SQL form accepts a column-valued one
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two filters built with the same (m_bits, k, salt):
+    bit_or per word — union of filters == filter of the unioned items
+    (pinned in tests). Partial-aggregatable, so snapshots/partitions can
+    each build locally and fold."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    batch: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int = 5,
+    salt: str = "bloom-v1",
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Annotate each row: true iff ALL k probe bits are set (possibly
+    present — false positives at the designed rate), false iff any probe
+    misses (DEFINITELY absent). Probe explode -> broadcast join against
+    the bounded word table -> per-row hit count; original columns are
+    preserved."""
+    probes = (
+        batch.select(
+            F.col(col).alias("_item"),
+            F.explode(
+                _positions(F.col(col).cast("string"), m_bits, k, salt)
+            ).alias("_pos"),
+        )
+        .distinct()
+        .select(
+            "_item",
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce("word", F.lit(0)).bitwiseAND(F.col("_bit")) != 0),
+        )
+        .groupBy("_item")
+        .agg(F.min("_hit").alias(flag_col))
+    )
+    return batch.join(
+        hits.withColumnRenamed("_item", col), col, "left"
+    ).withColumn(flag_col, F.coalesce(flag_col, F.lit(False)))
+
+
+def filter_definitely_new(
+    batch: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int = 5,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Rows whose membership probe MISSES — guaranteed not yet inserted
+    (no false negatives). The ingestion-prefilter form: pass these
+    straight through; route the ``might_contain`` remainder to the exact
+    store check (streaming/doc_dedup.py), which now only scans for the
+    designed false-positive fraction of the batch."""
+    flagged = bloom_might_contain(batch, bloom, col, m_bits, k, salt)
+    return flagged.filter(~F.col("might_contain")).drop("might_contain")
