@@ -66,3 +66,42 @@ def corpus_report(
     if source_col is None:
         return base.agg(*aggs)
     return base.rollup("source").agg(*aggs)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot-to-snapshot change set — the audit an incremental corpus
+    rebuild starts from: (id, change) with ``change`` in ``added``
+    (id only in new), ``removed`` (id only in old), ``modified`` (same id,
+    different normalized text), and optionally ``unchanged``.
+
+    Texts compare by the engine's canonical normalized fingerprint
+    (operators/dedup.normalize_text + md5), so whitespace/case churn does
+    not count as modification — the same equivalence exact dedup uses.
+
+    One full outer join on the id (uniform key); each side is scanned
+    once and only (id, fingerprint) shuffles, never text."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("_ofp"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("_nfp"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") != F.col("_nfp"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col(id_col), change.alias("change"))
+    if include_unchanged:
+        return out
+    return out.filter(F.col("change") != "unchanged")

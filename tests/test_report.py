@@ -75,3 +75,65 @@ def test_single_scan(spark):
         re.findall(r"testdata/sf0\.001/(\w+)\.parquet", plan)
     )
     assert scans.get("documents", 0) == 1
+
+
+DIFF_ORACLE = f"""
+WITH o AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 400
+),
+n AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END,
+           '\\s+', ' ', 'g')))) AS fp
+  FROM '{SF_DIR}/documents.parquet' WHERE doc_id >= 100
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'modified'
+            ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def test_corpus_diff_matches_oracle(spark):
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.report import corpus_diff
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" changed"))
+        ).otherwise(F.col("text")),
+    )
+    got = {
+        r.doc_id: r.change
+        for r in corpus_diff(old, new, include_unchanged=True).collect()
+    }
+    want = {int(d): c for d, c in duckdb.sql(DIFF_ORACLE).fetchall()}
+    assert got == want
+    assert set(got.values()) == {"added", "removed", "modified", "unchanged"}
+    # default form drops unchanged
+    from l1dbproto_spark.operators.report import corpus_diff as cd
+
+    changes = {r.doc_id: r.change for r in cd(old, new).collect()}
+    assert changes == {d: c for d, c in want.items() if c != "unchanged"}
+
+
+def test_corpus_diff_whitespace_invariant(spark):
+    from l1dbproto_spark.operators.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "abc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "hello world"), (2, "abcd")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {2: "modified"}  # doc 1 normalizes equal
