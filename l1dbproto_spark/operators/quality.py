@@ -666,3 +666,58 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn("bucket", bucket).drop("_cut_head", "_cut_mid")
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide collocation mining by pointwise mutual information:
+    (w1, w2, pair_count, pmi) for adjacent pairs with
+    ``pair_count >= min_count``, ``pmi = ln(N * c(w1,w2) / (c(w1)*c(w2)))``
+    computed over position counts (N = total bigram positions; unigram
+    counts restricted to the same roles so the estimator is the classic
+    contingency form). High-PMI pairs are the multiword expressions a
+    tokenizer or normalizer wants to know about.
+
+    Same single-scan shape as the bigram scorer: one position-count
+    aggregation, a checkpointed bigram-type-sized pair table, role
+    marginals derived from it, map-side arithmetic. ``top_k`` returns
+    the strongest pairs via TakeOrdered (never a global sort)."""
+    tf = _position_tf(docs, text_col, id_col)
+    pc = (
+        tf.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("w1"), F.col("w").alias("w2"))
+        .agg(F.sum("cnt").alias("pair_count"))
+        .localCheckpoint(eager=False)
+    )
+    left = pc.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
+    right = pc.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))
+    tot = pc.agg(F.sum("pair_count").cast("double").alias("_n"))
+    out = (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("_n")
+                    * F.col("pair_count")
+                    / (F.col("_c1") * F.col("_c2"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pmi"), F.asc("w1"), F.asc("w2")
+        ).limit(top_k)
+    return out

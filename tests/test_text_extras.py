@@ -312,3 +312,57 @@ def test_pretrained_lm_persist_roundtrip(spark, tmp_path):
     }
     assert a == b
     assert lm2.lam == lm.lam and lm2.oov_pu == lm.oov_pu
+
+
+COLLOC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+  FROM '{SF_DIR}/documents.parquet'
+),
+r AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM d
+),
+pairs AS (
+  SELECT d.t[r.pos - 1] AS w1, r.w AS w2, COUNT(*) AS pair_count
+  FROM r JOIN d USING (doc_id) WHERE r.pos > 1 GROUP BY 1, 2
+),
+m1 AS (SELECT w1, SUM(pair_count) AS c1 FROM pairs GROUP BY 1),
+m2 AS (SELECT w2, SUM(pair_count) AS c2 FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS n FROM pairs)
+SELECT p.w1, p.w2, p.pair_count,
+       ROUND(ln(tot.n * p.pair_count / (m1.c1 * m2.c2)), 9) AS pmi
+FROM pairs p JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+WHERE p.pair_count >= 3
+"""
+
+
+def test_collocations_match_oracle(spark):
+    import pytest as _pytest
+
+    from l1dbproto_spark.operators.quality import collocations
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in collocations(docs, min_count=3).collect()
+    }
+    want = {
+        (a, b): (int(c), float(p))
+        for a, b, c, p in duckdb.sql(COLLOC_ORACLE).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == _pytest.approx(want[k][1], abs=1e-8)
+
+
+def test_collocations_find_planted_phrase(spark):
+    from l1dbproto_spark.operators.quality import collocations
+
+    rows = [
+        (i, f"filler{i}a new york filler{i}b stuff{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = collocations(df, min_count=5, top_k=1).collect()
+    assert (top[0].w1, top[0].w2) == ("new", "york")
