@@ -95,3 +95,25 @@ def test_composes_with_brute_force_topk(spark, fitted):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     # chance = 10/400 = 2.5%; require >4x chance on isotropic data
     assert len(a & e) / len(e) > 0.1
+
+
+def test_composes_with_ivf_ann(spark, fitted):
+    """The published pre-ANN pipeline: PCA-project the corpus, build an
+    IVF index in the REDUCED space, query with projected queries. The
+    composition must run end-to-end with the reduced dimension flowing
+    through training, assignment, and scoring, and return well-formed
+    per-query top-k."""
+    from l1dbproto_spark.operators.similarity import ivf_topk
+
+    vecs, comps, _ = fitted
+    proj = pca_project(vecs, comps).cache()
+    queries = proj.filter(F.col("vec_id") < 4)
+    out = ivf_topk(proj, queries, k=5, n_clusters=8, n_probe=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        assert all(r.neighbor_id != q for r in rs)
