@@ -206,3 +206,24 @@ def quality_filter(
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_alpha)) - F.lit(1.0)
     return out.filter(pareto > (F.lit(1.0) - F.col("score"))).drop("score")
+
+
+def save_classifier(
+    coef_table: DataFrame, intercept: float, path: str
+) -> None:
+    """Persist the fitted filter: the bounded coefficient table plus a
+    one-row meta table — the build-once/score-many artifact, same
+    pattern as the persistent PQ index and the bigram LM."""
+    spark = coef_table.sparkSession
+    coef_table.write.mode("overwrite").parquet(path.rstrip("/") + "/coef")
+    spark.createDataFrame(
+        [(float(intercept),)], "intercept double"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_classifier(spark, path: str) -> tuple[DataFrame, float]:
+    meta = spark.read.parquet(path.rstrip("/") + "/meta").first()
+    return (
+        spark.read.parquet(path.rstrip("/") + "/coef"),
+        float(meta["intercept"]),
+    )

@@ -260,3 +260,28 @@ def dsir_select(
         .orderBy(F.desc("sel_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def normalized_weights(
+    weights: DataFrame,
+    weight_col: str = "log_weight",
+    out_col: str = "weight",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Bridge to acceptance sampling: convert log weights to
+    max-normalized linear weights ``exp((lw - max(lw)) / T)`` in (0, 1]
+    — numerically stable (raw ``exp(log_weight)`` overflows for large
+    corpora/targets), ready for ``sampling.weighted_sample``'s
+    score-proportional draw. ``temperature`` flattens (T > 1) or
+    sharpens (T < 1) the distribution, the paper's knob between hard
+    top-k and uniform. One tiny global max (partial-aggregated)
+    crossJoin-broadcast onto the weight table."""
+    mx = weights.agg(F.max(weight_col).alias("_mx"))
+    return (
+        weights.crossJoin(F.broadcast(mx))
+        .withColumn(
+            out_col,
+            F.exp((F.col(weight_col) - F.col("_mx")) / F.lit(float(temperature))),
+        )
+        .drop("_mx")
+    )

@@ -172,3 +172,27 @@ def test_clean_corpus_classifier_gate(spark, fitted):
             assert dropped.get(d) == "classifier", d
     assert kept.isdisjoint(dropped)
     assert kept | set(dropped) == set(scores)
+
+
+def test_save_load_roundtrip(spark, fitted, tmp_path):
+    from l1dbproto_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+
+    coef, b0, held = fitted
+    save_classifier(coef, b0, str(tmp_path / "model"))
+    coef2, b02 = load_classifier(spark, str(tmp_path / "model"))
+    a = {
+        r.doc_id: r.score
+        for r in quality_classifier_scores(
+            held, coef, b0, num_buckets=B
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.score
+        for r in quality_classifier_scores(
+            held, coef2, b02, num_buckets=B
+        ).collect()
+    }
+    assert a == b and b02 == b0

@@ -178,3 +178,33 @@ def test_plan_broadcast_ratio_and_takeordered(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_normalized_weights_bridge(spark):
+    """Stable log->linear conversion: max weight maps to exactly 1.0,
+    ordering preserved, temperature flattens, and the output feeds
+    weighted_sample without overflow."""
+    import math
+
+    from l1dbproto_spark.operators.dsir import normalized_weights
+    from l1dbproto_spark.operators.sampling import weighted_sample
+
+    w = importance_log_weights(_docs(spark), _target(spark), num_buckets=B)
+    nw = normalized_weights(w)
+    rows = {r.doc_id: (r.log_weight, r.weight) for r in nw.collect()}
+    mx = max(lw for lw, _ in rows.values())
+    for d, (lw, wt) in rows.items():
+        assert wt == pytest.approx(math.exp(lw - mx), rel=1e-12)
+        assert 0.0 < wt <= 1.0
+    # temperature flattens: T=10 pulls weights toward 1
+    flat = {
+        r.doc_id: r.weight
+        for r in normalized_weights(w, temperature=10.0).collect()
+    }
+    assert sum(flat.values()) > sum(wt for _, wt in rows.values())
+    # composes with the acceptance sampler
+    sampled = weighted_sample(
+        _docs(spark).join(nw, "doc_id"), "weight", target_fraction=0.3
+    )
+    n = sampled.count()
+    assert 0 < n < 500
