@@ -1,0 +1,149 @@
+"""Attribute store — Dolma's architecture for corpus curation (Soldaini
+et al. 2024): compute per-document SIGNALS once into a wide attribute
+frame, persist it next to the corpus, and apply (re-apply, A/B, audit)
+filter POLICIES as cheap predicates over the attributes — signal
+computation is the expensive corpus-scale part, policy iteration should
+never repeat it.
+
+``doc_attributes`` assembles the engine's signal families into one
+frame keyed by document id:
+
+* Gopher rule battery + repetition battery (operators/quality.py) —
+  single-scan projections/aggregations;
+* PII counts (operators/pii.py) — single-scan projection;
+* LM quality score (unigram or bigram, operators/quality.py) — the
+  two-scan aggregation shape;
+* learned-classifier score (operators/classifier.py) — featurize +
+  broadcast join.
+
+Each family is joined on the id (uniform key); families not requested
+cost nothing. The result is the natural parquet artifact.
+
+``apply_policy`` filters the CORPUS by named predicates over the
+attribute frame and returns (kept, drop log with the FIRST failing
+policy name per document, in the order given) — the same keep/drop-log
+contract as clean_corpus, with the policy expressed as data, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_attributes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher: bool = True,
+    repetition: bool = True,
+    pii: bool = True,
+    lm: str | None = "unigram",
+    classifier_model: tuple[DataFrame, float] | None = None,
+    classifier_buckets: int = 4096,
+) -> DataFrame:
+    """One wide per-document signal frame. Joins are on the uniform id
+    key and every family scans the corpus independently (persist the
+    output — that is the point of the attribute-store pattern)."""
+    out = docs.select(id_col)
+    if gopher:
+        from .quality import gopher_quality_signals
+
+        g = gopher_quality_signals(docs, text_col=text_col)
+        out = out.join(
+            g.select(
+                id_col, *[c for c in g.columns if c not in docs.columns]
+            ),
+            id_col,
+            "left",
+        )
+    if repetition:
+        from .quality import repetition_signals
+
+        r = repetition_signals(docs, text_col=text_col, id_col=id_col)
+        out = out.join(
+            r.select(
+                id_col, *[c for c in r.columns if c not in docs.columns]
+            ),
+            id_col,
+            "left",
+        )
+    if pii:
+        from .pii import pii_signals
+
+        p = pii_signals(docs, text_col=text_col)
+        out = out.join(
+            p.select(
+                id_col, *[c for c in p.columns if c not in docs.columns]
+            ),
+            id_col,
+            "left",
+        )
+    if lm is not None:
+        from .quality import bigram_logprob_scores, unigram_logprob_scores
+
+        scorer = (
+            unigram_logprob_scores if lm == "unigram" else bigram_logprob_scores
+        )
+        s = scorer(docs, text_col=text_col, id_col=id_col).select(
+            id_col,
+            F.col("mean_logprob").alias(f"{lm}_logprob"),
+            "n_tokens",
+        )
+        out = out.join(s, id_col, "left")
+    if classifier_model is not None:
+        from .classifier import quality_classifier_scores
+
+        coef, b0 = classifier_model
+        c = quality_classifier_scores(
+            docs,
+            coef,
+            b0,
+            num_buckets=classifier_buckets,
+            text_col=text_col,
+            id_col=id_col,
+        ).select(id_col, F.col("score").alias("classifier_score"))
+        out = out.join(c, id_col, "left")
+    return out
+
+
+def apply_policy(
+    docs: DataFrame,
+    attributes: DataFrame,
+    policies: dict[str, Column | str],
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Filter the corpus by named KEEP predicates over the attribute
+    frame. A document survives iff every policy predicate is true; the
+    drop log records the FIRST failing policy (in dict order) as the
+    reason — (doc_id, reason). Predicates are Columns or SQL strings
+    over attribute columns, e.g.::
+
+        apply_policy(docs, attrs, {
+            "gopher": "passes_gopher",
+            "lm": F.col("unigram_logprob") > -9.0,
+            "pii": "n_pii <= 2",
+        })
+
+    Changing the policy re-runs ONLY this join — never the signal
+    computation (read ``attributes`` back from parquet). One uniform-key
+    join + a per-row case expression; null attribute values fail the
+    predicate (null-rejecting, the conservative default)."""
+    exprs = {
+        name: (F.expr(p) if isinstance(p, str) else p)
+        for name, p in policies.items()
+    }
+    reason = None
+    for name, e in exprs.items():
+        branch = (~F.coalesce(e, F.lit(False)), F.lit(name))
+        reason = F.when(*branch) if reason is None else reason.when(*branch)
+    judged = attributes.select(id_col, reason.alias("_reason"))
+    kept = docs.join(
+        judged.filter(F.col("_reason").isNull()).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    dropped = judged.filter(F.col("_reason").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col("_reason").alias("reason")
+    )
+    return kept, dropped

@@ -1,0 +1,121 @@
+"""Attribute store (operators/attributes.py): family parity with the
+underlying signal operators, policy application semantics (first
+failing reason, null-rejecting), parquet-persist policy iteration, and
+equivalence with composed direct filters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.attributes import apply_policy, doc_attributes
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").limit(200).cache()
+
+
+@pytest.fixture(scope="module")
+def attrs(spark, docs):
+    return doc_attributes(docs).cache()
+
+
+def test_families_match_direct_operators(spark, docs, attrs):
+    from l1dbproto_spark.operators.pii import pii_signals
+    from l1dbproto_spark.operators.quality import (
+        gopher_quality_signals,
+        unigram_logprob_scores,
+    )
+
+    rows = {r.doc_id: r for r in attrs.collect()}
+    assert len(rows) == 200
+    g = {r.doc_id: r for r in gopher_quality_signals(docs).collect()}
+    p = {r.doc_id: r for r in pii_signals(docs).collect()}
+    u = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    for d, r in rows.items():
+        assert r.passes_gopher == g[d].passes_gopher
+        assert r.n_words == g[d].n_words
+        assert r.n_pii == p[d].n_pii
+        if d in u:
+            assert r.unigram_logprob == u[d].mean_logprob
+
+
+def test_policy_semantics_first_reason_and_null_rejection(spark):
+    attrs = spark.createDataFrame(
+        [
+            (1, True, 1, -2.0),
+            (2, False, 0, -1.0),   # fails 'gopher' (first)
+            (3, False, 9, -9.9),   # fails all three -> reason 'gopher'
+            (4, True, 9, -1.0),    # fails 'pii' only
+            (5, True, 0, None),    # null lm -> null-rejecting -> 'lm'
+        ],
+        "doc_id long, passes_gopher boolean, n_pii long, lp double",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    kept, dropped = apply_policy(
+        docs,
+        attrs,
+        {
+            "gopher": "passes_gopher",
+            "pii": F.col("n_pii") <= 2,
+            "lm": F.col("lp") > -5.0,
+        },
+    )
+    assert {r.doc_id for r in kept.collect()} == {1}
+    assert {r.doc_id: r.reason for r in dropped.collect()} == {
+        2: "gopher",
+        3: "gopher",
+        4: "pii",
+        5: "lm",
+    }
+    assert kept.columns == docs.columns
+
+
+def test_policy_iteration_from_parquet_without_recompute(
+    spark, docs, attrs, tmp_path
+):
+    """The Dolma pattern: persist attributes once, apply two different
+    policies by re-reading the parquet — results must match policies
+    applied to the live frame."""
+    path = str(tmp_path / "attrs")
+    attrs.write.parquet(path)
+    stored = spark.read.parquet(path)
+    for policy in [
+        {"rep": "passes_repetition"},
+        {"rep": "passes_repetition", "pii": "n_pii <= 1"},
+    ]:
+        a_kept, a_drop = apply_policy(docs, stored, policy)
+        b_kept, b_drop = apply_policy(docs, attrs, policy)
+        assert {r.doc_id for r in a_kept.collect()} == {
+            r.doc_id for r in b_kept.collect()
+        }
+        assert {(r.doc_id, r.reason) for r in a_drop.collect()} == {
+            (r.doc_id, r.reason) for r in b_drop.collect()
+        }
+
+
+def test_policy_equals_composed_direct_filters(spark, docs, attrs):
+    """Keeping via the attribute policy == intersecting the operators'
+    own pass sets (the policy layer adds no semantics of its own)."""
+    from l1dbproto_spark.operators.pii import pii_signals
+    from l1dbproto_spark.operators.quality import repetition_signals
+
+    kept, _ = apply_policy(
+        docs,
+        attrs,
+        {"rep": "passes_repetition", "pii": "n_pii <= 1"},
+    )
+    got = {r.doc_id for r in kept.collect()}
+    rep_ok = {
+        r.doc_id
+        for r in repetition_signals(docs).collect()
+        if r.passes_repetition
+    }
+    pii_ok = {r.doc_id for r in pii_signals(docs).collect() if r.n_pii <= 1}
+    assert got == rep_ok & pii_ok
