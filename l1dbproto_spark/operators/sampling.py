@@ -286,3 +286,62 @@ def weighted_sample(
         .filter(u < p)
         .drop(*stats.columns)
     )
+
+
+def token_budget_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "lang",
+    count_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates that hit a TOKEN budget at a target
+    mixture — the form a pretraining run actually specifies ("500B
+    tokens at 60/30/10 web/code/books"), where temperature_rates speaks
+    in documents.
+
+    For source s with corpus token mass T_s and normalized target share
+    w_s, the sampled expectation is ``rate_s * T_s = w_s * budget``, so
+    ``rate_s = w_s * budget / T_s``. Rates above 1.0 are returned as-is
+    with ``needs_repeats = true`` — feed them to :func:`with_repeats`
+    (epoch upsampling); rates for sources absent from ``weights`` are 0.
+
+    Token counting is pluggable like everywhere else in the engine:
+    ``count_col`` names a precomputed per-document count (e.g. BPE
+    counts from operators/bpe.py); the default is the whitespace rule.
+    One uniform-key aggregation over the corpus; the rate table is
+    sources-sized."""
+    n_tok = (
+        F.col(count_col)
+        if count_col is not None
+        else F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+            )
+        )
+    )
+    tot = sum(weights.values())
+    shares = {s: w / tot for s, w in weights.items()}
+    masses = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n_tok).cast("double").alias("corpus_tokens")
+    )
+    share_expr = None
+    for s, w in shares.items():
+        branch = (F.col("source") == s, F.lit(w))
+        share_expr = (
+            F.when(*branch) if share_expr is None else share_expr.when(*branch)
+        )
+    share_expr = (
+        share_expr.otherwise(F.lit(0.0)) if share_expr is not None else F.lit(0.0)
+    )
+    rate = (
+        F.lit(float(budget_tokens)) * share_expr / F.col("corpus_tokens")
+    )
+    return masses.select(
+        "source",
+        F.col("corpus_tokens").cast("long").alias("corpus_tokens"),
+        share_expr.alias("target_share"),
+        rate.alias("rate"),
+        (rate > 1.0).alias("needs_repeats"),
+    )

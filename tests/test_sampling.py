@@ -281,3 +281,57 @@ def test_weighted_sample_zero_shuffle_scan(spark):
 
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+
+
+def test_token_budget_rates(spark):
+    """rate_s * T_s == share_s * budget exactly; zero-weight sources get
+    rate 0; >1 rates flagged for the repeats path; composed sampling
+    lands near the budget."""
+    import pytest
+    from l1dbproto_spark.operators.sampling import (
+        token_budget_rates,
+        sample_mixture,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budget = 20_000
+    rates = {
+        r.source: r
+        for r in token_budget_rates(
+            docs, {"en": 0.7, "es": 0.3}, budget
+        ).collect()
+    }
+    # oracle masses
+    masses = {
+        s: n
+        for s, n in duckdb.sql(
+            f"""
+            SELECT lang,
+                   SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')))
+            FROM '{SF_DIR}/documents.parquet' GROUP BY lang
+            """
+        ).fetchall()
+    }
+    for s, r in rates.items():
+        assert r.corpus_tokens == masses[s]
+        if s == "en":
+            assert r.rate * r.corpus_tokens == pytest.approx(0.7 * budget)
+        elif s == "es":
+            assert r.rate * r.corpus_tokens == pytest.approx(0.3 * budget)
+        else:
+            assert r.rate == 0.0 and r.target_share == 0.0
+        assert r.needs_repeats == (r.rate > 1.0)
+    # compose: sample with the computed (clamped) rates and check the
+    # realized token mass is in the budget's neighborhood
+    rd = {s: min(r.rate, 1.0) for s, r in rates.items()}
+    sampled = sample_mixture(docs, rd, source_col="lang")
+    got = (
+        sampled.selectExpr(
+            "sum(size(filter(split(text, '\\\\s+'), t -> t != ''))) as n"
+        ).first()["n"]
+    )
+    want = sum(
+        min(r.rate, 1.0) * r.corpus_tokens for r in rates.values()
+    )
+    assert got == pytest.approx(want, rel=0.35)  # Bernoulli variance
