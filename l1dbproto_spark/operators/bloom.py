@@ -17,9 +17,16 @@ lacks:
   intermediate far from int64 overflow, ANSI-safe);
 * build is one explode to (item, position) + one 64-fold-smaller
   ``bit_or`` aggregation; membership is probe-explode + a join against
-  the m/64-row word table + an all-probes-hit count — the word table is
-  bounded BY CONSTRUCTION (m is a parameter), so the broadcast is safe
-  at any corpus size.
+  the m/64-row word table + an all-probes-hit count. The word table is
+  m/64 rows — a PARAMETER, not data-dependent, but m scales with the
+  designed capacity: ~10^8 items at 1% FPR is ~1.2e9 bits (~15 MB of
+  words, comfortably a broadcast), while 10^9+ items cross into the
+  hundreds of MBs where a mandatory broadcast would be the exact
+  antipattern this engine removed from its drop-set anti-joins — so the
+  probe join carries NO hint and AQE sizes it (shuffle join on word_idx
+  when the filter is big). For 10^10-item state, shard the filter by a
+  key prefix (one bloom per shard, the ``bloom_union`` mergeability is
+  what makes per-shard builds fold).
 
 Guarantee: no false negatives — ``filter_definitely_new`` never drops a
 genuinely new item, which is the property an ingestion prefilter needs
@@ -112,9 +119,10 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Annotate each row: true iff ALL k probe bits are set (possibly
     present — false positives at the designed rate), false iff any probe
-    misses (DEFINITELY absent). Probe explode -> broadcast join against
-    the bounded word table -> per-row hit count; original columns are
-    preserved."""
+    misses (DEFINITELY absent). Probe explode -> join against the word
+    table (no hint — AQE broadcasts a small filter and shuffles a big
+    one; see the module docstring for the size regimes) -> per-row hit
+    count; original columns are preserved."""
     probes = (
         batch.select(
             F.col(col).alias("_item"),
@@ -132,7 +140,7 @@ def bloom_might_contain(
         )
     )
     hits = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
+        probes.join(bloom, "word_idx", "left")
         .withColumn(
             "_hit",
             (F.coalesce("word", F.lit(0)).bitwiseAND(F.col("_bit")) != 0),

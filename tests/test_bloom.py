@@ -95,3 +95,13 @@ def test_null_and_duplicate_values(spark):
     out = bloom_might_contain(df, bloom, "fp", M, K).collect()
     assert len(out) == 3  # row count preserved
     assert all(not r.might_contain or r.fp is not None for r in out)
+
+
+def test_probe_join_carries_no_hint(spark):
+    """The word table's size is a parameter that can reach hundreds of
+    MBs at large designed capacity — the probe join must leave sizing to
+    AQE (no mandatory broadcast in the logical plan)."""
+    bloom = bloom_build(_items(spark, 0, 100), "fp", M, K)
+    out = bloom_might_contain(_items(spark, 0, 50), bloom, "fp", M, K)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
