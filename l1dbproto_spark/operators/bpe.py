@@ -258,3 +258,18 @@ def bpe_tokenize(
             ).alias("tokens"),
         )
     )
+
+
+def save_bpe(merges: list[tuple[str, str]], spark, path: str) -> None:
+    """Persist learned merges in RANK ORDER (order is the model — the
+    same merge set applied in a different order tokenizes differently):
+    (rank, left, right) parquet, the engine's standard artifact form."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]

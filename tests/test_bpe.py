@@ -176,3 +176,21 @@ def test_packing_consumes_bpe_counts(spark):
     for r in rows:
         fill[(r.shard, r.chunk)] += r.tokens_in_chunk
     assert all(v <= 16 for v in fill.values())
+
+
+def test_merges_persist_roundtrip(spark, tmp_path):
+    from l1dbproto_spark.operators.bpe import load_bpe, save_bpe
+
+    merges = learn_bpe(word_frequencies(_df(spark)), n_merges=25)
+    save_bpe(merges, spark, str(tmp_path / "bpe"))
+    loaded = load_bpe(spark, str(tmp_path / "bpe"))
+    assert loaded == merges  # rank order preserved exactly
+    a = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(_df(spark), merges).collect()
+    }
+    b = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(_df(spark), loaded).collect()
+    }
+    assert a == b
