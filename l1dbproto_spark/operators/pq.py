@@ -62,6 +62,10 @@ def pq_codebooks(
     base = corpus.orderBy(id_col).limit(k_codes).select(
         F.col(id_col).alias("_cb_id"), F.col(vec_col).alias("_cb_vec")
     )
+    # WindowExec logs a no-partition WARN here; it is expected and
+    # harmless — the frame is already limit(k_codes)-bounded, so the
+    # single partition the warning fears IS the plan (a constant
+    # partition key would not help: the optimizer folds it away)
     w = Window.orderBy("_cb_id")
     coded = base.withColumn("code", F.row_number().over(w) - 1)
     subs = F.array(
@@ -453,6 +457,8 @@ def residual_codebooks(
         # corpus (Window.orderBy with no partition keys funnels every row
         # through ONE task — a scale-killer for a k_codes-row output)
         head = res.orderBy("_cb_id").limit(k_codes)
+        # the no-partition WARN this emits is expected and harmless —
+        # the frame is limit(k_codes)-bounded, one partition is the plan
         w = Window.orderBy("_cb_id")
         coded = head.withColumn("code", F.row_number().over(w) - 1)
     subs = F.array(
