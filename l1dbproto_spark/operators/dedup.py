@@ -467,3 +467,52 @@ def simhash_near_dup_pairs(
         cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_bits)
     )
+
+
+def duplication_density(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication density — the graded signal between
+    exact-duplicate and unique: (id, n_ngrams, n_duplicated, dup_density)
+    where ``dup_density`` is the fraction of the document's DISTINCT word
+    n-grams that also occur in at least one OTHER document. An exact
+    clone scores 1.0, boilerplate-heavy pages score high, genuinely
+    novel text scores ~0; the corpus-wide analogue of the WITHIN-doc
+    repetition battery (operators/quality.py), and a natural
+    attribute-store column (operators/attributes.py).
+
+    Plan: distinct shingles (one uniform-key aggregation) -> per-shingle
+    document frequency (second uniform-key aggregation) -> per-doc
+    fraction (third). A shingle counts as duplicated for a document when
+    its df >= 2 — within-doc repeats never inflate it (set semantics).
+    Documents shorter than ``n`` tokens follow the house shingle rule
+    (one truncated shingle — shingle_rows), so two short clones still
+    score 1.0; empty documents report 0 over 0 grams."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_duplicated"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.col("n_duplicated") / F.col("n_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_density"),
+        )
+    )

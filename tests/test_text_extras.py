@@ -366,3 +366,67 @@ def test_collocations_find_planted_phrase(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     top = collocations(df, min_count=5, top_k=1).collect()
     assert (top[0].w1, top[0].w2) == ("new", "york")
+
+
+def test_duplication_density(spark):
+    """Exact clones score 1.0, unique docs 0.0, a half-shared doc in
+    between; DuckDB oracle over the same shingle construction."""
+    from l1dbproto_spark.operators.dedup import duplication_density
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = {d: " ".join(f"u{d}x{i}" for i in range(12)) for d in (3, 4)}
+    rows = [
+        (1, shared),
+        (2, shared),                       # clone of 1 -> 1.0
+        (3, uniq[3]),                      # unique -> 0.0
+        (4, uniq[4] + " " + shared),       # half shared
+        (5, "a b"),   # shorter than n: ONE truncated shingle, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_duplicated, r.dup_density)
+        for r in duplication_density(df, n=3).collect()
+    }
+    assert got[1][2] == 1.0 and got[2][2] == 1.0
+    assert got[3][2] == 0.0
+    assert 0.0 < got[4][2] < 1.0
+    assert got[5] == (1, 0, 0.0)
+    # DuckDB oracle on the documents fixture
+    import duckdb as _dd
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        int(d): (int(a), int(b), float(x))
+        for d, a, b, x in _dd.sql(
+            f"""
+            WITH sh AS (
+              -- mirrors shingle_rows: short docs get ONE truncated
+              -- shingle (greatest(len-2, 1); concat_ws skips the NULL
+              -- out-of-range elements)
+              SELECT DISTINCT doc_id,
+                concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+              FROM (
+                SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+                FROM '{SF_DIR}/documents.parquet'
+              ), unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+            ),
+            dfr AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+            per AS (
+              SELECT sh.doc_id, COUNT(*) AS n,
+                     SUM(CASE WHEN dfr.df >= 2 THEN 1 ELSE 0 END) AS nd
+              FROM sh JOIN dfr USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(per.n, 0), COALESCE(per.nd, 0),
+                   CASE WHEN COALESCE(per.n, 0) > 0
+                        THEN COALESCE(per.nd, 0) / per.n ELSE 0.0 END
+            FROM '{SF_DIR}/documents.parquet' d LEFT JOIN per USING (doc_id)
+            """
+        ).fetchall()
+    }
+    got2 = {
+        r.doc_id: (r.n_ngrams, r.n_duplicated, round(r.dup_density, 9))
+        for r in duplication_density(docs, n=3).collect()
+    }
+    want = {d: (a, b, round(x, 9)) for d, (a, b, x) in want.items()}
+    assert got2 == want
