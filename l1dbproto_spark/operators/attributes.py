@@ -41,6 +41,8 @@ def doc_attributes(
     lm: str | None = "unigram",
     classifier_model: tuple[DataFrame, float] | None = None,
     classifier_buckets: int = 4096,
+    dup_density: bool = False,
+    dup_density_n: int = 8,
 ) -> DataFrame:
     """One wide per-document signal frame. Joins are on the uniform id
     key and every family scans the corpus independently (persist the
@@ -91,6 +93,13 @@ def doc_attributes(
             "n_tokens",
         )
         out = out.join(s, id_col, "left")
+    if dup_density:
+        from .dedup import duplication_density
+
+        dd = duplication_density(
+            docs, n=dup_density_n, text_col=text_col, id_col=id_col
+        ).select(id_col, "n_ngrams", "n_duplicated", "dup_density")
+        out = out.join(dd, id_col, "left")
     if classifier_model is not None:
         from .classifier import quality_classifier_scores
 

@@ -119,3 +119,18 @@ def test_policy_equals_composed_direct_filters(spark, docs, attrs):
     }
     pii_ok = {r.doc_id for r in pii_signals(docs).collect() if r.n_pii <= 1}
     assert got == rep_ok & pii_ok
+
+
+def test_dup_density_family(spark, docs):
+    from l1dbproto_spark.operators.dedup import duplication_density
+
+    attrs = doc_attributes(
+        docs, gopher=False, repetition=False, pii=False, lm=None,
+        dup_density=True, dup_density_n=3,
+    )
+    got = {r.doc_id: r.dup_density for r in attrs.collect()}
+    want = {
+        r.doc_id: r.dup_density
+        for r in duplication_density(docs, n=3).collect()
+    }
+    assert got == want
