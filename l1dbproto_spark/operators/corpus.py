@@ -122,8 +122,14 @@ def clean_corpus(
         if count_col is not None
         else whitespace_token_count(F.col(text_col))
     )
+    # null text (or a null count column) makes n_tok NULL, which fails
+    # BOTH a >= filter and its < complement — without the isNull branch
+    # such documents silently vanished from keep AND drop log, violating
+    # the partition contract (found by the garbage-resilience sweep)
     long_enough = docs.filter(n_tok >= min_tokens)
-    too_short = docs.filter(n_tok < min_tokens).select(
+    too_short = docs.filter(
+        (n_tok < min_tokens) | n_tok.isNull()
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.lit("too_short").alias("reason"),
         F.lit(None).cast("long").alias("canonical_id"),

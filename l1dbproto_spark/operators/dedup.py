@@ -490,7 +490,11 @@ def duplication_density(
     its df >= 2 — within-doc repeats never inflate it (set semantics).
     Documents shorter than ``n`` tokens follow the house shingle rule
     (one truncated shingle — shingle_rows), so two short clones still
-    score 1.0; empty documents report 0 over 0 grams."""
+    score 1.0; null/empty/whitespace-only documents all carry the same
+    single empty shingle and therefore score 1.0 whenever the corpus has
+    two or more of them — degenerate documents ARE duplicates of each
+    other. Only documents absent from the shingle table (none, under
+    these conventions) report 0 over 0 via the id-spine join."""
     sh = word_shingles(docs, n, text_col, id_col)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (

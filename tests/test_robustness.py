@@ -1,0 +1,116 @@
+"""Garbage-resilience sweep: every text-facing operator must handle
+null text, empty/whitespace-only docs, pathological single tokens,
+non-ASCII (CJK/emoji/accents), and control characters without raising —
+at 100 TB all of these exist in the corpus. Behavioral pins, not just
+no-crash: row-count conventions and null handling are asserted per
+family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+ROWS = [
+    (1, None),
+    (2, ""),
+    (3, "   \t\n  "),
+    (4, "x" * 10_000),
+    (5, "héllo wörld 你好 世界 🙂 emoji test"),
+    (6, "a\x00b control\x01chars here ok fine"),
+    (7, "normal text that is completely fine and long enough to pass"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_cleaning_family(spark):
+    from l1dbproto_spark.operators.c4 import c4_clean, c4_span_dedup
+    from l1dbproto_spark.operators.corpus import clean_corpus
+    from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
+    from l1dbproto_spark.operators.html import strip_html
+
+    df = _df(spark)
+    res = clean_corpus(df, min_tokens=1)
+    kept = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {r.doc_id: r.reason for r in res.dropped.collect()}
+    # the partition contract: every input doc is kept OR logged — the
+    # null-text doc used to vanish from both (fixed: null n_tok ->
+    # too_short)
+    assert kept | set(dropped) == {r[0] for r in ROWS}
+    assert kept.isdisjoint(dropped)
+    assert dropped.get(1) == "too_short"  # null text -> length gate
+    # empty and whitespace-only normalize identically: one survives as
+    # the exact-dup canonical, the other is logged
+    assert dropped.get(3) == "exact_dup"
+    assert 2 in kept and 4 in kept and 7 in kept
+    # text rewriters preserve row count and never null out non-null text
+    assert exact_substring_dedup(df, window=3).count() == 7
+    assert strip_html(df).count() == 7
+    assert c4_span_dedup(df).count() == 7
+    cleaned, _ = c4_clean(df)
+    assert cleaned.count() == 0  # nothing here has 3 sentences
+
+
+def test_scoring_family(spark):
+    from l1dbproto_spark.operators.dsir import importance_log_weights
+    from l1dbproto_spark.operators.quality import (
+        bigram_logprob_scores,
+        collocations,
+        gopher_quality_signals,
+        repetition_signals,
+        unigram_logprob_scores,
+    )
+
+    df = _df(spark)
+    # aggregation scorers: the null-text doc contributes no token rows
+    # and is absent; every other doc (incl. empty-string, which
+    # tokenizes to [''] under the space-run rule) is present
+    for scorer in (unigram_logprob_scores, bigram_logprob_scores):
+        ids = {r.doc_id for r in scorer(df).collect()}
+        assert ids == {2, 3, 4, 5, 6, 7}, scorer.__name__
+    # projection batteries keep every row
+    assert gopher_quality_signals(df).count() == 7
+    assert repetition_signals(df).count() == 7
+    assert collocations(df, min_count=1).count() > 0
+    # DSIR: id-spine contract — every input doc gets a weight (0 for
+    # featureless), none is NaN/inf
+    w = importance_log_weights(df, df.filter(F.col("doc_id") == 7))
+    rows = {r.doc_id: r.log_weight for r in w.collect()}
+    assert set(rows) == {r[0] for r in ROWS}
+    assert rows[1] == 0.0
+    assert all(x == x and abs(x) != float("inf") for x in rows.values())
+
+
+def test_counting_and_report_family(spark):
+    from l1dbproto_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_frequencies,
+    )
+    from l1dbproto_spark.operators.dedup import (
+        duplication_density,
+        exact_dedup_groups,
+    )
+    from l1dbproto_spark.operators.pii import pii_signals
+    from l1dbproto_spark.operators.report import corpus_report
+
+    df = _df(spark)
+    merges = learn_bpe(word_frequencies(df), n_merges=10)
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    assert set(counts) == {r[0] for r in ROWS}
+    assert counts[1] == 0 and counts[2] == 0 and counts[3] == 0
+    assert counts[4] >= 1  # the 10k-char token counts as >= 1 BPE token
+    dd = {r.doc_id: r for r in duplication_density(df, n=2).collect()}
+    assert set(dd) == {r[0] for r in ROWS}
+    # degenerate docs (null/empty/whitespace) share one empty shingle
+    # and flag each other as duplicates — the documented convention
+    assert dd[1].n_ngrams == 1 and dd[1].dup_density == 1.0
+    assert dd[7].dup_density == 0.0
+    assert exact_dedup_groups(df).count() == 6  # null fp groups too
+    assert pii_signals(df).count() == 7
+    rep = corpus_report(df, approx=False).collect()[0]
+    assert rep.n_docs == 7 and rep.empty_frac > 0
