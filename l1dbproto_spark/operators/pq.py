@@ -234,7 +234,7 @@ def _exact_rerank(
     by a broadcast-hash join, not shuffled."""
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).filter((l2_norm(F.col("cvec")) > 0) & ~F.isnan(l2_norm(F.col("cvec"))))  # degenerate-vector guard
     refined = cvec.join(F.broadcast(cand), "neighbor_id").join(
         F.broadcast(q), "query_id"
     )

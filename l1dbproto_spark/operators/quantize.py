@@ -88,8 +88,10 @@ def quantized_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
         "cvec",
         "qc",
-    ).withColumn("cn", l2_norm(F.col("cvec")))
-    q = q.withColumn("qn", l2_norm(F.col("qvec")))
+    ).withColumn("cn", l2_norm(F.col("cvec"))).filter((F.col("cn") > 0) & ~F.isnan("cn"))
+    # degenerate-vector guard: zero-norm/NULL/NaN rows would make the
+    # cosine division an ANSI error (see similarity.brute_force_topk)
+    q = q.withColumn("qn", l2_norm(F.col("qvec"))).filter((F.col("qn") > 0) & ~F.isnan("qn"))
     approx = (
         int_dot(F.col("qcvec"), F.col("qqvec")).cast("double")
         * F.col("qqscale")

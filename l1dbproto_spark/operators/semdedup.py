@@ -74,7 +74,8 @@ def semantic_dedup_pairs(
         "cluster",
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col), dim).alias("_n"),
-    )
+    ).filter((F.col("_n") > 0) & ~F.isnan("_n"))  # degenerate-vector guard: zero-norm/NULL/
+    # NaN vectors have no defined cosine and would ANSI-error the pair join
     left = a.select(
         F.col(id_col).alias("id_a"),
         "cluster",

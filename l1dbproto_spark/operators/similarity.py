@@ -78,16 +78,22 @@ def brute_force_topk(
     first — a small corpus parquet arrives as one split, which would put
     the whole pair loop on a single core of the broadcast join."""
     corpus = _spread(corpus, id_col)
+    # degenerate-vector guard: cosine is undefined for zero-norm vectors
+    # and ANSI mode turns the division into a hard error; `norm > 0`
+    # rejects NULL vectors, and the explicit ~isnan rejects NaN
+    # components — Spark orders NaN GREATER than every number, so
+    # `NaN > 0` is true and an unguarded NaN similarity would sort
+    # FIRST in every desc ranking
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col), dim).alias("qn"),
-    )
+    ).filter((F.col("qn") > 0) & ~F.isnan("qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col), dim).alias("cn"),
-    )
+    ).filter((F.col("cn") > 0) & ~F.isnan("cn"))
     sim = F.round(
         dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")),
         round_digits,
@@ -225,7 +231,7 @@ def ivf_topk_with_centroids(
         F.col("_v").alias("cvec"),
         l2_norm(F.col("_v"), dim).alias("cn"),
         "cluster",
-    )
+    ).filter((F.col("cn") > 0) & ~F.isnan("cn"))  # degenerate-vector guard (see brute_force_topk)
     probes = _nearest_centroids(
         queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
         cent,
@@ -237,7 +243,7 @@ def ivf_topk_with_centroids(
         F.col("_v").alias("qvec"),
         l2_norm(F.col("_v"), dim).alias("qn"),
         "cluster",
-    )
+    ).filter((F.col("qn") > 0) & ~F.isnan("qn"))
     sim = F.round(
         dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")), 9
     )
@@ -300,13 +306,13 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col), dim).alias("qn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    ).filter((F.col("qn") > 0) & ~F.isnan("qn"))  # degenerate-vector guard (see brute_force_topk)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col), dim).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    ).filter((F.col("cn") > 0) & ~F.isnan("cn"))
     sim = F.round(
         dot(F.col("qvec"), F.col("cvec"), dim) / (F.col("qn") * F.col("cn")),
         round_digits,

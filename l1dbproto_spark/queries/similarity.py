@@ -299,12 +299,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
         l2_norm(F.col("embedding"), _DIM).alias("na"),
-    )
+    ).filter((F.col("na") > 0) & ~F.isnan("na"))  # degenerate-vector guard (no-op on the
+    # fixture, so the DuckDB oracle is unchanged; see brute_force_topk)
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
         l2_norm(F.col("embedding"), _DIM).alias("nb"),
-    )
+    ).filter((F.col("nb") > 0) & ~F.isnan("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb"), _DIM) / (F.col("na") * F.col("nb")), 9)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))

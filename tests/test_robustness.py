@@ -114,3 +114,46 @@ def test_counting_and_report_family(spark):
     assert pii_signals(df).count() == 7
     rep = corpus_report(df, approx=False).collect()[0]
     assert rep.n_docs == 7 and rep.empty_frac > 0
+
+
+def test_embedding_family_degenerate_vectors(spark):
+    """Zero-norm, NULL, NaN, and wrong-dimension vectors must not crash
+    the cosine family (ANSI mode turns the zero division into a hard
+    error without the norm guard) — degenerate rows are excluded, sane
+    rows still rank."""
+    import random
+
+    from l1dbproto_spark.operators.quantize import quantized_topk
+    from l1dbproto_spark.operators.semdedup import semantic_dedup
+    from l1dbproto_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+    ] + [
+        (100, None),
+        (101, [float("nan")] * 8),
+        (102, [0.0] * 8),
+        (103, [rng.uniform(-1, 1) for _ in range(4)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    res = brute_force_topk(df, q, k=3).collect()
+    assert len(res) == 6
+    # degenerate ids never appear as neighbors
+    assert all(r.neighbor_id not in (100, 101, 102) for r in res)
+    # n_bits=2 -> 4 buckets over 20 sane vectors: co-bucket members
+    # guaranteed; the NaN row must not resurface as a bucket mate
+    lsh = lsh_bucketed_topk(df, q, k=3, n_bits=2).collect()
+    assert len(lsh) >= 1
+    assert all(r.neighbor_id not in (100, 101, 102) for r in lsh)
+    assert quantized_topk(df, q, k=3).count() == 6
+    cent = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [-0.5] * 8)], "cluster int, centroid array<double>"
+    )
+    kept, dropped = semantic_dedup(df, cent, eps=0.5)
+    # the keep/drop split still covers only well-defined vectors' drops
+    assert dropped.count() >= 0 and kept.count() >= 1
