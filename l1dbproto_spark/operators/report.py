@@ -60,7 +60,12 @@ def corpus_report(
         F.percentile_approx("_nt", 0.9).alias("tok_p90"),
         F.percentile_approx("_nt", 0.99).alias("tok_p99"),
         distinct.alias("n_distinct"),
-        (F.lit(1.0) - distinct / F.count(F.lit(1))).alias("dup_rate"),
+        # guard the n_docs=0 group (an empty corpus after aggressive
+        # filtering is legitimate; ANSI would error the 0/0)
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.lit(1.0) - distinct / F.count(F.lit(1)),
+        ).alias("dup_rate"),
         F.avg((F.col("_nt") == 0).cast("double")).alias("empty_frac"),
     ]
     if source_col is None:

@@ -157,3 +157,28 @@ def test_embedding_family_degenerate_vectors(spark):
     kept, dropped = semantic_dedup(df, cent, eps=0.5)
     # the keep/drop split still covers only well-defined vectors' drops
     assert dropped.count() >= 0 and kept.count() >= 1
+
+
+def test_empty_corpus_everywhere(spark):
+    """A fully-filtered (empty) corpus is legitimate pipeline state —
+    downstream operators must return empty/neutral results, not raise."""
+    from l1dbproto_spark.operators.bpe import learn_bpe, word_frequencies
+    from l1dbproto_spark.operators.corpus import clean_corpus, split_corpus
+    from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
+    from l1dbproto_spark.operators.report import corpus_report
+    from l1dbproto_spark.operators.sampling import (
+        sample_mixture,
+        temperature_rates,
+        token_budget_rates,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert sample_mixture(empty, {"en": 0.5}).count() == 0
+    assert temperature_rates(empty).count() == 0
+    assert token_budget_rates(empty, {"en": 1.0}, 100).count() == 0
+    assert clean_corpus(empty).cleaned.count() == 0
+    assert split_corpus(empty, {"train": 0.9, "val": 0.1}).count() == 0
+    assert exact_substring_dedup(empty, window=5).count() == 0
+    assert learn_bpe(word_frequencies(empty), 5) == []
+    rep = corpus_report(empty, approx=False).collect()[0]
+    assert rep.n_docs == 0 and rep.dup_rate is None
