@@ -112,7 +112,14 @@ class StreamingDocDedup:
         the store after the append, which is safe precisely because of the
         re-admit rule in step 3."""
         ep = -1 if epoch_id is None else int(epoch_id)
-        fp = F.md5(normalize_text(F.col(self.text_col)))
+        # null text fingerprints as the EMPTY document: a null md5 would
+        # never equi-join the store, so null-text docs were re-admitted
+        # on every delivery (unbounded duplication); coalescing makes
+        # null and empty docs deduplicate together under the same
+        # epoch-retry semantics (found by the garbage-resilience sweep)
+        fp = F.md5(
+            normalize_text(F.coalesce(F.col(self.text_col), F.lit("")))
+        )
         fingered = batch.withColumn("fingerprint", fp).withColumn(
             "fp_bucket", F.substring("fingerprint", 1, 2)
         )

@@ -182,3 +182,24 @@ def test_empty_corpus_everywhere(spark):
     assert learn_bpe(word_frequencies(empty), 5) == []
     rep = corpus_report(empty, approx=False).collect()[0]
     assert rep.n_docs == 0 and rep.dup_rate is None
+
+
+def test_streaming_exact_gate_null_text(spark, tmp_path):
+    """Null-text docs must not bypass the exact-dedup gate: they
+    fingerprint as the empty document, dedupe against it in-batch, and a
+    later epoch's re-delivery is rejected like any other duplicate (a
+    null md5 used to never match the store, re-admitting such docs on
+    every delivery)."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingDocDedup
+
+    gate = StreamingDocDedup(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world"), (4, "")],
+        "doc_id long, text string",
+    )
+    first = sorted(r.doc_id for r in gate.admit(batch, epoch_id=0).collect())
+    # null (2) and empty (4) share the empty fingerprint: min id 2 wins;
+    # 1 beats its clone 3
+    assert first == [1, 2]
+    later = [r.doc_id for r in gate.admit(batch, epoch_id=1).collect()]
+    assert later == []  # nothing re-admitted by a later epoch
