@@ -61,10 +61,22 @@ def hll_rollup(
     re-aggregatable artifact: store it per (day, source) and roll up any
     (date range, source set) later via :func:`hll_estimate` without
     touching the raw data — the pattern that turns a 100 TB distinct-user
-    question into a kilobyte merge."""
+    question into a kilobyte merge.
+
+    ``hll_sketch_agg`` accepts int/long/string/binary only; other types
+    (double, date, timestamp, decimal, boolean) are canonicalized to
+    their string form first — bijective per distinct value, so the
+    distinct count is unchanged (the one standard caveat: -0.0 and 0.0
+    stringify differently, and all NaNs stringify identically)."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
-    sk = F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k))
+    vtype = dict(df.dtypes)[value_col]
+    val = (
+        F.col(value_col)
+        if vtype in ("int", "bigint", "smallint", "tinyint", "string", "binary")
+        else F.col(value_col).cast("string")
+    )
+    sk = F.hll_sketch_agg(val, F.lit(lg_config_k))
     return df.groupBy(*group_cols).agg(
         sk.alias("hll_sketch"),
     ).withColumn(

@@ -203,3 +203,21 @@ def test_streaming_exact_gate_null_text(spark, tmp_path):
     assert first == [1, 2]
     later = [r.doc_id for r in gate.admit(batch, epoch_id=1).collect()]
     assert later == []  # nothing re-admitted by a later epoch
+
+
+def test_hll_rollup_nonnative_types(spark):
+    """hll_sketch_agg accepts only int/long/string/binary natively —
+    doubles (and other types) are canonicalized to strings, preserving
+    the distinct count; nulls are ignored as usual."""
+    from l1dbproto_spark.operators.sketches import hll_estimate, hll_rollup
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, None), (3, "b", 2.5), (4, "a", 5.0),
+         (5, "a", 2.5)],
+        "id long, k string, v double",
+    )
+    out = {r.k: r.approx_distinct for r in hll_rollup(df, "k", "v").collect()}
+    assert out["a"] == 2 and out["b"] == 1
+    # sketches still merge after the cast
+    total = hll_estimate(hll_rollup(df, "k", "v")).collect()[0]
+    assert total.approx_distinct == 2
