@@ -82,15 +82,26 @@ def byte_histogram_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for blob in pdf[payload_col]:
+            ids, feats = [], []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:  # null payloads carry no features
+                    continue
+                ids.append(mid)
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
                 # float64 so count/total is the IEEE double division the
                 # DuckDB oracle computes — bit-identical normalization
                 hist = np.bincount(arr >> 3, minlength=_FEAT_DIM).astype(np.float64)
                 total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
+            # explicit dtypes: a fully-skipped batch yields an EMPTY
+            # frame, and pandas' default float64 empty columns break
+            # Arrow's list<double> conversion
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -125,6 +136,8 @@ def resize_media(
             for mid, blob, w, h in zip(
                 pdf[id_col], pdf[payload_col], pdf["declared_width"], pdf["declared_height"]
             ):
+                if blob is None:  # null payloads cannot be resized
+                    continue
                 w = int(w) if w and w > 0 else 8
                 h = int(h) if h and h > 0 else 8
                 buf = np.frombuffer(bytes(blob), dtype=np.uint8)
@@ -172,6 +185,8 @@ def chunk_fingerprints(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:  # null payloads produce no chunks
+                    continue
                 b = bytes(blob)
                 step = max(1, len(b) // n_chunks)
                 for i in range(n_chunks):

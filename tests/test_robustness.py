@@ -221,3 +221,32 @@ def test_hll_rollup_nonnative_types(spark):
     # sketches still merge after the cast
     total = hll_estimate(hll_rollup(df, "k", "v")).collect()[0]
     assert total.approx_distinct == 2
+
+
+def test_multimodal_null_payloads(spark):
+    """Null payloads must not crash the Arrow byte paths — such rows are
+    excluded from feature outputs (a fully-skipped batch must still
+    yield a type-stable empty frame for Arrow's list columns)."""
+    from l1dbproto_spark.operators.multimodal import (
+        blob_metadata,
+        byte_histogram_features,
+        chunk_fingerprints,
+        resize_media,
+    )
+
+    rows = [
+        (1, bytearray(b"hello media bytes" * 10), 8, 8),
+        (2, None, 4, 4),
+        (3, bytearray(b""), 0, 0),
+        (4, bytearray(b"x"), None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, declared_width int,"
+        " declared_height int",
+    )
+    assert blob_metadata(df).count() == 4  # column algebra: row-preserving
+    hist_ids = {r.media_id for r in byte_histogram_features(df).collect()}
+    assert hist_ids == {1, 3, 4}  # null payload excluded, empty kept
+    assert chunk_fingerprints(df).count() == 12  # 3 blobs x 4 chunks
+    assert {r.media_id for r in resize_media(df).collect()} == {1, 3, 4}
