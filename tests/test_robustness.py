@@ -250,3 +250,24 @@ def test_multimodal_null_payloads(spark):
     assert hist_ids == {1, 3, 4}  # null payload excluded, empty kept
     assert chunk_fingerprints(df).count() == 12  # 3 blobs x 4 chunks
     assert {r.media_id for r in resize_media(df).collect()} == {1, 3, 4}
+
+
+def test_apdb_empty_visit(spark, tmp_path):
+    """A visit with zero detections (clouds, shutter fault) must store
+    and read back cleanly — empty appends, empty merges, empty history."""
+    import datetime
+
+    from l1dbproto_spark.apdb import ApdbSpark
+    from l1dbproto_spark.plans.region import Circle
+    from l1dbproto_spark.schemas import table_def
+
+    db = ApdbSpark(spark, str(tmp_path / "apdb"))
+    db.make_schema()
+    t = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    empty_obj = spark.createDataFrame([], table_def("DiaObject"))
+    empty_src = spark.createDataFrame([], table_def("DiaSource"))
+    db.store(t, empty_obj, empty_src)
+    db.store(t + datetime.timedelta(seconds=45), empty_obj, None)
+    reg = Circle(10.0, -40.0, 1.0)
+    assert db.get_dia_objects(reg).count() == 0
+    assert db.get_dia_sources(reg, [1, 2, 3], t).count() == 0
