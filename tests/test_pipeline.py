@@ -1,0 +1,110 @@
+"""Config-driven pipeline (operators/pipeline.py): stage-for-stage
+equivalence with the wrapped operators, audit shape, unknown-stage
+validation, and an end-to-end declared flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.pipeline import STAGES, run_pipeline
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").limit(200)
+
+
+def test_equivalent_to_direct_composition(spark):
+    """The runner adds no semantics: a declared flow equals composing
+    the operators by hand."""
+    from l1dbproto_spark.operators.corpus import clean_corpus, split_corpus
+    from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
+    from l1dbproto_spark.operators.sampling import sample_mixture
+
+    docs = _docs(spark)
+    declared, _ = run_pipeline(
+        docs,
+        [
+            {"stage": "exact_substring_dedup", "window": 20},
+            {"stage": "clean_corpus", "min_tokens": 5, "min_jaccard": 0.5},
+            {
+                "stage": "sample_mixture",
+                "rates": {"en": 0.9, "es": 0.9},
+                "default_rate": 0.9,
+            },
+            {"stage": "split_corpus", "weights": {"train": 0.8, "val": 0.2}},
+        ],
+        audit=False,
+    )
+    manual = exact_substring_dedup(docs, window=20)
+    manual = clean_corpus(manual, min_tokens=5, min_jaccard=0.5).cleaned
+    manual = sample_mixture(
+        manual, {"en": 0.9, "es": 0.9}, default_rate=0.9
+    )
+    manual = split_corpus(manual, {"train": 0.8, "val": 0.2})
+    a = {(r.doc_id, r.split) for r in declared.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in manual.select("doc_id", "split").collect()}
+    assert a == b and a
+
+
+def test_audit_counts_monotone(spark):
+    docs = _docs(spark)
+    out, audit = run_pipeline(
+        docs,
+        [
+            {"stage": "clean_corpus", "min_tokens": 5},
+            {"stage": "sample_mixture", "rates": {"en": 0.5}, "default_rate": 0.5},
+        ],
+    )
+    assert [a["stage"] for a in audit] == [
+        "input",
+        "clean_corpus",
+        "sample_mixture",
+    ]
+    rows = [a["rows"] for a in audit]
+    assert rows[0] >= rows[1] >= rows[2] > 0
+    assert out.count() == rows[-1]
+
+
+def test_unknown_stage_rejected_before_work(spark):
+    with pytest.raises(ValueError, match="unknown stage 'nope'"):
+        run_pipeline(_docs(spark), [{"stage": "nope"}])
+
+
+def test_dataframe_params_and_checkpointing(spark):
+    """DataFrame-valued config (eval set) and stage checkpointing both
+    flow through; decontamination matches the direct call."""
+    from l1dbproto_spark.operators.contamination import decontaminate
+
+    docs = _docs(spark)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out, audit = run_pipeline(
+        docs,
+        [{"stage": "decontaminate", "eval_set": ev, "n": 3}],
+        checkpoint_stages=True,
+    )
+    direct, _ = decontaminate(docs, ev, n=3)
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in direct.collect()
+    }
+    assert audit[-1]["rows"] == direct.count()
+
+
+def test_registry_covers_demo_stages(spark):
+    for name in (
+        "strip_html",
+        "c4_clean",
+        "c4_span_dedup",
+        "exact_substring_dedup",
+        "decontaminate",
+        "clean_corpus",
+        "classifier_filter",
+        "quality_gate",
+        "sample_mixture",
+        "sample_with_temperature",
+        "split_corpus",
+    ):
+        assert name in STAGES
