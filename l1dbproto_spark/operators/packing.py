@@ -60,7 +60,10 @@ def pack_sequences(
     per-document token-count column (e.g. BPE counts from an upstream
     tokenizer pass) and the packing map is computed over those budgets —
     ``text_col`` is then never touched, so the plan reads only (id,
-    count). Default is the whitespace rule shared with queries/text.py."""
+    count). Default is the whitespace rule shared with queries/text.py.
+    A NULL count excludes that document from the packing map without
+    perturbing its shard-mates' offsets (window sums skip nulls) — the
+    caller's token-count pass owes every packable doc a count."""
     n_tok = (
         F.col(count_col).cast("long")
         if count_col is not None

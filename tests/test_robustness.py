@@ -271,3 +271,28 @@ def test_apdb_empty_visit(spark, tmp_path):
     reg = Circle(10.0, -40.0, 1.0)
     assert db.get_dia_objects(reg).count() == 0
     assert db.get_dia_sources(reg, [1, 2, 3], t).count() == 0
+
+
+def test_packing_null_count_excluded_without_poisoning(spark):
+    """A NULL custom count excludes that doc from the packing map but
+    must not perturb shard-mates: the survivors pack exactly as if the
+    null doc were absent (documented convention)."""
+    from l1dbproto_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 3), (2, "d e", None), (3, "f g h i", 4)],
+        "doc_id long, text string, n long",
+    )
+    with_null = pack_sequences(df, ctx_len=4, n_shards=1, count_col="n")
+    without = pack_sequences(
+        df.filter(df.doc_id != 2), ctx_len=4, n_shards=1, count_col="n"
+    )
+    a = sorted(
+        (r.doc_id, r.chunk, r.start_tok, r.tokens_in_chunk)
+        for r in with_null.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.chunk, r.start_tok, r.tokens_in_chunk)
+        for r in without.collect()
+    )
+    assert a == b and {x[0] for x in a} == {1, 3}
