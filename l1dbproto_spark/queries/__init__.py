@@ -99,7 +99,9 @@ _PRIORITY = [
     "exists_anti_semi",
     "filtered_counts",
     "above_average_customers",
-    "price_percentiles",
+    # r5 late: price_percentiles (no SURVEY §2 id — an exact-percentile
+    # battery) ceded its slot to collocations_pmi; its oracle moved to
+    # tests/test_unregistered_batteries.py
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
     "salted_skew_agg",
@@ -132,6 +134,9 @@ _PRIORITY = [
     # LLM-pipeline: DSIR importance weights (r5: took simhash_fingerprints'
     # slot — see the dedup-family comment above)
     "dsir_log_weights",
+    # LLM-pipeline: PMI collocation mining (r5 late: took
+    # price_percentiles' slot — see the relational-family comment above)
+    "collocations_pmi",
 ]
 
 

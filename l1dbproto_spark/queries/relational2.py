@@ -89,24 +89,14 @@ def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "price_percentiles",
-    oracle="""
-    SELECT
-      o_orderstatus,
-      round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-      round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
-      CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
-      CAST(MAX(o_totalprice) AS DOUBLE) AS hi
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    survey="exact percentiles (not in reference; Spark percentile == quantile_cont)",
-)
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (both engines use the same
     linear-interpolation definition; rounded to 6 decimals to absorb
-    last-ulp interpolation-order differences)."""
+    last-ulp interpolation-order differences).
+
+    De-registered r5 (slot went to collocations_pmi — this battery maps
+    to no SURVEY §2 id); the oracle lives on in
+    tests/test_unregistered_batteries.py."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),

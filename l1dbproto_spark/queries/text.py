@@ -288,3 +288,43 @@ def unigram_logprob_score(
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_scores(docs, smoothing=smoothing)
+
+
+@query(
+    "collocations_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      FROM d
+    ),
+    pairs AS (
+      SELECT d.t[r.pos - 1] AS w1, r.w AS w2, COUNT(*) AS pair_count
+      FROM r JOIN d USING (doc_id) WHERE r.pos > 1 GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, SUM(pair_count) AS c1 FROM pairs GROUP BY 1),
+    m2 AS (SELECT w2, SUM(pair_count) AS c2 FROM pairs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS n FROM pairs)
+    SELECT p.w1, p.w2, p.pair_count,
+           ROUND(ln(tot.n * p.pair_count / (m1.c1 * m2.c2)), 9) AS pmi
+    FROM pairs p JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+    WHERE p.pair_count >= 3
+    """,
+    survey="ext:text (PMI collocation mining — multiword-expression discovery; operators/quality.py collocations)",
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocations by pointwise mutual information over
+    adjacent word pairs (min_count=3): the multiword-expression discovery
+    pass a tokenizer/normalizer consumes. Single corpus scan into position
+    counts, a checkpointed bigram-type-sized pair table, marginals derived
+    from it, map-side PMI arithmetic — ln operands are integer-derived in
+    identical order on both engines, so a 9-decimal round is bit-stable
+    (the unigram-scorer precedent)."""
+    from ..operators.quality import collocations
+
+    return collocations(
+        load_table(spark, sf_dir, "documents"), min_count=3
+    )

@@ -241,3 +241,31 @@ def test_simhash_fingerprints_matches_oracle(spark):
     }
     con.close()
     assert got == want
+
+
+PRICE_PCT_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM '{SF_DIR}/orders.parquet'
+GROUP BY o_orderstatus
+"""
+
+
+def test_price_percentiles_matches_oracle(spark):
+    """Round 5 (late): price_percentiles lost its registry slot to
+    collocations_pmi; same oracle, now in-suite."""
+    from l1dbproto_spark.queries.relational2 import price_percentiles
+
+    got = {
+        r.o_orderstatus: (r.p50, r.p90, r.lo, r.hi)
+        for r in price_percentiles(spark, SF_DIR).collect()
+    }
+    want = {
+        s: (float(a), float(b), float(c), float(d))
+        for s, a, b, c, d in duckdb.sql(PRICE_PCT_ORACLE).fetchall()
+    }
+    assert got == want
