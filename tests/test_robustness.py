@@ -296,3 +296,24 @@ def test_packing_null_count_excluded_without_poisoning(spark):
         for r in without.collect()
     )
     assert a == b and {x[0] for x in a} == {1, 3}
+
+
+def test_streaming_near_dup_gate_null_text(spark, tmp_path):
+    """The near-dup gate is null-safe by the truncated-shingle rule:
+    null and empty docs share the empty shingle's minhash signature, so
+    they deduplicate together (min id wins) and later epochs reject the
+    re-delivery — no unbounded re-admission."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingNearDupGate
+
+    gate = StreamingNearDupGate(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    first = sorted(r.doc_id for r in gate.admit(batch, epoch_id=0).collect())
+    assert first == [1, 2]
+    assert gate.admit(batch, epoch_id=1).count() == 0
