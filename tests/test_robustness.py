@@ -317,3 +317,42 @@ def test_streaming_near_dup_gate_null_text(spark, tmp_path):
     first = sorted(r.doc_id for r in gate.admit(batch, epoch_id=0).collect())
     assert first == [1, 2]
     assert gate.admit(batch, epoch_id=1).count() == 0
+
+
+def test_asof_and_salted_agg_null_keys(spark):
+    """As-of joins and salted aggregation must treat null keys/timestamps
+    sanely: asof rows with null key or null ts simply find no match
+    (payload null, rows preserved), and the salted two-phase aggregation
+    keeps the null-key group with the exact same totals as a plain
+    groupBy."""
+    from l1dbproto_spark.operators.asof import asof_join
+    from l1dbproto_spark.operators.skew import salted_agg
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100, "p1"), (2, None, 200, "p2"), (3, "u1", None, "p3")],
+        "event_id long, user_id string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", 50, 1.0), (11, None, 60, 2.0), (12, "u1", None, 3.0)],
+        "rid long, user_id string, ts long, value double",
+    )
+    out = {r.event_id: r.value for r in asof_join(
+        left, right, ["user_id"], "ts", ["value"]
+    ).collect()}
+    assert set(out) == {1, 2, 3}      # rows preserved
+    assert out[1] == 1.0              # u1@100 picks up u1@50
+    assert out[2] is None and out[3] is None  # null key / null ts: no match
+
+    skewed = spark.createDataFrame(
+        [(None if i % 5 == 0 else "k", float(i)) for i in range(50)],
+        "k string, v double",
+    )
+    got = {
+        r.k: r.sum_v
+        for r in salted_agg(skewed, ["k"], {"sum_v": F.sum("v")}).collect()
+    }
+    want = {
+        r.k: r.s
+        for r in skewed.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want and None in got
