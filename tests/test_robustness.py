@@ -336,7 +336,7 @@ def test_asof_and_salted_agg_null_keys(spark):
         [(10, "u1", 50, 1.0), (11, None, 60, 2.0), (12, "u1", None, 3.0)],
         "rid long, user_id string, ts long, value double",
     )
-    out = {r.event_id: r.value for r in asof_join(
+    out = {r.event_id: r.asof_value for r in asof_join(
         left, right, ["user_id"], "ts", ["value"]
     ).collect()}
     assert set(out) == {1, 2, 3}      # rows preserved
