@@ -31,6 +31,12 @@ def asof_join(
 
     ``tie_break``: extra right-side ordering column — among equal-ts right
     rows the one with the greatest tie_break wins (deterministic).
+
+    NULL semantics follow SQL equality: a right row with a NULL key or
+    NULL timestamp can never match (it is excluded from the union — the
+    window partition would otherwise group null keys TOGETHER, silently
+    matching them, which SQL's `l.key = r.key` never does). Left rows
+    with NULL keys/ts are preserved with NULL payloads.
     """
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
@@ -48,7 +54,12 @@ def asof_join(
     if tie_break is not None:
         rsel.append(F.col(tie_break).alias("_tb"))
         l = l.withColumn("_tb", F.lit(None).cast(right.schema[tie_break].dataType))
-    r = right.select(*rsel)
+    # SQL-equality null semantics: un-matchable right rows out up front
+    unmatchable = [F.col(c).isNull() for c in [*by, ts_col]]
+    matchable = ~unmatchable[0]
+    for cond in unmatchable[1:]:
+        matchable = matchable & ~cond
+    r = right.filter(matchable).select(*rsel)
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
