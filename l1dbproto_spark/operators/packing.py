@@ -120,6 +120,133 @@ def pack_chunk_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
     )
 
 
+def bin_pack_documents(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    oversize: str = "truncate",
+) -> DataFrame:
+    """Whole-document best-fit packing — the NO-SPLIT alternative to
+    :func:`pack_sequences` for pipelines where cross-document attention
+    contamination matters (SFT, long-context finetuning; "Fewer Truncations
+    Improve Language Modeling", Ding et al. 2024 motivates exactly this
+    best-fit construction over concat-and-chunk).
+
+    Each document is placed WHOLE into one ``ctx_len``-capacity bin by
+    Best-Fit-Decreasing within its shard (sort by descending token count,
+    place each doc in the fullest bin that still fits, open a new bin
+    otherwise). Documents longer than ``ctx_len`` are either truncated to
+    ``ctx_len`` (``oversize="truncate"``, flagged) or dropped
+    (``oversize="drop"``). Output: one row per packed document —
+
+    ``shard, bin, doc_id, n_tokens, tokens_packed, truncated``
+
+    with ``sum(tokens_packed) <= ctx_len`` per (shard, bin) and every bin
+    holding only whole (or head-truncated oversize) documents.
+
+    Scale shape: bin packing is inherently sequential per bin stream, so
+    this is the engine's documented Arrow-batch exception (COVERAGE §2.9,
+    same rule as BPE): ONE ``applyInPandas`` over shard groups, each shard
+    packed in O(n log n) via bisect on the sorted bin-remainder list.
+    Shards pack independently across the cluster — choose ``n_shards`` >>
+    parallelism and per-task memory holds ~corpus/n_shards (id, count)
+    pairs, never text: when ``count_col`` is given the plan reads only
+    (id, count), exactly like :func:`pack_sequences`. Determinism: shard
+    assignment is ``id % n_shards``, the BFD scan orders by (-count,
+    doc_id), and equal-remainder bins tie to the lowest bin id — output
+    is independent of partitioning and run order. Null counts are
+    excluded (the caller's token-count pass owes every packable doc a
+    count)."""
+    if oversize not in ("truncate", "drop"):
+        raise ValueError("oversize must be 'truncate' or 'drop'")
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else whitespace_token_count(F.col(text_col)).cast("long")
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % F.lit(n_shards)).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    ).filter(F.col("n_tokens").isNotNull())
+
+    drop_oversize = oversize == "drop"
+
+    def _pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        # bins kept as a list of (remaining, bin_id) tuples sorted by that
+        # tuple; best-fit = smallest remaining that still fits, remainder
+        # ties to the LOWEST bin id (bisect on (take, -1) lands on it) —
+        # the deterministic rule the parity test re-derives independently.
+        bins: list = []  # sorted (remaining, bin_id)
+        next_bin = 0
+        out_bin, out_packed, out_trunc = [], [], []
+        for nt in pdf["n_tokens"].to_numpy():
+            take = int(min(nt, ctx_len))
+            truncated = nt > ctx_len
+            if truncated and drop_oversize:
+                out_bin.append(-1)
+                out_packed.append(0)
+                out_trunc.append(True)
+                continue
+            i = bisect.bisect_left(bins, (take, -1))
+            if i < len(bins):
+                rem, b = bins.pop(i)
+            else:
+                rem, b = ctx_len, next_bin
+                next_bin += 1
+            rem -= take
+            bisect.insort(bins, (rem, b))
+            out_bin.append(b)
+            out_packed.append(take)
+            out_trunc.append(bool(truncated))
+        res = pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                "bin": out_bin,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "tokens_packed": out_packed,
+                "truncated": out_trunc,
+            }
+        )
+        if drop_oversize:
+            res = res[res["bin"] >= 0]
+        return res
+
+    schema = (
+        "shard int, bin long, doc_id long, n_tokens long, "
+        "tokens_packed long, truncated boolean"
+    )
+    return toks.groupBy("shard").applyInPandas(_pack, schema=schema)
+
+
+def bin_pack_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
+    """Per-bin fill statistics over a :func:`bin_pack_documents` map —
+    docs per bin, filled tokens, fill ratio. The aggregate a packing-
+    efficiency dashboard reports (BFD's promise is a fill ratio near 1
+    with zero document splits)."""
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens_packed").alias("filled_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.col("filled_tokens") / F.lit(float(ctx_len))
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

@@ -345,3 +345,40 @@ def token_budget_rates(
         rate.alias("rate"),
         (rate > 1.0).alias("needs_repeats"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: str = "shuffle-v1",
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle — the FINAL pipeline stage before a
+    training run reads the corpus. Gradient quality depends on i.i.d.
+    batch order, but the corpus arrives grouped by source/crawl/time;
+    this assigns every row a reproducible pseudo-random position.
+
+    Adds ``shuffle_key`` (the engine's 48-bit md5 unit hash of seed+id —
+    the same formula as every sampling draw, so a DuckDB oracle
+    reproduces it bit-for-bit) and, when ``n_shards`` is given,
+    ``shard`` (hash-uniform in [0, n_shards), so shards are balanced in
+    expectation and any shard-subset is itself an unbiased sample).
+    Reading in ``ORDER BY shuffle_key`` (or per-shard
+    ``ORDER BY shard, shuffle_key``) IS the shuffled epoch; a different
+    ``seed`` is a fresh permutation.
+
+    Scale shape: pure per-row projection — zero exchanges here. The sort
+    belongs to the WRITER (``df.repartitionByRange(n, "shuffle_key")
+    .sortWithinPartitions("shuffle_key")`` = one range exchange, Spark's
+    scalable total order) or to the loader (each worker sorts its own
+    hash-pruned shard). Composes with :func:`bin_pack_documents` /
+    ``pack_sequences`` by packing on ``dense_rank`` over shuffle_key, or
+    simply by sharding on the same hash."""
+    key = _unit_hash(F.col(id_col), seed)
+    out = df.withColumn("shuffle_key", key)
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard",
+            F.floor(F.col("shuffle_key") * F.lit(float(n_shards))).cast("int"),
+        )
+    return out
