@@ -247,3 +247,84 @@ def c4_span_dedup(
         )
         .select(docs.columns)
     )
+
+
+def dedup_corpus_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    mode: str = "keep_first",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level LINE dedup — the CCNet/RefinedWeb boilerplate remover
+    (Wenzek et al. 2020 dedup paragraphs keeping one copy; Penedo et al.
+    2023 strip repeated crawl furniture): navigation menus, cookie
+    banners, and share buttons recur verbatim across pages, and neither
+    the document-level dedup family (operators/dedup.py) nor the
+    three-sentence span rule (:func:`c4_span_dedup`) targets single
+    recurring lines.
+
+    A line (``\\n``-split, compared by trimmed text) is DUPLICATED when it
+    appears in at least ``min_docs`` DISTINCT documents (within-document
+    repetition is the repetition battery's job, operators/quality.py).
+    ``mode="keep_first"`` keeps the corpus-first occurrence (smallest
+    (doc_id, line index) — CCNet's one-copy rule); ``mode="remove_all"``
+    strips every occurrence (boilerplate is noise everywhere). Lines that
+    trim to empty are exempt — they are structure, not content, and every
+    blank line in the corpus would otherwise collide into one hash key.
+    Documents are reconstructed from surviving lines in order (a document
+    reduced to nothing survives as empty text — compose with a length
+    gate, like :func:`c4_span_dedup`).
+
+    Plan, same family as the span dedup: one line posexplode (per-doc),
+    one groupBy on the md5 line hash (uniform keys — the blank-line
+    exemption removes the one degenerate hot key), the per-(doc, index)
+    removal anti-join, and the per-doc reassembly agg. Three uniform-key
+    exchanges; nothing scales with anything but the corpus line count."""
+    if mode not in ("keep_first", "remove_all"):
+        raise ValueError("mode must be 'keep_first' or 'remove_all'")
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("lidx", "line"),
+    ).withColumn(
+        "line_hash",
+        F.when(
+            F.length(F.trim(F.col("line"))) > 0,
+            F.md5(F.trim(F.col("line"))),
+        ),
+    )
+    content = lines.filter(F.col("line_hash").isNotNull())
+    stats = content.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.struct("doc_id", "lidx")).alias("w"),
+    )
+    dup = stats.filter(F.col("n_docs") >= min_docs)
+    doomed = content.join(dup, "line_hash")
+    if mode == "keep_first":
+        doomed = doomed.filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("lidx") != F.col("w.lidx"))
+        )
+    doomed = doomed.select("doc_id", "lidx")
+    survivors = (
+        lines.join(doomed, ["doc_id", "lidx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lidx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("_new_text")
+        )
+    )
+    extra = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            *extra,
+            F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+        )
+        .select(docs.columns)
+    )

@@ -188,3 +188,130 @@ def test_c4_clean_is_idempotent(spark):
     a = {(r.doc_id, r.text) for r in once.collect()}
     b = {(r.doc_id, r.text) for r in twice.collect()}
     assert a == b and a
+
+
+# --- dedup_corpus_lines ----------------------------------------------------
+
+BOILER = "Accept our cookies to continue reading."
+
+
+def _line_docs(spark):
+    rows = [
+        (0, f"Unique opening line zero.\n{BOILER}\nUnique closing line zero."),
+        (1, f"{BOILER}\nUnique middle line one.\n\nAfter a blank line."),
+        (2, f"Unique only content two.\n{BOILER}"),
+        (3, "Repeated inside only.\nRepeated inside only.\nSolo doc line."),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_corpus_lines_keep_first(spark):
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    got = {
+        r.doc_id: r.text
+        for r in dedup_corpus_lines(_line_docs(spark)).collect()
+    }
+    # corpus-first occurrence (doc 0) keeps the boilerplate; later ones lose it
+    assert got[0].splitlines().count(BOILER) == 1
+    assert BOILER not in got[1] and BOILER not in got[2]
+    assert got[1] == "Unique middle line one.\n\nAfter a blank line."
+    assert got[2] == "Unique only content two."
+    # within-doc repetition alone is NOT corpus duplication (distinct-doc rule)
+    assert got[3] == "Repeated inside only.\nRepeated inside only.\nSolo doc line."
+    # rewriter contract: rows preserved, null/empty text -> empty
+    assert got[4] == "" and got[5] == ""
+    assert len(got) == 6
+
+
+def test_dedup_corpus_lines_remove_all(spark):
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    got = {
+        r.doc_id: r.text
+        for r in dedup_corpus_lines(
+            _line_docs(spark), mode="remove_all"
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert BOILER not in got[i]
+    assert got[0] == "Unique opening line zero.\nUnique closing line zero."
+    # a doc reduced to nothing survives as empty text
+    assert got[2] == "Unique only content two."
+
+
+def test_dedup_corpus_lines_duckdb_oracle(spark):
+    """keep_first over the documents table (newlines injected so the real
+    fixture has duplicated lines) == a DuckDB re-derivation of the pinned
+    rule."""
+    import duckdb
+    import pandas as pd
+
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(f"{BOILER}\n"),
+            F.regexp_replace(F.col("text"), r"\. ", ".\n"),
+        ).alias("text"),
+    )
+    got = (
+        dedup_corpus_lines(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    ref = con.sql(
+        """
+WITH split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS lidx, parts[i] AS line
+  FROM split, unnest(range(1, len(parts) + 1)) AS t(i)
+),
+content AS (
+  SELECT doc_id, lidx, md5(trim(line)) AS h FROM lines
+  WHERE len(trim(line)) > 0
+),
+dup AS (
+  SELECT h FROM content GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ranked AS (
+  SELECT c.doc_id, c.lidx,
+         ROW_NUMBER() OVER (PARTITION BY c.h ORDER BY c.doc_id, c.lidx) AS rn
+  FROM content c JOIN dup USING (h)
+),
+doomed AS (SELECT doc_id, lidx FROM ranked WHERE rn > 1),
+surv AS (
+  SELECT l.doc_id,
+         string_agg(l.line, chr(10) ORDER BY l.lidx) AS new_text
+  FROM lines l
+  LEFT JOIN doomed d ON l.doc_id = d.doc_id AND l.lidx = d.lidx
+  WHERE d.doc_id IS NULL
+  GROUP BY l.doc_id
+)
+SELECT d.doc_id, coalesce(s.new_text, '') AS text
+FROM docs d LEFT JOIN surv s USING (doc_id)
+ORDER BY doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
+def test_dedup_corpus_lines_plan_shape(spark):
+    """No cartesian/broadcast-nested-loop anywhere in the line-dedup plan."""
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = dedup_corpus_lines(docs)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -25,7 +25,11 @@ def _df(spark):
 
 
 def test_cleaning_family(spark):
-    from l1dbproto_spark.operators.c4 import c4_clean, c4_span_dedup
+    from l1dbproto_spark.operators.c4 import (
+        c4_clean,
+        c4_span_dedup,
+        dedup_corpus_lines,
+    )
     from l1dbproto_spark.operators.corpus import clean_corpus
     from l1dbproto_spark.operators.exact_substr import exact_substring_dedup
     from l1dbproto_spark.operators.html import strip_html
@@ -48,6 +52,7 @@ def test_cleaning_family(spark):
     assert exact_substring_dedup(df, window=3).count() == 7
     assert strip_html(df).count() == 7
     assert c4_span_dedup(df).count() == 7
+    assert dedup_corpus_lines(df).count() == 7
     cleaned, _ = c4_clean(df)
     assert cleaned.count() == 0  # nothing here has 3 sentences
 
