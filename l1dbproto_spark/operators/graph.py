@@ -71,3 +71,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def resolve_canonicals(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection over dedup clusters — keep the
+    BEST duplicate, not the smallest id.
+
+    The engine's dedup stages default to canonical = min id (cheap,
+    deterministic, order-free), but practitioners usually keep the
+    highest-quality member of each duplicate cluster (longest text,
+    best classifier score, freshest crawl — whatever ``score_col``
+    encodes). Input: ``components`` from :func:`connected_components`
+    ((node, component)); ``scores`` keyed by ``id_col``. Output one row
+    per clustered document:
+
+    ``id_col, component, canonical_id, is_canonical``
+
+    with ``canonical_id`` = the component's max-score member, score ties
+    to the SMALLEST id (so the default behavior is recovered by a
+    constant score). Documents missing from ``scores`` score NULL and
+    never win unless the whole cluster is unscored, in which case min id
+    wins (max_by over the (-id)-tiebroken struct treats NULL score as
+    lowest).
+
+    One equi-join on id + one aggregation on component — both uniform
+    keys (cluster sizes are bounded by the near-dup rule), nothing
+    iterative; composes with any scorer in operators/quality.py,
+    classifier.py, or a plain length column."""
+    nodes = components.select(
+        F.col("node").alias(id_col), "component"
+    ).join(
+        scores.select(
+            F.col(id_col), F.col(score_col).cast("double").alias("_score")
+        ),
+        id_col,
+        "left",
+    )
+    # NULL-safe ranking struct: scored beats unscored, then score, then
+    # smaller id (negated id ascending == id descending in max_by)
+    rank = F.struct(
+        F.col("_score").isNotNull().alias("has"),
+        F.coalesce(F.col("_score"), F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("ni"),
+    )
+    winners = nodes.groupBy("component").agg(
+        F.max_by(F.col(id_col), rank).alias("canonical_id")
+    )
+    return (
+        nodes.join(winners, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

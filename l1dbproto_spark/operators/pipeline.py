@@ -9,6 +9,7 @@ with a per-stage audit:
     docs, audit = run_pipeline(docs, [
         {"stage": "strip_html"},
         {"stage": "c4_clean", "min_sentences": 3},
+        {"stage": "dedup_corpus_lines", "min_docs": 2},
         {"stage": "exact_substring_dedup", "window": 50},
         {"stage": "decontaminate", "eval_set": ev, "n": 8},
         {"stage": "clean_corpus", "min_tokens": 5, "repetition_gate": True},
@@ -53,6 +54,12 @@ def _stage_c4_span_dedup(docs: DataFrame, **p) -> DataFrame:
     from .c4 import c4_span_dedup
 
     return c4_span_dedup(docs, **p)
+
+
+def _stage_dedup_corpus_lines(docs: DataFrame, **p) -> DataFrame:
+    from .c4 import dedup_corpus_lines
+
+    return dedup_corpus_lines(docs, **p)
 
 
 def _stage_exact_substring_dedup(docs: DataFrame, **p) -> DataFrame:
@@ -118,6 +125,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "strip_html": _stage_strip_html,
     "c4_clean": _stage_c4_clean,
     "c4_span_dedup": _stage_c4_span_dedup,
+    "dedup_corpus_lines": _stage_dedup_corpus_lines,
     "exact_substring_dedup": _stage_exact_substring_dedup,
     "decontaminate": _stage_decontaminate,
     "clean_corpus": _stage_clean_corpus,

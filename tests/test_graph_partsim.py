@@ -60,3 +60,48 @@ def test_partition_study_stats(spark):
         assert 1 <= s.n_ranges <= 64
     row = summarize(spark, stats).collect()[0]
     assert row["avg_pixels"] > 0
+
+
+def test_resolve_canonicals_best_and_ties(spark):
+    from l1dbproto_spark.operators.graph import resolve_canonicals
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    comps = connected_components(edges)
+    scores = spark.createDataFrame(
+        # cluster {1,2,3}: 2 is best; {10,11}: tie -> min id 10;
+        # {20,21}: both unscored -> min id 20
+        [(1, 0.1), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "doc_id long, score double",
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in resolve_canonicals(comps, scores).collect()
+    }
+    assert out[1] == (2, False) and out[2] == (2, True) and out[3] == (2, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[20] == (20, True) and out[21] == (20, False)
+    # constant score recovers the min-id default everywhere
+    const = spark.createDataFrame(
+        [(i, 1.0) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long, score double"
+    )
+    cmins = {
+        r.doc_id: r.canonical_id
+        for r in resolve_canonicals(comps, const).collect()
+    }
+    assert cmins == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_resolve_canonicals_partial_scores_prefer_scored(spark):
+    from l1dbproto_spark.operators.graph import resolve_canonicals
+
+    edges = spark.createDataFrame([(5, 6), (5, 7)], "doc_a long, doc_b long")
+    comps = connected_components(edges)
+    # only the largest id is scored -> it wins over unscored smaller ids
+    scores = spark.createDataFrame([(7, 0.01)], "doc_id long, score double")
+    out = {
+        r.doc_id: r.canonical_id
+        for r in resolve_canonicals(comps, scores).collect()
+    }
+    assert out == {5: 7, 6: 7, 7: 7}

@@ -108,3 +108,25 @@ def test_registry_covers_demo_stages(spark):
         "split_corpus",
     ):
         assert name in STAGES
+
+
+def test_line_dedup_stage_equivalence(spark):
+    """The dedup_corpus_lines stage wraps the operator verbatim."""
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.lit("Shared boilerplate banner line.\n"), F.col("text"))
+    )
+    declared, audit = run_pipeline(
+        docs, [{"stage": "dedup_corpus_lines", "min_docs": 2}]
+    )
+    manual = dedup_corpus_lines(docs, min_docs=2)
+    a = {(r.doc_id, r.text) for r in declared.collect()}
+    b = {(r.doc_id, r.text) for r in manual.collect()}
+    assert a == b and a
+    # the banner survives in exactly one document
+    n_banner = sum(
+        1 for _, t in a if "Shared boilerplate banner line." in t.splitlines()
+    )
+    assert n_banner == 1
+    assert audit[-1]["rows"] == len(a)
