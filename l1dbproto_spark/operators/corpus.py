@@ -47,8 +47,10 @@ def clean_corpus(
     classifier_model: tuple[DataFrame, float] | None = None,
     min_classifier_score: float = 0.5,
     classifier_buckets: int = 4096,
+    keep_best_col: str | None = None,
 ) -> CorpusCleanResult:
-    """Staged cleaning, canonical = min doc id at every dedup stage:
+    """Staged cleaning, canonical = min doc id at every dedup stage
+    (or the highest-scoring member when ``keep_best_col`` is set):
 
     1. length gate: fewer than ``min_tokens`` tokens → dropped
        (``reason='too_short'``, no canonical). Token counting is
@@ -82,6 +84,14 @@ def clean_corpus(
     4. near dedup: Jaccard ≥ ``min_jaccard`` pair graph → connected
        components → only each component's min id survives
        (``reason='near_dup'``);
+
+    ``keep_best_col`` (optional) names a score column on ``docs``
+    (length, classifier score, crawl freshness): stages 3 and 4 then
+    keep each duplicate group's HIGHEST-scoring member instead of the
+    smallest id (NULL-safe rule of graph.resolve_canonicals — scored
+    beats unscored, score ties to min id; a constant score reproduces
+    the default). The semantic stage keeps its own canonical rule (the
+    most-similar smaller-id survivor — SemDeDup's published form).
     5. optional semantic dedup (``embeddings`` set — rows keyed by
        ``id_col`` with an ``embedding`` column; ``centroids`` a
        (cluster, centroid) table, or None to train KMeans on the
@@ -214,12 +224,24 @@ def clean_corpus(
         long_enough = long_enough.join(failing_cls, id_col, "left_anti")
 
     fp = F.md5(normalize_text(F.col(text_col)))
-    keeper = F.min(id_col).alias("canonical_id")
-    exact_groups = (
-        long_enough.select(F.col(id_col), fp.alias("_fp"))
-        .groupBy("_fp")
-        .agg(keeper)
-    )
+    if keep_best_col is None:
+        keeper = F.min(id_col).alias("canonical_id")
+        grouped = long_enough.select(F.col(id_col), fp.alias("_fp"))
+    else:
+        # same NULL-safe ranking rule as graph.resolve_canonicals:
+        # scored beats unscored, then score, score ties to min id
+        _rank = F.struct(
+            F.col(keep_best_col).isNotNull().alias("has"),
+            F.coalesce(
+                F.col(keep_best_col).cast("double"), F.lit(float("-inf"))
+            ).alias("s"),
+            (-F.col(id_col)).alias("ni"),
+        )
+        keeper = F.max_by(F.col(id_col), _rank).alias("canonical_id")
+        grouped = long_enough.select(
+            F.col(id_col), F.col(keep_best_col), fp.alias("_fp")
+        )
+    exact_groups = grouped.groupBy("_fp").agg(keeper)
     # equi-join on the uniform fingerprint key; one row per distinct text on
     # the right, so AQE picks broadcast vs shuffle by actual size
     with_canon = long_enough.withColumn("_fp", fp).join(exact_groups, "_fp")
@@ -242,11 +264,26 @@ def clean_corpus(
         df_cap=df_cap,
     )
     comps = connected_components(pairs)  # (node, component=min reachable id)
-    near_dups = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id"),
-        F.lit("near_dup").alias("reason"),
-        F.col("component").alias("canonical_id"),
-    ).localCheckpoint(eager=False)
+    if keep_best_col is None:
+        near_dups = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id"),
+            F.lit("near_dup").alias("reason"),
+            F.col("component").alias("canonical_id"),
+        ).localCheckpoint(eager=False)
+    else:
+        from .graph import resolve_canonicals
+
+        resolved = resolve_canonicals(
+            comps,
+            docs.select(F.col(id_col), F.col(keep_best_col)),
+            id_col=id_col,
+            score_col=keep_best_col,
+        )
+        near_dups = resolved.filter(~F.col("is_canonical")).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("near_dup").alias("reason"),
+            F.col("canonical_id"),
+        ).localCheckpoint(eager=False)
     cleaned = exact_survivors.join(
         near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )

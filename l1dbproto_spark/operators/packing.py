@@ -157,9 +157,10 @@ def bin_pack_documents(
     (id, count), exactly like :func:`pack_sequences`. Determinism: shard
     assignment is ``id % n_shards``, the BFD scan orders by (-count,
     doc_id), and equal-remainder bins tie to the lowest bin id — output
-    is independent of partitioning and run order. Null counts are
-    excluded (the caller's token-count pass owes every packable doc a
-    count)."""
+    is independent of partitioning and run order. Null and non-positive
+    counts are excluded (the caller's token-count pass owes every
+    packable doc a positive count; a negative count would otherwise
+    CREDIT bin capacity in the remainder arithmetic)."""
     if oversize not in ("truncate", "drop"):
         raise ValueError("oversize must be 'truncate' or 'drop'")
     n_tok = (
@@ -171,7 +172,7 @@ def bin_pack_documents(
         F.col(id_col).cast("long").alias("doc_id"),
         (F.col(id_col) % F.lit(n_shards)).cast("int").alias("shard"),
         n_tok.alias("n_tokens"),
-    ).filter(F.col("n_tokens").isNotNull())
+    ).filter(F.col("n_tokens") > 0)
 
     drop_oversize = oversize == "drop"
 

@@ -245,3 +245,49 @@ def test_clean_corpus_custom_id_col(spark):
     assert cleaned == {1, 5, 8}
     assert (2, "exact_dup", 1) in dropped and (7, "near_dup", 5) in dropped
     assert cleaned | {d for d, _, _ in dropped} == set(range(1, 9))
+
+
+def test_clean_corpus_keep_best(spark):
+    """keep_best_col keeps each duplicate group's best-scoring member at
+    both the exact and near stages; a constant score reproduces the
+    min-id default."""
+    from l1dbproto_spark.operators.corpus import clean_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest"
+    )
+    other = (
+        "silver ships sail across seven stormy oceans carrying spice "
+        "and copper toward bright northern harbors every winter"
+    )
+    rows = [
+        # exact dups: 1 == 11 byte-identical; 11 has the better score
+        (1, base, 0.2),
+        (11, base, 0.9),
+        # near dups (one word appended): 2 ~ 12; 12 scores higher
+        (2, other, 0.1),
+        (12, other + " tonight", 0.8),
+        # unique survivor
+        (3, "completely different text with many original words present", 0.5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    res = clean_corpus(
+        docs, min_tokens=3, min_jaccard=0.5, df_cap=None, keep_best_col="score"
+    )
+    kept = {r.doc_id for r in res.cleaned.collect()}
+    dropped = {r.doc_id: (r.reason, r.canonical_id) for r in res.dropped.collect()}
+    assert kept == {11, 12, 3}
+    assert dropped[1] == ("exact_dup", 11)
+    assert dropped[2] == ("near_dup", 12)
+    # constant score == default min-id behavior
+    from pyspark.sql import functions as F
+
+    const = docs.withColumn("score", F.lit(1.0))
+    res2 = clean_corpus(
+        const, min_tokens=3, min_jaccard=0.5, df_cap=None, keep_best_col="score"
+    )
+    res3 = clean_corpus(const, min_tokens=3, min_jaccard=0.5, df_cap=None)
+    assert {r.doc_id for r in res2.cleaned.collect()} == {
+        r.doc_id for r in res3.cleaned.collect()
+    }

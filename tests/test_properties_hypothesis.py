@@ -249,3 +249,53 @@ def test_bpe_random_corpus_properties(words, n_merges):
         want = sum(len(_ref_encode(w, merges)) for w in toks)
         assert got[d] == want
         assert len(toks) <= got[d] <= sum(len(w) for w in toks)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=40), st.none()
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    ctx=st.integers(min_value=2, max_value=17),
+    shards=st.integers(min_value=1, max_value=4),
+)
+def test_bin_packing_invariants_random(counts, ctx, shards):
+    """BFD whole-doc packing: capacity never exceeded, every positive-count
+    doc packed exactly once (null/non-positive excluded), oversize docs
+    truncated to ctx, bins within the ceil lower bound and the naive
+    next-fit upper bound per shard."""
+    from l1dbproto_spark.operators.packing import bin_pack_documents
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, cnt long"
+    )
+    pdf = bin_pack_documents(
+        docs, ctx_len=ctx, n_shards=shards, count_col="cnt", text_col="?"
+    ).toPandas()
+    packable = {i for i, c in enumerate(counts) if c is not None and c > 0}
+    assert set(pdf["doc_id"]) == packable
+    assert pdf["doc_id"].is_unique
+    fills = pdf.groupby(["shard", "bin"])["tokens_packed"].sum()
+    assert (fills <= ctx).all()
+    expect = pdf["n_tokens"].clip(upper=ctx)
+    assert (pdf["tokens_packed"] == expect).all()
+    for shard, grp in pdf.groupby("shard"):
+        used = grp["bin"].nunique()
+        total = int(grp["tokens_packed"].sum())
+        assert used >= -(-total // ctx)
+        rem, naive = 0, 0
+        for t in grp.sort_values("doc_id")["tokens_packed"]:
+            if t > rem:
+                naive += 1
+                rem = ctx
+            rem -= int(t)
+        assert used <= naive
