@@ -47,3 +47,47 @@ def write_influx_lines(
     df.select(influx_line_expr(measurement, tag_cols, field_cols, ts_col)).write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: str = "shuffle-v1",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-shard sink — materialize the corpus as ``n_shards``
+    hive-partitioned parquet shards (``shard=K/`` directories), each
+    internally ordered by the deterministic shuffle key, so a data
+    loader that reads shard files top-to-bottom consumes a reproducible
+    pseudo-random permutation (operators/sampling.training_order is the
+    key assignment; same seed -> byte-identical shards).
+
+    Returns the manifest (shard, n_rows) the loader uses for balanced
+    worker assignment; the same manifest is written under
+    ``<path>/_manifest`` so a reader needs no extra pass.
+
+    Scale shape: ONE hash exchange (repartition on the shard column —
+    each task holds exactly one shard's rows) + an in-task sort by the
+    48-bit key; no global sort, no skew (shards are hash-uniform), and
+    shard count decouples from cluster parallelism. The manifest is one
+    count aggregation over the written frame."""
+    from ..operators.sampling import training_order
+
+    sharded = training_order(docs, seed=seed, n_shards=n_shards, id_col=id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    write_csv(manifest.coalesce(1), path + "/_manifest")
+    return manifest
