@@ -625,6 +625,37 @@ class PQIndex:
         )
 
 
+def _encode_for_index(
+    corpus: DataFrame,
+    cent: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    residual: bool,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(cluster, neighbor_id, codes) for the partitioned code store: one
+    scan through nearest-centroid assignment into PQ encoding (raw or
+    residual), cluster id carried. Shared by build and append — the
+    append path encodes with the SAME frozen quantizers, which is what
+    keeps incrementally-grown indexes query-identical to a rebuild."""
+    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
+    if residual:
+        encoded_input = assigned.select(
+            F.col(id_col),
+            "cluster",
+            _residual(F.col(vec_col), F.col("_cvec")).alias(vec_col),
+        )
+    else:
+        encoded_input = assigned.select(F.col(id_col), "cluster", vec_col)
+    return pq_encode(
+        encoded_input, codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
+    ).select(
+        "cluster", F.col(id_col).cast("long").alias("neighbor_id"), "codes"
+    )
+
+
 def build_pq_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -649,19 +680,8 @@ def build_pq_index(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("centroid").alias("_cvec"),
     )
-    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
-    if residual:
-        encoded_input = assigned.select(
-            F.col(id_col),
-            "cluster",
-            _residual(F.col(vec_col), F.col("_cvec")).alias(vec_col),
-        )
-    else:
-        encoded_input = assigned.select(F.col(id_col), "cluster", vec_col)
-    coded = pq_encode(
-        encoded_input, codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
-    ).select(
-        "cluster", F.col(id_col).cast("long").alias("neighbor_id"), "codes"
+    coded = _encode_for_index(
+        corpus, cent, codebooks, m, dim, residual, vec_col, id_col
     )
     coded.repartition("cluster").write.mode("overwrite").partitionBy(
         "cluster"
@@ -682,6 +702,48 @@ def build_pq_index(
         "m int, k_codes int, dim int, residual boolean, per_cluster_codebooks boolean",
     ).write.mode("overwrite").parquet(f"{root}/meta.parquet")
     return PQIndex(spark, root, meta)
+
+
+
+
+def append_to_pq_index(
+    index: PQIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> PQIndex:
+    """Incremental index maintenance — encode NEW vectors with the
+    index's FROZEN quantizers (persisted centroids + codebooks) and
+    append their codes to the hive-partitioned store; no retraining, no
+    rebuild, no touch of existing code files. This is how production IVF
+    indexes absorb daily corpus growth (re-train only when drift erodes
+    recall): the appended codes are byte-identical to what a full rebuild
+    with the same quantizers would produce, so queries against the grown
+    index equal queries against a from-scratch index over the union
+    (pinned in test_pq_index). Caller owns id uniqueness across
+    generations, like any append sink.
+
+    Scale shape: one scan of the NEW vectors only (assignment -> encode,
+    the same single-pass plan as the build), one partitioned append —
+    cost proportional to the delta, not the index."""
+    meta = index.meta
+    cent = index.centroids().select(
+        "cluster", F.col("centroid").alias("_cvec")
+    )
+    coded = _encode_for_index(
+        new_vectors,
+        cent,
+        index.codebooks(),
+        meta.m,
+        meta.dim,
+        meta.residual,
+        vec_col,
+        id_col,
+    )
+    coded.repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(f"{index.root}/codes.parquet")
+    return index
 
 
 def load_pq_index(spark, root: str) -> PQIndex:

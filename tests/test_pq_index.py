@@ -135,3 +135,48 @@ def test_index_queryable_without_rebuild(spark, tmp_path):
     assert all(r.query_id == 42 and r.neighbor_id != 42 for r in out)
     ranks = sorted(r.rank for r in out)
     assert ranks == [1, 2, 3, 4]
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """Growing an index with append_to_pq_index equals building it from
+    scratch over the union with the same frozen quantizers — for both
+    the raw and residual forms — and the probe path stays
+    partition-pruned after the append."""
+    from l1dbproto_spark.operators.pq import append_to_pq_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = _fixed_centroids(emb)
+    kw = dict(k=5, n_probe=2, refine=4)
+    for residual, cb in (
+        (False, pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)),
+        (True, residual_codebooks(emb, cent, m=M, k_codes=K_CODES, dim=DIM)),
+    ):
+        grown_root = str(tmp_path / f"grown_{residual}")
+        build_pq_index(
+            half_a, cent, cb, grown_root, m=M, k_codes=K_CODES, dim=DIM,
+            residual=residual,
+        )
+        idx = load_pq_index(spark, grown_root)
+        append_to_pq_index(idx, half_b)
+        full_root = str(tmp_path / f"full_{residual}")
+        build_pq_index(
+            emb, cent, cb, full_root, m=M, k_codes=K_CODES, dim=DIM,
+            residual=residual,
+        )
+        full = load_pq_index(spark, full_root)
+        got = {tuple(r) for r in pq_index_topk(idx, queries, emb, **kw).collect()}
+        want = {tuple(r) for r in pq_index_topk(full, queries, emb, **kw).collect()}
+        assert got == want and len(got) == 8 * 5
+        # code stores identical row-wise
+        a = {
+            (r.cluster, r.neighbor_id, tuple(r.codes))
+            for r in idx.codes().collect()
+        }
+        b = {
+            (r.cluster, r.neighbor_id, tuple(r.codes))
+            for r in full.codes().collect()
+        }
+        assert a == b
