@@ -639,8 +639,21 @@ def _encode_for_index(
     scan through nearest-centroid assignment into PQ encoding (raw or
     residual), cluster id carried. Shared by build and append — the
     append path encodes with the SAME frozen quantizers, which is what
-    keeps incrementally-grown indexes query-identical to a rebuild."""
-    assigned = _assign_with_centroids(corpus, cent, vec_col, id_col)
+    keeps incrementally-grown indexes query-identical to a rebuild.
+
+    Ingestion guard (garbage-resilience rule: degenerate vectors never
+    rank): NULL vectors, wrong-dimension vectors, and vectors with any
+    NULL/NaN element are EXCLUDED at encode time — unguarded they would
+    assign to an arbitrary cluster with all-zero codes and surface as
+    phantom neighbors."""
+    well_formed = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x))
+    )
+    assigned = _assign_with_centroids(
+        corpus.filter(well_formed), cent, vec_col, id_col
+    )
     if residual:
         encoded_input = assigned.select(
             F.col(id_col),

@@ -180,3 +180,33 @@ def test_append_equals_rebuild(spark, tmp_path):
             for r in full.codes().collect()
         }
         assert a == b
+
+
+def test_index_ingestion_excludes_degenerate_vectors(spark, tmp_path):
+    """NULL / wrong-dim / NaN-element vectors never enter the code store
+    (build or append); a well-formed all-zero vector does."""
+    from l1dbproto_spark.operators.pq import append_to_pq_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = _fixed_centroids(emb)
+    cb = pq_codebooks(emb, m=M, k_codes=K_CODES, dim=DIM)
+    root = str(tmp_path / "guarded")
+    build_pq_index(emb, cent, cb, root, m=M, k_codes=K_CODES, dim=DIM)
+    idx = load_pq_index(spark, root)
+    n_before = idx.codes().count()
+    bad = spark.createDataFrame(
+        [
+            (99990, None),
+            (99991, [float("nan")] * DIM),
+            (99992, [1.0] * (DIM - 1)),
+            (99993, [0.0] * DIM),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_pq_index(idx, bad)
+    stored = {
+        r.neighbor_id
+        for r in idx.codes().filter(F.col("neighbor_id") >= 99990).collect()
+    }
+    assert stored == {99993}
+    assert idx.codes().count() == n_before + 1
