@@ -619,6 +619,26 @@ class PQIndex:
     def codebooks(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/codebooks.parquet")
 
+    def compact(self, num_tasks: int = 64) -> None:
+        """Fold the append-per-batch code store back to one file per
+        cluster directory (fs.compact_store — the same maintenance rule
+        as APDB tables and the streaming gate stores). Incremental
+        appends (append_to_pq_index, StreamingIndexAppend) leave one file
+        per touched cluster per batch; run this as scheduled maintenance
+        so probe-time read fan-in stays bounded. Rows are preserved
+        exactly — queries are unchanged (pinned in
+        test_index_append_stream)."""
+        from ..fs import TableFS
+
+        TableFS(self.spark, self.root).compact_store(
+            self.spark,
+            f"{self.root}/codes.parquet",
+            self._CODES_SCHEMA,
+            "cluster",
+            sort_cols=["neighbor_id"],
+            num_tasks=num_tasks,
+        )
+
     def codes(self) -> DataFrame:
         return self.spark.read.schema(self._CODES_SCHEMA).parquet(
             f"{self.root}/codes.parquet"

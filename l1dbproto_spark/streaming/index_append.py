@@ -18,7 +18,8 @@ pruning and pq_index_topk's probe pushdown; asserted on PartitionFilters
 in tests), an anti-join on neighbor_id, and a partitioned append of only
 the fresh rows. Nothing scales with the index except the pruned probe.
 Partition file counts stay bounded the same way as the gate stores:
-``fs.compact_store`` folds each cluster directory back to one file.
+``PQIndex.compact()`` (fs.compact_store underneath) folds each cluster
+directory back to one file; run it as scheduled maintenance.
 """
 
 from __future__ import annotations

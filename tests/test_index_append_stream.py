@@ -104,3 +104,43 @@ def test_bind_stream_end_to_end(spark, tmp_path):
     q2 = app.bind_stream(stream2, str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert load_pq_index(spark, root).codes().count() == emb.count()
+
+
+def test_compact_bounds_files_and_preserves_queries(spark, tmp_path):
+    """N appends leave N files in a touched cluster dir; compact folds
+    back to 1 with row-identical store and query results."""
+    import glob
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    _seeded_index(spark, emb, root)
+    app = StreamingIndexAppend(spark, root)
+    odd = [r.vec_id for r in emb.filter(F.col("vec_id") % 2 == 1).limit(6).collect()]
+    for vid in odd:  # six single-row appends
+        app.append(emb.filter(F.col("vec_id") == vid))
+    idx = load_pq_index(spark, root)
+    before = {
+        (r.cluster, r.neighbor_id, tuple(r.codes))
+        for r in idx.codes().collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=5, n_probe=2, refine=4)
+    want = {tuple(r) for r in pq_index_topk(idx, queries, emb, **kw).collect()}
+    counts_before = {
+        d: len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{root}/codes.parquet/cluster=*")
+    }
+    assert max(counts_before.values()) > 1
+    idx.compact()
+    counts_after = {
+        d: len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{root}/codes.parquet/cluster=*")
+    }
+    assert max(counts_after.values()) == 1
+    after = {
+        (r.cluster, r.neighbor_id, tuple(r.codes))
+        for r in idx.codes().collect()
+    }
+    assert after == before
+    got = {tuple(r) for r in pq_index_topk(idx, queries, emb, **kw).collect()}
+    assert got == want
