@@ -35,6 +35,8 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     count_col: str | None = None,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Contiguous (concat-and-chunk) packing map.
 
@@ -63,18 +65,35 @@ def pack_sequences(
     count). Default is the whitespace rule shared with queries/text.py.
     A NULL count excludes that document from the packing map without
     perturbing its shard-mates' offsets (window sums skip nulls) — the
-    caller's token-count pass owes every packable doc a count."""
+    caller's token-count pass owes every packable doc a count.
+
+    Shard assignment and within-shard order are ALSO pluggable:
+    ``shard_col`` / ``order_col`` name pre-computed columns replacing the
+    ``id % n_shards`` assignment and the doc_id order (order ties break
+    by doc_id). This is how :func:`contextual_pack_order` implements
+    in-context pretraining (pack topically-related documents adjacently);
+    any curriculum (quality-ascending, time-ordered) drops in the same
+    way. The plan is unchanged — one per-shard window cumsum."""
     n_tok = (
         F.col(count_col).cast("long")
         if count_col is not None
         else whitespace_token_count(F.col(text_col)).cast("long")
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % F.lit(n_shards)).cast("int").alias("shard"),
-        n_tok.alias("n_tokens"),
+    shard_expr = (
+        F.col(shard_col).cast("int")
+        if shard_col is not None
+        else (F.col(id_col) % F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    sel = [
+        F.col(id_col).alias("doc_id"),
+        shard_expr.alias("shard"),
+        n_tok.alias("n_tokens"),
+    ]
+    if order_col is not None:
+        sel.append(F.col(order_col).alias("_ord"))
+    toks = docs.select(*sel)
+    order_keys = ["_ord", "doc_id"] if order_col is not None else ["doc_id"]
+    w = Window.partitionBy("shard").orderBy(*order_keys)
     spans = toks.withColumn("end_tok", F.sum("n_tokens").over(w)).withColumn(
         "start_tok", F.col("end_tok") - F.col("n_tokens")
     )
@@ -293,4 +312,83 @@ def chunk_documents(
         F.col("start_tok").cast("long").alias("start_tok"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def contextual_pack_order(
+    vectors: DataFrame,
+    n_shards: int = 8,
+    n_clusters: int | None = None,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """In-context pretraining order (Shi et al. 2023, "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"): make
+    topically-RELATED documents adjacent in the packing stream, so each
+    training context window holds coherent documents instead of random
+    ones. Returns ``(id_col, ctx_shard, ctx_rank)`` — feed straight into
+    :func:`pack_sequences` as ``shard_col`` / ``order_col``.
+
+    Construction: assign each vector to its nearest centroid (pinned
+    ``centroids`` table, or KMeans-trained when ``n_clusters`` is given —
+    the same coarse quantizer as the IVF family), keep whole clusters in
+    one shard (``cluster % n_shards``), and rank within the shard by
+    (cluster, centroid affinity desc, id) — cluster-mates are contiguous
+    and flow from core to periphery of the topic. The paper's exact
+    traveling-salesman document chain is approximated by the
+    affinity-descending order within each cluster (documented
+    approximation: same adjacency structure, cheaper construction).
+
+    Scale shape: one broadcast centroid join + one per-shard window —
+    the IVF assignment machinery reused; nothing new shuffles. Cluster
+    sizes bound shard skew: choose n_clusters >> n_shards so shards get
+    many clusters each."""
+    from .similarity import _nearest_centroids, ivf_index
+
+    if centroids is None:
+        if n_clusters is None:
+            raise ValueError("pass centroids or n_clusters")
+        assigned_raw, model = ivf_index(
+            vectors, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+        cent_rows = [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        cent = vectors.sparkSession.createDataFrame(
+            cent_rows, "cluster int, _cvec array<double>"
+        )
+    else:
+        cent = centroids.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("centroid").alias("_cvec"),
+        )
+    from .similarity import centroid_score
+
+    assigned = _nearest_centroids(
+        vectors.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+        ),
+        cent,
+        n=1,
+        id_alias=id_col,
+        dim=dim,
+    )
+    # re-join the centroid to score affinity (assignment drops the score)
+    scored = assigned.join(F.broadcast(cent), "cluster").select(
+        F.col(id_col),
+        "cluster",
+        (F.col("cluster") % F.lit(n_shards)).cast("int").alias("ctx_shard"),
+        centroid_score(F.col("_v"), F.col("_cvec"), dim).alias("_aff"),
+    )
+    w = Window.partitionBy("ctx_shard").orderBy(
+        "cluster", F.desc("_aff"), F.col(id_col)
+    )
+    return scored.select(
+        F.col(id_col),
+        "ctx_shard",
+        F.row_number().over(w).cast("long").alias("ctx_rank"),
     )

@@ -212,3 +212,109 @@ def test_clean_corpus_custom_count_col(spark):
     dropped = {r.doc_id: r.reason for r in res.dropped.collect()}
     assert kept == {1, 3}
     assert dropped == {2: "too_short"}
+
+
+def test_pack_sequences_custom_shard_and_order(spark):
+    """shard_col/order_col replace the id%n assignment and doc_id order:
+    start_tok is monotone in the custom order, token conservation holds,
+    and the default path is unchanged by the new parameters."""
+    rows = [
+        # (doc_id, n-token text, shard, rank) — ranks deliberately invert ids
+        (0, "w " * 9 + "w", 0, 3),
+        (1, "w " * 4 + "w", 0, 1),
+        (2, "w " * 6 + "w", 0, 2),
+        (3, "w " * 7 + "w", 1, 1),
+        (4, "w " * 2 + "w", 1, 2),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, my_shard int, my_rank long"
+    )
+    got = (
+        pack_sequences(
+            docs, ctx_len=8, shard_col="my_shard", order_col="my_rank"
+        )
+        .toPandas()
+        .sort_values(["shard", "start_tok"])
+    )
+    assert set(got["shard"]) == {0, 1}
+    # within shard 0 the stream order is rank order: 1 (5 tok), 2 (7), 0 (10)
+    s0 = got[got["shard"] == 0].drop_duplicates("doc_id")
+    assert list(s0.sort_values("start_tok")["doc_id"]) == [1, 2, 0]
+    per_doc = got.groupby("doc_id").agg(
+        assigned=("tokens_in_chunk", "sum"), n=("n_tokens", "first")
+    )
+    assert (per_doc.assigned == per_doc.n).all()
+
+
+def test_contextual_pack_order_clusters_contiguous(spark):
+    """Pinned-centroid contextual order keeps cluster-mates contiguous
+    within each shard, whole clusters in one shard, and ranks a dense
+    1..n permutation; composed with pack_sequences the packed stream
+    preserves that adjacency."""
+    import numpy as np
+
+    from l1dbproto_spark.operators.packing import contextual_pack_order
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4)
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.standard_normal(4)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in centers[c]]) for c in range(4)],
+        "cluster int, centroid array<double>",
+    )
+    order = contextual_pack_order(
+        vecs, n_shards=2, centroids=cents
+    ).toPandas()
+    assert len(order) == 40
+    # whole clusters in one shard: cluster c == id%4 -> shard c%2
+    assert ((order["vec_id"] % 4 % 2) == order["ctx_shard"]).all()
+    for _, grp in order.groupby("ctx_shard"):
+        ranks = sorted(grp["ctx_rank"])
+        assert ranks == list(range(1, len(grp) + 1))
+        # cluster-mates contiguous: cluster id (vec_id%4) changes at most
+        # n_clusters_in_shard - 1 times along the rank order
+        seq = list(grp.sort_values("ctx_rank")["vec_id"] % 4)
+        changes = sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        assert changes == len(set(seq)) - 1
+    # composition: pack on the contextual order; adjacency survives
+    docs = vecs.join(
+        spark.createDataFrame(
+            [(i, "w " * 5 + "w") for i in range(40)], "vec_id long, text string"
+        ),
+        "vec_id",
+    ).join(spark.range(40).withColumnRenamed("id", "vec_id"), "vec_id")
+    packed = pack_sequences(
+        docs.join(
+            spark.createDataFrame(
+                order, "vec_id long, ctx_shard int, ctx_rank long"
+            ),
+            "vec_id",
+        ),
+        ctx_len=16,
+        id_col="vec_id",
+        shard_col="ctx_shard",
+        order_col="ctx_rank",
+    ).toPandas()
+    for _, grp in packed.drop_duplicates("doc_id").groupby("shard"):
+        seq = list(grp.sort_values("start_tok")["doc_id"] % 4)
+        changes = sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        assert changes == len(set(seq)) - 1
+
+
+def test_contextual_pack_order_trained_path(spark):
+    """KMeans-trained centroids: output is a valid dense ranking with all
+    ids present (values depend on the fit; structure must not)."""
+    from l1dbproto_spark.operators.packing import contextual_pack_order
+    from l1dbproto_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    order = contextual_pack_order(emb, n_shards=4, n_clusters=8).toPandas()
+    assert len(order) == 100
+    assert order["vec_id"].is_unique
+    for _, grp in order.groupby("ctx_shard"):
+        assert sorted(grp["ctx_rank"]) == list(range(1, len(grp) + 1))
