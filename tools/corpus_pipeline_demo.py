@@ -5,6 +5,8 @@ synthetic tables:
 
   0. C4 line filter + doc gates + 3-sentence
      span dedup                               (operators/c4.py)
+  0a. corpus-level line dedup: boilerplate
+     lines recurring across docs, keep-first  (operators/c4.py)
   0b. exact-substring dedup: duplicated
      >=W-token runs removed, keep-first       (operators/exact_substr.py)
   1. decontaminate against an eval set        (operators/contamination.py)
@@ -19,7 +21,10 @@ synthetic tables:
      survivors (report only)                  (operators/classifier.py)
   3. temperature-rebalanced mixture sample    (operators/sampling.py)
   4. train/val/test split                     (operators/corpus.py)
-  5. pack into fixed-length context windows   (operators/packing.py)
+  5. deterministic training shuffle, then
+     pack into fixed-length context windows
+     on the shuffled shard/order; whole-doc
+     best-fit bins audited alongside          (operators/sampling.py + packing.py)
 
 Prints a per-stage audit (counts + drop-log reasons) and one JSON line.
 
@@ -75,6 +80,12 @@ def main() -> None:
     if c4_n == 0:
         c4_docs = docs
         c4_n = n0
+
+    # 0a. corpus-level line dedup: strip lines recurring across >=3 docs
+    # (the CCNet/RefinedWeb boilerplate rule; keep-first)
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    c4_docs = dedup_corpus_lines(c4_docs, min_docs=3)
 
     # 0b. exact-substring dedup: remove duplicated >=25-token runs
     # corpus-wide (keep-first). The synthetic corpus rarely shares runs
@@ -169,11 +180,31 @@ def main() -> None:
         for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
 
-    # 5. pack the train split into 512-token windows over 8 shards
+    # 5. shuffle + pack the train split into 512-token windows: shard
+    # assignment/order come from the deterministic training shuffle
+    # (every epoch reads a reproducible permutation)
+    from l1dbproto_spark.operators.sampling import training_order
+
+    train = training_order(
+        split.filter(F.col("split") == "train"), n_shards=8
+    ).withColumn("_rank", F.col("shuffle_key"))
     packed = pack_sequences(
-        split.filter(F.col("split") == "train"), ctx_len=512, n_shards=8
+        train, ctx_len=512, shard_col="shard", order_col="_rank"
     )
     n_chunks = packed.select("shard", "chunk").distinct().count()
+
+    # 5b. the no-split alternative: whole-doc best-fit bins + fill audit
+    from l1dbproto_spark.operators.packing import (
+        bin_pack_documents,
+        bin_pack_stats,
+    )
+
+    bins = bin_pack_documents(train, ctx_len=512, n_shards=8)
+    fill = (
+        bin_pack_stats(bins, ctx_len=512)
+        .agg(F.avg("fill_ratio").alias("f"))
+        .first()["f"]
+    )
 
     audit = {
         "sf_dir": sf_dir,
@@ -190,6 +221,7 @@ def main() -> None:
         "after_mixture": n3,
         "splits": splits,
         "train_chunks_512tok": n_chunks,
+        "binpack_mean_fill": round(float(fill), 3),
         "wall_sec": round(time.time() - t0, 2),
     }
     for k, v in audit.items():
