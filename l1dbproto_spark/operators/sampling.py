@@ -373,7 +373,13 @@ def training_order(
     scalable total order) or to the loader (each worker sorts its own
     hash-pruned shard). Composes with :func:`bin_pack_documents` /
     ``pack_sequences`` by packing on ``dense_rank`` over shuffle_key, or
-    simply by sharding on the same hash."""
+    simply by sharding on the same hash.
+
+    Null ids (data errors) propagate NULL shuffle_key/shard rather than
+    silently joining some shard — the same visibility rule as the rest of
+    the sampling family's null handling; a partitioned write sends them
+    to the hive default partition where an audit can count them (pinned
+    in test_binpack)."""
     key = _unit_hash(F.col(id_col), seed)
     out = df.withColumn("shuffle_key", key)
     if n_shards is not None:

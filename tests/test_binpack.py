@@ -245,3 +245,13 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         map(tuple, b.values.tolist())
     )
     assert os.path.isdir(os.path.join(root, "_manifest"))
+
+
+def test_training_order_null_ids_visible_not_absorbed(spark):
+    """A null id yields NULL shuffle_key/shard (never silently lands in a
+    real shard) — the sampling family's null-visibility rule."""
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id long, text string")
+    rows = {r.text: (r.shuffle_key, r.shard) for r in
+            training_order(df, n_shards=4).collect()}
+    assert rows["a"][0] is not None and rows["a"][1] is not None
+    assert rows["b"] == (None, None)
