@@ -170,6 +170,35 @@ def main() -> None:
 
     timings["ap_visit"] = bench_visit(spark)
 
+    # Extra-ops record (NOT in the headline total, so the round-over-round
+    # total stays comparable): min-of-2 timings of the round-5 training-
+    # pipeline additions over the sf documents/embeddings tables.
+    extra: dict[str, float] = {}
+
+    def _extra(name, thunk, reps=2):
+        vals = []
+        for _ in range(reps):
+            t0 = time.time()
+            thunk()
+            vals.append(time.time() - t0)
+        extra[name] = round(min(vals), 3)
+
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+    from l1dbproto_spark.operators.packing import bin_pack_documents
+    from l1dbproto_spark.operators.sampling import training_order
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _extra("dedup_corpus_lines", lambda: dedup_corpus_lines(docs).count())
+    _extra(
+        "bin_pack_documents",
+        lambda: bin_pack_documents(docs, ctx_len=512, n_shards=8).count(),
+    )
+    _extra(
+        "training_order",
+        lambda: training_order(docs, n_shards=64).count(),
+    )
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
@@ -190,6 +219,7 @@ def main() -> None:
                 "sf": sf,
                 "streaming_visit_times": visit_times,
                 "maintenance_events": maintenance_events,
+                "extra_ops": extra,
                 "ap_visit_sustained": steady[len(steady) // 2],
                 "ap_visit_worst": steady[-1],
                 "visit_budget_sec": 45.0,
