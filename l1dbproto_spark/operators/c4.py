@@ -30,6 +30,8 @@ quadratic, shuffle keys uniform (span hashes / doc ids) at any corpus size.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,6 +257,7 @@ def dedup_corpus_lines(
     mode: str = "keep_first",
     text_col: str = "text",
     id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level LINE dedup — the CCNet/RefinedWeb boilerplate remover
     (Wenzek et al. 2020 dedup paragraphs keeping one copy; Penedo et al.
@@ -285,7 +288,9 @@ def dedup_corpus_lines(
         raise ValueError("mode must be 'keep_first' or 'remove_all'")
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("lidx", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("lidx", "line"),
     ).withColumn(
         "line_hash",
         F.when(
@@ -315,7 +320,7 @@ def dedup_corpus_lines(
                     F.array_sort(F.collect_list(F.struct("lidx", "line"))),
                     lambda s: s["line"],
                 ),
-                "\n",
+                sep,
             ).alias("_new_text")
         )
     )

@@ -315,3 +315,26 @@ def test_dedup_corpus_lines_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_corpus_paragraphs(spark):
+    """sep='\\n\\n' applies the rule at CCNet's paragraph granularity:
+    a recurring multi-line paragraph dedups as one unit, and single
+    shared lines inside distinct paragraphs are untouched."""
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    para = "Shared paragraph line one.\nShared paragraph line two."
+    rows = [
+        (0, f"{para}\n\nUnique zero paragraph."),
+        (1, f"Unique one paragraph.\n\n{para}"),
+        # shares one LINE of the paragraph but not the paragraph itself
+        (2, "Shared paragraph line one.\n\nOther content two."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in dedup_corpus_lines(docs, sep="\n\n").collect()
+    }
+    assert got[0] == f"{para}\n\nUnique zero paragraph."
+    assert got[1] == "Unique one paragraph."
+    assert got[2] == "Shared paragraph line one.\n\nOther content two."
