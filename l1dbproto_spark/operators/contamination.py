@@ -141,3 +141,118 @@ def decontaminate(
         worst.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
     return clean, worst
+
+
+def semantic_contamination(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    dim: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Embedding-space eval-set leakage: (id_col, eval_id, cosine_sim)
+    for every corpus/eval pair with cosine >= ``threshold``. Catches the
+    paraphrased and re-rendered benchmark copies the n-gram detector
+    (:func:`ngram_contamination`) cannot see — the two reports compose
+    (run both, union the drop sets), the same way SemDeDup complements
+    token-level dedup.
+
+    With ``centroids`` (the scale path): corpus vectors assign to their
+    nearest centroid (one scan, map-side argmax), eval vectors to their
+    ``n_probe`` nearest (boundary-straddling pairs are caught the same
+    way IVF query probing catches them), and the cosine join runs on the
+    cluster key against the BROADCAST eval side — per-corpus-row work is
+    |eval-in-probed-clusters|, not |eval|, and nothing quadratic in the
+    corpus exists anywhere. Recall is n_probe-tunable exactly like
+    ``ann_topk_ivf``. Without ``centroids``: a broadcast cross join
+    against the full eval table — exact, for bounded corpora and oracle
+    tests. Degenerate vectors (zero-norm/NULL/NaN) are excluded on both
+    sides, the cosine family's standard guard."""
+    from .similarity import _spread, dot, l2_norm
+    from .semdedup import assign_clusters
+
+    def _guard(df, ident, alias_v, alias_n):
+        out = df.select(
+            F.col(ident),
+            F.col(vec_col).alias(alias_v),
+            l2_norm(F.col(vec_col), dim).alias(alias_n),
+            *([c for c in df.columns if c == "cluster"]),
+        )
+        return out.filter((F.col(alias_n) > 0) & ~F.isnan(alias_n))
+
+    if centroids is not None:
+        corpus_a = assign_clusters(
+            _spread(corpus_vecs, id_col), centroids, vec_col, id_col, dim
+        )
+        from .similarity import _nearest_centroids
+
+        cent = centroids.select("cluster", F.col("centroid").alias("_cvec"))
+        eval_a = _nearest_centroids(
+            eval_vecs.select(
+                F.col(eval_id_col).alias("_vid"), F.col(vec_col).alias("_v")
+            ),
+            cent,
+            n=n_probe,
+            id_alias=eval_id_col,
+            dim=dim,
+        ).select(
+            F.col(eval_id_col), F.col("_v").alias(vec_col), "cluster"
+        )
+        left = _guard(corpus_a, id_col, "_va", "_na")
+        right = _guard(eval_a, eval_id_col, "_vb", "_nb")
+        joined = left.join(F.broadcast(right), "cluster")
+    else:
+        left = _guard(corpus_vecs, id_col, "_va", "_na")
+        right = _guard(eval_vecs, eval_id_col, "_vb", "_nb")
+        joined = left.crossJoin(F.broadcast(right))
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")),
+        round_digits,
+    )
+    return (
+        joined.select(F.col(id_col), F.col(eval_id_col), sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop corpus documents semantically contaminated against ANY eval
+    document. Returns (clean corpus, drop log (id_col, eval_id,
+    cosine_sim) keeping each doc's WORST match) — the embedding-side
+    twin of :func:`decontaminate`, same no-hint anti-join rule (the drop
+    set is a data-dependent corpus fraction; AQE sizes the join)."""
+    report = semantic_contamination(
+        corpus_vecs,
+        eval_vecs,
+        threshold,
+        centroids,
+        n_probe,
+        vec_col,
+        id_col,
+        eval_id_col,
+        dim,
+    )
+    worst = report.groupBy(id_col).agg(
+        F.max_by(
+            F.col(eval_id_col), F.struct("cosine_sim", F.col(eval_id_col))
+        ).alias(eval_id_col),
+        F.max("cosine_sim").alias("cosine_sim"),
+    ).localCheckpoint(eager=False)
+    clean = corpus.join(worst.select(id_col), id_col, "left_anti")
+    return clean, worst

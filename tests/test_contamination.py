@@ -172,3 +172,106 @@ def test_decontaminate_anti_join_not_forced_broadcast(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# --- semantic (embedding-space) contamination ------------------------------
+
+
+def _sem_fixture(spark):
+    """Corpus embeddings with two planted eval near-clones, one far pair,
+    and one degenerate (zero-norm) vector."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0] * 8))  # degenerate
+    corpus = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    # eval 0 == clone of corpus 3 (plus tiny noise), eval 1 == clone of 7,
+    # eval 2 == unrelated
+    def clone(i, eps):
+        base = np.array(rows[i][1])
+        return [float(x) for x in base + eps * rng.standard_normal(8)]
+
+    ev = spark.createDataFrame(
+        [
+            (0, clone(3, 1e-3)),
+            (1, clone(7, 1e-3)),
+            (2, [float(x) for x in rng.standard_normal(8)]),
+        ],
+        "eval_id long, embedding array<double>",
+    )
+    return corpus, ev
+
+
+def test_semantic_contamination_brute_matches_numpy(spark):
+    import numpy as np
+
+    from l1dbproto_spark.operators.contamination import semantic_contamination
+
+    corpus, ev = _sem_fixture(spark)
+    got = {
+        (r.doc_id, r.eval_id): r.cosine_sim
+        for r in semantic_contamination(corpus, ev, threshold=0.9).collect()
+    }
+    cp = {r.doc_id: np.array(r.embedding) for r in corpus.collect()}
+    ep = {r.eval_id: np.array(r.embedding) for r in ev.collect()}
+    want = {}
+    for d, dv in cp.items():
+        nd = np.linalg.norm(dv)
+        if nd == 0:
+            continue
+        for e, evv in ep.items():
+            c = round(float(dv @ evv / (nd * np.linalg.norm(evv))), 9)
+            if c >= 0.9:
+                want[(d, e)] = c
+    assert set(got) == set(want) == {(3, 0), (7, 1)}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_semantic_contamination_cluster_pruned_catches_clones(spark):
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.contamination import semantic_contamination
+
+    corpus, ev = _sem_fixture(spark)
+    cents = corpus.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    pruned = {
+        (r.doc_id, r.eval_id)
+        for r in semantic_contamination(
+            corpus, ev, threshold=0.9, centroids=cents, n_probe=2
+        ).collect()
+    }
+    brute = {
+        (r.doc_id, r.eval_id)
+        for r in semantic_contamination(corpus, ev, threshold=0.9).collect()
+    }
+    # identical-vector clones always share their original's cluster
+    assert {(3, 0), (7, 1)} <= pruned
+    assert pruned <= brute  # pruning only ever removes candidates
+
+
+def test_decontaminate_semantic_drops_clones_keeps_rest(spark):
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.contamination import decontaminate_semantic
+
+    corpus_vecs, ev = _sem_fixture(spark)
+    docs = corpus_vecs.select(
+        "doc_id", F.concat(F.lit("text-"), F.col("doc_id")).alias("text")
+    )
+    clean, dropped = decontaminate_semantic(
+        docs, corpus_vecs, ev, threshold=0.9
+    )
+    kept = {r.doc_id for r in clean.collect()}
+    log = {r.doc_id: (r.eval_id, r.cosine_sim) for r in dropped.collect()}
+    assert set(log) == {3, 7}
+    assert log[3][0] == 0 and log[7][0] == 1
+    assert log[3][1] > 0.99 and log[7][1] > 0.99
+    assert kept == {r.doc_id for r in docs.collect()} - {3, 7}
