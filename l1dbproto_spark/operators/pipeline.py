@@ -75,6 +75,15 @@ def _stage_decontaminate(docs: DataFrame, **p) -> DataFrame:
     return clean
 
 
+def _stage_decontaminate_semantic(docs: DataFrame, **p) -> DataFrame:
+    from .contamination import decontaminate_semantic
+
+    vecs = p.pop("corpus_vecs")
+    ev = p.pop("eval_vecs")
+    clean, _log = decontaminate_semantic(docs, vecs, ev, **p)
+    return clean
+
+
 def _stage_clean_corpus(docs: DataFrame, **p) -> DataFrame:
     from .corpus import clean_corpus
 
@@ -128,6 +137,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "dedup_corpus_lines": _stage_dedup_corpus_lines,
     "exact_substring_dedup": _stage_exact_substring_dedup,
     "decontaminate": _stage_decontaminate,
+    "decontaminate_semantic": _stage_decontaminate_semantic,
     "clean_corpus": _stage_clean_corpus,
     "classifier_filter": _stage_classifier_filter,
     "quality_gate": _stage_quality_gate,

@@ -275,3 +275,55 @@ def test_decontaminate_semantic_drops_clones_keeps_rest(spark):
     assert log[3][0] == 0 and log[7][0] == 1
     assert log[3][1] > 0.99 and log[7][1] > 0.99
     assert kept == {r.doc_id for r in docs.collect()} - {3, 7}
+
+
+def test_semantic_contamination_cluster_plan_shape(spark):
+    """Cluster path: no cartesian/nested-loop join; the eval side enters
+    as a broadcast."""
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.contamination import semantic_contamination
+
+    corpus, ev = _sem_fixture(spark)
+    cents = corpus.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    df = semantic_contamination(
+        corpus, ev, threshold=0.9, centroids=cents, n_probe=2
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join allowed is the centroid-assignment
+    # broadcast crossJoin against the BOUNDED n_clusters-row table (the
+    # IVF assignment pattern, same as the ann_topk_ivf plans); the
+    # corpus-vs-eval cosine join must be a hash join on the cluster key
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_decontaminate_semantic_pipeline_stage(spark):
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.pipeline import run_pipeline
+
+    corpus_vecs, ev = _sem_fixture(spark)
+    docs = corpus_vecs.select(
+        "doc_id", F.concat(F.lit("text-"), F.col("doc_id")).alias("text")
+    )
+    out, audit = run_pipeline(
+        docs,
+        [
+            {
+                "stage": "decontaminate_semantic",
+                "corpus_vecs": corpus_vecs,
+                "eval_vecs": ev,
+                "threshold": 0.9,
+            }
+        ],
+    )
+    assert {r.doc_id for r in out.collect()} == (
+        {r.doc_id for r in docs.collect()} - {3, 7}
+    )
+    assert audit[-1]["rows"] == docs.count() - 2
