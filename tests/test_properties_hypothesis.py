@@ -299,3 +299,55 @@ def test_bin_packing_invariants_random(counts, ctx, shards):
                 rem = ctx
             rem -= int(t)
         assert used <= naive
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa bb.", "cc dd.", "ee ff.", "", "  ", "gg."]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+def test_line_dedup_differential_random(docs, min_docs):
+    """dedup_corpus_lines (keep_first) == a pure-Python re-derivation of
+    the pinned rule on random small corpora built from a shared line
+    vocabulary (maximizing cross-doc collisions)."""
+    from l1dbproto_spark.operators.c4 import dedup_corpus_lines
+
+    spark = _get_spark()
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_corpus_lines(df, min_docs=min_docs).collect()}
+
+    # reference
+    from collections import defaultdict
+
+    occ = defaultdict(list)  # trimmed line -> [(doc, idx)]
+    for i, lines in rows:
+        for j, ln in enumerate(lines.split("\n")):
+            if ln.strip():
+                occ[ln.strip()].append((i, j))
+    doomed = set()
+    for key, positions in occ.items():
+        if len({d for d, _ in positions}) >= min_docs:
+            for pos in sorted(positions)[1:]:
+                doomed.add(pos)
+    want = {}
+    for i, lines in rows:
+        kept = [
+            ln
+            for j, ln in enumerate(lines.split("\n"))
+            if (i, j) not in doomed
+        ]
+        want[i] = "\n".join(kept)
+    assert got == want
