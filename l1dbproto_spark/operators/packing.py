@@ -169,7 +169,10 @@ def bin_pack_documents(
     Scale shape: bin packing is inherently sequential per bin stream, so
     this is the engine's documented Arrow-batch exception (COVERAGE §2.9,
     same rule as BPE): ONE ``applyInPandas`` over shard groups, each shard
-    packed in O(n log n) via bisect on the sorted bin-remainder list.
+    packed by bisect search over the sorted bin-remainder list (log-time
+    search; the list insert is a memmove, so worst-case quadratic in bins
+    but allocation-free and fast at real shard sizes — size shards via
+    ``n_shards``, which is the actual scale knob).
     Shards pack independently across the cluster — choose ``n_shards`` >>
     parallelism and per-task memory holds ~corpus/n_shards (id, count)
     pairs, never text: when ``count_col`` is given the plan reads only

@@ -62,7 +62,8 @@ def write_training_shards(
     internally ordered by the deterministic shuffle key, so a data
     loader that reads shard files top-to-bottom consumes a reproducible
     pseudo-random permutation (operators/sampling.training_order is the
-    key assignment; same seed -> byte-identical shards).
+    key assignment; same seed -> identical shard contents and row order,
+    pinned row-for-row in tests).
 
     Returns the manifest (shard, n_rows) the loader uses for balanced
     worker assignment; the same manifest is written under
