@@ -345,10 +345,11 @@ def contextual_pack_order(
     affinity-descending order within each cluster (documented
     approximation: same adjacency structure, cheaper construction).
 
-    Scale shape: one broadcast centroid join + one per-shard window —
-    the IVF assignment machinery reused; nothing new shuffles. Cluster
-    sizes bound shard skew: choose n_clusters >> n_shards so shards get
-    many clusters each."""
+    Scale shape: the IVF assignment machinery reused — a bounded
+    broadcast centroid crossJoin collapsing map-side into one uniform
+    id-keyed aggregation, then one per-shard window for the rank (two
+    exchanges total). Cluster sizes bound shard skew: choose
+    n_clusters >> n_shards so shards get many clusters each."""
     from .similarity import _nearest_centroids, ivf_index
 
     if centroids is None:
