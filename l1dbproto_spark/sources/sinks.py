@@ -56,6 +56,7 @@ def write_training_shards(
     seed: str = "shuffle-v1",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Training-shard sink — materialize the corpus as ``n_shards``
     hive-partitioned parquet shards (``shard=K/`` directories), each
@@ -65,8 +66,10 @@ def write_training_shards(
     key assignment; same seed -> identical shard contents and row order,
     pinned row-for-row in tests).
 
-    Returns the manifest (shard, n_rows) the loader uses for balanced
-    worker assignment; the same manifest is written under
+    Returns the manifest (shard, n_rows[, n_tokens]) the loader uses
+    for balanced worker assignment — pass ``count_col`` (a per-row token
+    count, e.g. BPE counts) to add the per-shard token mass loaders
+    actually budget by; the same manifest is written under
     ``<path>/_manifest`` so a reader needs no extra pass.
 
     Scale shape: ONE hash exchange (repartition on the shard column —
@@ -85,10 +88,9 @@ def write_training_shards(
         .parquet(path)
     )
     spark = docs.sparkSession
-    manifest = (
-        spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        aggs.append(F.sum(F.col(count_col)).cast("long").alias("n_tokens"))
+    manifest = spark.read.parquet(path).groupBy("shard").agg(*aggs)
     write_csv(manifest.coalesce(1), path + "/_manifest")
     return manifest

@@ -255,3 +255,21 @@ def test_training_order_null_ids_visible_not_absorbed(spark):
             training_order(df, n_shards=4).collect()}
     assert rows["a"][0] is not None and rows["a"][1] is not None
     assert rows["b"] == (None, None)
+
+
+def test_write_training_shards_token_manifest(spark, tmp_path):
+    from l1dbproto_spark.operators.packing import whitespace_token_count
+    from l1dbproto_spark.sources.catalog import load_table as lt
+    from l1dbproto_spark.sources.sinks import write_training_shards
+    from pyspark.sql import functions as F
+
+    docs = lt(spark, SF_DIR, "documents").withColumn(
+        "n_tok", whitespace_token_count(F.col("text")).cast("long")
+    )
+    root = str(tmp_path / "tokshards")
+    manifest = write_training_shards(
+        docs, root, n_shards=4, count_col="n_tok"
+    ).toPandas()
+    assert set(manifest.columns) == {"shard", "n_rows", "n_tokens"}
+    total = docs.agg(F.sum("n_tok")).first()[0]
+    assert manifest["n_tokens"].sum() == total
