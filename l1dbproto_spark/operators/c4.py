@@ -178,6 +178,13 @@ def c4_span_dedup(
     # a lookbehind-free construction (regex lookbehind support differs
     # across engines; this one is portable and the reference test mirrors
     # it verbatim)
+    # null-id docs are EXEMPT from the corpus-wide rewrite (passed through
+    # untouched): the reassembly is keyed on the id, so a null id cannot be
+    # re-joined (SQL equality) and several null-id docs would collide into
+    # one group — the null-visibility rule, pinned in test_robustness
+    all_docs = docs
+    docs = docs.filter(F.col(id_col).isNotNull())
+    null_id_docs = all_docs.filter(F.col(id_col).isNull())
     sentinel = "\x1f"
     marked = F.regexp_replace(F.col(text_col), r'([.!?"]+)', "$1" + sentinel)
     # explicit unary lambda: F.trim has an optional second parameter, so
@@ -240,7 +247,7 @@ def c4_span_dedup(
         )
     )
     extra = [c for c in docs.columns if c != text_col]
-    return (
+    rewritten = (
         docs.select(*docs.columns)
         .join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(
@@ -249,6 +256,7 @@ def c4_span_dedup(
         )
         .select(docs.columns)
     )
+    return rewritten.unionByName(null_id_docs.select(docs.columns))
 
 
 def dedup_corpus_lines(
@@ -286,6 +294,11 @@ def dedup_corpus_lines(
     exchanges; nothing scales with anything but the corpus line count."""
     if mode not in ("keep_first", "remove_all"):
         raise ValueError("mode must be 'keep_first' or 'remove_all'")
+    # null-id docs pass through untouched — same exemption and reason as
+    # c4_span_dedup (id-keyed reassembly; pinned in test_robustness)
+    all_docs = docs
+    docs = docs.filter(F.col(id_col).isNotNull())
+    null_id_docs = all_docs.filter(F.col(id_col).isNull())
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -325,7 +338,7 @@ def dedup_corpus_lines(
         )
     )
     extra = [c for c in docs.columns if c != text_col]
-    return (
+    rewritten = (
         docs.join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(
             *extra,
@@ -333,3 +346,4 @@ def dedup_corpus_lines(
         )
         .select(docs.columns)
     )
+    return rewritten.unionByName(null_id_docs.select(docs.columns))

@@ -228,16 +228,11 @@ def clean_corpus(
         keeper = F.min(id_col).alias("canonical_id")
         grouped = long_enough.select(F.col(id_col), fp.alias("_fp"))
     else:
-        # same NULL-safe ranking rule as graph.resolve_canonicals:
-        # scored beats unscored, then score, score ties to min id
-        _rank = F.struct(
-            F.col(keep_best_col).isNotNull().alias("has"),
-            F.coalesce(
-                F.col(keep_best_col).cast("double"), F.lit(float("-inf"))
-            ).alias("s"),
-            (-F.col(id_col)).alias("ni"),
-        )
-        keeper = F.max_by(F.col(id_col), _rank).alias("canonical_id")
+        from .graph import canonical_rank
+
+        keeper = F.max_by(
+            F.col(id_col), canonical_rank(keep_best_col, id_col)
+        ).alias("canonical_id")
         grouped = long_enough.select(
             F.col(id_col), F.col(keep_best_col), fp.alias("_fp")
         )

@@ -73,6 +73,20 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def canonical_rank(score_col: str, id_col: str):
+    """The engine's NULL-safe canonical ranking struct, shared by
+    resolve_canonicals and clean_corpus's keep-best stages: scored beats
+    unscored, then score, score ties to the SMALLEST id (max_by over
+    this struct)."""
+    return F.struct(
+        F.col(score_col).isNotNull().alias("has"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias(
+            "s"
+        ),
+        (-F.col(id_col)).alias("ni"),
+    )
+
+
 def resolve_canonicals(
     components: DataFrame,
     scores: DataFrame,
@@ -112,13 +126,7 @@ def resolve_canonicals(
         id_col,
         "left",
     )
-    # NULL-safe ranking struct: scored beats unscored, then score, then
-    # smaller id (negated id ascending == id descending in max_by)
-    rank = F.struct(
-        F.col("_score").isNotNull().alias("has"),
-        F.coalesce(F.col("_score"), F.lit(float("-inf"))).alias("s"),
-        (-F.col(id_col)).alias("ni"),
-    )
+    rank = canonical_rank("_score", id_col)
     winners = nodes.groupBy("component").agg(
         F.max_by(F.col(id_col), rank).alias("canonical_id")
     )

@@ -345,6 +345,11 @@ def contextual_pack_order(
     affinity-descending order within each cluster (documented
     approximation: same adjacency structure, cheaper construction).
 
+    Degenerate vectors (NULL, wrong dimension, NULL/NaN elements) are
+    EXCLUDED — unguarded, a NaN affinity sorts first under desc() and
+    plants the garbage vector at a cluster's core (the cosine family's
+    standard guard; pinned in test_packing).
+
     Scale shape: the IVF assignment machinery reused — a bounded
     broadcast centroid crossJoin collapsing map-side into one uniform
     id-keyed aggregation, then one per-shard window for the rank (two
@@ -352,6 +357,12 @@ def contextual_pack_order(
     n_clusters >> n_shards so shards get many clusters each."""
     from .similarity import _nearest_centroids, ivf_index
 
+    well_formed = F.col(vec_col).isNotNull() & ~F.exists(
+        vec_col, lambda x: x.isNull() | F.isnan(x)
+    )
+    if dim is not None:
+        well_formed = well_formed & (F.size(F.col(vec_col)) == dim)
+    vectors = vectors.filter(well_formed)
     if centroids is None:
         if n_clusters is None:
             raise ValueError("pass centroids or n_clusters")

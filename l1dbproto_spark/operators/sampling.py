@@ -363,8 +363,10 @@ def training_order(
     reproduces it bit-for-bit) and, when ``n_shards`` is given,
     ``shard`` (hash-uniform in [0, n_shards), so shards are balanced in
     expectation and any shard-subset is itself an unbiased sample).
-    Reading in ``ORDER BY shuffle_key`` (or per-shard
-    ``ORDER BY shard, shuffle_key``) IS the shuffled epoch; a different
+    Reading in ``ORDER BY shuffle_key, <id>`` (or per-shard
+    ``ORDER BY shard, shuffle_key, <id>``) IS the shuffled epoch; the id
+    tie-break keeps the order total when two rows collide in the 48-bit
+    key space (birthday-expected beyond ~2^24 rows). A different
     ``seed`` is a fresh permutation.
 
     Scale shape: pure per-row projection — zero exchanges here. The sort

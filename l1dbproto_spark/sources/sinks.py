@@ -72,17 +72,22 @@ def write_training_shards(
     actually budget by; the same manifest is written under
     ``<path>/_manifest`` so a reader needs no extra pass.
 
-    Scale shape: ONE hash exchange (repartition on the shard column —
-    each task holds exactly one shard's rows) + an in-task sort by the
-    48-bit key; no global sort, no skew (shards are hash-uniform), and
-    shard count decouples from cluster parallelism. The manifest is one
-    count aggregation over the written frame."""
+    Scale shape: ONE hash exchange on the shard column (hash collisions
+    may co-locate a few shards on one task — the sort and partitioned
+    write still emit one ordered file per shard; raise ``n_shards`` or
+    repartition wider if stragglers matter) + an in-task sort by
+    (shard, key, id) — the id tie-break keeps the order total even when
+    two rows collide in the 48-bit key space (~birthday-expected from
+    ~2^24 rows), so same-seed writes are row-for-row identical at any
+    size. No global sort; shard count decouples from cluster
+    parallelism. The manifest is one aggregation over the written
+    frame."""
     from ..operators.sampling import training_order
 
     sharded = training_order(docs, seed=seed, n_shards=n_shards, id_col=id_col)
     (
         sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "shuffle_key")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

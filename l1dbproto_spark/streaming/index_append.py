@@ -54,10 +54,11 @@ class StreamingIndexAppend:
         )
         self._codebooks = self.index.codebooks().localCheckpoint(eager=True)
 
-    def append(self, batch: DataFrame) -> int:
-        """Encode the batch with the frozen quantizers and append rows
-        whose id is not already stored. Returns the number of NEW rows.
-        Degenerate vectors are excluded by the shared encode guard."""
+    def _coded_and_probe(self, batch: DataFrame):
+        """Shared probe construction: (coded batch, pruned store read) —
+        the one definition both append() and the plan test hook use, so
+        the asserted plan IS the production plan. Returns (None, None)
+        for an effectively-empty batch."""
         meta = self.index.meta
         coded = _encode_for_index(
             batch,
@@ -73,12 +74,18 @@ class StreamingIndexAppend:
             r.cluster for r in coded.select("cluster").distinct().collect()
         ]
         if not clusters:
+            return None, None
+        probe = self.index.codes().filter(F.col("cluster").isin(clusters))
+        return coded, probe
+
+    def append(self, batch: DataFrame) -> int:
+        """Encode the batch with the frozen quantizers and append rows
+        whose id is not already stored. Returns the number of NEW rows.
+        Degenerate vectors are excluded by the shared encode guard."""
+        coded, probe = self._coded_and_probe(batch)
+        if coded is None:
             return 0
-        existing = (
-            self.index.codes()
-            .filter(F.col("cluster").isin(clusters))
-            .select("neighbor_id")
-        )
+        existing = probe.select("neighbor_id")
         fresh = coded.join(existing, "neighbor_id", "left_anti").localCheckpoint(
             eager=True
         )
@@ -93,22 +100,9 @@ class StreamingIndexAppend:
 
     def existing_probe_plan(self, batch: DataFrame) -> str:
         """Executed-plan string of the store probe for ``batch`` — test
-        hook for asserting the PartitionFilters pruning."""
-        meta = self.index.meta
-        coded = _encode_for_index(
-            batch,
-            self._cent,
-            self._codebooks,
-            meta.m,
-            meta.dim,
-            meta.residual,
-            self.vec_col,
-            self.id_col,
-        )
-        clusters = [
-            r.cluster for r in coded.select("cluster").distinct().collect()
-        ]
-        probe = self.index.codes().filter(F.col("cluster").isin(clusters))
+        hook for asserting the PartitionFilters pruning; built by the
+        same _coded_and_probe the production append uses."""
+        _, probe = self._coded_and_probe(batch)
         probe.count()
         return probe._jdf.queryExecution().executedPlan().toString()
 

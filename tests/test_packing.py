@@ -318,3 +318,26 @@ def test_contextual_pack_order_trained_path(spark):
     assert order["vec_id"].is_unique
     for _, grp in order.groupby("ctx_shard"):
         assert sorted(grp["ctx_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_contextual_pack_order_excludes_degenerate_vectors(spark):
+    """NULL / NaN-element / (dim-checked) wrong-size vectors never enter
+    the contextual order — a NaN affinity would otherwise sort to a
+    cluster's core under desc()."""
+    from l1dbproto_spark.operators.packing import contextual_pack_order
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, None),
+        (3, [float("nan"), 0.5]),
+        (4, [1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster int, centroid array<double>"
+    )
+    order = contextual_pack_order(
+        vecs, n_shards=1, centroids=cents, dim=2
+    ).toPandas()
+    assert set(order["vec_id"]) == {0, 1}

@@ -53,6 +53,21 @@ def test_cleaning_family(spark):
     assert strip_html(df).count() == 7
     assert c4_span_dedup(df).count() == 7
     assert dedup_corpus_lines(df).count() == 7
+    # null-id docs pass through the corpus-wide rewriters with their TEXT
+    # INTACT (eighth found-and-fixed: the id-keyed reassembly join wiped
+    # them to '' and multiple null-id docs collided into one group)
+    nid = spark.createDataFrame(
+        [(None, "keep me\nunique content"), (None, "second null doc"),
+         (7, "normal doc line.")],
+        "doc_id long, text string",
+    )
+    for rewriter in (dedup_corpus_lines, c4_span_dedup):
+        out = sorted(
+            (str(r.doc_id), r.text) for r in rewriter(nid).collect()
+        )
+        assert ("None", "keep me\nunique content") in out
+        assert ("None", "second null doc") in out
+        assert len(out) == 3
     cleaned, _ = c4_clean(df)
     assert cleaned.count() == 0  # nothing here has 3 sentences
 
