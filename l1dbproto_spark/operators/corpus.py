@@ -357,6 +357,54 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    min_jaccard: float = 0.8,
+    salt: str = "split-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = 1000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle —
+    the split-leakage guard. A plain per-document hash split
+    (:func:`split_corpus`) puts ~w_train*w_val of every near-dup pair
+    across the train/val boundary, silently leaking evaluation content
+    into training; this variant splits by DUPLICATE GROUP instead: build
+    the Jaccard near-dup pair graph (or accept a precomputed ``pairs``
+    frame — doc_a/doc_b — from MinHash, SimHash, or SemDeDup), take
+    connected components, and hash the component's canonical id through
+    the same salted md5 interval rule, so every member of a duplicate
+    group lands in the SAME split. Singletons hash their own id —
+    identical to split_corpus, so the assignment only differs where
+    leakage was possible.
+
+    Adds ``split`` (and ``split_group``, the canonical id that was
+    hashed — audit column). Same determinism properties as split_corpus;
+    the extra cost over it is the pair graph + O(diameter) component
+    rounds, both already bounded (inverted-index Jaccard, label
+    propagation) — nothing quadratic."""
+    from .graph import connected_components
+
+    if pairs is None:
+        pairs = jaccard_pairs_from_sets(
+            doc_shingle_sets(docs, text_col=text_col, id_col=id_col),
+            min_jaccard=min_jaccard,
+            df_cap=df_cap,
+        )
+    comps = connected_components(pairs).localCheckpoint(eager=False)
+    grouped = docs.join(
+        comps.select(F.col("node").alias(id_col), "component"),
+        id_col,
+        "left",
+    ).withColumn("split_group", F.coalesce(F.col("component"), F.col(id_col)))
+    assigned = split_corpus(
+        grouped, weights, salt=salt, id_col="split_group"
+    )
+    return assigned.select(*docs.columns, "split_group", "split")
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     ctx_len: int = 512,

@@ -124,6 +124,12 @@ def _stage_sample_with_temperature(docs: DataFrame, **p) -> DataFrame:
     return sample_with_temperature(docs, **p)
 
 
+def _stage_leakage_safe_split(docs: DataFrame, **p) -> DataFrame:
+    from .corpus import leakage_safe_split
+
+    return leakage_safe_split(docs, **p)
+
+
 def _stage_split_corpus(docs: DataFrame, **p) -> DataFrame:
     from .corpus import split_corpus
 
@@ -144,6 +150,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "sample_mixture": _stage_sample_mixture,
     "sample_with_temperature": _stage_sample_with_temperature,
     "split_corpus": _stage_split_corpus,
+    "leakage_safe_split": _stage_leakage_safe_split,
 }
 
 

@@ -291,3 +291,51 @@ def test_clean_corpus_keep_best(spark):
     assert {r.doc_id for r in res2.cleaned.collect()} == {
         r.doc_id for r in res3.cleaned.collect()
     }
+
+
+def test_leakage_safe_split(spark):
+    """Near-dup groups never straddle splits; singletons match the plain
+    split_corpus assignment exactly; proportions stay sane."""
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.corpus import (
+        leakage_safe_split,
+        split_corpus,
+    )
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant near-dup pairs: clone every 10th doc with one appended word
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(clones)
+    out = leakage_safe_split(
+        corpus, {"train": 0.8, "val": 0.2}, min_jaccard=0.5, df_cap=None
+    )
+    pdf = out.select("doc_id", "split_group", "split").toPandas()
+    # every planted pair shares a group and therefore a split
+    base = pdf.set_index("doc_id")
+    for orig in pdf[pdf["doc_id"] >= 100000]["doc_id"]:
+        a, b = base.loc[orig], base.loc[orig - 100000]
+        assert a["split_group"] == b["split_group"]
+        assert a["split"] == b["split"]
+    # no group straddles splits (global invariant, not just planted pairs)
+    assert (pdf.groupby("split_group")["split"].nunique() == 1).all()
+    # singletons: identical assignment to the plain split
+    plain = {
+        r.doc_id: r.split
+        for r in split_corpus(corpus, {"train": 0.8, "val": 0.2}).collect()
+    }
+    singles = pdf[pdf["split_group"] == pdf["doc_id"]]
+    clustered_ids = set(pdf[pdf["split_group"] != pdf["doc_id"]]["doc_id"])
+    for _, row in singles.iterrows():
+        if row["doc_id"] not in clustered_ids:
+            assert row["split"] == plain[row["doc_id"]]
+    # proportions within loose bounds
+    frac = (pdf["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
