@@ -137,7 +137,13 @@ def apply_policy(
     Changing the policy re-runs ONLY this join — never the signal
     computation (read ``attributes`` back from parquet). One uniform-key
     join + a per-row case expression; null attribute values fail the
-    predicate (null-rejecting, the conservative default)."""
+    predicate (null-rejecting, the conservative default).
+
+    Partition contract (the clean_corpus rule): every input doc lands in
+    kept OR dropped. Docs with NO attribute row (stale attribute store,
+    partial signal run) are dropped with reason ``'no_attributes'`` —
+    silently vanishing was the failure mode (review find). An empty
+    ``policies`` dict keeps every attributed doc."""
     exprs = {
         name: (F.expr(p) if isinstance(p, str) else p)
         for name, p in policies.items()
@@ -146,13 +152,24 @@ def apply_policy(
     for name, e in exprs.items():
         branch = (~F.coalesce(e, F.lit(False)), F.lit(name))
         reason = F.when(*branch) if reason is None else reason.when(*branch)
-    judged = attributes.select(id_col, reason.alias("_reason"))
+    reason_expr = reason if reason is not None else F.lit(None).cast("string")
+    judged = attributes.select(id_col, reason_expr.alias("_reason"))
+    # left join + explicit presence marker: a row with no attribute match
+    # has _present NULL and drops as 'no_attributes'; an attributed row
+    # carries its first-failing-policy reason (or NULL = keep)
+    marked = docs.select(id_col).join(
+        judged.withColumn("_present", F.lit(True)), id_col, "left_outer"
+    )
+    verdict = F.when(F.col("_present").isNull(), F.lit("no_attributes")).otherwise(
+        F.col("_reason")
+    )
+    marked = marked.select(F.col(id_col), verdict.alias("_verdict"))
     kept = docs.join(
-        judged.filter(F.col("_reason").isNull()).select(id_col),
+        marked.filter(F.col("_verdict").isNull()).select(id_col),
         id_col,
         "left_semi",
     )
-    dropped = judged.filter(F.col("_reason").isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.col("_reason").alias("reason")
+    dropped = marked.filter(F.col("_verdict").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col("_verdict").alias("reason")
     )
     return kept, dropped

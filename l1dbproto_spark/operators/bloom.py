@@ -12,7 +12,8 @@ lacks:
   probe joins, and MERGES by ``bit_or`` aggregation (union of filters ==
   filter of union, partial-aggregatable across partitions/snapshots);
 * probe positions use Kirsch-Mitzenmacher double hashing
-  (``pos_j = (h1 + j * (h2 mod m)) mod m`` — two md5-derived portable
+  (``pos_j = (h1 + j * (1 + h2 mod (m-1))) mod m``, step forced nonzero —
+  two md5-derived portable
   hashes generate all k probes, and the inner ``mod`` keeps every
   intermediate far from int64 overflow, ANSI-safe);
 * build is one explode to (item, position) + one 64-fold-smaller
@@ -60,7 +61,11 @@ def bloom_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
 def _positions(col: Column, m_bits: int, k: int, salt: str) -> Column:
     """Array of k probe bit-positions via double hashing."""
     h1 = portable_hash64(col, salt + "-h1")
-    h2 = F.pmod(portable_hash64(col, salt + "-h2"), F.lit(m_bits))
+    # step forced NONZERO (1..m_bits-1): h2 == 0 would collapse all k
+    # probes onto h1, silently degrading that key's effective k to 1 and
+    # its FPR from fill^k to ~fill (review find; standard KM constructions
+    # force the step odd/nonzero for the same reason)
+    h2 = F.lit(1) + F.pmod(portable_hash64(col, salt + "-h2"), F.lit(m_bits - 1))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.pmod(h1 + j * h2, F.lit(m_bits)),

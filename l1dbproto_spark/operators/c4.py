@@ -54,7 +54,10 @@ def _line_kept(line: Column, line_min_words: int, phrases: list[str]) -> Column:
     ends_ok = F.lit(False)
     for t in _TERMINAL:
         ends_ok = ends_ok | trimmed.endswith(t)
-    enough_words = F.size(F.split(trimmed, r" +")) >= line_min_words
+    # \s+ not ' +': the paper's >=5-word rule counts tab-separated words
+    # too; a space-only split counted 'a\tb\tc\td\te.' as ONE word and
+    # over-filtered tab-delimited content (review find)
+    enough_words = F.size(F.split(trimmed, r"\s+")) >= line_min_words
     lower = F.lower(trimmed)
     no_phrase = F.lit(True)
     for p in phrases:
@@ -233,8 +236,15 @@ def c4_span_dedup(
         )
         .distinct()
     )
+    # rebuild ONLY documents that actually lost a span: untouched docs
+    # keep their original text VERBATIM (newlines and all — the previous
+    # unconditional rebuild rejoined every doc's sentences with spaces,
+    # gutting line structure for the no-dup majority, and shuffled the
+    # whole corpus through collect_list for nothing; review find)
+    touched = losers.select("doc_id").distinct().localCheckpoint(eager=False)
     survivors = (
-        sent.join(losers, ["doc_id", "sidx"], "left_anti")
+        sent.join(touched, "doc_id", "left_semi")
+        .join(losers, ["doc_id", "sidx"], "left_anti")
         .groupBy("doc_id")
         .agg(
             F.array_join(
@@ -247,8 +257,9 @@ def c4_span_dedup(
         )
     )
     extra = [c for c in docs.columns if c != text_col]
+    touched_ids = touched.withColumnRenamed("doc_id", id_col)
     rewritten = (
-        docs.select(*docs.columns)
+        docs.join(touched_ids, id_col, "left_semi")
         .join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(
             *extra,
@@ -256,7 +267,10 @@ def c4_span_dedup(
         )
         .select(docs.columns)
     )
-    return rewritten.unionByName(null_id_docs.select(docs.columns))
+    untouched = docs.join(touched_ids, id_col, "left_anti")
+    return rewritten.unionByName(untouched.select(docs.columns)).unionByName(
+        null_id_docs.select(docs.columns)
+    )
 
 
 def dedup_corpus_lines(

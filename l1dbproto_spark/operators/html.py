@@ -61,11 +61,13 @@ def strip_html_expr(col: Column) -> Column:
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
     x = F.regexp_replace(x, rf"(?i)</({_BLOCK_TAGS})\s*>|<br\s*/?\s*>", "\n")
     x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    # decimal entities decode BEFORE the named loop: the raw text
+    # '&amp;#38;' contains no '&#' substring, so decimal-first leaves it
+    # for the named pass to unescape exactly one level ('&#38;'); the
+    # previous order double-decoded it to '&' (review find)
+    x = _decode_decimal_entities(x)
     for ent, rep in _NAMED_ENTITIES:
         x = F.regexp_replace(x, ent, rep)
-    # decimal entities: printable-ASCII range decoded via chained
-    # conditionals over the captured code point; others dropped
-    x = _decode_decimal_entities(x)
     x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
     x = F.regexp_replace(x, r" ?\n ?", "\n")
     x = F.regexp_replace(x, r"\n{2,}", "\n")

@@ -329,7 +329,11 @@ def ivf_pq_topk(
     with the cluster id threaded through (``carry_cols``); scoring is an
     equi-join of the coded corpus against the broadcast (query, probed
     cluster, LUT) table on ``cluster`` — a BroadcastHashJoin touching only
-    probed clusters, never a full-corpus crossJoin. Full-precision vectors
+    probed clusters, never a full-corpus crossJoin. Per-cluster codebooks
+    require the residual path (``ivf_pq_residual_topk``): this function's
+    shared-LUT construction indexes codebooks by subspace alone and would
+    silently mis-score cluster-keyed tables, so they are rejected
+    (review find). Full-precision vectors
     appear only in the survivor re-rank. Codebooks here encode raw vectors
     (matching ``pq_encode``); :func:`ivf_pq_residual_topk` is the
     residual-encoded variant (same plan, better recall at equal m).
@@ -351,6 +355,11 @@ def ivf_pq_topk(
         n=1,
         id_alias=id_col,
     ).select(id_col, F.col("_v").alias(vec_col), "cluster")
+    if "cluster" in codebooks.columns:
+        raise ValueError(
+            "per-cluster codebooks need the residual path: "
+            "use ivf_pq_residual_topk"
+        )
     coded = pq_encode(
         assigned, codebooks, m, dim, vec_col, id_col, carry_cols=["cluster"]
     ).withColumnRenamed(id_col, "neighbor_id")
@@ -708,6 +717,12 @@ def build_pq_index(
     alongside so a later session reconstructs the exact query plan from
     the directory alone."""
     _sub_dim(dim, m)
+    if not residual and "cluster" in codebooks.columns:
+        raise ValueError(
+            "per-cluster codebooks require residual=True: the raw-vector "
+            "query path (pq_index_topk's shared-LUT branch) cannot score "
+            "cluster-keyed codebooks"
+        )
     spark = corpus.sparkSession
     cent = centroids.select(
         F.col("cluster").cast("int").alias("cluster"),

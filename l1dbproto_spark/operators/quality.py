@@ -651,9 +651,13 @@ def perplexity_buckets(
     else:
         grouped = scored.groupBy(group_col)
         keys = [group_col]
+    # head cut at the HIGH quantile (top 1-hi fraction scores above it),
+    # middle cut at the low one — a prior version swapped these, making
+    # "middle" unreachable and "head" the top two-thirds (caught by
+    # review; the tail third, and hence CCNet's keep set, was unaffected)
     cuts_df = grouped.agg(
-        F.expr(f"percentile({score_col}, {1.0 - hi})").alias("_cut_head"),
-        F.expr(f"percentile({score_col}, {1.0 - lo})").alias("_cut_mid"),
+        F.expr(f"percentile({score_col}, {hi})").alias("_cut_head"),
+        F.expr(f"percentile({score_col}, {lo})").alias("_cut_mid"),
     )
     joined = (
         scored.join(F.broadcast(cuts_df), keys)

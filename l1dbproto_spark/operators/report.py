@@ -91,19 +91,26 @@ def corpus_diff(
 
     One full outer join on the id (uniform key); each side is scanned
     once and only (id, fingerprint) shuffles, never text."""
+    # presence is tracked by an explicit marker, NOT fingerprint
+    # nullness: a row present with NULL text has a NULL fingerprint and
+    # would otherwise misreport as added/removed (review find); NULL-text
+    # fingerprints compare via null-safe equality, so NULL -> NULL is
+    # "unchanged" and NULL -> text is "modified"
     o = old.select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("_ofp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("_nfp"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, id_col, "full_outer")
     change = (
-        F.when(F.col("_ofp").isNull(), F.lit("added"))
-        .when(F.col("_nfp").isNull(), F.lit("removed"))
-        .when(F.col("_ofp") != F.col("_nfp"), F.lit("modified"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_ofp").eqNullSafe(F.col("_nfp")), F.lit("modified"))
         .otherwise(F.lit("unchanged"))
     )
     out = j.select(F.col(id_col), change.alias("change"))

@@ -134,3 +134,28 @@ def test_dup_density_family(spark, docs):
         for r in duplication_density(docs, n=3).collect()
     }
     assert got == want
+
+
+def test_apply_policy_partition_contract(spark):
+    """Docs missing from the attribute frame drop with 'no_attributes'
+    (never vanish); an empty policy dict keeps every attributed doc."""
+    from l1dbproto_spark.operators.attributes import apply_policy
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    attrs = spark.createDataFrame(
+        [(1, True), (2, False)], "doc_id long, ok boolean"
+    )
+    kept, dropped = apply_policy(docs, attrs, {"ok": "ok"})
+    k = {r.doc_id for r in kept.collect()}
+    d = {r.doc_id: r.reason for r in dropped.collect()}
+    assert k == {1}
+    assert d == {2: "ok", 3: "no_attributes"}
+    assert k | set(d) == {1, 2, 3} and k.isdisjoint(d)
+    # empty policies: all attributed docs keep, unattributed still logged
+    kept2, dropped2 = apply_policy(docs, attrs, {})
+    assert {r.doc_id for r in kept2.collect()} == {1, 2}
+    assert {r.doc_id: r.reason for r in dropped2.collect()} == {
+        3: "no_attributes"
+    }

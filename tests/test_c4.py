@@ -26,7 +26,7 @@ def _ref_signals(text, line_min_words=5, min_sentences=3):
         t = l.strip()
         if not t.endswith((".", "!", "?", '"')):
             continue
-        if len(re.split(r" +", t)) < line_min_words:
+        if len(re.split(r"\s+", t)) < line_min_words:
             continue
         low = t.lower()
         if any(p in low for p in DEFAULT_DROP_LINE_PHRASES):
@@ -338,3 +338,41 @@ def test_dedup_corpus_paragraphs(spark):
     assert got[0] == f"{para}\n\nUnique zero paragraph."
     assert got[1] == "Unique one paragraph."
     assert got[2] == "Shared paragraph line one.\n\nOther content two."
+
+
+def test_c4_span_dedup_untouched_docs_verbatim(spark):
+    """Docs with no duplicated span keep their text byte-identical
+    (newlines preserved); only span-losing docs are reconstructed."""
+    dup = (
+        "First duplicated sentence here. Second duplicated sentence too. "
+        "Third duplicated sentence also."
+    )
+    rows = [
+        (0, f"{dup} Unique tail zero."),
+        (1, f"Unique head one. {dup}"),
+        (2, "Line one stays.\nLine two stays.\n\nPara two stays."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in c4_span_dedup(docs).collect()}
+    # untouched doc: byte-identical, newlines intact
+    assert got[2] == rows[2][1]
+    # the corpus-first span occurrence survives; the later one is removed
+    assert dup in got[0]
+    assert "Unique head one." in got[1]
+    for s_ in dup.split(". "):
+        assert s_.rstrip(".") not in got[1].replace(dup, "")
+
+
+def test_c4_line_filter_counts_tab_separated_words(spark):
+    """The >=N-word line rule counts words across any whitespace, not
+    just spaces — tab-delimited lines are not over-filtered."""
+    docs = spark.createDataFrame(
+        [(0, "alpha\tbeta\tgamma\tdelta\tepsilon stays here fine.\n"
+             "short one.\n"
+             "Spaced words are counted the usual way here.")],
+        "doc_id long, text string",
+    )
+    cleaned, _ = c4_clean(docs, min_sentences=0)
+    text = cleaned.collect()[0].text
+    assert "alpha\tbeta" in text
+    assert "short one." not in text

@@ -19,6 +19,15 @@ def _ref(s: str) -> str:
     x = re.sub(r"(?s)<!--.*?-->", " ", x)
     x = re.sub(rf"(?i)</({_BLOCK})\s*>|<br\s*/?\s*>", "\n", x)
     x = re.sub(r"(?s)<[^>]*>", " ", x)
+    # decimal BEFORE named, mirroring the engine: '&amp;#38;' unescapes
+    # exactly one level (to '&#38;'), never two
+    x = re.sub(
+        r"&#([0-9]{1,7});",
+        lambda m: chr(int(m.group(1)))
+        if 32 <= int(m.group(1)) <= 126
+        else " ",
+        x,
+    )
     for ent, rep in [
         ("&lt;", "<"),
         ("&gt;", ">"),
@@ -29,13 +38,6 @@ def _ref(s: str) -> str:
         ("&amp;", "&"),
     ]:
         x = x.replace(ent, rep)
-    x = re.sub(
-        r"&#([0-9]{1,7});",
-        lambda m: chr(int(m.group(1)))
-        if 32 <= int(m.group(1)) <= 126
-        else " ",
-        x,
-    )
     x = re.sub(r"[ \t\r\f]+", " ", x)
     x = re.sub(r" ?\n ?", "\n", x)
     x = re.sub(r"\n{2,}", "\n", x)
@@ -55,6 +57,7 @@ PAGES = [
     "plain text, no markup at all",
     "",
     "<p>double &amp;lt; escape</p>",
+    "<p>fish &amp;#38; chips stay &amp; escaped once</p>",
     "<noscript>fallback</noscript><article>Body text.</article>"
     "<footer>(c) 2026</footer>",
 ]

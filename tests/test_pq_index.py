@@ -210,3 +210,26 @@ def test_index_ingestion_excludes_degenerate_vectors(spark, tmp_path):
     }
     assert stored == {99993}
     assert idx.codes().count() == n_before + 1
+
+
+def test_per_cluster_codebooks_require_residual(spark, tmp_path):
+    """Raw (non-residual) composition with cluster-keyed codebooks is
+    rejected loudly — the shared-LUT query path would silently mis-score
+    them."""
+    import pytest
+
+    from l1dbproto_spark.operators.pq import ivf_pq_topk as mem_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = _fixed_centroids(emb)
+    per_cluster = residual_codebooks(emb, cent, m=M, k_codes=K_CODES, dim=DIM)
+    assert "cluster" in per_cluster.columns
+    with pytest.raises(ValueError, match="residual"):
+        build_pq_index(
+            emb, cent, per_cluster, str(tmp_path / "bad"),
+            m=M, k_codes=K_CODES, dim=DIM, residual=False,
+        )
+    with pytest.raises(ValueError, match="residual"):
+        mem_topk(
+            emb, emb.limit(2), cent, per_cluster, m=M, k_codes=K_CODES, dim=DIM
+        )

@@ -137,3 +137,29 @@ def test_corpus_diff_whitespace_invariant(spark):
     )
     got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
     assert got == {2: "modified"}  # doc 1 normalizes equal
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """A row present in both snapshots with NULL text on one side is
+    modified/unchanged, never added/removed (presence != fingerprint)."""
+    from l1dbproto_spark.operators.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, None), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.change
+        for r in corpus_diff(old, new, include_unchanged=True).collect()
+    }
+    assert got == {
+        1: "modified",   # NULL -> text
+        2: "modified",   # text -> NULL
+        3: "unchanged",  # NULL -> NULL
+        4: "removed",
+        5: "added",
+    }

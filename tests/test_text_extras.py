@@ -72,8 +72,8 @@ def test_perplexity_buckets_match_reference(spark):
     for lang, members in by_lang.items():
         scores = [s for _, s in members]
         # numpy 'linear' interpolation == Spark/DuckDB percentile (cont.)
-        c_head = float(np.percentile(scores, 100 * (1 - 2 / 3)))
-        c_mid = float(np.percentile(scores, 100 * (1 - 1 / 3)))
+        c_head = float(np.percentile(scores, 100 * 2 / 3))
+        c_mid = float(np.percentile(scores, 100 * 1 / 3))
         for d, s in members:
             want[d] = (
                 "head" if s >= c_head else "middle" if s >= c_mid else "tail"
@@ -81,6 +81,13 @@ def test_perplexity_buckets_match_reference(spark):
     assert got == want
     kept = sum(1 for b in got.values() if b != "tail")
     assert 0.5 < kept / len(got) < 0.85  # ~2/3 kept
+    # all three buckets are populated and near-thirds overall (the
+    # regression this pins: a swapped cut made "middle" unreachable)
+    from collections import Counter
+
+    frac = Counter(got.values())
+    for b in ("head", "middle", "tail"):
+        assert 0.2 < frac[b] / len(got) < 0.47, frac
     # ungrouped form works and partitions the corpus
     flat = perplexity_buckets(scored, group_col=None)
     assert flat.count() == len(got)
