@@ -45,14 +45,23 @@ def build_eval_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache: bool = True,
+    min_shingle_len: int | None = None,
 ) -> EvalIndex:
     """Shingle the eval set once. With ``cache=True`` both frames are
     Spark-cached — they are MBs by construction (benchmarks are small), and
     every subsequent contamination check broadcasts them without
-    re-scanning the eval parquet."""
+    re-scanning the eval parquet.
+
+    ``min_shingle_len`` (characters) drops trivial short n-grams from the
+    index — the eval side defines which shingles can match at all, so
+    filtering here prunes the corpus side of the join too; the per-doc
+    ``eval_ngrams`` denominator counts only indexed shingles, keeping the
+    contamination fraction consistent with what can be matched."""
     e = word_shingles(eval_set, n, text_col, id_col).withColumnRenamed(
         "doc_id", "eval_id"
     )
+    if min_shingle_len is not None:
+        e = e.filter(F.length("shingle") >= min_shingle_len)
     sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
     if cache:
         e = e.cache()
@@ -68,6 +77,7 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     index: EvalIndex | None = None,
+    min_shingle_len: int | None = None,
 ) -> DataFrame:
     """Per (corpus doc, eval doc) contamination report:
 
@@ -85,7 +95,10 @@ def ngram_contamination(
     if index is None:
         if eval_set is None:
             raise ValueError("pass eval_set or a prebuilt index")
-        index = build_eval_index(eval_set, n, text_col, id_col, cache=False)
+        index = build_eval_index(
+            eval_set, n, text_col, id_col, cache=False,
+            min_shingle_len=min_shingle_len,
+        )
     c = word_shingles(corpus, n, text_col, id_col)
     shared = (
         c.join(F.broadcast(index.shingles), "shingle")

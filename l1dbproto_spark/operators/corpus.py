@@ -91,13 +91,17 @@ def clean_corpus(
     smallest id (NULL-safe rule of graph.resolve_canonicals — scored
     beats unscored, score ties to min id; a constant score reproduces
     the default). The semantic stage keeps its own canonical rule (the
-    most-similar smaller-id survivor — SemDeDup's published form).
+    most-similar smaller-id NEIGHBOR — which may itself be dropped when
+    eps-chains overlap; see semantic_dedup's docstring).
     5. optional semantic dedup (``embeddings`` set — rows keyed by
        ``id_col`` with an ``embedding`` column; ``centroids`` a
        (cluster, centroid) table, or None to train KMeans on the
        survivors' embeddings): SemDeDup over the survivors
        (operators/semdedup.py) → dropped (``reason='semantic_dup'``,
-       canonical = the most-similar smaller-id survivor) — the published
+       canonical = the most-similar smaller-id NEIGHBOR; unlike the
+       exact/near stages that neighbor may itself be dropped when
+       eps-chains overlap — resolve through graph.resolve_canonicals
+       when an audit needs a surviving canonical) — the published
        filter → exact → fuzzy → semantic pipeline order.
 
     Scale shape: stage 3 is one uniform-key shuffle; stage 4 is the

@@ -242,6 +242,8 @@ def sample_frames(
                 pdf["declared_height"],
                 pdf["declared_ms"],
             ):
+                if blob is None:  # null payload: skip row (family rule)
+                    continue
                 w = int(w) if w and w > 0 else 8
                 h = int(h) if h and h > 0 else 8
                 ms = int(ms) if ms and ms > 0 else 0

@@ -343,18 +343,24 @@ def ivf_pq_topk(
     oracle), encoding/LUT/ADC are the deterministic PQ stages — the whole
     composition is reproducible in DuckDB (tests/test_ivf_pq.py)."""
     _sub_dim(dim, m)
+    # one shared definition of the assignment contract (review find: this
+    # block was a line-for-line copy of semdedup.assign_clusters);
+    # _nearest_centroids still serves the query-probing side below
+    from .semdedup import assign_clusters
     from .similarity import _nearest_centroids
 
     cent = centroids.select(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("centroid").alias("_cvec"),
     )
-    assigned = _nearest_centroids(
-        corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
-        cent,
-        n=1,
-        id_alias=id_col,
-    ).select(id_col, F.col("_v").alias(vec_col), "cluster")
+    assigned = assign_clusters(
+        corpus,
+        centroids.select(
+            F.col("cluster").cast("int").alias("cluster"), "centroid"
+        ),
+        vec_col,
+        id_col,
+    )
     if "cluster" in codebooks.columns:
         raise ValueError(
             "per-cluster codebooks need the residual path: "

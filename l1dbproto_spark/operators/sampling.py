@@ -221,20 +221,24 @@ def sample_with_temperature(
     broadcast-joined (one row per source), so this stays a single corpus
     scan with zero wide shuffles; rates computed with ``target_frac`` may
     exceed 1.0 and are clamped (use :func:`with_repeats` with collected
-    rates for true upsampling)."""
+    rates for true upsampling).
+
+    NULL sources are a first-class group: temperature_rates' groupBy
+    already counts them and emits their rate row, and the join is
+    NULL-SAFE so those docs are sampled at that rate — a plain equi-join
+    silently dropped them even at alpha=1 (review find; the same
+    null-key class as the asof_join fix)."""
     rates = temperature_rates(docs, alpha, target_frac, source_col)
     u = _unit_hash(F.col(id_col), salt)
+    rate_tbl = F.broadcast(
+        rates.select(F.col("source").alias("_rate_src"), F.col("rate"))
+    )
     return (
         docs.join(
-            F.broadcast(
-                rates.select(
-                    F.col("source").alias(source_col), F.col("rate")
-                )
-            ),
-            source_col,
+            rate_tbl, F.col(source_col).eqNullSafe(F.col("_rate_src")), "inner"
         )
         .filter(u < F.least(F.col("rate"), F.lit(1.0)))
-        .drop("rate")
+        .drop("rate", "_rate_src")
     )
 
 

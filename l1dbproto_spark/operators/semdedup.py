@@ -110,7 +110,12 @@ def semantic_dedup(
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup keep/drop split. Returns (kept vectors — original columns,
     drop log (id, canonical_id, cosine_sim) where canonical is the dropped
-    vector's most-similar smaller-id neighbor, ties to the smallest id).
+    vector's most-similar smaller-id NEIGHBOR, ties to the smallest id —
+    the neighbor may itself be dropped when eps-chains overlap (a<b<c
+    with a~b and b~c but not a~c drops both b and c, c's canonical being
+    b): the drop set is exactly "non-minimal in the eps-graph", and a
+    survivor-canonical view is one connected_components /
+    resolve_canonicals pass over the pair log).
 
     Drop rule: id_b is dropped iff some same-cluster id_a < id_b has
     ``cos(a, b) >= 1 - eps``. One aggregation over the pair stream + an

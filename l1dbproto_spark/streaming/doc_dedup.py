@@ -44,6 +44,30 @@ from ..fs import TableFS
 from ..operators.dedup import normalize_text
 
 
+def _check_store_schema(spark, fs, path: str, required: list[str], gate: str) -> None:
+    """Fail LOUDLY when an existing store predates the pinned schema.
+
+    The pinned-schema read null-fills missing columns, which silently
+    corrupts gate semantics instead of erroring: a store without
+    ``epoch`` makes every same-epoch retry comparison NULL (retried rows
+    dropped — document loss), and a near-dup store without ``bkt_pfx``
+    partitioning reads NULL prefixes, so prefix pruning discards the
+    ENTIRE bucket history and re-admits every historical near-duplicate
+    (review find). Incompatible stores must be rebuilt (or backfilled
+    once through admit with the current version) — detecting that here
+    turns silent corruption into an actionable error."""
+    if not fs.has_parquet_file(path):
+        return
+    actual = set(spark.read.parquet(path).columns)
+    missing = [c for c in required if c not in actual]
+    if missing:
+        raise ValueError(
+            f"{gate} store at {path} predates the current schema "
+            f"(missing columns: {missing}); rebuild the store or backfill "
+            "it through admit() with this version before binding streams"
+        )
+
+
 class StreamingDocDedup:
     """Incremental exact-dedup gate backed by a fingerprint table.
 
@@ -67,6 +91,11 @@ class StreamingDocDedup:
         self.text_col = text_col
         self.id_col = id_col
         self._fs = TableFS(spark, store_path)
+        _check_store_schema(
+            spark, self._fs, store_path,
+            ["fp_bucket", "fingerprint", "keep_doc_id", "epoch"],
+            "exact-dedup gate",
+        )
         self.last_store_scan: DataFrame | None = None
 
     # Explicit read schema: hive partition-type inference would type
@@ -268,6 +297,11 @@ class StreamingNearDupGate:
         self.text_col = text_col
         self.id_col = id_col
         self._fs = TableFS(spark, store_path)
+        _check_store_schema(
+            spark, self._fs, store_path,
+            ["bkt_pfx", "band", "bucket", "doc_id", "epoch"],
+            "near-dup gate",
+        )
         self.last_store_scan: DataFrame | None = None
 
     # bkt_pfx pinned string for the same hive-inference reason as fp_bucket

@@ -327,3 +327,34 @@ def test_decontaminate_semantic_pipeline_stage(spark):
         {r.doc_id for r in docs.collect()} - {3, 7}
     )
     assert audit[-1]["rows"] == docs.count() - 2
+
+
+def test_min_shingle_len_prunes_trivial_ngrams(spark):
+    """The documented min_shingle_len knob exists and prunes short
+    shingles from the index (and hence from the report's matches AND its
+    eval_ngrams denominator)."""
+    from l1dbproto_spark.operators.contamination import (
+        build_eval_index,
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "a b c d longwordone longwordtwo longwordthree")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a b c d longwordone longwordtwo longwordthree trailing")],
+        "doc_id long, text string",
+    )
+    loose = ngram_contamination(corpus, ev, n=3)
+    tight = ngram_contamination(corpus, ev, n=3, min_shingle_len=20)
+    l0 = loose.collect()[0]
+    t0 = tight.collect()[0]
+    assert t0.n_shared < l0.n_shared
+    assert t0.eval_ngrams < l0.eval_ngrams
+    # index form agrees
+    idx = build_eval_index(ev, n=3, cache=False, min_shingle_len=20)
+    via_idx = ngram_contamination(corpus, index=idx, n=3).collect()[0]
+    assert (via_idx.n_shared, via_idx.eval_ngrams) == (
+        t0.n_shared, t0.eval_ngrams,
+    )

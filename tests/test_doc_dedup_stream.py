@@ -5,7 +5,10 @@ survives a restart."""
 from __future__ import annotations
 
 from l1dbproto_spark.operators.dedup import exact_dedup_groups
-from l1dbproto_spark.streaming.doc_dedup import StreamingDocDedup
+from l1dbproto_spark.streaming.doc_dedup import (
+    StreamingDocDedup,
+    StreamingNearDupGate,
+)
 
 
 def _docs(spark, rows):
@@ -352,3 +355,25 @@ def test_near_dup_gate_bind_stream(spark, tmp_path):
         q.stop()
     got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert got == {1, 2, 4}
+
+
+def test_incompatible_old_store_fails_loudly(spark, tmp_path):
+    """A store written by a pre-epoch/pre-bkt_pfx version raises a clear
+    error at gate construction instead of silently corrupting admit
+    semantics (null epochs drop retried rows; null prefixes discard the
+    bucket history)."""
+    import pytest
+
+    old_exact = str(tmp_path / "old_exact")
+    spark.createDataFrame(
+        [("ab", "ffff", 1)], "fp_bucket string, fingerprint string, keep_doc_id long"
+    ).write.partitionBy("fp_bucket").parquet(old_exact)
+    with pytest.raises(ValueError, match="exact-dedup gate.*epoch"):
+        StreamingDocDedup(spark, old_exact)
+
+    old_near = str(tmp_path / "old_near")
+    spark.createDataFrame(
+        [(0, "sig", 1, 5)], "band int, bucket string, doc_id long, epoch long"
+    ).write.partitionBy("band").parquet(old_near)
+    with pytest.raises(ValueError, match="near-dup gate.*bkt_pfx"):
+        StreamingNearDupGate(spark, old_near)

@@ -335,3 +335,16 @@ def test_token_budget_rates(spark):
         min(r.rate, 1.0) * r.corpus_tokens for r in rates.values()
     )
     assert got == pytest.approx(want, rel=0.35)  # Bernoulli variance
+
+
+def test_sample_with_temperature_null_source_first_class(spark):
+    """NULL-source docs are counted AND sampled at their own group's
+    rate (null-safe join) — they previously vanished even at alpha=1."""
+    from l1dbproto_spark.operators.sampling import sample_with_temperature
+
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_with_temperature(docs, alpha=1.0).toPandas()
+    # alpha=1 -> every rate 1.0 -> everything kept, nulls included
+    assert len(out) == 40
+    assert out["lang"].isna().sum() == 20
