@@ -26,7 +26,16 @@ def connected_components(
     """(node, component) with component = min node id reachable.
 
     ``edges`` is undirected (each pair once). Isolated nodes don't appear —
-    callers union them back with component = own id if needed."""
+    callers union them back with component = own id if needed.
+
+    Each round does a neighbor-min step AND a pointer-jumping shortcut
+    (label <- label of label), so convergence takes O(log diameter)
+    rounds, not O(diameter): plain one-hop propagation needed a round
+    per hop, so a duplicate CHAIN longer than max_iterations silently
+    exited with wrong, non-converged labels (review find — templated
+    page series form exactly such chains). 20 doubling rounds cover any
+    diameter up to ~2^20; if the graph still hasn't converged the loop
+    RAISES instead of returning wrong clusters."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     undirected = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -51,13 +60,26 @@ def connected_components(
             .agg(F.min("nlabel").alias("nmin"))
             .select(F.col("u").alias("node"), "nmin")
         )
-        new_labels = (
+        hooked = (
             labels.join(neighbor_labels, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
+            )
+        )
+        # pointer jumping: label <- label's own label (path doubling)
+        jump = hooked.select(
+            F.col("node").alias("label"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            hooked.join(jump, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -70,6 +92,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "doubling rounds (graph diameter beyond ~2^"
+            f"{max_iterations}); raise max_iterations"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

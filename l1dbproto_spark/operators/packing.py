@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 # token_stats (n_tokens), so packed token budgets agree with the token
 # statistics the rest of the pipeline reports.
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r" +"))
+    # explicit whitespace class — see queries/text.py _words for why not \s
+    return F.size(F.split(F.trim(text), r"[ \t\r\n\f]+"))
 
 
 def pack_sequences(
@@ -298,7 +299,7 @@ def chunk_documents(
         raise ValueError("overlap_tokens must be < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
     tokenized = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), " +").alias("_w")
+        F.col(id_col), F.split(F.trim(F.col(text_col)), "[ \t\r\n\f]+").alias("_w")
     )
     n = F.size("_w")
     starts = F.sequence(

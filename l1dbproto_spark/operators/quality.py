@@ -32,7 +32,7 @@ from .dedup import normalize_text, shingle_rows
 
 
 def _words(col: Column) -> Column:
-    return F.split(F.trim(col), " +")
+    return F.split(F.trim(col), "[ \t\r\n\f]+")
 
 
 def unigram_logprob_scores(
@@ -366,7 +366,9 @@ def gopher_quality_signals(
     words_lower = _words(F.lower(F.col(text_col)))
     n_words = F.size(words)
     # sum of word lengths == chars left after deleting the split separators
-    word_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), " +", ""))
+    word_chars = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), "[ \t\r\n\f]+", "")
+    )
     mean_wl = word_chars.cast("double") / n_words
     n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")).cast("long")
     sym_ratio = n_symbols.cast("double") / n_words

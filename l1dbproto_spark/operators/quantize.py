@@ -97,24 +97,30 @@ def quantized_topk(
         * F.col("qqscale")
         * F.col("qcscale")
     )
+    # stage 1 carries ONLY (ids, approx score): selecting the float
+    # vectors into every pair row pushed dim x 8 bytes per pair through
+    # the pre-filter window shuffle, defeating the documented int8 I/O
+    # reduction (review find) — the full-precision columns join back
+    # below for just the k*refine survivors
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "qvec",
-            "cvec",
-            "qn",
-            "cn",
-            approx.alias("approx_dot"),
+        c.select("neighbor_id", "qcvec", "qcscale").crossJoin(
+            F.broadcast(q.select("query_id", "qqvec", "qqscale"))
         )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_dot"))
     )
     wpre = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id")
     )
-    cand = scored.withColumn("_prn", F.row_number().over(wpre)).filter(
-        F.col("_prn") <= k * refine
+    cand = (
+        scored.withColumn("_prn", F.row_number().over(wpre))
+        .filter(F.col("_prn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    cand = (
+        cand.join(
+            c.select("neighbor_id", "cvec", "cn"), "neighbor_id"
+        ).join(F.broadcast(q.select("query_id", "qvec", "qn")), "query_id")
     )
     sim = F.round(
         dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 9

@@ -24,7 +24,11 @@ _STOP_FR = ("le", "la", "de", "et", "un", "les", "est")
 
 
 def _words(col):
-    return F.split(F.trim(col), " +")
+    # engine-wide whitespace rule: explicit class, identical in Java
+    # regex (Spark) and RE2 (DuckDB) — unlike \s, whose \x0b membership
+    # differs between the two; space-only '[ \t\r\n\f]+' undercounted tab/newline-
+    # delimited docs (review find)
+    return F.split(F.trim(col), "[ \t\r\n\f]+")
 
 
 @query(
@@ -34,9 +38,9 @@ def _words(col):
       SELECT
         doc_id,
         length(text) AS n_chars,
-        len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        len(string_split_regex(trim(text), '[ \t\r\n\f]+')) AS n_tokens,
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-        len(list_filter(string_split_regex(trim(text), ' +'),
+        len(list_filter(string_split_regex(trim(text), '[ \t\r\n\f]+'),
                         x -> x IN {str(tuple(_STOP_EN))})) AS n_stop,
         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
       FROM documents
@@ -93,11 +97,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT
         doc_id,
-        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+        len(list_filter(string_split_regex(trim(lower(text)), '[ \t\r\n\f]+'),
                         x -> x IN {str(tuple(_STOP_EN))})) AS en_hits,
-        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+        len(list_filter(string_split_regex(trim(lower(text)), '[ \t\r\n\f]+'),
                         x -> x IN {str(tuple(_STOP_ES))})) AS es_hits,
-        len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+        len(list_filter(string_split_regex(trim(lower(text)), '[ \t\r\n\f]+'),
                         x -> x IN {str(tuple(_STOP_FR))})) AS fr_hits
       FROM documents
     )
@@ -230,7 +234,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              CAST(doc_id % 8 AS INT) AS shard,
-             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(trim(text), '[ \t\r\n\f]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     spans AS (
@@ -294,7 +298,7 @@ def unigram_logprob_score(
     "collocations_pmi",
     oracle="""
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\r\n\f]+') AS t
       FROM documents
     ),
     r AS (

@@ -339,3 +339,21 @@ def test_leakage_safe_split(spark):
     # proportions within loose bounds
     frac = (pdf["split"] == "train").mean()
     assert 0.6 < frac < 0.95
+
+
+def test_length_gate_counts_tab_and_newline_tokens(spark):
+    """The engine-wide whitespace token rule counts words across tabs and
+    newlines — a 6-word tab-delimited doc is not 'too_short' (pinned
+    regression: the space-only rule counted it as one token)."""
+    from l1dbproto_spark.operators.corpus import clean_corpus
+    from l1dbproto_spark.operators.packing import whitespace_token_count
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\tbeta\tgamma\ndelta\nepsilon zeta")],
+        "doc_id long, text string",
+    )
+    n = docs.select(whitespace_token_count(F.col("text")).alias("n")).first().n
+    assert n == 6
+    res = clean_corpus(docs, min_tokens=5)
+    assert {r.doc_id for r in res.cleaned.collect()} == {1}

@@ -328,7 +328,7 @@ def test_jaccard_df_cap_consistent_vocabulary(spark):
         for a, b, j in con.execute(
             """
             WITH w AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS ws
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\r\n\f]+') AS ws
               FROM docs
             ),
             sh AS (

@@ -105,3 +105,16 @@ def test_resolve_canonicals_partial_scores_prefer_scored(spark):
         for r in resolve_canonicals(comps, scores).collect()
     }
     assert out == {5: 7, 6: 7, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node chain (diameter 59) converges under the default round
+    budget — pointer jumping makes convergence O(log diameter); plain
+    one-hop propagation silently returned wrong labels here (pinned
+    regression)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 159)], "doc_a long, doc_b long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {100}
+    assert len(cc) == 60

@@ -17,7 +17,7 @@ ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
          CAST(doc_id % {SHARDS} AS INT) AS shard,
-         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text), '[ \t\r\n\f]+')) AS BIGINT) AS n_tokens
   FROM '{SF_DIR}/documents.parquet'
 ),
 spans AS (
@@ -90,7 +90,7 @@ def test_chunk_documents_matches_oracle(spark):
         for row in duckdb.sql(
             rf"""
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+              SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n\f]+') AS w
               FROM '{SF_DIR}/documents.parquet'
             ),
             e AS (

@@ -138,10 +138,10 @@ def test_gopher_signals_match_oracle(spark):
             rf"""
             WITH t AS (
               SELECT doc_id,
-                string_split_regex(trim(text), ' +') AS words,
-                string_split_regex(trim(lower(text)), ' +') AS wl,
+                string_split_regex(trim(text), '[ \t\r\n\f]+') AS words,
+                string_split_regex(trim(lower(text)), '[ \t\r\n\f]+') AS wl,
                 string_split(text, chr(10)) AS lines,
-                length(regexp_replace(trim(text), ' +', '', 'g')) AS word_chars,
+                length(regexp_replace(trim(text), '[ \t\r\n\f]+', '', 'g')) AS word_chars,
                 len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
               FROM '{SF_DIR}/documents.parquet'
             ), s AS (

@@ -22,7 +22,7 @@ def test_unigram_logprob_matches_oracle(spark):
             f"""
             WITH words AS (
               SELECT doc_id,
-                     unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+                     unnest(string_split_regex(trim(lower(text)), '[ \t\r\n\f]+')) AS term
               FROM '{SF_DIR}/documents.parquet'
             ),
             vocab AS (SELECT term, COUNT(*) AS cnt FROM words GROUP BY 1),
@@ -111,7 +111,7 @@ def test_perplexity_buckets_plan_no_corpus_shuffle(spark):
 
 BIGRAM_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\r\n\f]+') AS t
   FROM '{SF_DIR}/documents.parquet'
 ),
 r AS (
@@ -323,7 +323,7 @@ def test_pretrained_lm_persist_roundtrip(spark, tmp_path):
 
 COLLOC_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\r\n\f]+') AS t
   FROM '{SF_DIR}/documents.parquet'
 ),
 r AS (
