@@ -64,9 +64,12 @@ def pack_sequences(
     tokenizer pass) and the packing map is computed over those budgets —
     ``text_col`` is then never touched, so the plan reads only (id,
     count). Default is the whitespace rule shared with queries/text.py.
-    A NULL count excludes that document from the packing map without
-    perturbing its shard-mates' offsets (window sums skip nulls) — the
-    caller's token-count pass owes every packable doc a count.
+    A NULL count — including the default rule over NULL text — excludes
+    that document from the packing map without perturbing its
+    shard-mates' offsets (window sums skip nulls); the caller's
+    token-count pass owes every packable doc a count, and clean_corpus
+    upstream logs null-text docs as too_short so they never reach
+    packing unaccounted.
 
     Shard assignment and within-shard order are ALSO pluggable:
     ``shard_col`` / ``order_col`` name pre-computed columns replacing the
