@@ -91,7 +91,11 @@ def quantized_topk(
     ).withColumn("cn", l2_norm(F.col("cvec"))).filter((F.col("cn") > 0) & ~F.isnan("cn"))
     # degenerate-vector guard: zero-norm/NULL/NaN rows would make the
     # cosine division an ANSI error (see similarity.brute_force_topk)
-    q = q.withColumn("qn", l2_norm(F.col("qvec"))).filter((F.col("qn") > 0) & ~F.isnan("qn"))
+    q = q.withColumn("qn", l2_norm(F.col("qvec"))).filter(
+        (F.col("qn") > 0) & ~F.isnan("qn")
+    ).localCheckpoint(eager=False)
+    # ^ queries are the bounded side: pin them so stage 1 and the
+    # survivor join-back share one materialization instead of re-scanning
     approx = (
         int_dot(F.col("qcvec"), F.col("qqvec")).cast("double")
         * F.col("qqscale")
