@@ -73,6 +73,7 @@ class TableFS:
         part_col: str,
         sort_cols: list[str] | None = None,
         num_tasks: int = 64,
+        dedup_cols: list[str] | None = None,
     ) -> None:
         """Fold an append-per-batch hive-partitioned store back to ONE data
         file per partition directory: each micro-batch append leaves one
@@ -85,10 +86,16 @@ class TableFS:
         standard read-then-overwrite hazard guard, same as
         ApdbSpark.compact. Partition-scoped maintenance, run OUTSIDE the
         per-batch hot path (a scheduled job at scale); rows are preserved
-        exactly, so store semantics are unchanged."""
+        exactly — unless the caller passes ``dedup_cols``, which collapses
+        key-duplicate rows (the repair path for stores whose appends
+        assume a single writer and a concurrent-writer race double-
+        inserted a key; safe only when duplicate-keyed rows are known
+        bit-identical, as in the PQ code store)."""
         if not self.has_parquet_file(path):
             return
         df = spark.read.schema(schema).parquet(path)
+        if dedup_cols:
+            df = df.dropDuplicates(dedup_cols)
         compacted = df.repartition(num_tasks, F.col(part_col)).localCheckpoint(
             eager=True
         )

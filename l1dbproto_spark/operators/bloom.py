@@ -40,12 +40,39 @@ quantile / heavy-hitter sketches (operators/sketches.py).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+
+#: Probe-geometry version. v2 = Kirsch-Mitzenmacher step forced NONZERO
+#: (``1 + h2 mod (m-1)``). A filter persisted under the v1 geometry
+#: (plain ``h2 mod m`` step) probes DIFFERENT bit positions, so probing
+#: it with v2 code could report "definitely new" for an inserted item —
+#: a silent false negative, the one failure the structure promises never
+#: to produce. The default salt therefore carries the version (stale
+#: filters mismatch every probe rather than subtly some), and
+#: :func:`bloom_save`/:func:`bloom_load` persist/verify an explicit
+#: format fingerprint so the mismatch is LOUD, mirroring the
+#: ``_check_store_schema`` contract of the streaming gate stores.
+BLOOM_FORMAT_VERSION = 2
+
+#: Sentinel ``word_idx`` for the persisted format row. Probe positions
+#: are ``pmod(..)`` in [0, m), so no real word ever has a negative index.
+_FORMAT_IDX = -1
+
+
+def _format_word(m_bits: int, k: int, salt: str) -> int:
+    """Deterministic int64 fingerprint of the filter's full identity:
+    probe-geometry version + sizing + salt. Any difference in any of
+    them changes which bits an item sets, so all of them must match
+    between build time and probe time."""
+    payload = f"bloomfmt|{BLOOM_FORMAT_VERSION}|{m_bits}|{k}|{salt}"
+    digest = hashlib.md5(payload.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
 
 
 def bloom_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
@@ -77,7 +104,7 @@ def bloom_build(
     col: str,
     m_bits: int,
     k: int = 5,
-    salt: str = "bloom-v1",
+    salt: str = "bloom-v2",
 ) -> DataFrame:
     """Build the filter over a string column: (word_idx, word) rows, one
     per NON-ZERO 64-bit word of the bitmap (<= m_bits/64 rows). One
@@ -113,13 +140,69 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def bloom_save(
+    bloom: DataFrame,
+    path: str,
+    m_bits: int,
+    k: int = 5,
+    salt: str = "bloom-v2",
+) -> None:
+    """Persist the filter as parquet WITH its identity: one sentinel row
+    (``word_idx = -1``, ``word`` = the :func:`_format_word` fingerprint of
+    version + m_bits + k + salt) rides alongside the real words. Loading
+    under any different geometry fails loudly instead of silently probing
+    wrong bit positions (see :data:`BLOOM_FORMAT_VERSION`)."""
+    spark = bloom.sparkSession
+    marker = spark.createDataFrame(
+        [(int(_FORMAT_IDX), _format_word(m_bits, k, salt))],
+        "word_idx LONG, word LONG",
+    )
+    bloom.select(
+        F.col("word_idx").cast("long"), F.col("word").cast("long")
+    ).unionByName(marker).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(
+    spark: SparkSession,
+    path: str,
+    m_bits: int,
+    k: int = 5,
+    salt: str = "bloom-v2",
+) -> DataFrame:
+    """Load a filter persisted by :func:`bloom_save`, verifying the format
+    fingerprint against the caller's (m_bits, k, salt) under the CURRENT
+    probe-geometry version. Raises ``ValueError`` on any mismatch — a
+    stale or differently-parameterized filter must be rebuilt, never
+    probed (a wrong-geometry probe can emit false negatives). Returns the
+    word table with the sentinel stripped."""
+    stored = spark.read.parquet(path)
+    markers = [
+        r.word for r in stored.filter(F.col("word_idx") == _FORMAT_IDX).collect()
+    ]
+    expected = _format_word(m_bits, k, salt)
+    if not markers:
+        raise ValueError(
+            f"bloom filter at {path} has no format marker: persisted before "
+            "format-versioning (probe geometry v1) or not a bloom_save "
+            "store. Rebuild it with bloom_build + bloom_save."
+        )
+    if markers != [expected]:
+        raise ValueError(
+            f"bloom filter at {path} was built under a different format "
+            f"(marker {markers} != expected {expected} for version="
+            f"{BLOOM_FORMAT_VERSION}, m_bits={m_bits}, k={k}, salt={salt!r}). "
+            "Probing it would risk false negatives; rebuild it."
+        )
+    return stored.filter(F.col("word_idx") != _FORMAT_IDX)
+
+
 def bloom_might_contain(
     batch: DataFrame,
     bloom: DataFrame,
     col: str,
     m_bits: int,
     k: int = 5,
-    salt: str = "bloom-v1",
+    salt: str = "bloom-v2",
     flag_col: str = "might_contain",
 ) -> DataFrame:
     """Annotate each row: true iff ALL k probe bits are set (possibly
@@ -164,7 +247,7 @@ def filter_definitely_new(
     col: str,
     m_bits: int,
     k: int = 5,
-    salt: str = "bloom-v1",
+    salt: str = "bloom-v2",
 ) -> DataFrame:
     """Rows whose membership probe MISSES — guaranteed not yet inserted
     (no false negatives). The ingestion-prefilter form: pass these

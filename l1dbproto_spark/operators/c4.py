@@ -54,10 +54,11 @@ def _line_kept(line: Column, line_min_words: int, phrases: list[str]) -> Column:
     ends_ok = F.lit(False)
     for t in _TERMINAL:
         ends_ok = ends_ok | trimmed.endswith(t)
-    # \s+ not ' +': the paper's >=5-word rule counts tab-separated words
-    # too; a space-only split counted 'a\tb\tc\td\te.' as ONE word and
-    # over-filtered tab-delimited content (review find)
-    enough_words = F.size(F.split(trimmed, r"\s+")) >= line_min_words
+    # engine-wide whitespace rule: the explicit class, identical in Java
+    # regex and RE2/DuckDB (\s includes \x0b in one and not the other —
+    # queries/text.py:27 pins the rationale); a vertical-tab-separated
+    # line must count the same here as in every other token counter
+    enough_words = F.size(F.split(trimmed, r"[ \t\r\n\f]+")) >= line_min_words
     lower = F.lower(trimmed)
     no_phrase = F.lit(True)
     for p in phrases:
@@ -297,9 +298,12 @@ def dedup_corpus_lines(
     strips every occurrence (boilerplate is noise everywhere). Lines that
     trim to empty are exempt — they are structure, not content, and every
     blank line in the corpus would otherwise collide into one hash key.
-    Documents are reconstructed from surviving lines in order (a document
-    reduced to nothing survives as empty text — compose with a length
-    gate, like :func:`c4_span_dedup`).
+    Documents that lost a line are reconstructed from surviving lines in
+    order (a document reduced to nothing survives as empty text — compose
+    with a length gate, like :func:`c4_span_dedup`); untouched documents
+    — including NULL-text docs — pass through VERBATIM, NULL staying
+    NULL, matching :func:`c4_span_dedup` so ``corpus_diff`` never reports
+    a no-op as a modification.
 
     Plan, same family as the span dedup: one line posexplode (per-doc),
     one groupBy on the md5 line hash (uniform keys — the blank-line
@@ -338,8 +342,16 @@ def dedup_corpus_lines(
             | (F.col("lidx") != F.col("w.lidx"))
         )
     doomed = doomed.select("doc_id", "lidx")
+    # rebuild ONLY documents that actually lost a line — same pattern (and
+    # same reasons) as c4_span_dedup's touched-only rewrite: the no-dup
+    # majority keeps its text VERBATIM (NULL text stays NULL — a
+    # coalesce-to-'' here made corpus_diff report untouched NULL-text docs
+    # as 'modified'; advice find), and the reassembly shuffle shrinks from
+    # the whole corpus to the touched minority.
+    touched = doomed.select("doc_id").distinct().localCheckpoint(eager=False)
     survivors = (
-        lines.join(doomed, ["doc_id", "lidx"], "left_anti")
+        lines.join(touched, "doc_id", "left_semi")
+        .join(doomed, ["doc_id", "lidx"], "left_anti")
         .groupBy("doc_id")
         .agg(
             F.array_join(
@@ -352,12 +364,19 @@ def dedup_corpus_lines(
         )
     )
     extra = [c for c in docs.columns if c != text_col]
+    touched_ids = touched.withColumnRenamed("doc_id", id_col)
     rewritten = (
-        docs.join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
+        docs.join(touched_ids, id_col, "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(
             *extra,
+            # a touched doc that lost EVERY line has no survivor row ->
+            # empty text (the documented reduced-to-nothing contract)
             F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
         )
         .select(docs.columns)
     )
-    return rewritten.unionByName(null_id_docs.select(docs.columns))
+    untouched = docs.join(touched_ids, id_col, "left_anti")
+    return rewritten.unionByName(untouched.select(docs.columns)).unionByName(
+        null_id_docs.select(docs.columns)
+    )

@@ -640,9 +640,18 @@ class PQIndex:
         as APDB tables and the streaming gate stores). Incremental
         appends (append_to_pq_index, StreamingIndexAppend) leave one file
         per touched cluster per batch; run this as scheduled maintenance
-        so probe-time read fan-in stays bounded. Rows are preserved
-        exactly — queries are unchanged (pinned in
-        test_index_append_stream)."""
+        so probe-time read fan-in stays bounded. Distinct ids are
+        preserved exactly — queries are unchanged (pinned in
+        test_index_append_stream).
+
+        Doubles as the REPAIR path for the append family's single-writer
+        assumption: the id-idempotent append is read-store -> anti-join
+        -> write with no locking, so two CONCURRENT writers can both see
+        an id as absent and double-insert it. An id's codes are immutable
+        (frozen quantizers), so duplicate-id rows are bit-identical and
+        the (cluster, neighbor_id) dropDuplicates here restores
+        uniqueness without changing any query answer; with the documented
+        single writer it is a no-op."""
         from ..fs import TableFS
 
         TableFS(self.spark, self.root).compact_store(
@@ -652,6 +661,7 @@ class PQIndex:
             "cluster",
             sort_cols=["neighbor_id"],
             num_tasks=num_tasks,
+            dedup_cols=["cluster", "neighbor_id"],
         )
 
     def codes(self) -> DataFrame:
@@ -776,6 +786,13 @@ def append_to_pq_index(
     index equal queries against a from-scratch index over the union
     (pinned in test_pq_index). Caller owns id uniqueness across
     generations, like any append sink.
+
+    SINGLE WRITER assumed: appends are unlocked read-then-write, so two
+    concurrent appenders (e.g. a backfill racing the bound stream) can
+    both see an id as absent and double-insert it. Serialize writers; if
+    a race did double-insert, :meth:`PQIndex.compact` dedups
+    (cluster, neighbor_id) as the repair path (safe — an id's codes are
+    immutable under the frozen quantizers).
 
     Scale shape: one scan of the NEW vectors only (assignment -> encode,
     the same single-pass plan as the build), one partitioned append —

@@ -20,6 +20,16 @@ the fresh rows. Nothing scales with the index except the pruned probe.
 Partition file counts stay bounded the same way as the gate stores:
 ``PQIndex.compact()`` (fs.compact_store underneath) folds each cluster
 directory back to one file; run it as scheduled maintenance.
+
+SINGLE WRITER per index root: the id-idempotent append is an unlocked
+read-store -> anti-join -> write, so two CONCURRENT writers (a backfill
+``append`` racing the bound stream) can both observe an id as absent and
+both insert it. Intra-batch duplicates are collapsed by the encode's
+per-id aggregation; cross-writer races are not — serialize writers (one
+bound stream OR one backfill at a time per root). If a race did
+double-insert, ``PQIndex.compact()`` is the repair path: it dedups
+(cluster, neighbor_id) during the fold, exact because an id's codes are
+immutable under the frozen quantizers.
 """
 
 from __future__ import annotations

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.bloom import (
     bloom_build,
+    bloom_load,
     bloom_might_contain,
     bloom_params,
+    bloom_save,
     bloom_union,
     filter_definitely_new,
 )
@@ -85,6 +87,39 @@ def test_parquet_roundtrip(spark, tmp_path):
         F.col("might_contain")
     ).count()
     assert a == b == 300
+
+
+def test_save_load_roundtrip_and_format_check(spark, tmp_path):
+    """bloom_save persists a format-fingerprint sentinel; bloom_load
+    verifies it and strips it. Loading under ANY different geometry
+    (m, k, or salt) — or loading a bare word table persisted without the
+    marker — raises instead of silently probing wrong bit positions."""
+    path = str(tmp_path / "bloom_v")
+    bloom = bloom_build(_items(spark, 0, 300), "fp", M, K)
+    bloom_save(bloom, path, M, K)
+    loaded = bloom_load(spark, path, M, K)
+    # sentinel stripped: loaded word table identical to the built one
+    got = {(r.word_idx, r.word) for r in loaded.collect()}
+    want = {(r.word_idx, r.word) for r in bloom.collect()}
+    assert got == want
+    n = (
+        bloom_might_contain(_items(spark, 0, 300), loaded, "fp", M, K)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert n == 300  # no false negatives through the persisted path
+    # any geometry mismatch is loud
+    with pytest.raises(ValueError, match="different format"):
+        bloom_load(spark, path, M, K + 1)
+    with pytest.raises(ValueError, match="different format"):
+        bloom_load(spark, path, M * 2, K)
+    with pytest.raises(ValueError, match="different format"):
+        bloom_load(spark, path, M, K, salt="bloom-v1")
+    # a pre-versioning store (no marker) is rejected, not probed
+    bare = str(tmp_path / "bloom_bare")
+    bloom.write.parquet(bare)
+    with pytest.raises(ValueError, match="no format marker"):
+        bloom_load(spark, bare, M, K)
 
 
 def test_null_and_duplicate_values(spark):

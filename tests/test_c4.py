@@ -26,7 +26,8 @@ def _ref_signals(text, line_min_words=5, min_sentences=3):
         t = l.strip()
         if not t.endswith((".", "!", "?", '"')):
             continue
-        if len(re.split(r"\s+", t)) < line_min_words:
+        # the engine-wide explicit whitespace class (queries/text.py:27)
+        if len(re.split(r"[ \t\r\n\f]+", t)) < line_min_words:
             continue
         low = t.lower()
         if any(p in low for p in DEFAULT_DROP_LINE_PHRASES):
@@ -221,8 +222,9 @@ def test_dedup_corpus_lines_keep_first(spark):
     assert got[2] == "Unique only content two."
     # within-doc repetition alone is NOT corpus duplication (distinct-doc rule)
     assert got[3] == "Repeated inside only.\nRepeated inside only.\nSolo doc line."
-    # rewriter contract: rows preserved, null/empty text -> empty
-    assert got[4] == "" and got[5] == ""
+    # rewriter contract: rows preserved; untouched docs verbatim — empty
+    # text stays empty and NULL text stays NULL (not coalesced to '')
+    assert got[4] == "" and got[5] is None
     assert len(got) == 6
 
 
@@ -297,7 +299,10 @@ surv AS (
   WHERE d.doc_id IS NULL
   GROUP BY l.doc_id
 )
-SELECT d.doc_id, coalesce(s.new_text, '') AS text
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT doc_id FROM doomed)
+            THEN coalesce(s.new_text, '')
+            ELSE d.text END AS text
 FROM docs d LEFT JOIN surv s USING (doc_id)
 ORDER BY doc_id
 """

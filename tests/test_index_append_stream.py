@@ -144,3 +144,35 @@ def test_compact_bounds_files_and_preserves_queries(spark, tmp_path):
     assert after == before
     got = {tuple(r) for r in pq_index_topk(idx, queries, emb, **kw).collect()}
     assert got == want
+
+
+def test_compact_repairs_concurrent_writer_double_insert(spark, tmp_path):
+    """The append family assumes a SINGLE writer (unlocked read -> anti-
+    join -> write); if two concurrent writers raced and double-inserted
+    ids, compact() is the documented repair path — it dedups
+    (cluster, neighbor_id) during the fold, exact because duplicate-id
+    rows are bit-identical under the frozen quantizers."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    _seeded_index(spark, emb, root)
+    idx = load_pq_index(spark, root)
+    clean = {
+        (r.cluster, r.neighbor_id, tuple(r.codes))
+        for r in idx.codes().collect()
+    }
+    # simulate the race: re-append a slice of the existing rows verbatim
+    # (exactly what a second writer that saw them as absent would write)
+    dup = idx.codes().filter(F.col("neighbor_id") % 5 == 0)
+    n_dup = dup.count()
+    assert n_dup > 0
+    dup.repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(f"{root}/codes.parquet")
+    assert idx.codes().count() == len(clean) + n_dup  # corrupted: dup ids
+    idx.compact()
+    repaired = [
+        (r.cluster, r.neighbor_id, tuple(r.codes))
+        for r in idx.codes().collect()
+    ]
+    assert len(repaired) == len(clean)  # uniqueness restored
+    assert set(repaired) == clean  # and nothing else changed
