@@ -13,6 +13,18 @@ fastest of three steady-state visits (visits 3-5 on the same growing
 store). Methodology is otherwise identical to rounds 2-4 (same warmup,
 same plans, same store shapes).
 
+Round 6 adds, per the r5 verdict:
+* MEDIAN alongside min (``queries_median`` / ``value_median`` /
+  ``ap_visit_median``) so cross-round trends stay honest — the r1-r4
+  single-shot records are comparable to the MEDIAN (an unlucky
+  single-shot ~= a typical rep), while min remains the headline
+  robust-cost estimator;
+* a ``recall`` map — mean recall@k of every approximate ANN headline
+  against the exact brute-force result at the SAME bench shape
+  (operators/similarity.py ann_recall, restricted to each query set) —
+  so a wall-time "win" can never silently trade recall between rounds.
+  The bench asserts the same floors the pytest suite pins.
+
 Includes the domain benchmark from BASELINE.md: one full simulated AP visit
 (Q1 region read + match + forced photometry + history reads + versioned
 store) against the 45 s visit cadence budget (reference config.py:49), at the
@@ -36,10 +48,11 @@ from l1dbproto_spark.queries import load_all
 from l1dbproto_spark.session import get_spark
 
 
-def bench_visit(spark) -> float:
-    """Seconds for one steady-state visit: the fastest of visits 3-5 on the
-    same growing store (visits 1-2 warm the DB; the min over three steady
-    visits is robust to transient host load — see module docstring)."""
+def bench_visit(spark) -> tuple[float, float]:
+    """(min, median) seconds for one steady-state visit over visits 3-5 on
+    the same growing store (visits 1-2 warm the DB; min is robust to
+    transient host load, median is the honest cross-round trend number —
+    see module docstring)."""
     from l1dbproto_spark.apdb import ApdbSpark
     from l1dbproto_spark.plans.region import Circle
     from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
@@ -71,7 +84,8 @@ def bench_visit(spark) -> float:
             if v >= 3:  # visits 1-2 warm the store; 3-5 are steady state
                 steady.append(time.time() - start)
         cat.unpersist()
-        return round(min(steady), 3)
+        steady.sort()
+        return round(min(steady), 3), round(steady[len(steady) // 2], 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -159,6 +173,7 @@ def main() -> None:
             spec.builder(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, spec in headline.items():
         reps = []
         for _ in range(3):  # min-of-3: robust to ambient host load
@@ -166,9 +181,47 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             df.count()  # executes the full plan without driver materialization
             reps.append(time.time() - t0)
+        reps.sort()
         timings[name] = round(min(reps), 3)
+        medians[name] = round(reps[len(reps) // 2], 3)
 
-    timings["ap_visit"] = bench_visit(spark)
+    timings["ap_visit"], medians["ap_visit"] = bench_visit(spark)
+
+    # ANN recall record: mean recall@k of each approximate headline vs the
+    # exact brute-force result at the same bench shape. Exact pairs are
+    # restricted to each approx query set (ivf_pq_topk queries vec_id<10;
+    # the others <20) so recall means what it says. Floors mirror the
+    # pytest pins — a speed win that trades recall fails the bench.
+    from pyspark.sql import functions as F
+
+    from l1dbproto_spark.operators.similarity import ann_recall
+
+    exact = specs["ann_topk_brute"].builder(spark, sf_dir)
+    recall: dict[str, float] = {}
+    # floors sit under the measured sf0.1 values (0.11 / 0.86 / 0.56 /
+    # 1.0 this round) with headroom for data-shape drift; quantized_topk
+    # mirrors the tests/test_quantize.py 0.95 pin, ivf_pq the
+    # tests/test_pq.py 0.5 pin
+    recall_floors = {
+        "ann_topk_lsh": 0.08,  # 4-bit single-table LSH: coarse by design
+        "ann_topk_ivf": 0.6,
+        "ivf_pq_topk": 0.5,
+        "quantized_topk": 0.95,
+    }
+    for name, floor in recall_floors.items():
+        approx = specs[name].builder(spark, sf_dir)
+        scoped_exact = exact.join(
+            approx.select("query_id").distinct(), "query_id", "left_semi"
+        )
+        mean_recall = (
+            ann_recall(approx, scoped_exact)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        recall[name] = round(float(mean_recall), 4)
+        assert recall[name] >= floor, (
+            f"{name} recall {recall[name]} fell below the {floor} floor"
+        )
 
     # Extra-ops record (NOT in the headline total, so the round-over-round
     # total stays comparable): min-of-2 timings of the round-5 training-
@@ -209,6 +262,7 @@ def main() -> None:
     steady = sorted(visit_times[1:] if len(visit_times) > 1 else visit_times)
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -216,6 +270,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_median": total_median,
+                "queries_median": medians,
+                "recall": recall,
                 "sf": sf,
                 "streaming_visit_times": visit_times,
                 "maintenance_events": maintenance_events,

@@ -10,6 +10,8 @@ express the semantics.
 
 Layout:
   session     — SparkSession builder tuned for local[N] and cluster use
+  checkpoint  — the engine-wide lineage-cut switch (pin;
+                checkpoint_mode local|reliable for preemptible clusters)
   schemas     — StructType registry for the APDB tables (felis-type mapping)
   functions/  — scalar expression libraries (geo, time, text, vector, pixel)
   operators/  — composite DataFrame operators (windows, dedup, similarity, ...)

@@ -38,6 +38,8 @@ from typing import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .checkpoint import pin
+
 from .fs import TableFS
 from .functions.pixelize import DEFAULT_LEVEL, pixel_expr_radec, ranges_predicate
 from .functions.timeutil import (
@@ -268,7 +270,7 @@ class ApdbSpark:
         # mutates (e.g. the match join reads DiaObjectLast); the Last-merge
         # overwrite below invalidates path caches, so a plain cache() would
         # silently recompute against post-store state.
-        obj = obj.localCheckpoint(eager=True)
+        obj = obj.transform(pin, eager=True)
         for f in TABLE_SCHEMAS["DiaObject"].fields:
             if f.name not in obj.columns:
                 obj = obj.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -465,7 +467,7 @@ class ApdbSpark:
         keep = (
             scoped.filter(F.col(part_col).isin(list(had)))
             .filter(~pred | pred.isNull())
-            .localCheckpoint(eager=True)  # read-before-overwrite
+            .transform(pin, eager=True)  # read-before-overwrite
         )
         still = {r[0] for r in keep.select(part_col).distinct().collect()}
         for v in had - still:
@@ -498,7 +500,7 @@ class ApdbSpark:
         # survive to the writer or it re-sorts by partition column only
         compacted = df.repartition(
             target_files_per_partition * 8, F.col(part_col)
-        ).localCheckpoint(eager=True)
+        ).transform(pin, eager=True)
         compacted = compacted.sortWithinPartitions(part_col, sort_col)
         # per-write option, NOT session conf: mutating the shared session's
         # partitionOverwriteMode would silently change later overwrite writes
@@ -601,7 +603,7 @@ class ApdbSpark:
         )
         if debug_checks:  # opt-in: an extra full pass over touched partitions
             assert updated.filter(F.col("diaObjectId").isNull()).isEmpty()
-        updated = updated.localCheckpoint(eager=True)  # read-before-overwrite
+        updated = updated.transform(pin, eager=True)  # read-before-overwrite
         updated.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"  # scoped to this write only
         ).partitionBy("mjd_month").parquet(self._path("DiaSource"))
@@ -668,7 +670,7 @@ class ApdbSpark:
         # an unordered partitioned write makes Spark insert its own
         # non-stable partition-column sort) and the partition column must
         # lead it (see the DiaObject write).
-        merged = merged.repartition("pixel_bucket").localCheckpoint(eager=True)
+        merged = merged.repartition("pixel_bucket").transform(pin, eager=True)
         merged = merged.sortWithinPartitions("pixel_bucket", "pixelId")
         merged.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"  # scoped to this write only

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from .checkpoint import pin
+
 
 class TableFS:
     """Thin wrapper over the Hadoop FileSystem owning a root URI."""
@@ -96,7 +98,7 @@ class TableFS:
         df = spark.read.schema(schema).parquet(path)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
-        compacted = df.repartition(num_tasks, F.col(part_col)).localCheckpoint(
+        compacted = df.repartition(num_tasks, F.col(part_col)).transform(pin, 
             eager=True
         )
         if sort_cols:

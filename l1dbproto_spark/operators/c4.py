@@ -35,6 +35,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 # the paper's line-level boilerplate phrases + "javascript"
 DEFAULT_DROP_LINE_PHRASES = [
     "javascript",
@@ -242,7 +244,7 @@ def c4_span_dedup(
     # unconditional rebuild rejoined every doc's sentences with spaces,
     # gutting line structure for the no-dup majority, and shuffled the
     # whole corpus through collect_list for nothing; review find)
-    touched = losers.select("doc_id").distinct().localCheckpoint(eager=False)
+    touched = losers.select("doc_id").distinct().transform(pin, eager=False)
     survivors = (
         sent.join(touched, "doc_id", "left_semi")
         .join(losers, ["doc_id", "sidx"], "left_anti")
@@ -341,14 +343,18 @@ def dedup_corpus_lines(
             (F.col("doc_id") != F.col("w.doc_id"))
             | (F.col("lidx") != F.col("w.lidx"))
         )
-    doomed = doomed.select("doc_id", "lidx")
+    # doomed is (doc_id, lidx) — bounded by the duplicated-line count, far
+    # smaller than the corpus — and feeds THREE consumers (the survivor
+    # anti-join, touched, and through it both rewrite branches); pinning it
+    # keeps the line-explode/stats subtree out of every downstream branch
+    doomed = doomed.select("doc_id", "lidx").transform(pin, eager=False)
     # rebuild ONLY documents that actually lost a line — same pattern (and
     # same reasons) as c4_span_dedup's touched-only rewrite: the no-dup
     # majority keeps its text VERBATIM (NULL text stays NULL — a
     # coalesce-to-'' here made corpus_diff report untouched NULL-text docs
     # as 'modified'; advice find), and the reassembly shuffle shrinks from
     # the whole corpus to the touched minority.
-    touched = doomed.select("doc_id").distinct().localCheckpoint(eager=False)
+    touched = doomed.select("doc_id").distinct().transform(pin, eager=False)
     survivors = (
         lines.join(touched, "doc_id", "left_semi")
         .join(doomed, ["doc_id", "lidx"], "left_anti")

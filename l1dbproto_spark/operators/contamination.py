@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .dedup import word_shingles
 
 
@@ -149,7 +151,7 @@ def decontaminate(
     worst = flagged.groupBy("doc_id").agg(
         F.max_by("eval_id", F.struct("contamination", "eval_id")).alias("eval_id"),
         F.max("contamination").alias("contamination"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     clean = corpus.join(
         worst.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
@@ -266,6 +268,6 @@ def decontaminate_semantic(
             F.col(eval_id_col), F.struct("cosine_sim", F.col(eval_id_col))
         ).alias(eval_id_col),
         F.max("cosine_sim").alias("cosine_sim"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     clean = corpus.join(worst.select(id_col), id_col, "left_anti")
     return clean, worst

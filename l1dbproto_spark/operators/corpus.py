@@ -15,6 +15,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .dedup import (
     doc_shingle_sets,
     jaccard_pairs_from_sets,
@@ -120,17 +122,19 @@ def clean_corpus(
     sequence of anti-joins, and each gate's work runs exactly once across
     BOTH returned frames.
 
-    Fault-tolerance trade-off (deliberate): ``localCheckpoint`` blocks
-    live on executors, not reliable storage — lose an executor (or let
-    dynamic allocation decommission one) and the job FAILS instead of
-    recomputing lineage. That is the right default for this operator
-    family: the pinned frames are id-sized and cheap to rebuild by
-    re-running, while a reliable ``checkpoint()`` would write every gate's
-    id-set through the cluster filesystem on every run. For long-running
-    production jobs on preemptible hardware, swap in
-    ``spark.sparkContext.setCheckpointDir(...)`` + ``.checkpoint()`` (or
-    persist the id-sets to a table) at these sites — the plan shape is
-    identical; only the storage of the cut changes."""
+    Fault-tolerance trade-off (switchable): in the default
+    ``checkpoint_mode("local")`` the pinned blocks live on executors,
+    not reliable storage — lose an executor (or let dynamic allocation
+    decommission one) and the job FAILS instead of recomputing lineage.
+    That is the right default for this operator family: the pinned
+    frames are id-sized and cheap to rebuild by re-running, while a
+    reliable ``checkpoint()`` writes every gate's id-set through the
+    cluster filesystem on every run. For long-running production jobs on
+    preemptible hardware, ``set_checkpoint_mode("reliable", spark,
+    checkpoint_dir=...)`` (l1dbproto_spark/checkpoint.py) swaps EVERY
+    lineage cut in the engine to filesystem-backed ``checkpoint()`` —
+    the plan shape is identical; only the storage of the cut changes
+    (pinned in tests/test_checkpoint_mode.py)."""
     n_tok = (
         F.col(count_col)
         if count_col is not None
@@ -159,7 +163,7 @@ def clean_corpus(
         failing = (
             scores.filter(F.col("mean_logprob") < min_logprob)
             .select(id_col)
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         low_quality = failing.select(
             F.col(id_col).alias("doc_id"),
@@ -176,7 +180,7 @@ def clean_corpus(
         failing_rep = (
             rep.filter(~F.col("passes_repetition"))
             .select(id_col)
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         repetitive = failing_rep.select(
             F.col(id_col).alias("doc_id"),
@@ -193,7 +197,7 @@ def clean_corpus(
         failing_pii = (
             sig.filter(F.col("n_pii") > max_pii)
             .select(id_col)
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         pii_heavy = failing_pii.select(
             F.col(id_col).alias("doc_id"),
@@ -218,7 +222,7 @@ def clean_corpus(
         failing_cls = (
             cls.filter(F.col("score") < min_classifier_score)
             .select(id_col)
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         low_score = failing_cls.select(
             F.col(id_col).alias("doc_id"),
@@ -248,7 +252,7 @@ def clean_corpus(
         F.col(id_col).alias("doc_id"),
         F.lit("exact_dup").alias("reason"),
         "canonical_id",
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     exact_survivors = with_canon.filter(F.col(id_col) == F.col("canonical_id")).drop(
         "_fp", "canonical_id"
     )
@@ -268,7 +272,7 @@ def clean_corpus(
             F.col("node").alias("doc_id"),
             F.lit("near_dup").alias("reason"),
             F.col("component").alias("canonical_id"),
-        ).localCheckpoint(eager=False)
+        ).transform(pin, eager=False)
     else:
         from .graph import resolve_canonicals
 
@@ -282,7 +286,7 @@ def clean_corpus(
             F.col(id_col).alias("doc_id"),
             F.lit("near_dup").alias("reason"),
             F.col("canonical_id"),
-        ).localCheckpoint(eager=False)
+        ).transform(pin, eager=False)
     cleaned = exact_survivors.join(
         near_dups.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
@@ -306,7 +310,7 @@ def clean_corpus(
             F.col(id_col).alias("doc_id"),
             F.lit("semantic_dup").alias("reason"),
             F.col("canonical_id"),
-        ).localCheckpoint(eager=False)
+        ).transform(pin, eager=False)
         cleaned = cleaned.join(
             semantic_dups.select(F.col("doc_id").alias(id_col)),
             id_col,
@@ -397,7 +401,7 @@ def leakage_safe_split(
             min_jaccard=min_jaccard,
             df_cap=df_cap,
         )
-    comps = connected_components(pairs).localCheckpoint(eager=False)
+    comps = connected_components(pairs).transform(pin, eager=False)
     grouped = docs.join(
         comps.select(F.col("node").alias(id_col), "component"),
         id_col,

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..functions.hashing import portable_hash64
 
 
@@ -152,7 +154,7 @@ def shingle_jaccard_pairs(
     if materialize:
         # both the per-doc counts and the inverted index scan the shingle
         # set; materialize it once instead of recomputing the explode+distinct
-        shingles = shingles.localCheckpoint(eager=True)
+        shingles = shingles.transform(pin, eager=True)
     # inverted index: docs per shingle, then in-list pair expansion — one
     # aggregation instead of a two-sided self-join shuffle; df_cap bounds the
     # in-list expansion of any single posting list.

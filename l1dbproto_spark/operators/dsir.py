@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..functions.hashing import portable_hash64
 
 
@@ -125,7 +127,7 @@ def bucket_distribution(
     counts = (
         features.groupBy("bucket")
         .agg(F.sum("cnt").alias("_c"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     dense = features.sparkSession.range(num_buckets).select(
         F.col("id").cast("long").alias("bucket")

@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 
 def duplicate_window_seeds(
     docs: DataFrame,
@@ -132,7 +134,7 @@ def exact_substring_dedup(
             ).alias("tidx"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 
 def connected_components(
     edges: DataFrame,
@@ -46,7 +48,7 @@ def connected_components(
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
     )
-    undirected = undirected.localCheckpoint(eager=True)
+    undirected = undirected.transform(pin, eager=True)
     for _ in range(max_iterations):
         # candidate: min of own label and neighbors' labels
         neighbor_labels = (
@@ -82,7 +84,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(pin, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

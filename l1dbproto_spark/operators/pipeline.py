@@ -36,6 +36,8 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
+from ..checkpoint import pin
+
 
 def _stage_strip_html(docs: DataFrame, **p) -> DataFrame:
     from .html import strip_html
@@ -177,7 +179,7 @@ def run_pipeline(
         params = {k: v for k, v in spec.items() if k != "stage"}
         docs = STAGES[spec["stage"]](docs, **params)
         if checkpoint_stages:
-            docs = docs.localCheckpoint()
+            docs = docs.transform(pin)
         if audit:
             log.append({"stage": spec["stage"], "rows": docs.count()})
     return docs, log

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .similarity import dot_fold, l2_norm
 
 
@@ -851,15 +853,15 @@ def pq_index_topk(
     m, k_codes, dim = meta.m, meta.k_codes, meta.dim
     cent = index.centroids().select(
         "cluster", F.col("centroid").alias("_cvec")
-    ).localCheckpoint(eager=False)
-    codebooks = index.codebooks().localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
+    codebooks = index.codebooks().transform(pin, eager=False)
 
     probes = _nearest_centroids(
         queries.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")),
         cent,
         n=n_probe,
         id_alias="query_id",
-    ).select("query_id", "cluster").localCheckpoint(eager=True)
+    ).select("query_id", "cluster").transform(pin, eager=True)
     probed_ids = [r.cluster for r in probes.select("cluster").distinct().collect()]
     coded = index.codes().filter(F.col("cluster").isin(probed_ids))
 

@@ -28,6 +28,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .dedup import normalize_text, shingle_rows
 
 
@@ -166,7 +168,7 @@ def bigram_logprob_scores(
     pc = (
         tf.groupBy("prev", "w")
         .agg(F.sum("cnt").alias("pcnt"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     uni = pc.groupBy("w").agg(F.sum("pcnt").alias("c_w"))
     totals = uni.agg(
@@ -244,7 +246,7 @@ def fit_bigram_lm(
     pc = (
         tf.groupBy("prev", "w")
         .agg(F.sum("cnt").alias("pcnt"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     uni = pc.groupBy("w").agg(F.sum("pcnt").alias("c_w"))
     totals = uni.agg(
@@ -698,7 +700,7 @@ def collocations(
         tf.filter(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("w1"), F.col("w").alias("w2"))
         .agg(F.sum("cnt").alias("pair_count"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     left = pc.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
     right = pc.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))

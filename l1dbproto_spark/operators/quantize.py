@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .similarity import dot_fold, l2_norm
 
 
@@ -93,7 +95,7 @@ def quantized_topk(
     # cosine division an ANSI error (see similarity.brute_force_topk)
     q = q.withColumn("qn", l2_norm(F.col("qvec"))).filter(
         (F.col("qn") > 0) & ~F.isnan("qn")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     # ^ queries are the bounded side: pin them so stage 1 and the
     # survivor join-back share one materialization instead of re-scanning
     approx = (

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 
 def _unit_hash(id_col: Column, salt: str) -> Column:
     """Deterministic u in [0, 1): 48-bit md5 prefix of salt+id (exact in a
@@ -170,7 +172,7 @@ def temperature_rates(
     oracle in tests/test_sampling.py)."""
     counts = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     tot = counts.agg(
         F.sum("n_docs").alias("_n"),
         F.sum(F.pow(F.col("n_docs"), F.lit(0.0) + alpha)).alias("_za"),

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from .similarity import _nearest_centroids, _spread, dot, l2_norm
 
 
@@ -140,7 +142,7 @@ def semantic_dedup(
             "id_a", F.struct(F.col("cosine_sim"), (-F.col("id_a")).alias("na"))
         ).alias("canonical_id"),
         F.max("cosine_sim").alias("cosine_sim"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     kept = vectors.join(dropped.select(id_col), id_col, "left_anti")
     return kept, dropped
 

@@ -312,3 +312,71 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = esh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
     index = EvalIndex(shingles=esh, sizes=sizes)
     return ngram_contamination(docs, n=3, min_overlap=2, index=index)
+
+
+@query(
+    "dedup_corpus_lines",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             'Accept our cookies to continue reading.' || chr(10) ||
+             replace(text, '. ', '.' || chr(10)) AS text
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM injected
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS lidx, parts[i] AS line
+      FROM split, unnest(range(1, len(parts) + 1)) AS t(i)
+    ),
+    content AS (
+      SELECT doc_id, lidx, md5(trim(line)) AS h FROM lines
+      WHERE len(trim(line)) > 0
+    ),
+    dup AS (
+      SELECT h FROM content GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.lidx,
+             ROW_NUMBER() OVER (PARTITION BY c.h ORDER BY c.doc_id, c.lidx)
+               AS rn
+      FROM content c JOIN dup USING (h)
+    ),
+    doomed AS (SELECT doc_id, lidx FROM ranked WHERE rn > 1),
+    surv AS (
+      SELECT l.doc_id,
+             string_agg(l.line, chr(10) ORDER BY l.lidx) AS new_text
+      FROM lines l
+      LEFT JOIN doomed d ON l.doc_id = d.doc_id AND l.lidx = d.lidx
+      WHERE d.doc_id IS NULL
+      GROUP BY l.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM doomed)
+                THEN coalesce(s.new_text, '')
+                ELSE d.text END AS text
+    FROM injected d LEFT JOIN surv s USING (doc_id)
+    """,
+    survey="ext:line-dedup (CCNet/RefinedWeb corpus-level boilerplate line removal)",
+)
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE dedup (operators/c4.py dedup_corpus_lines —
+    CCNet/RefinedWeb boilerplate removal, keep_first rule): a recurring
+    boilerplate line plus sentence-per-line structure is injected over the
+    documents fixture (literal replace, engine-portable) so the rule has
+    real duplicated lines to remove; the corpus-first occurrence survives,
+    every later one is stripped, untouched docs pass through verbatim.
+    DuckDB re-derives the full rule: line explode, trimmed-md5 line
+    identity, >= 2 distinct docs, ROW_NUMBER-first winner, per-doc
+    reassembly in line order."""
+    from ..operators.c4 import dedup_corpus_lines as _lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Accept our cookies to continue reading.\n"),
+            F.replace(F.col("text"), F.lit(". "), F.lit(".\n")),
+        ).alias("text"),
+    )
+    return _lines(docs)

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..operators.similarity import brute_force_topk, dot, l2_norm, lsh_bucketed_topk
 from ..sources.catalog import load_table
 from . import query
@@ -266,8 +268,8 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("embedding").alias("centroid"),
-    ).localCheckpoint(eager=False)
-    cb = pq_codebooks(emb, m=8, k_codes=16, dim=64).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
+    cb = pq_codebooks(emb, m=8, k_codes=16, dim=64).transform(pin, eager=False)
     return _ivf_pq(
         emb, queries, centroids, cb, k=5, n_probe=2, refine=4,
         m=8, k_codes=16, dim=64,

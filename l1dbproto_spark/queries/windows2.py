@@ -11,46 +11,20 @@ from ..sources.catalog import load_table
 from . import query
 
 
-@query(
-    "window_frames_battery",
-    oracle="""
-    SELECT
-      o_custkey,
-      o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS DOUBLE) AS running_spend,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-      ) AS DOUBLE)
-      / COUNT(*) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-      ) AS moving_avg_3,
-      o_orderdate AS validity_start,
-      LEAD(o_orderdate) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      ) AS validity_end,
-      (o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
-       AND (LEAD(o_orderdate) OVER (
-              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ) IS NULL
-            OR LEAD(o_orderdate) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) > TIMESTAMP '1997-06-01 00:00:00')) AS active_at_t
-    FROM orders
-    """,
-    survey="W2 (SCD-2 validity + as-of-at-T flag) + window frames (running sum, moving avg)",
-)
 def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-frame battery per order version: cumulative spend + 3-row moving
     average (frame specs), the SCD-2 validity interval derived with lead()
     (the batch form of the reference's validityEnd truncation, metrics.md:57
     — SURVEY.md W2), and the as-of flag marking the version active at T (the
     version-table read path behind ``getDiaObjects`` when the materialized
-    Last table is bypassed)."""
+    Last table is bypassed).
+
+    Unregistered in round 6 (50-slot registry cap): its slot went to
+    ``dedup_corpus_lines`` so the C4/CCNet cleaning family sits under the
+    driver's hard signal; W2 stays driver-covered via
+    ``latest_version_per_key`` and the SCD-2 pytest suite. Kept as API
+    surface under the same DuckDB oracle in
+    tests/test_unregistered_batteries.py."""
     orders = load_table(spark, sf_dir, "orders")
     t = F.lit("1997-06-01 00:00:00").cast("timestamp")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

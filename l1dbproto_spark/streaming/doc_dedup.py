@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..fs import TableFS
 from ..operators.dedup import normalize_text
 
@@ -156,7 +158,7 @@ class StreamingDocDedup:
         winners = (
             fingered.groupBy("fp_bucket", "fingerprint")
             .agg(win, F.count(F.lit(1)).alias("n_copies_in_batch"))
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
         batch_buckets = [
             r.fp_bucket for r in winners.select("fp_bucket").distinct().collect()
@@ -182,7 +184,7 @@ class StreamingDocDedup:
                     & (F.col("_seen_epoch") == F.lit(ep))
                 )
             )
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
         admitted.filter(F.col("_seen_keep").isNull()).select(
             "fp_bucket", "fingerprint", F.col("keep_doc_id"), F.lit(ep).alias("epoch")
@@ -348,7 +350,7 @@ class StreamingNearDupGate:
         buckets = (
             self._batch_buckets(batch)
             .withColumn("bkt_pfx", F.substring("bucket", 1, 2))
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
         batch_prefixes = [
             r.bkt_pfx for r in buckets.select("bkt_pfx").distinct().collect()
@@ -388,7 +390,7 @@ class StreamingNearDupGate:
             buckets.join(rejected, self.id_col, "left_anti")
             .groupBy(self.id_col)
             .agg(F.count(F.lit(1)).alias("n_buckets"))
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
         fresh = buckets.join(
             admitted.select(self.id_col), self.id_col, "left_semi"

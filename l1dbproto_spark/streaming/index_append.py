@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..operators.pq import PQIndex, _encode_for_index, load_pq_index
 
 
@@ -60,9 +62,9 @@ class StreamingIndexAppend:
         self._cent = (
             self.index.centroids()
             .select("cluster", F.col("centroid").alias("_cvec"))
-            .localCheckpoint(eager=True)
+            .transform(pin, eager=True)
         )
-        self._codebooks = self.index.codebooks().localCheckpoint(eager=True)
+        self._codebooks = self.index.codebooks().transform(pin, eager=True)
 
     def _coded_and_probe(self, batch: DataFrame):
         """Shared probe construction: (coded batch, pruned store read) —
@@ -79,7 +81,7 @@ class StreamingIndexAppend:
             meta.residual,
             self.vec_col,
             self.id_col,
-        ).localCheckpoint(eager=True)
+        ).transform(pin, eager=True)
         clusters = [
             r.cluster for r in coded.select("cluster").distinct().collect()
         ]
@@ -96,7 +98,7 @@ class StreamingIndexAppend:
         if coded is None:
             return 0
         existing = probe.select("neighbor_id")
-        fresh = coded.join(existing, "neighbor_id", "left_anti").localCheckpoint(
+        fresh = coded.join(existing, "neighbor_id", "left_anti").transform(pin, 
             eager=True
         )
         n_new = fresh.count()

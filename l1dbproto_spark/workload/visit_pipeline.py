@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..apdb import ApdbSpark
 from ..functions.timeutil import python_datetime_to_mjd
 from ..plans.region import Circle
@@ -104,7 +106,7 @@ def process_visit(
         # post-store state (transients self-matching to nDiaSources=2).
         # localCheckpoint truncates the lineage so every downstream consumer
         # (sources, forced, counts) sees the pre-store snapshot.
-        objects = objects.localCheckpoint(eager=True)
+        objects = objects.transform(pin, eager=True)
         counts.objects_read = f_objects_read.result()
 
     # --- DiaSource build (d): id = (visit*n_det + detector)*1e6 + 1..n

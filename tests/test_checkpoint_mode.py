@@ -1,0 +1,130 @@
+"""The engine-wide lineage-cut switch (l1dbproto_spark/checkpoint.py):
+reliable mode must produce IDENTICAL results to the default local mode
+(the cut changes storage, never the plan), must actually write RDD
+checkpoint files under the configured dir (that is the fault-tolerance
+property being bought), and must fail loudly when no dir is set."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark import checkpoint as ckpt
+from l1dbproto_spark.checkpoint import (
+    checkpoint_mode,
+    get_checkpoint_mode,
+    pin,
+    set_checkpoint_mode,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ckpt_files(root: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(f"{root}/**", recursive=True)
+        if not p.endswith("/") and "part" in p.rsplit("/", 1)[-1]
+    ]
+
+
+def test_mode_validation_and_scoping(spark):
+    assert get_checkpoint_mode() == "local"
+    with pytest.raises(ValueError, match="must be one of"):
+        set_checkpoint_mode("bogus")
+    with pytest.raises(ValueError, match="requires the spark session"):
+        set_checkpoint_mode("reliable", checkpoint_dir="/tmp/x")
+    # context manager restores the previous mode even on error
+    with pytest.raises(RuntimeError):
+        with checkpoint_mode("local"):
+            raise RuntimeError("boom")
+    assert get_checkpoint_mode() == "local"
+
+
+def test_reliable_without_dir_fails_loudly(spark, monkeypatch):
+    """A reliable-mode pin with no checkpoint dir must raise the engine's
+    clear error, not Spark's deep-stack one (guard tested via the
+    introspection hook so the shared session's sticky dir can't mask it)."""
+    monkeypatch.setattr(ckpt, "_has_checkpoint_dir", lambda df: False)
+    df = spark.range(5)
+    with checkpoint_mode("reliable"):
+        with pytest.raises(RuntimeError, match="no checkpoint dir"):
+            pin(df)
+
+
+def test_clean_corpus_reliable_equals_local_and_writes_files(spark, tmp_path):
+    """The flagship multi-gate pipeline (clean_corpus: length + quality +
+    repetition + PII gates, exact + near dedup — the densest pin user in
+    the engine) in reliable mode: identical keep/drop output, and RDD
+    checkpoint part-files actually land under the configured dir."""
+    from l1dbproto_spark.operators.corpus import clean_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kw = dict(min_tokens=5, min_logprob=-9.5, repetition_gate=True, max_pii=3)
+
+    res_l = clean_corpus(docs, **kw)
+    want_kept = {r.doc_id for r in res_l.cleaned.select("doc_id").collect()}
+    want_drops = {
+        (r.doc_id, r.reason)
+        for r in res_l.dropped.select("doc_id", "reason").collect()
+    }
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    with checkpoint_mode("reliable", spark, checkpoint_dir=ckpt_dir):
+        res_r = clean_corpus(docs, **kw)
+        got_kept = {r.doc_id for r in res_r.cleaned.select("doc_id").collect()}
+        got_drops = {
+            (r.doc_id, r.reason)
+            for r in res_r.dropped.select("doc_id", "reason").collect()
+        }
+    assert got_kept == want_kept
+    assert got_drops == want_drops
+    assert len(_ckpt_files(ckpt_dir)) > 0  # the cut went through the fs
+    assert get_checkpoint_mode() == "local"  # scope restored
+
+
+def test_apdb_visit_reliable_equals_local(spark, tmp_path):
+    """The APDB store path (apdb.py + visit_pipeline.py pins) honors the
+    switch too: one full visit processed in each mode yields identical
+    table contents."""
+    import datetime
+
+    from l1dbproto_spark.apdb import ApdbSpark
+    from l1dbproto_spark.plans.region import Circle
+    from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
+    from l1dbproto_spark.workload.generators import rand_cone_xyz
+    from l1dbproto_spark.workload.visit_pipeline import process_visit
+
+    pointing = Circle(40.0, -30.0, 1.76)
+    cat = rand_cone_xyz(
+        spark, 500, pointing.ra, pointing.dec, pointing.radius_deg, seed=7
+    ).cache()
+    cat.count()
+    cfg = DiaConfig(false_per_visit=50, transient_per_visit=5)
+    t = datetime.datetime(2026, 1, 1, 3, 0)
+
+    def run_visit(root):
+        db = ApdbSpark(spark, root)
+        db.make_schema(drop=True)
+        det, _ = detect_sources(
+            spark, cat, pointing, cfg, visit_seed=42, last_object_id=0
+        )
+        process_visit(db, 1, t, det.select("diaObjectId", "ra", "dec"), pointing)
+        return {
+            (r.diaObjectId, r.validityStart)
+            for r in db._read("DiaObject")
+            .select("diaObjectId", "validityStart")
+            .collect()
+        }
+
+    want = run_visit(str(tmp_path / "apdb_local"))
+    with checkpoint_mode(
+        "reliable", spark, checkpoint_dir=str(tmp_path / "apdb_ckpt")
+    ):
+        got = run_visit(str(tmp_path / "apdb_reliable"))
+    cat.unpersist()
+    assert got == want
+    assert len(want) > 0

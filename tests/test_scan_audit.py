@@ -48,10 +48,12 @@ ALLOWED = {
                                             # (bucket models hide behind
                                             # their B-row checkpoints)
     "q6_forecast_revenue": {"lineitem": 2},
-    "price_percentiles": {"part": 2},
     "argmax_order_per_customer": {"orders": 2},
     "top_k_per_group": {"orders": 2},
-    "window_frames_battery": {"orders": 2},
+    # two line-explode roles (dup stats + survivor anti-join; the doomed
+    # set is pinned) + two original-text roles (touched rewrite branch +
+    # untouched verbatim branch)
+    "dedup_corpus_lines": {"documents": 4},
 }
 
 

@@ -269,3 +269,48 @@ def test_price_percentiles_matches_oracle(spark):
         for s, a, b, c, d in duckdb.sql(PRICE_PCT_ORACLE).fetchall()
     }
     assert got == want
+
+
+# Round 6: window_frames_battery (slot to dedup_corpus_lines; W2 stays
+# driver-covered via latest_version_per_key + the SCD-2 pytest suite)
+
+WINDOW_FRAMES_ORACLE = f"""
+WITH orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_spend,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE)
+  / COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ) AS moving_avg_3,
+  o_orderdate AS validity_start,
+  LEAD(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS validity_end,
+  (o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+   AND (LEAD(o_orderdate) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) IS NULL
+        OR LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) > TIMESTAMP '1997-06-01 00:00:00')) AS active_at_t
+FROM orders
+"""
+
+
+def test_window_frames_battery_matches_oracle(spark):
+    from l1dbproto_spark.queries.windows2 import window_frames_battery
+
+    got = _normalize(
+        window_frames_battery(spark, SF_DIR).toPandas(), "o_orderkey"
+    )
+    want = _normalize(duckdb.sql(WINDOW_FRAMES_ORACLE).df(), "o_orderkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
