@@ -24,6 +24,31 @@ from pyspark.sql import functions as F
 
 from .dedup import _spread
 
+#: Single source of truth for the approximate-ANN recall floors: the bench
+#: (bench.py recall gate) and the pytest pins import THESE values, so the
+#: two can never drift (r6 verdict item 6). Each floor sits under the
+#: measured sf0.1 bench-shape recall with real headroom:
+#: multitable LSH 0.82 measured -> 0.6 floor; IVF 0.86 -> 0.6;
+#: IVF-PQ 0.56 -> 0.5; quantized re-rank 1.0 -> 0.95.
+RECALL_FLOORS = {
+    "ann_topk_lsh": 0.6,
+    "ann_topk_ivf": 0.6,
+    "ivf_pq_topk": 0.5,
+    "quantized_topk": 0.95,
+}
+
+#: Query-set spec for each registered approximate query: vectors with
+#: ``vec_id < N`` are the queries. bench.py scopes the EXACT result by
+#: this same predicate (not by the approx output's query ids), so a
+#: recall collapse that returns zero rows for some query counts as
+#: recall 0 instead of silently dropping out of the mean (r6 advice 1).
+RECALL_QUERY_MAX_ID = {
+    "ann_topk_lsh": 20,
+    "ann_topk_ivf": 20,
+    "ivf_pq_topk": 10,
+    "quantized_topk": 20,
+}
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product in double precision (deterministic)."""
@@ -326,6 +351,165 @@ def lsh_bucketed_topk(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def _pair_hyperplane_bucket(
+    vec: Column, table: int, n_bits: int, dim: int
+) -> Column:
+    """Bucket of one LSH table: ``n_bits`` deterministic DIAGONAL
+    hyperplanes, bit i = (v[p] - v[q] > 0) with p = (table*n_bits + i) mod
+    dim and q = (p + 1 + table) mod dim. The per-table stride (1 + table)
+    keeps tables distinct even when table*n_bits wraps past dim, so L can
+    exceed dim/n_bits — the axis-aligned single-table form
+    (:func:`sign_lsh_bucket`) tops out at dim/n_bits independent tables
+    and, measured on the bench embeddings, at recall 0.11. Pure integer
+    column algebra; float->double casts are exact so DuckDB reproduces
+    every bit."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        p = (table * n_bits + i) % dim
+        q = (p + 1 + table) % dim
+        bit = F.when(
+            (
+                F.element_at(vec, p + 1).cast("double")
+                - F.element_at(vec, q + 1).cast("double")
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def multiprobe_masks(n_bits: int, multiprobe: int) -> list[int]:
+    """XOR masks for multi-probe LSH: the query probes its own bucket plus
+    every bucket within Hamming distance ``multiprobe`` (0, 1, or 2 bit
+    flips) — 1 + n_bits + C(n_bits, 2) probes at multiprobe=2. Probing
+    near buckets recovers neighbors that straddle a hyperplane, the
+    standard recall amplifier that costs extra PROBES (tiny query-side
+    explode) instead of extra TABLES (corpus-side explode) [Lv et al.,
+    Multi-probe LSH, VLDB 2007]."""
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << j) | (1 << j2)
+            for j in range(n_bits)
+            for j2 in range(j + 1, n_bits)
+        ]
+    return masks
+
+
+def multitable_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    n_tables: int = 12,
+    multiprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+    dim: int = 64,
+) -> DataFrame:
+    """OR-amplified multi-probe sign-LSH top-k — the production LSH ANN
+    (the single-table :func:`lsh_bucketed_topk` is the teaching baseline;
+    its recall on the bench embeddings is 0.11 vs 0.82 here at a ~25%
+    candidate fraction).
+
+    Shape: the corpus explodes to ``n_tables`` (table, bucket) rows; each
+    query explodes to ``n_tables * len(multiprobe_masks)`` (table, probe)
+    rows; one (table, bucket) equi-join generates candidates, which are
+    de-duplicated to distinct (query, neighbor) pairs BEFORE scoring so
+    the exact-cosine re-rank pays each pair once no matter how many
+    tables it collided in. At 100 TB: no cross join anywhere, the probe
+    side broadcasts (it is |Q|*L*probes id+bucket rows, vectors NOT
+    carried through the explode), candidates are the only shuffled set
+    and are sub-linear in the corpus (bucket fraction ~ L*probes/2^b),
+    and the re-rank joins candidates back to the two vector scans.
+
+    Defaults (12 bits x 12 tables x 2-bit multiprobe) are tuned on the
+    bench embeddings (64-d, near-uniform unit vectors — the LSH-hard
+    case): recall 0.82 at sf0.1 / 0.70 at sf0.01 against exact top-5,
+    candidate fraction ~0.25. All arithmetic is integer or exact-cast
+    double, so the DuckDB oracle replays assignment, probing, candidate
+    set, and ranks bit-for-bit."""
+    if dim < n_bits:
+        raise ValueError(f"dim={dim} must be >= n_bits={n_bits}")
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # the n_tables bucket expressions are projected as named columns FIRST
+    # and only then exploded: inside a single generator expression the
+    # n_tables*n_bits CASE terms form one generated method that exceeds the
+    # JIT limits (measured: codegen compile failure -> interpreted
+    # fallback), while a plain projection splits per-expression and stays
+    # inside whole-stage codegen
+    def _with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        return df.withColumns(
+            {
+                f"_b{t}": _pair_hyperplane_bucket(F.col(vec), t, n_bits, dim)
+                for t in range(n_tables)
+            }
+        )
+
+    table_array = F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+    c_buckets = _with_buckets(c, "cvec").select(
+        "neighbor_id", F.posexplode(table_array).alias("tbl", "bucket")
+    )
+    masks = multiprobe_masks(n_bits, multiprobe)
+    q_probes = (
+        _with_buckets(q, "qvec")
+        .select("query_id", F.posexplode(table_array).alias("tbl", "_qbucket"))
+        .select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(
+                    *[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        c_buckets.join(F.broadcast(q_probes), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # exact-cosine re-rank of the de-duplicated candidates; norm guards as
+    # in brute_force_topk (zero-norm/NaN vectors can be neither query nor
+    # neighbor)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    ).filter((F.col("qn") > 0) & ~F.isnan("qn"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    ).filter((F.col("cn") > 0) & ~F.isnan("cn"))
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+        round_digits,
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ann_recall(

@@ -119,3 +119,28 @@ def test_semdedup_pair_join_shuffles_on_cluster(spark):
     plan = _executed(semantic_dedup_pairs(emb, cents, eps=0.05))
     # pair join must be a shuffled join on cluster, not a broadcast of vecs
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_multitable_lsh_plan_shape(spark):
+    """multitable_lsh_topk: candidate generation is an equi-join on
+    (table, bucket) with the PROBE side broadcast (ids + buckets only, no
+    vectors through the explode), candidates are de-duplicated before the
+    exact re-rank, and nothing degenerates to a cartesian/nested-loop
+    pair scan. The bucket expressions must stay inside whole-stage
+    codegen — projected as columns BEFORE the explode (a single generator
+    expression with all n_tables*n_bits terms measurably exceeds the JIT
+    method limit and drops the stage to interpreted eval)."""
+    from l1dbproto_spark.operators.similarity import multitable_lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = multitable_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=64
+    )
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # probe side broadcast + query-vector re-rank broadcast
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # distinct (query, neighbor) dedup between candidates and re-rank
+    assert "HashAggregate" in plan, plan
+    assert df.count() > 0

@@ -25,7 +25,11 @@ ALLOWED = {
     "source_object_match": {"orders": 2},   # match + increment roles
     "catalog_union": {"orders": 2},         # two filtered branches unioned
     "ann_topk_brute": {"embeddings": 2},    # corpus + queries roles
-    "ann_topk_lsh": {"embeddings": 2},
+    # bucket scan + probe scan (candidate generation) + the two re-rank
+    # vector scans — candidates are distinct (query, neighbor) pairs, so
+    # each scan's role is disjoint and the probe/query scans carry
+    # pushed-down vec_id filters
+    "ann_topk_lsh": {"embeddings": 4},
     "ann_topk_ivf": {"embeddings": 4},      # + centroid training sample
     "embedding_near_dup_pairs": {"embeddings": 2},  # self-join sides
     "exists_anti_semi": {"customer": 2, "orders": 2},  # EXISTS + NOT EXISTS
