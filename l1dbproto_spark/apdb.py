@@ -38,7 +38,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import pin
+from .checkpoint import ctx_submit, pin
 
 from .fs import TableFS
 from .functions.pixelize import DEFAULT_LEVEL, pixel_expr_radec, ranges_predicate
@@ -409,7 +409,9 @@ class ApdbSpark:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-            futures = [ex.submit(t) for t in thunks]
+            # ctx_submit: write thunks may pin; carry the caller's scoped
+            # checkpoint mode onto the worker threads
+            futures = [ctx_submit(ex, t) for t in thunks]
             errs = [f.exception() for f in futures]
         for e in errs:
             if e is not None:

@@ -41,6 +41,7 @@ the surrounding code is preserved.
 
 from __future__ import annotations
 
+import contextvars
 import os
 from contextlib import contextmanager
 
@@ -52,17 +53,33 @@ _state = {"mode": os.environ.get("SPARK_GRAFT_CHECKPOINT_MODE", "local")}
 if _state["mode"] not in _VALID:
     _state["mode"] = "local"
 
+#: Scoped override for the ``checkpoint_mode`` context manager. Backed by
+#: a ContextVar so a scoped block changes the mode for ITS OWN logical
+#: flow only — a concurrent pipeline on another thread keeps seeing the
+#: process-global default instead of having 'reliable' (or 'local') leak
+#: into it mid-job (r6 advice item 4). The engine's internal thread pools
+#: (apdb._run_writes, visit_pipeline's overlap pools) submit work through
+#: :func:`ctx_submit`, which copies the caller's context, so pins that run
+#: on engine worker threads still honor the caller's scoped mode.
+_override: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "spark_graft_checkpoint_mode_override", default=None
+)
+
 
 def get_checkpoint_mode() -> str:
-    """The active lineage-cut mode: ``"local"`` or ``"reliable"``."""
-    return _state["mode"]
+    """The active lineage-cut mode: ``"local"`` or ``"reliable"`` — the
+    current flow's scoped override if inside a :func:`checkpoint_mode`
+    block, else the process-global default."""
+    return _override.get() or _state["mode"]
 
 
 def set_checkpoint_mode(
     mode: str, spark=None, checkpoint_dir: str | None = None
 ) -> None:
-    """Switch the engine's lineage-cut implementation. For
-    ``"reliable"``, pass ``spark`` + ``checkpoint_dir`` (sets
+    """Switch the engine's PROCESS-GLOBAL lineage-cut default (every
+    thread and pipeline sees it; use :func:`checkpoint_mode` for a scoped
+    switch that cannot affect concurrent jobs). For ``"reliable"``, pass
+    ``spark`` + ``checkpoint_dir`` (sets
     ``SparkContext.setCheckpointDir``) unless the context already has a
     checkpoint dir — ``pin`` verifies one exists before cutting."""
     if mode not in _VALID:
@@ -76,14 +93,33 @@ def set_checkpoint_mode(
 
 @contextmanager
 def checkpoint_mode(mode: str, spark=None, checkpoint_dir: str | None = None):
-    """Scoped :func:`set_checkpoint_mode` — restores the previous mode on
-    exit (the checkpoint dir, a SparkContext property, is left as set)."""
-    prev = _state["mode"]
-    set_checkpoint_mode(mode, spark, checkpoint_dir)
+    """Scoped mode switch for the CURRENT logical flow (ContextVar-backed):
+    restores the previous state on exit and never leaks into pipelines
+    running concurrently on other threads. Work the engine fans out to its
+    own thread pools inherits the scope via :func:`ctx_submit`; threads the
+    CALLER spawns inside the block must copy their context explicitly
+    (``contextvars.copy_context().run``) if they, too, should inherit it.
+    The checkpoint dir, a SparkContext property, is left as set."""
+    if mode not in _VALID:
+        raise ValueError(f"checkpoint mode must be one of {_VALID}, got {mode!r}")
+    if checkpoint_dir is not None:
+        if spark is None:
+            raise ValueError("checkpoint_dir requires the spark session")
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    token = _override.set(mode)
     try:
         yield
     finally:
-        _state["mode"] = prev
+        _override.reset(token)
+
+
+def ctx_submit(executor, fn, *args, **kwargs):
+    """``executor.submit`` carrying the caller's ``contextvars`` context —
+    the engine's internal pools use this so a scoped
+    :func:`checkpoint_mode` block covers pins executed on worker threads
+    (ThreadPoolExecutor does not propagate context by itself)."""
+    ctx = contextvars.copy_context()
+    return executor.submit(ctx.run, fn, *args, **kwargs)
 
 
 def _has_checkpoint_dir(df: DataFrame) -> bool:
@@ -99,7 +135,7 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage under the active mode (module docstring).
     ``eager=False`` defers materialization to the first action, in both
     modes. Use as ``df.transform(pin, eager=...)``."""
-    if _state["mode"] == "reliable":
+    if get_checkpoint_mode() == "reliable":
         if not _has_checkpoint_dir(df):
             raise RuntimeError(
                 "checkpoint_mode is 'reliable' but no checkpoint dir is set: "

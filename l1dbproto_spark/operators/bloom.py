@@ -36,6 +36,23 @@ genuinely new item, which is the property an ingestion prefilter needs
 Standard sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2
 (:func:`bloom_params`). No reference analog; sibling of the HLL /
 quantile / heavy-hitter sketches (operators/sketches.py).
+
+Persistence & MIGRATION (format v2): persist filters ONLY through
+:func:`bloom_save` / :func:`bloom_load` — the pair carries a format
+fingerprint (probe-geometry version + m + k + salt) and refuses to load
+under any mismatch. A raw ``df.write.parquet`` / ``spark.read.parquet``
+round-trip of the word table is DEPRECATED for filters: it skips that
+verification, and probing a filter whose geometry differs from the
+probe-time parameters emits silent FALSE NEGATIVES — the one failure
+this structure promises never to produce. Concretely, any filter
+persisted under probe-geometry v1 (the pre-``BLOOM_FORMAT_VERSION``
+releases: plain ``h2 mod m`` step, default salt ``bloom-v1``) must be
+REBUILT from its source items under the current defaults; there is no
+in-place upgrade, because the persisted words encode the old bit
+positions. :func:`bloom_might_contain` tolerates a riding format
+sentinel (it probes only real word rows), so frames from
+:func:`bloom_load` and legacy raw loads probe identically — but only
+``bloom_load`` checks the geometry.
 """
 
 from __future__ import annotations

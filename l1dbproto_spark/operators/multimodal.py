@@ -49,19 +49,66 @@ def blob_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real media decode — STUB. The Spark plumbing is the mapInPandas batch
-    iterator below; the decoder itself needs PIL/av which this environment
-    does not provide."""
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode image payloads with PIL when it is importable; raise the
+    documented ``NotImplementedError`` otherwise (this container has no
+    media libraries, so the deterministic byte-level operators below are
+    the tested stand-in path).
+
+    With PIL present the operator is real: mapInPandas over Arrow
+    batches, each blob opened from memory, converted to RGB, and emitted
+    as (id, width, height, mode, pixels) with ``pixels`` the row-major
+    raw RGB buffer — the same output contract :func:`resize_media`'s
+    deterministic fake models, so downstream feature extractors swap
+    between the two without schema changes. Undecodable blobs emit
+    ``ok=false`` with null dimensions instead of failing the task: at
+    100 TB a corrupt member in one batch must cost one row, not a stage
+    retry. Null payloads are skipped like every byte operator here."""
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - the expected path here
+    except ImportError as exc:
         raise NotImplementedError(
             "media decode requires an image/audio library not present in "
             "this environment; use byte_histogram_features / "
             "chunk_fingerprints for the deterministic stand-in path"
         ) from exc
-    raise NotImplementedError("real decoder wiring lands with the media libs")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mode", T.StringType(), True),
+            T.StructField("pixels", T.BinaryType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(bytes(blob)))
+                    rgb = img.convert("RGB")
+                    rows.append(
+                        (mid, True, rgb.width, rgb.height, img.mode, rgb.tobytes())
+                    )
+                except Exception:
+                    rows.append((mid, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "width", "height", "mode", "pixels"]
+            ).astype({id_col: "int64", "ok": "bool"})
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
 
 
 _FEAT_DIM = 32

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..checkpoint import pin
+from ..checkpoint import ctx_submit, pin
 
 from ..apdb import ApdbSpark
 from ..functions.timeutil import python_datetime_to_mjd
@@ -83,7 +83,7 @@ def process_visit(
         "diaObjectId", "nDiaSources", "lastNonForcedSource"
     )
     with ThreadPoolExecutor(max_workers=1) as ex:
-        f_objects_read = ex.submit(known.count)
+        f_objects_read = ctx_submit(ex, known.count)
 
         # --- match + increment (c): left join with default 0 then +1
         if "detector" not in detections.columns:
@@ -158,11 +158,12 @@ def process_visit(
         # can overlap each other safely
         ids = objects.select("diaObjectId")
         with ThreadPoolExecutor(max_workers=2) as ex:
-            f_src = ex.submit(
-                lambda: apdb.get_dia_sources(padded, ids, visit_time).count()
+            f_src = ctx_submit(
+                ex, lambda: apdb.get_dia_sources(padded, ids, visit_time).count()
             )
-            f_forced = ex.submit(
-                lambda: apdb.get_dia_forced_sources(padded, ids, visit_time).count()
+            f_forced = ctx_submit(
+                ex,
+                lambda: apdb.get_dia_forced_sources(padded, ids, visit_time).count(),
             )
             counts.sources_read = f_src.result()
             counts.forced_read = f_forced.result()
@@ -178,7 +179,7 @@ def process_visit(
         ).alias("forced"),
     )
     with ThreadPoolExecutor(max_workers=1) as ex:
-        f_metrics = ex.submit(metrics.collect)
+        f_metrics = ctx_submit(ex, metrics.collect)
         apdb.store(visit_time, objects, sources, forced)
         row = f_metrics.result()[0]
     counts.objects_stored = row["n"]

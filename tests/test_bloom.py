@@ -76,9 +76,17 @@ def test_definitely_new_prefilter(spark):
 
 
 def test_parquet_roundtrip(spark, tmp_path):
+    """Persistence goes through bloom_save/bloom_load (the geometry-checked
+    path — raw spark.read.parquet is deprecated for filters, see the
+    module docstring's migration note). A frame that still carries the
+    format sentinel probes identically to the stripped one:
+    bloom_might_contain only joins real word rows."""
+    from l1dbproto_spark.operators.bloom import bloom_load, bloom_save
+
     bloom = bloom_build(_items(spark, 0, 300), "fp", M, K)
-    bloom.write.parquet(str(tmp_path / "bloom"))
-    loaded = spark.read.parquet(str(tmp_path / "bloom"))
+    bloom_save(bloom, str(tmp_path / "bloom"), M, K)
+    loaded = bloom_load(spark, str(tmp_path / "bloom"), M, K)
+    raw_with_sentinel = spark.read.parquet(str(tmp_path / "bloom"))
     fresh = _items(spark, 0, 300)
     a = bloom_might_contain(fresh, bloom, "fp", M, K).filter(
         F.col("might_contain")
@@ -86,7 +94,10 @@ def test_parquet_roundtrip(spark, tmp_path):
     b = bloom_might_contain(fresh, loaded, "fp", M, K).filter(
         F.col("might_contain")
     ).count()
-    assert a == b == 300
+    c = bloom_might_contain(fresh, raw_with_sentinel, "fp", M, K).filter(
+        F.col("might_contain")
+    ).count()
+    assert a == b == c == 300
 
 
 def test_save_load_roundtrip_and_format_check(spark, tmp_path):

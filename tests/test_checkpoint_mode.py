@@ -128,3 +128,52 @@ def test_apdb_visit_reliable_equals_local(spark, tmp_path):
     cat.unpersist()
     assert got == want
     assert len(want) > 0
+
+
+def test_scoped_mode_does_not_leak_across_threads(spark):
+    """The r6-advice hazard: a scoped 'reliable' block on one thread must
+    NOT flip the mode seen by a concurrently-running pipeline on another
+    thread (the old process-global swap did exactly that)."""
+    import threading
+
+    from l1dbproto_spark.checkpoint import ctx_submit
+
+    entered = threading.Event()
+    release = threading.Event()
+    seen_other: list[str] = []
+
+    def other_pipeline():
+        entered.wait(timeout=10)
+        seen_other.append(get_checkpoint_mode())
+        release.set()
+
+    t = threading.Thread(target=other_pipeline)
+    t.start()
+    with checkpoint_mode("reliable", spark, checkpoint_dir="/tmp/ckpt_scope_test"):
+        entered.set()
+        assert release.wait(timeout=10)
+        # inside the block: this flow sees reliable...
+        assert get_checkpoint_mode() == "reliable"
+        # ...and the engine's OWN pools inherit it via ctx_submit
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            assert ctx_submit(ex, get_checkpoint_mode).result() == "reliable"
+            # a plain submit does NOT inherit — documents the contract
+            assert ex.submit(get_checkpoint_mode).result() == "local"
+    t.join()
+    assert seen_other == ["local"]
+    assert get_checkpoint_mode() == "local"
+
+
+def test_global_default_visible_to_all_threads(spark):
+    """set_checkpoint_mode stays process-global: worker threads (engine
+    pools use plain functions of the global) see the new default."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    set_checkpoint_mode("reliable", spark, checkpoint_dir="/tmp/ckpt_glob_test")
+    try:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            assert ex.submit(get_checkpoint_mode).result() == "reliable"
+    finally:
+        set_checkpoint_mode("local")

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.multimodal import resize_media
@@ -81,3 +82,49 @@ def test_sample_frames_matches_numpy_reference(spark):
         assert got[mid] == want, mid
     # frame counts: ceil(26/8)=4 -> picks 0,2; 1 frame -> picks 0; 8 -> 0,2,4
     assert len(got[1]) == 2 and len(got[2]) == 1 and len(got[3]) == 3
+
+
+def test_decode_media_without_pil_raises_documented_stub(spark):
+    """Sandbox path: no PIL -> the documented NotImplementedError at CALL
+    time (graceful gate, not an import-time failure of the module)."""
+    from l1dbproto_spark.operators import multimodal as mm
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("PIL present: the real-decode test covers this env")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG.."), 2, 2, None)], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(NotImplementedError, match="media decode requires"):
+        mm.decode_media(df)
+
+
+def test_decode_media_with_pil_decodes_and_flags_corrupt(spark):
+    """Real-decode path (runs only where PIL is installed): a valid PNG
+    decodes to its true dimensions + raw RGB bytes; a corrupt payload
+    emits ok=false with null dims instead of failing the task; a null
+    payload is skipped."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from l1dbproto_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (3, 2), color=(10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), 3, 2, None),
+            (2, "image", bytearray(b"not an image"), None, None, None),
+            (3, "image", None, None, None, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.decode_media(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].ok and (rows[1].width, rows[1].height) == (3, 2)
+    assert bytes(rows[1].pixels) == bytes([10, 20, 30]) * 6
+    assert not rows[2].ok and rows[2].width is None
