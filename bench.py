@@ -247,6 +247,23 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     _extra("dedup_corpus_lines", lambda: dedup_corpus_lines(docs).count())
+    # crossover shape for the touched-only rewrite claim (r6 verdict item
+    # 5): the natural corpus has a near-zero touched fraction (the two
+    # rewrite branches are pure overhead there), this one injects a
+    # 3-line banner into half the docs so the touched set IS the majority
+    # — PERFORMANCE.md carries both numbers + the touched fractions
+    banner = F.lit(
+        "Subscribe to our newsletter\nAccept all cookies\nShare this page\n"
+    )
+    hidup = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(banner, F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    _extra(
+        "dedup_corpus_lines_hidup", lambda: dedup_corpus_lines(hidup).count()
+    )
     _extra(
         "bin_pack_documents",
         lambda: bin_pack_documents(docs, ctx_len=512, n_shards=8).count(),

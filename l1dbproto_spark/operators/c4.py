@@ -349,11 +349,17 @@ def dedup_corpus_lines(
     # keeps the line-explode/stats subtree out of every downstream branch
     doomed = doomed.select("doc_id", "lidx").transform(pin, eager=False)
     # rebuild ONLY documents that actually lost a line — same pattern (and
-    # same reasons) as c4_span_dedup's touched-only rewrite: the no-dup
-    # majority keeps its text VERBATIM (NULL text stays NULL — a
-    # coalesce-to-'' here made corpus_diff report untouched NULL-text docs
-    # as 'modified'; advice find), and the reassembly shuffle shrinks from
-    # the whole corpus to the touched minority.
+    # same reasons) as c4_span_dedup's touched-only rewrite. The binding
+    # rationale is CORRECTNESS: the no-dup majority keeps its text VERBATIM
+    # (NULL text stays NULL — a coalesce-to-'' here made corpus_diff report
+    # untouched NULL-text docs as 'modified'; advice find). On local-scale
+    # wall-clock the two extra joins are a measured flat ~0.3-0.5 s
+    # overhead vs a rebuild-everything variant at every shape tried
+    # (PERFORMANCE.md 'dedup_corpus_lines crossover study'), so no local
+    # speed win is claimed; the reassembly shuffle being bounded by the
+    # touched minority (not the corpus) matters only where that shuffle's
+    # BYTES dominate — full-text rows at 100 TB — alongside the verbatim
+    # guarantee that no byte of an untouched document is ever re-encoded.
     touched = doomed.select("doc_id").distinct().transform(pin, eager=False)
     survivors = (
         lines.join(touched, "doc_id", "left_semi")
