@@ -8,10 +8,17 @@ arbitrary-dimension embeddings:
 * brute-force top-k: crossJoin(queries x corpus) with a fold-based dot
   product + per-query window. Exact; the baseline. At scale the queries side
   is broadcast, so the corpus is scanned once with no shuffle until top-k.
-* sign-LSH bucketed: coarse quantization by the sign pattern of leading
-  dimensions (deterministic axis-aligned hyperplanes) — candidates only
-  within the query's bucket; the sub-linear scale path (trade recall for a
-  1/2^b scan fraction).
+* sign-LSH bucketed (:func:`lsh_bucketed_topk`): single-table coarse
+  quantization by the sign pattern of leading dimensions — the TEACHING
+  baseline (recall 0.11 on the bench embeddings; kept for the robustness
+  battery and as the simplest bucket-join shape).
+* multi-table OR-amplified multi-probe LSH (:func:`multitable_lsh_topk`):
+  the production LSH ANN — L tables of diagonal sign-hyperplanes, queries
+  probe every bucket within Hamming distance 2, candidates de-duplicated
+  then exact-cosine re-ranked. Recall 0.82 at the bench shape at a ~25%
+  candidate fraction.
+* IVF-Flat / IVF-PQ (here + operators/pq.py): the recommended scale paths
+  when the data has cluster structure.
 
 Dot products are computed as an ordered left fold in double precision so the
 DuckDB oracle (list_dot_product over DOUBLE[]) produces bit-identical sums.
@@ -369,12 +376,13 @@ def _pair_hyperplane_bucket(
     for i in range(n_bits):
         p = (table * n_bits + i) % dim
         q = (p + 1 + table) % dim
+        # F.get (0-based, NULL out of range) rather than element_at: a
+        # shorter-than-dim vector must hash to SOME bucket (NULL
+        # comparison -> bit 0, matching DuckDB's list-index semantics),
+        # not throw under ANSI mode — degenerate vectors are excluded at
+        # the re-rank's norm guard, not here
         bit = F.when(
-            (
-                F.element_at(vec, p + 1).cast("double")
-                - F.element_at(vec, q + 1).cast("double")
-            )
-            > 0,
+            (F.get(vec, p).cast("double") - F.get(vec, q).cast("double")) > 0,
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit * F.lit(1 << i)

@@ -195,6 +195,52 @@ def test_composed_stream_equals_direct_chain_and_batch_invariants(
         direct.embedding_resolver(admitted_docs)
     ) == 0
 
+    # --- RESTART: a 4th chunk (re-delivered dups of earlier admissions +
+    # fresh synthetic docs) arrives after the first query stopped; a new
+    # availableNow binding over the SAME stores + checkpoint resumes at
+    # epoch 3, rejects every re-delivery, and still equals the direct
+    # chain's continuation
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    redelivered = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [
+            (40_000 + i, f"entirely novel restart document number {i} "
+             + " ".join(f"tok{i}x{j}" for j in range(12)))
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    chunk4 = redelivered.unionByName(fresh)
+    chunk4.coalesce(1).write.mode("append").parquet(str(src))
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = streamed.bind_stream(stream2, str(out))
+    q2.awaitTermination(600)
+    after = spark.read.parquet(str(out))
+    epochs2 = {r.epoch for r in after.select("epoch").distinct().collect()}
+    assert epochs2 == {0, 1, 2, 3}
+    # earlier epochs untouched by the restart
+    prior = {
+        r.doc_id
+        for r in after.filter(F.col("epoch") < 3).select("doc_id").collect()
+    }
+    assert prior == got_ids
+    got4 = {
+        r.doc_id
+        for r in after.filter(F.col("epoch") == 3).select("doc_id").collect()
+    }
+    direct4 = {
+        r.doc_id for r in direct.process_batch(chunk4, epoch_id=3).collect()
+    }
+    assert got4 == direct4
+    # every re-delivered duplicate rejected by the store-backed gates
+    assert not {i for i in got4 if 30_000 <= i < 40_000}
+
 
 def test_resolver_pairing_validated():
     with pytest.raises(ValueError, match="come as a pair"):

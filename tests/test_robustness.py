@@ -170,6 +170,19 @@ def test_embedding_family_degenerate_vectors(spark):
     lsh = lsh_bucketed_topk(df, q, k=3, n_bits=2).collect()
     assert len(lsh) >= 1
     assert all(r.neighbor_id not in (100, 101, 102) for r in lsh)
+    # amplified multi-table form: same degenerate-vector contract — NULL /
+    # NaN / zero-norm rows may enter the bucket join (their buckets are
+    # well-defined integers) but the re-rank's norm guard keeps them out
+    # of the output on both sides; wrong-dim row 103 (4 < n_bits positions
+    # wrap) must neither crash nor rank
+    from l1dbproto_spark.operators.similarity import multitable_lsh_topk
+
+    mt = multitable_lsh_topk(
+        df, q, k=3, n_bits=4, n_tables=2, multiprobe=1, dim=8
+    ).collect()
+    assert len(mt) >= 1
+    assert all(r.neighbor_id not in (100, 101, 102) for r in mt)
+    assert all(r.query_id in (0, 1) for r in mt)
     assert quantized_topk(df, q, k=3).count() == 6
     cent = spark.createDataFrame(
         [(0, [0.5] * 8), (1, [-0.5] * 8)], "cluster int, centroid array<double>"
