@@ -36,11 +36,11 @@ from .dedup import _spread
 #: two can never drift (r6 verdict item 6). Each floor sits under the
 #: measured sf0.1 bench-shape recall with real headroom:
 #: multitable LSH 0.82 measured -> 0.6 floor; IVF 0.86 -> 0.6;
-#: IVF-PQ 0.56 -> 0.5; quantized re-rank 1.0 -> 0.95.
+#: IVF-PQ 0.78 at refine=8 -> 0.6; quantized re-rank 1.0 -> 0.95.
 RECALL_FLOORS = {
     "ann_topk_lsh": 0.6,
     "ann_topk_ivf": 0.6,
-    "ivf_pq_topk": 0.5,
+    "ivf_pq_topk": 0.6,
     "quantized_topk": 0.95,
 }
 
