@@ -88,10 +88,14 @@ def hashed_doc_embeddings(
         )
     )
     # docs whose every token vanished (empty/NULL text) still get a row —
-    # the zero vector — so the embedder is total over the corpus
+    # the zero vector — so the embedder is total over the corpus. The
+    # token-free set is computed directly from the text (normalized text
+    # empty <=> zero token rows) rather than anti-joining against `dense`,
+    # which would embed the whole aggregation subtree a second time.
     empty = (
-        docs.select(id_col)
-        .join(dense.select(id_col), id_col, "left_anti")
+        docs.filter(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))) == ""
+        )
         .select(
             id_col,
             F.array_repeat(F.lit(0.0), dim).alias("embedding"),

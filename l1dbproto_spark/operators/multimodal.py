@@ -104,6 +104,21 @@ def decode_media(
                     )
                 except Exception:
                     rows.append((mid, False, None, None, None, None))
+            if not rows:
+                # explicit dtypes for the all-skipped batch — empty object
+                # columns break Arrow conversion (same pitfall as
+                # byte_histogram_features)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "width": pd.Series([], dtype="Int32"),
+                        "height": pd.Series([], dtype="Int32"),
+                        "mode": pd.Series([], dtype="object"),
+                        "pixels": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 rows, columns=[id_col, "ok", "width", "height", "mode", "pixels"]
             ).astype({id_col: "int64", "ok": "bool"})

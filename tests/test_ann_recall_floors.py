@@ -26,9 +26,13 @@ SPECS = load_all()
 
 
 def test_floor_tables_cover_same_queries():
-    """Every floored query has a query-set spec and is registered."""
+    """Every floored query has a query-set spec and is registered, and
+    every approx query set is a subset of ann_topk_brute's (vec_id < 20)
+    — the recall gate scopes the brute result by each spec's predicate,
+    which is only sound while brute covers all of them."""
     assert set(RECALL_FLOORS) == set(RECALL_QUERY_MAX_ID)
     assert set(RECALL_FLOORS) <= set(SPECS)
+    assert max(RECALL_QUERY_MAX_ID.values()) <= 20
 
 
 @pytest.mark.parametrize("name", sorted(RECALL_FLOORS))

@@ -144,3 +144,37 @@ def test_multitable_lsh_plan_shape(spark):
     # distinct (query, neighbor) dedup between candidates and re-rank
     assert "HashAggregate" in plan, plan
     assert df.count() > 0
+
+
+def test_multitable_lsh_recall_monotone_in_amplification(spark):
+    """OR-amplification only ADDS candidate pairs (more tables / more
+    probes = union of more buckets), so mean recall against the exact
+    result is non-decreasing in n_tables and in multiprobe — the
+    amplification analog of test_ivf_recall_monotonic_in_probes,
+    measured fully in-engine."""
+    from l1dbproto_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        multitable_lsh_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5)
+
+    def mean_recall(n_tables, multiprobe):
+        approx = multitable_lsh_topk(
+            emb, q, k=5, n_bits=8, n_tables=n_tables,
+            multiprobe=multiprobe, dim=64,
+        )
+        return (
+            ann_recall(approx, exact)
+            .agg(F.avg("recall").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    r_1t = mean_recall(1, 0)
+    r_4t = mean_recall(4, 0)
+    r_4t_mp = mean_recall(4, 1)
+    assert r_1t <= r_4t <= r_4t_mp, (r_1t, r_4t, r_4t_mp)
+    assert r_4t_mp > r_1t  # amplification actually buys recall here
