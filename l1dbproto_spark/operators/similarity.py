@@ -420,6 +420,7 @@ def multitable_lsh_topk(
     id_col: str = "vec_id",
     round_digits: int = 9,
     dim: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """OR-amplified multi-probe sign-LSH top-k — the production LSH ANN
     (the single-table :func:`lsh_bucketed_topk` is the teaching baseline;
@@ -432,10 +433,17 @@ def multitable_lsh_topk(
     de-duplicated to distinct (query, neighbor) pairs BEFORE scoring so
     the exact-cosine re-rank pays each pair once no matter how many
     tables it collided in. At 100 TB: no cross join anywhere, the probe
-    side broadcasts (it is |Q|*L*probes id+bucket rows, vectors NOT
-    carried through the explode), candidates are the only shuffled set
-    and are sub-linear in the corpus (bucket fraction ~ L*probes/2^b),
-    and the re-rank joins candidates back to the two vector scans.
+    side broadcasts by default (it is |Q|*L*probes id+bucket rows,
+    vectors NOT carried through the explode — right for the family's
+    driver-small query-set contract, same as brute_force_topk), and
+    candidates are the only shuffled set, sub-linear in the corpus
+    (bucket fraction ~ L*probes/2^b); the re-rank joins candidates back
+    to the two vector scans. Multi-probe multiplies the probe side by
+    1+b+C(b,2) (~79 rows per query-table at the defaults), so for
+    query-at-scale workloads (millions of queries) pass
+    ``broadcast_queries=False`` — the probe and re-rank joins then
+    shuffle on their keys under AQE instead of forcing a data-dependent
+    broadcast.
 
     Defaults (12 bits x 12 tables x 2-bit multiprobe) are tuned on the
     bench embeddings (64-d, near-uniform unit vectors — the LSH-hard
@@ -483,8 +491,9 @@ def multitable_lsh_topk(
             ).alias("bucket"),
         )
     )
+    probe_side = F.broadcast(q_probes) if broadcast_queries else q_probes
     cand = (
-        c_buckets.join(F.broadcast(q_probes), ["tbl", "bucket"])
+        c_buckets.join(probe_side, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -508,7 +517,7 @@ def multitable_lsh_topk(
     )
     scored = (
         cand.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -178,3 +178,22 @@ def test_multitable_lsh_recall_monotone_in_amplification(spark):
     r_4t_mp = mean_recall(4, 1)
     assert r_1t <= r_4t <= r_4t_mp, (r_1t, r_4t, r_4t_mp)
     assert r_4t_mp > r_1t  # amplification actually buys recall here
+
+
+def test_multitable_lsh_query_at_scale_mode(spark):
+    """broadcast_queries=False: identical results, and the probe join no
+    longer forces a broadcast of the (|Q| x tables x probes) explode —
+    the query-at-scale escape hatch for the one data-dependent broadcast
+    in the family."""
+    from l1dbproto_spark.operators.similarity import multitable_lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, n_bits=8, n_tables=4, multiprobe=1, dim=64)
+    a = multitable_lsh_topk(emb, q, **kw)
+    b = multitable_lsh_topk(emb, q, broadcast_queries=False, **kw)
+    rows_a = {(r.query_id, r.neighbor_id, r.rank) for r in a.collect()}
+    rows_b = {(r.query_id, r.neighbor_id, r.rank) for r in b.collect()}
+    assert rows_a == rows_b and rows_a
+    plan_b = _executed(b)
+    assert "CartesianProduct" not in plan_b, plan_b
