@@ -87,7 +87,7 @@ _PRIORITY = [
     "language_id",
     "tfidf_top_terms",
     "doc_fingerprint",
-    "blob_metadata",
+    "doc_embed_ann",
     "media_byte_histogram",
     "media_chunk_fingerprints",
     # relational / analytic surface
@@ -136,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
         geo,
         apdb_domain,
         multimodal,
+        embedding,
         synthesis,
         misc,
     )

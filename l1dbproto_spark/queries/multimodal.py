@@ -26,17 +26,19 @@ def _as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "blob_metadata",
-    oracle="""
+# Rotated OUT of the driver registry in round 7 (slot to doc_embed_ann —
+# the registry is capped at 50; COVERAGE.md "Registry rotation history").
+# The DuckDB oracle below stays live in-suite via
+# tests/test_unregistered_batteries.py.
+BLOB_METADATA_ORACLE = """
     SELECT
       doc_id AS media_id,
       octet_length(encode(text)) AS n_bytes,
       md5(text) AS fingerprint
     FROM documents
-    """,
-    survey="ext:multimodal (opaque binary + typed metadata)",
-)
+    """
+
+
 def blob_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata without decode: byte length + md5 fingerprint of the payload
     (UTF-8 text bytes — md5(blob) == md5(text) for this encoding on both

@@ -58,6 +58,10 @@ ALLOWED = {
     # set is pinned) + two original-text roles (touched rewrite branch +
     # untouched verbatim branch)
     "dedup_corpus_lines": {"documents": 4},
+    # corpus-embed + query-embed roles (the doc_id<10 predicate pushes
+    # below the coordinate aggregation, so the query-side scan is 10
+    # docs), each with its zero-vector completion branch
+    "doc_embed_ann": {"documents": 4},
 }
 
 

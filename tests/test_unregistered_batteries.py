@@ -314,3 +314,24 @@ def test_window_frames_battery_matches_oracle(spark):
     )
     want = _normalize(duckdb.sql(WINDOW_FRAMES_ORACLE).df(), "o_orderkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 7: blob_metadata rotated out (slot to doc_embed_ann). The
+# multimodal family stays driver-checked via media_byte_histogram and
+# media_chunk_fingerprints; the metadata oracle lives on here.
+def test_blob_metadata_matches_oracle(spark):
+    from l1dbproto_spark.queries.multimodal import (
+        BLOB_METADATA_ORACLE,
+        blob_metadata_q,
+    )
+
+    got = _normalize(blob_metadata_q(spark, SF_DIR).toPandas(), "media_id")
+    want = _normalize(
+        duckdb.sql(
+            BLOB_METADATA_ORACLE.replace(
+                "FROM documents", f"FROM '{SF_DIR}/documents.parquet'"
+            )
+        ).df(),
+        "media_id",
+    )
+    pd.testing.assert_frame_equal(got, want)
