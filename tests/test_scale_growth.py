@@ -198,3 +198,23 @@ def test_pipeline_flow_at_10x(spark):
         r <= rows[0] for r in rows
     )
     assert t10 <= max(30 * t1, 120), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
+
+
+def test_hashed_embeddings_at_10x(spark):
+    """Feature-hashing embedder over the 10x corpus: row-per-doc totality,
+    exchange budget independent of data size (token agg + per-doc
+    assembly), no joins beyond the plan's own branches, runtime within
+    the generous factor."""
+    from l1dbproto_spark.operators.embed import hashed_doc_embeddings
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    _, t1 = _timed_count(hashed_doc_embeddings(docs1, dim=64))
+    docs10 = grow_docs(spark)
+    emb10 = hashed_doc_embeddings(docs10, dim=64)
+    n10, t10 = _timed_count(emb10)
+    assert n10 == docs10.count()
+    plan = _executed(emb10)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
+    assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
