@@ -237,6 +237,14 @@ def _exact_rerank(
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).filter((l2_norm(F.col("cvec")) > 0) & ~F.isnan(l2_norm(F.col("cvec"))))  # degenerate-vector guard
+    # the QUERY side needs the same guard: a zero-norm/NULL/NaN query
+    # vector that slipped through the probe stage (centroid scoring is
+    # NULL-tolerant) would turn the cosine below into an ANSI
+    # divide-by-zero — one guard here covers all four PQ top-k paths
+    # (found by the streaming-ANN degenerate-query test)
+    q = q.filter(
+        (l2_norm(F.col("qvec")) > 0) & ~F.isnan(l2_norm(F.col("qvec")))
+    )
     refined = cvec.join(F.broadcast(cand), "neighbor_id").join(
         F.broadcast(q), "query_id"
     )

@@ -97,3 +97,26 @@ def test_appended_vectors_become_searchable(spark, tmp_path):
     want = {r.neighbor_id for r in full_svc.answer(queries).collect()}
     assert after == want
     assert after != before  # growth visible
+
+
+def test_answer_excludes_degenerate_query_vectors(spark, tmp_path):
+    """NULL / NaN / zero-norm query vectors are excluded by the shared
+    encode guard instead of crashing the probe or ranking as neighbors."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    _build(spark, emb, root)
+    svc = StreamingAnnQuery(spark, root, corpus=emb, k=3)
+    bad = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, [float("nan")] * 64),
+            (9003, [0.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sane = emb.filter(F.col("vec_id") < 2).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = svc.answer(bad.unionByName(sane)).collect()
+    qids = {r.query_id for r in res}
+    assert qids <= {0, 1} and qids

@@ -245,3 +245,29 @@ def test_composed_stream_equals_direct_chain_and_batch_invariants(
 def test_resolver_pairing_validated():
     with pytest.raises(ValueError, match="come as a pair"):
         ComposedCorpusPipeline(index_append=object())
+
+
+def test_composed_pipeline_garbage_batches(spark, tmp_path, classifier, eval_set):
+    """The composition inherits the gates' garbage resilience: null-text,
+    whitespace-only, and duplicate-in-batch docs flow through without
+    crashing, and a fully-empty batch is a no-op."""
+    pipe, _root = _mk_pipeline(spark, tmp_path, "g", classifier, eval_set)
+    garbage = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "   "),
+            (3, "some genuine text with enough words to maybe pass gates"),
+            (4, "some genuine text with enough words to maybe pass gates"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = pipe.process_batch(garbage, epoch_id=0)
+    ids = {r.doc_id for r in out1.collect()}
+    # exact gate admits at most one of the duplicate pair
+    assert not ({3, 4} <= ids)
+    # empty batch: no-op, returns an empty frame with the input schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pipe.process_batch(empty, epoch_id=1).count() == 0
+    # re-running the same epoch (retry semantics) yields the same admits
+    out_retry = {r.doc_id for r in pipe.process_batch(garbage, epoch_id=0).collect()}
+    assert out_retry == ids
