@@ -73,41 +73,73 @@ class ComposedCorpusPipeline:
         self.index_append = index_append
         self.embedding_resolver = embedding_resolver
         self.id_col = id_col
+        #: per-stage (stage, rows) of the last audited process_batch call
+        self.last_audit: list[tuple[str, int]] | None = None
 
     def process_batch(
-        self, batch: DataFrame, epoch_id: int | None = None
+        self, batch: DataFrame, epoch_id: int | None = None, audit: bool = False
     ) -> DataFrame:
         """One micro-batch through the full gate chain; returns the
         admitted rows with the original columns. Usable directly for
         backfills — identical semantics to the stream binding (the same
-        per-gate epoch rules apply via ``epoch_id``)."""
+        per-gate epoch rules apply via ``epoch_id``).
+
+        ``audit=True`` records per-stage surviving row counts in
+        ``self.last_audit`` (``[(stage, rows), ...]`` — the drop-rate
+        observability a production gate chain is monitored by). Each
+        count is one extra bounded action per stage; off by default."""
+        stages: list[tuple[str, int]] = []
+
+        def note(name: str, df: DataFrame) -> None:
+            if audit:
+                stages.append((name, df.count()))
+
         out = batch
+        note("input", out)
         if self.quality_gate is not None:
             out = self.quality_gate.admit(out)
+            note("quality", out)
         if self.exact_gate is not None:
             kept = self.exact_gate.admit(out, epoch_id=epoch_id).select(
                 F.col(self.id_col)
             )
             out = out.join(kept, self.id_col, "left_semi")
+            note("exact_dedup", out)
         if self.near_dup_gate is not None:
             kept = self.near_dup_gate.admit(out, epoch_id=epoch_id).select(
                 F.col(self.id_col)
             )
             out = out.join(kept, self.id_col, "left_semi")
+            note("near_dedup", out)
         if self.decontam_gate is not None:
             out = self.decontam_gate.admit(out)
+            note("decontam", out)
         if self.index_append is not None:
             self.index_append.append(self.embedding_resolver(out))
+        self.last_audit = stages if audit else None
         return out
 
-    def bind_stream(self, doc_stream: DataFrame, output_path: str):
+    def bind_stream(
+        self,
+        doc_stream: DataFrame,
+        output_path: str,
+        audit_path: str | None = None,
+    ):
         """Wire the chain into one Structured Streaming query
         (availableNow, the gate-family trigger): admitted rows land under
         ``epoch=<id>`` partitions with dynamic overwrite — the same
-        retried-epoch-replaces-itself contract as the individual gates."""
+        retried-epoch-replaces-itself contract as the individual gates.
+
+        ``audit_path``: optionally persist the per-stage audit as an
+        ``(epoch, stage_index, stage, rows)`` parquet table, one epoch
+        partition per micro-batch under the same dynamic-overwrite rule —
+        the queryable drop-rate log (a retried epoch replaces its own
+        audit rows too, so the log never double-counts)."""
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
-            admitted = self.process_batch(batch_df, epoch_id=epoch_id)
+            admitted = self.process_batch(
+                batch_df, epoch_id=epoch_id, audit=audit_path is not None
+            )
             (
                 admitted.withColumn("epoch", F.lit(int(epoch_id)))
                 .write.mode("overwrite")
@@ -115,6 +147,21 @@ class ComposedCorpusPipeline:
                 .partitionBy("epoch")
                 .parquet(output_path)
             )
+            if audit_path is not None:
+                spark = batch_df.sparkSession
+                rows = [
+                    (int(epoch_id), i, stage, int(n))
+                    for i, (stage, n) in enumerate(self.last_audit)
+                ]
+                (
+                    spark.createDataFrame(
+                        rows, "epoch long, stage_index int, stage string, rows long"
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(audit_path)
+                )
 
         return (
             doc_stream.writeStream.foreachBatch(_each)

@@ -271,3 +271,37 @@ def test_composed_pipeline_garbage_batches(spark, tmp_path, classifier, eval_set
     # re-running the same epoch (retry semantics) yields the same admits
     out_retry = {r.doc_id for r in pipe.process_batch(garbage, epoch_id=0).collect()}
     assert out_retry == ids
+
+
+def test_streamed_audit_log(spark, tmp_path, corpus, classifier, eval_set):
+    """audit_path: the per-stage drop-rate log lands epoch-partitioned,
+    counts are monotone non-increasing through each epoch's gate chain,
+    and the final stage count equals that epoch's admitted rows."""
+    src = tmp_path / "incoming_a"
+    out = tmp_path / "admitted_a"
+    audit = tmp_path / "audit_a"
+    src.mkdir()
+    for chunk in corpus[:2]:
+        chunk.coalesce(1).write.mode("append").parquet(str(src))
+    pipe, _root = _mk_pipeline(spark, tmp_path, "a", classifier, eval_set)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = pipe.bind_stream(stream, str(out), audit_path=str(audit))
+    q.awaitTermination(600)
+    log = spark.read.parquet(str(audit)).collect()
+    by_epoch = {}
+    for r in log:
+        by_epoch.setdefault(r.epoch, []).append((r.stage_index, r.stage, r.rows))
+    assert set(by_epoch) == {0, 1}
+    got = spark.read.parquet(str(out))
+    for ep, rows in by_epoch.items():
+        rows.sort()
+        stages = [s for _, s, _ in rows]
+        assert stages == ["input", "quality", "exact_dedup", "near_dedup", "decontam"]
+        counts = [n for _, _, n in rows]
+        assert counts == sorted(counts, reverse=True)
+        admitted_ep = got.filter(F.col("epoch") == ep).count()
+        assert counts[-1] == admitted_ep
