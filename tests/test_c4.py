@@ -381,3 +381,27 @@ def test_c4_line_filter_counts_tab_separated_words(spark):
     text = cleaned.collect()[0].text
     assert "alpha\tbeta" in text
     assert "short one." not in text
+
+
+def test_jaccard_length_filter_keeps_exact_boundary_pair(spark):
+    """The pre-shuffle length filter must be float-monotone lossless: a
+    pair at EXACTLY the threshold ratio (sizes 4 vs 5 at tau=0.8, zero
+    overlap beyond the shared 4) survives to the final filter. A naive
+    `min >= tau*max` float bound drops it (0.8*5 rounds above 4.0)."""
+    from l1dbproto_spark.operators.dedup import (
+        doc_shingle_sets,
+        jaccard_pairs_from_sets,
+    )
+    from pyspark.sql import functions as F
+
+    # doc 1: tokens a..f -> 4 distinct 3-shingles; doc 2: a..g -> 5; the
+    # 4 shingles of doc 1 are all shared => J = 4/(4+5-4) = 0.8 exactly
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs_from_sets(
+        doc_shingle_sets(docs, n=3), min_jaccard=0.8
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 0.8
