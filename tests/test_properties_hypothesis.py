@@ -351,3 +351,49 @@ def test_line_dedup_differential_random(docs, min_docs):
         ]
         want[i] = "\n".join(kept)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+        min_size=1,
+        max_size=25,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_hashed_embedding_invariants_random(words, seed):
+    """Feature-hashing embeddings are a function of the token MULTISET:
+    (a) permuting tokens changes nothing; (b) self-concatenation scales
+    the raw vector by exactly 2 (so the L2-normalized form is
+    identical)."""
+    import random as _random
+
+    from l1dbproto_spark.operators.embed import hashed_doc_embeddings
+
+    spark = _get_spark()
+    text = " ".join(words)
+    rng = _random.Random(seed)
+    shuffled_words = list(words)
+    rng.shuffle(shuffled_words)
+    rows = [
+        (1, text),
+        (2, " ".join(shuffled_words)),
+        (3, (text + " " + text)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_doc_embeddings(df, dim=16, l2_normalize=False).collect()
+    }
+    assert raw[1] == raw[2]  # permutation invariance, bit-exact
+    assert raw[3] == [2.0 * x for x in raw[1]]  # exact integer doubling
+    norm = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_doc_embeddings(df, dim=16).collect()
+    }
+    assert norm[1] == norm[2]
