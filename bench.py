@@ -227,6 +227,32 @@ def main() -> None:
                 f"{name} recall {recall[name]} fell below the {floor} floor"
             )
 
+    # LSH candidate-fraction gate — the honesty partner of the recall
+    # floor: recall could be "fixed" by probing until the bucket join
+    # degenerates to a full scan, so the fraction of the corpus each
+    # query's candidate set covers is recorded and ceilinged (shared
+    # constant; measured 0.255 at sf0.1).
+    from l1dbproto_spark.operators.similarity import (
+        LSH_CANDIDATE_FRACTION_CEILING,
+        multitable_lsh_candidates,
+    )
+    from l1dbproto_spark.sources.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    lsh_queries = emb.filter(
+        F.col("vec_id") < RECALL_QUERY_MAX_ID["ann_topk_lsh"]
+    )
+    n_q = lsh_queries.count()
+    n_cand = multitable_lsh_candidates(emb, lsh_queries).count()
+    lsh_fraction = round(n_cand / (n_q * (n_corpus - 1)), 4)
+    if lsh_fraction > LSH_CANDIDATE_FRACTION_CEILING:
+        raise RuntimeError(
+            f"LSH candidate fraction {lsh_fraction} crossed the "
+            f"{LSH_CANDIDATE_FRACTION_CEILING} ceiling — the bucket join is "
+            "degenerating toward a full scan"
+        )
+
     # Extra-ops record (NOT in the headline total, so the round-over-round
     # total stays comparable): min-of-2 timings of the round-5 training-
     # pipeline additions over the sf documents/embeddings tables.
@@ -295,6 +321,7 @@ def main() -> None:
                 "queries_median": medians,
                 "recall": recall,
                 "recall_floor_margin": recall_margin,
+                "lsh_candidate_fraction": lsh_fraction,
                 "sf": sf,
                 "streaming_visit_times": visit_times,
                 "maintenance_events": maintenance_events,

@@ -56,6 +56,14 @@ RECALL_QUERY_MAX_ID = {
     "quantized_topk": 20,
 }
 
+#: Ceiling on the multitable-LSH candidate fraction (distinct candidate
+#: pairs / (|Q| * (|C|-1))) at the bench shape — the honesty partner of
+#: the recall floor: recall alone could be "fixed" by probing until the
+#: bucket join degenerates to a full scan, so the bench raises if the
+#: fraction crosses this. Measured 0.255 at sf0.1 with the registered
+#: parameters; ceiling leaves drift headroom while staying far from 1.0.
+LSH_CANDIDATE_FRACTION_CEILING = 0.5
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product in double precision (deterministic)."""
@@ -421,6 +429,7 @@ def multitable_lsh_topk(
     round_digits: int = 9,
     dim: int = 64,
     broadcast_queries: bool = True,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """OR-amplified multi-probe sign-LSH top-k — the production LSH ANN
     (the single-table :func:`lsh_bucketed_topk` is the teaching baseline;
@@ -498,6 +507,8 @@ def multitable_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    if _candidates_only:
+        return cand
     # exact-cosine re-rank of the de-duplicated candidates; norm guards as
     # in brute_force_topk (zero-norm/NaN vectors can be neither query nor
     # neighbor)
@@ -526,6 +537,38 @@ def multitable_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def multitable_lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_bits: int = 12,
+    n_tables: int = 12,
+    multiprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The distinct (query_id, neighbor_id) candidate set
+    :func:`multitable_lsh_topk` re-ranks — exposed so the bench can
+    record the candidate FRACTION (pairs / (|Q| * (|C|-1))) against
+    :data:`LSH_CANDIDATE_FRACTION_CEILING`: recall floors alone could be
+    satisfied by probing until the bucket join degenerates to a full
+    scan, so the fraction is gated alongside them. One definition — this
+    delegates to the top-k builder's own candidate stage."""
+    return multitable_lsh_topk(
+        corpus,
+        queries,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        multiprobe=multiprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        broadcast_queries=broadcast_queries,
+        _candidates_only=True,
     )
 
 

@@ -65,3 +65,21 @@ def test_absent_query_counts_as_zero(spark, sf_dir):
     rows = {r.query_id: r.recall for r in ann_recall(approx, exact).collect()}
     assert rows[3] == 0.0
     assert len(rows) == 20
+
+
+def test_lsh_candidate_fraction_under_ceiling(spark, sf_dir):
+    """The bench's scan-honesty gate, enforced in-suite from the same
+    shared ceiling: the registered LSH parameters' candidate set stays a
+    FRACTION of the corpus (recall floors alone could be met by probing
+    everything)."""
+    from l1dbproto_spark.operators.similarity import (
+        LSH_CANDIDATE_FRACTION_CEILING,
+        multitable_lsh_candidates,
+    )
+    from l1dbproto_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < RECALL_QUERY_MAX_ID["ann_topk_lsh"])
+    frac = multitable_lsh_candidates(emb, q).count() / (q.count() * (n - 1))
+    assert frac <= LSH_CANDIDATE_FRACTION_CEILING, frac
