@@ -153,3 +153,20 @@ def test_retrieval_pipeline_chunk_embed_ann(spark):
     # at minimum the SAME tokens re-hash to a high-cosine neighbor)
     best = top[0]
     assert best.cosine_sim > 0.5, top
+
+
+def test_doc_embed_ann_query_side_pushdown(spark):
+    """The registered doc_embed_ann plan pushes the doc_id<10 query
+    predicate below the coordinate aggregation all the way into one of
+    the documents scans — the query-side embed subtree reads 10 docs,
+    not the corpus."""
+    from l1dbproto_spark.queries import load_all
+
+    df = load_all()["doc_embed_ann"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id" in plan and "< 10)" in plan
+    pushed = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "< 10)" in line
+    ]
+    assert pushed, plan
