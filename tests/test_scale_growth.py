@@ -218,3 +218,31 @@ def test_hashed_embeddings_at_10x(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
     assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
+
+
+def test_multitable_lsh_at_10x(spark):
+    """Amplified LSH over the 10x-grown embeddings: equi-join candidate
+    generation survives the growth (no cartesian/forced corpus
+    broadcast), exact-clone replicas surface as top-1 neighbors at
+    cosine ~1.0, runtime within the generous factor."""
+    from l1dbproto_spark.operators.similarity import multitable_lsh_topk
+
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    q1 = emb1.filter(F.col("vec_id") < 10)
+    _, t1 = _timed_count(multitable_lsh_topk(emb1, q1, k=5, dim=64))
+
+    emb10 = grow_embeddings(spark)
+    q10 = emb10.filter(F.col("vec_id") < 10)  # originals; clones exist at +2M etc.
+    top10 = multitable_lsh_topk(emb10, q10, k=5, dim=64)
+    rows, t10 = _timed_count(top10)
+    assert rows > 0
+    plan = _executed(top10)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # each original's exact clone (vec_id + 2_000_000, replica k=2) hashes
+    # to identical buckets in every table -> guaranteed candidate -> must
+    # be the top-1 neighbor at cosine ~1.0
+    top1 = {r.query_id: r.neighbor_id for r in top10.collect() if r.rank == 1}
+    for qid in range(10):
+        assert top1[qid] % 1_000_000 == qid, (qid, top1.get(qid))
+    assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
