@@ -25,6 +25,18 @@ Round 6 adds, per the r5 verdict:
   so a wall-time "win" can never silently trade recall between rounds.
   The bench asserts the same floors the pytest suite pins.
 
+Round 7 adds:
+* the recall gate scopes the exact result by each query spec's OWN
+  predicate (empty approximate results count as recall 0), imports the
+  shared RECALL_FLOORS, raises RuntimeError on breach, and records the
+  measured-vs-floor margin;
+* ``lsh_candidate_fraction`` with a shared ceiling — the scan-honesty
+  partner of the recall floors;
+* ``dedup_corpus_lines_hidup`` (banner-injected, ~50% touched) alongside
+  the natural-corpus number, so the touched-only rewrite's overhead
+  stays visible across touched fractions (PERFORMANCE.md crossover
+  study).
+
 Includes the domain benchmark from BASELINE.md: one full simulated AP visit
 (Q1 region read + match + forced photometry + history reads + versioned
 store) against the 45 s visit cadence budget (reference config.py:49), at the

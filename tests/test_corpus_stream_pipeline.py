@@ -305,3 +305,28 @@ def test_streamed_audit_log(spark, tmp_path, corpus, classifier, eval_set):
         assert counts == sorted(counts, reverse=True)
         admitted_ep = got.filter(F.col("epoch") == ep).count()
         assert counts[-1] == admitted_ep
+
+
+def test_partial_gate_configurations(spark, tmp_path, classifier):
+    """Gates are optional and independent: a quality-only pipeline equals
+    the gate's own admit; an exact-only pipeline equals the dedup gate's
+    keep set with original columns."""
+    coef, b0 = classifier
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+
+    q_gate = StreamingQualityGate(spark, coef, b0, num_buckets=B, threshold=0.5)
+    p_quality = ComposedCorpusPipeline(quality_gate=q_gate)
+    a = {r.doc_id for r in p_quality.process_batch(docs).collect()}
+    b = {r.doc_id for r in q_gate.admit(docs).collect()}
+    assert a == b
+
+    e_gate = StreamingDocDedup(spark, str(tmp_path / "fp_partial"))
+    p_exact = ComposedCorpusPipeline(exact_gate=e_gate)
+    dup = docs.unionByName(
+        docs.limit(5).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    )
+    out = p_exact.process_batch(dup, epoch_id=0)
+    assert set(out.columns) == {"doc_id", "text"}
+    kept = {r.doc_id for r in out.collect()}
+    assert len(kept) == 60  # 5 clones rejected, originals kept
+    assert not {i for i in kept if i >= 5000}
