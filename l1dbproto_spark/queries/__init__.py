@@ -94,9 +94,7 @@ _PRIORITY = [
     "q3_top_orders",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "exists_anti_semi",
     "filtered_counts",
-    "above_average_customers",
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
     "salted_skew_agg",
@@ -117,6 +115,9 @@ _PRIORITY = [
     "semdedup_drops",
     "dsir_log_weights",
     "collocations_pmi",
+    # LLM-pipeline: lexical retrieval + entity resolution (round 8)
+    "bm25_topk",
+    "fuzzy_name_match",
 ]
 
 
@@ -139,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
         embedding,
         synthesis,
         misc,
+        search,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

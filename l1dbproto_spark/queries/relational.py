@@ -235,30 +235,15 @@ def history_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "exists_anti_semi",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, c.c_acctbal, 'no_recent_order' AS tag
-    FROM customer c
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey
-        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-    )
-    UNION ALL
-    SELECT c.c_custkey, c.c_name, c.c_acctbal, 'big_spender' AS tag
-    FROM customer c
-    WHERE EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
-    )
-    """,
-    survey="J-anti (README.md:30 'objects without match') + correlated EXISTS semi-join",
-)
 def exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS battery: the 'objects without match' anti-join the reference
     describes (README.md:30) plus the correlated-EXISTS semi-join with an
-    inner predicate — Spark left_anti / left_semi joins, tagged union."""
+    inner predicate — Spark left_anti / left_semi joins, tagged union.
+
+    De-registered r8 (slot went to bm25_topk — the anti/semi join OPERATORS
+    stay under driver rows via history_semi_join, semdedup_drops and
+    contamination_report; this battery carries no §2 id of its own). The
+    oracle lives on in tests/test_unregistered_batteries.py."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     recent = orders.filter(

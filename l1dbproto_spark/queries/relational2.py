@@ -58,23 +58,15 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat.unionByName(churned)
 
 
-@query(
-    "above_average_customers",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
-      FROM customer
-    )
-    SELECT c_custkey, c_name, c_acctbal
-    FROM customer, s
-    WHERE c_acctbal > s.avg_bal
-    """,
-    survey="scalar subquery (not in reference)",
-)
 def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery pattern: compare each row against a global aggregate
     (broadcast of a 1-row DataFrame; the exact-decimal avg keeps the
-    threshold engine-identical)."""
+    threshold engine-identical).
+
+    De-registered r8 (slot went to fuzzy_name_match — this battery maps to
+    no SURVEY §2 id; the broadcast-scalar pattern stays driver-checked via
+    bm25_topk's corpus-stats crossJoin). Oracle kept in
+    tests/test_unregistered_batteries.py."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = cust.agg(
         (

@@ -335,3 +335,58 @@ def test_blob_metadata_matches_oracle(spark):
         "media_id",
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+# Round 8: exists_anti_semi + above_average_customers (slots to bm25_topk /
+# fuzzy_name_match; anti/semi joins stay driver-covered via history_semi_join,
+# semdedup_drops and contamination_report, the broadcast-scalar pattern via
+# bm25_topk's corpus-stats crossJoin)
+
+EXISTS_ANTI_SEMI_ORACLE = f"""
+WITH customer AS (SELECT * FROM '{SF_DIR}/customer.parquet'),
+orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT c.c_custkey, c.c_name, c.c_acctbal, 'no_recent_order' AS tag
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_acctbal, 'big_spender' AS tag
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+def test_exists_anti_semi_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational import exists_anti_semi
+
+    got = _normalize(exists_anti_semi(spark, SF_DIR).toPandas(), "c_custkey")
+    got = got.sort_values(["c_custkey", "tag"], ignore_index=True)
+    want = _normalize(duckdb.sql(EXISTS_ANTI_SEMI_ORACLE).df(), "c_custkey")
+    want = want.sort_values(["c_custkey", "tag"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+ABOVE_AVERAGE_ORACLE = f"""
+WITH customer AS (SELECT * FROM '{SF_DIR}/customer.parquet'),
+s AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer, s
+WHERE c_acctbal > s.avg_bal
+"""
+
+
+def test_above_average_customers_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import above_average_customers
+
+    got = _normalize(above_average_customers(spark, SF_DIR).toPandas(), "c_custkey")
+    want = _normalize(duckdb.sql(ABOVE_AVERAGE_ORACLE).df(), "c_custkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
