@@ -144,12 +144,18 @@ def best_fuzzy_match(
     row_number window over (dist asc, neighbor asc).
     """
     pairs = fuzzy_self_join(names, name_col, max_distance, block_cap=block_cap)
-    # symmetric closure: each pair seen from both endpoints
+    # symmetric closure WITHOUT a self-union: explode each pair into its two
+    # directed views in one pass (a union would re-plan the whole blocking
+    # subtree — 2x the scans in the static plan)
     sym = pairs.select(
-        F.col("a_name").alias("name"), F.col("b_name").alias("neighbor"), "dist"
-    ).unionByName(
-        pairs.select(F.col("b_name").alias("name"), F.col("a_name").alias("neighbor"), "dist")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("a_name").alias("name"), F.col("b_name").alias("neighbor")),
+                F.struct(F.col("b_name").alias("name"), F.col("a_name").alias("neighbor")),
+            )
+        ).alias("e"),
+        "dist",
+    ).select("e.name", "e.neighbor", "dist")
     w = Window.partitionBy("name").orderBy(F.col("dist").asc(), F.col("neighbor").asc())
     return (
         sym.withColumn("rn", F.row_number().over(w))

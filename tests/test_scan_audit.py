@@ -62,6 +62,11 @@ ALLOWED = {
     # below the coordinate aggregation, so the query-side scan is 10
     # docs), each with its zero-vector completion branch
     "doc_embed_ann": {"documents": 4},
+    # corpus-stats agg + postings + the dfreq postings clone — dfreq and tf
+    # share ONE identical exchange; AQE reuses it at runtime (verified:
+    # post-exec plan shows ReusedExchange, same pattern as tfidf_top_terms)
+    "bm25_topk": {"documents": 3},
+    "fuzzy_name_match": {"part": 2},        # token-blocked self-join sides
 }
 
 
