@@ -71,15 +71,19 @@ def queries_df(spark: SparkSession, queries: Sequence[tuple[int, str]]) -> DataF
     Driver-side literal (queries are user input, tiny by construction);
     broadcast at every use site.
     """
-    q = spark.createDataFrame(list(queries), "query_id INT, query_text STRING")
-    # project the token array as a named column BEFORE exploding — generators
-    # over deep expression trees fall out of whole-stage codegen (JIT method
-    # limit; see PERFORMANCE.md round-5 lesson)
-    return (
-        q.select("query_id", tokens(F.col("query_text")).alias("toks"))
-        .select("query_id", F.explode("toks").alias("term"))
-        .distinct()
+    import re as _re
+
+    rows = sorted(
+        {
+            (qid, term)
+            for qid, text in queries
+            for term in _re.findall(TOKEN_PATTERN, text.lower())
+        }
     )
+    # tokenized + deduped driver-side (the queries are literals here anyway) —
+    # a distinct on the exploded frame would spend a whole exchange on a
+    # <100-row table
+    return spark.createDataFrame(rows, "query_id INT, term STRING")
 
 
 def bm25_scores(
@@ -108,7 +112,8 @@ def bm25_scores(
     postings = (
         toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         # broadcast left-semi: only query-term postings reach the tf shuffle
-        .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        # (no distinct on the broadcast side — semi-join semantics dedup)
+        .join(F.broadcast(qterms.select("term")), "term", "left_semi")
         .groupBy("doc_id", "term", "dl")  # dl is functionally dependent on doc_id
         .agg(F.count(F.lit(1)).alias("tf"))
     )
