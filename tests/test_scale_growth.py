@@ -246,3 +246,75 @@ def test_multitable_lsh_at_10x(spark):
     for qid in range(10):
         assert top1[qid] % 1_000_000 == qid, (qid, top1.get(qid))
     assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
+
+
+def test_bm25_at_10x(spark):
+    """BM25 top-k at 10x: linear work (one tf shuffle over query-term
+    postings only), constant exchange budget, no cartesian beyond the 1-row
+    stats broadcast, and the salted top-k keeps output size fixed."""
+    from l1dbproto_spark.operators.bm25 import bm25_topk, queries_df
+
+    qt = queries_df(spark, [(1, "dup merge join"), (2, "window hash scan")])
+    docs1 = load_table(spark, SF_DIR, "documents")
+    docs10 = grow_docs(spark)
+
+    out1 = bm25_topk(docs1, qt, 10)
+    n1, t1 = _timed_count(out1)
+    out10 = bm25_topk(docs10, qt, 10)
+    n10, t10 = _timed_count(out10)
+    assert n1 == n10 == 20  # top-10 per query regardless of corpus size
+
+    plan = _executed(out10)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join is the broadcast of the 1-row stats frame
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exchange count is a property of the plan, not the data
+    assert _exchanges(plan) == _exchanges(_executed(out1)), plan
+    assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
+
+
+def _grow_names(spark, factor: int = 5) -> DataFrame:
+    """part names replicated with replica-suffixed variants: replica 0 is the
+    original catalog; replica k appends token 'vNk' so the DISTINCT name
+    count (the fuzzy join's real input) grows ~factor-x while every block
+    keeps its shared adjective/noun tokens — block sizes grow linearly, the
+    worst case for the blocked pair join."""
+    base = load_table(spark, SF_DIR, "part").select("p_name")
+    parts = [base]
+    for k in range(1, factor):
+        parts.append(base.select(F.concat(F.col("p_name"), F.lit(f" vn{k}")).alias("p_name")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_fuzzy_join_at_growth(spark):
+    """Token-blocked Levenshtein self-join when the distinct-name universe
+    grows 5x: still no cartesian/nested-loop, pair count grows quadratically
+    WITHIN blocks by design (measured, not hidden), and block_cap bounds it
+    back down — the documented hot-block guard actually guards."""
+    from l1dbproto_spark.operators.fuzzy import fuzzy_self_join
+
+    names1 = load_table(spark, SF_DIR, "part").select("p_name")
+    names5 = _grow_names(spark, 5)
+    d1 = names1.select("p_name").distinct().count()
+    d5 = names5.select("p_name").distinct().count()
+    assert d5 == 5 * d1  # every replica-suffixed variant is a new distinct name
+
+    out1 = fuzzy_self_join(names1, "p_name", 2)
+    n1, t1 = _timed_count(out1)
+    out5 = fuzzy_self_join(names5, "p_name", 2)
+    n5, t5 = _timed_count(out5)
+    assert n5 > n1  # replicas add near-miss mass
+
+    plan = _executed(out5)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _exchanges(plan) == _exchanges(_executed(out1)), plan
+    assert t5 <= max(40 * t1, 60), f"1x {t1:.2f}s vs 5x {t5:.2f}s"
+
+    # the hot-block guard: capping block size strictly reduces the pair count
+    capped = fuzzy_self_join(names5, "p_name", 2, block_cap=max(2, d1 // 8))
+    assert capped.count() < n5
