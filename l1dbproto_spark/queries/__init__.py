@@ -93,7 +93,6 @@ _PRIORITY = [
     # relational / analytic surface
     "q3_top_orders",
     "q5_region_revenue",
-    "q6_forecast_revenue",
     "filtered_counts",
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
@@ -105,6 +104,7 @@ _PRIORITY = [
     "metrics_pivot_wide",
     "session_window_agg",
     "json_payload_extract",
+    "gap_fill_resample",
     # LLM-pipeline: packing, quantization, composed ANN, sampling,
     # decontamination, semantic dedup, DSIR, collocations
     "pack_sequences",

@@ -151,3 +151,49 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("k").cast("double") / n).alias("avg_k"),
         )
     )
+
+
+@query(
+    "gap_fill_resample",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT user_id, bucket_ts, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY user_id, bucket_ts
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM agg GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS bucket_ts
+      FROM bounds
+    ),
+    joined AS (
+      SELECT user_id, bucket_ts, n_events, sum_value
+      FROM grid LEFT JOIN agg USING (user_id, bucket_ts)
+    )
+    SELECT user_id, bucket_ts,
+      COALESCE(n_events, 0) AS n_events,
+      sum_value,
+      last_value(sum_value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY bucket_ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      sum_value IS NULL AS is_gap
+    FROM joined
+    """,
+    survey="ext:timeseries (resample-to-grid + LOCF gap fill; generalizes A5/A6+W5/W6 "
+    "log2csv fixed-cadence rollup to per-key calendar grids)",
+)
+def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase totals per user, densified to each user's observed
+    span with exact-decimal sums and last-observation-carried-forward fill
+    (`operators/timeseries.py` — generated grid, uniform shuffles, no UDFs)."""
+    from ..operators.timeseries import gap_fill_resample as _gfr
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return _gfr(ev, "user_id", "ts", "value", unit="day")

@@ -134,24 +134,14 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("event_id", "user_id", F.col("asof_value").alias("asof_value"))
 
 
-@query(
-    "q6_forecast_revenue",
-    oracle="""
-    SELECT
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-      COUNT(*) AS n
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    survey="global aggregate without grouping (TPC-H Q6 shape)",
-)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + global aggregate — the single-row result shape (all filters
-    pushed to the scan; no shuffle at all, just a partial/final agg)."""
+    pushed to the scan; no shuffle at all, just a partial/final agg).
+
+    De-registered r8 (slot went to gap_fill_resample — the filtered global
+    decimal aggregate stays driver-checked via q1_pricing_summary /
+    filtered_counts; this is the thinnest relational row). Oracle kept in
+    tests/test_unregistered_batteries.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(

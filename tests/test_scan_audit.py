@@ -67,6 +67,9 @@ ALLOWED = {
     # post-exec plan shows ReusedExchange, same pattern as tfidf_top_terms)
     "bm25_topk": {"documents": 3},
     "fuzzy_name_match": {"part": 2},        # token-blocked self-join sides
+    # observation agg + the grid side's bounds clone of the same agg
+    # subtree — one shared exchange, AQE-reused at runtime
+    "gap_fill_resample": {"events": 2},
 }
 
 

@@ -390,3 +390,29 @@ def test_above_average_customers_matches_oracle(spark):
     got = _normalize(above_average_customers(spark, SF_DIR).toPandas(), "c_custkey")
     want = _normalize(duckdb.sql(ABOVE_AVERAGE_ORACLE).df(), "c_custkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 8 (late): q6_forecast_revenue (slot to gap_fill_resample; the
+# filtered global decimal aggregate stays driver-checked via
+# q1_pricing_summary / filtered_counts)
+
+Q6_ORACLE = f"""
+WITH lineitem AS (SELECT * FROM '{SF_DIR}/lineitem.parquet')
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def test_q6_forecast_revenue_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import q6_forecast_revenue
+
+    got = q6_forecast_revenue(spark, SF_DIR).collect()[0]
+    want = duckdb.sql(Q6_ORACLE).fetchall()[0]
+    assert (got.revenue, got.n) == (want[0], want[1])
