@@ -169,3 +169,88 @@ def resolve_canonicals(
             (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+    tol: float | None = None,
+) -> DataFrame:
+    """(node, rank) by power iteration with dangling-mass redistribution —
+    graph centrality for the corpus graph family (link/citation authority as
+    a quality prior; the same edge frames the dedup pair generators emit).
+
+    Standard formulation (Page et al. 1999): each round every node
+    distributes rank/out_degree along its out-edges; nodes without
+    out-edges (dangling) spread their whole rank uniformly; then
+    rank = (1-d)/N + d * (in_mass + dangling_mass/N).
+
+    Scale shape: two uniform shuffles per round (rank join keyed on src —
+    the edge side is pinned once, degree attached — and the in-mass
+    groupBy on dst, map-side combined so high-in-degree hubs cost partials,
+    not a hot reducer). The driver touches only bounded scalars per round
+    (the 1-row dangling aggregate and the optional L1 delta), and every
+    round's rank frame is pinned exactly like `connected_components` —
+    O(1) lineage regardless of iteration count.
+
+    ``tol``: if set, stop early when the L1 rank delta falls below it
+    (costs one extra bounded aggregate per round).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(pin, eager=True)
+    )
+    n = nodes.count()  # bounded driver scalar (node count)
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(deg, "src").transform(pin, eager=True)
+    sinks = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).transform(pin, eager=True)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        in_mass = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dangling = (
+            sinks.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )  # 1-row aggregate
+        new_ranks = (
+            nodes.join(in_mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .transform(pin, eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "nr")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

@@ -1,0 +1,96 @@
+"""PageRank: numpy power-iteration parity (same dangling handling), rank-mass
+conservation, known-graph sanity, early-exit tolerance, and the dedup-graph
+composition (rank the near-dup pair graph)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.graph import pagerank
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),  # 4 -> 3, cycle 1-2-3
+    (5, 1),                                   # 5 feeds the cycle
+    # 6 is a pure sink (dangling) reached from 3
+    (3, 6),
+]
+
+
+def _np_pagerank(edges, damping=0.85, iterations=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        new = np.zeros(n)
+        for u, v in edges:
+            new[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (new + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGES, "src INT, dst INT")
+
+
+def test_pagerank_matches_numpy(spark, edge_df):
+    got = {r.node: r.rank for r in pagerank(edge_df, iterations=10).collect()}
+    want = _np_pagerank(EDGES, iterations=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_rank_mass_conserved(spark, edge_df):
+    ranks = pagerank(edge_df, iterations=8).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+
+
+def test_hub_ranks_highest(spark, edge_df):
+    """Node 3 has the most in-links (from 1, 2, 4) — it must lead."""
+    ranks = {r.node: r.rank for r in pagerank(edge_df, iterations=15).collect()}
+    assert max(ranks, key=ranks.get) == 3
+
+
+def test_tol_early_exit_close_to_full_run(spark, edge_df):
+    full = {r.node: r.rank for r in pagerank(edge_df, iterations=50).collect()}
+    early = {r.node: r.rank for r in pagerank(edge_df, iterations=50, tol=1e-10).collect()}
+    for k in full:
+        assert abs(full[k] - early[k]) < 1e-6
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src INT, dst INT")
+    assert pagerank(e, iterations=3).count() == 0
+
+
+def test_rank_near_dup_graph(spark):
+    """Composition: the MinHash candidate pairs form a graph; PageRank over
+    it is the 'most-connected duplicate' centrality. Plan sanity: no
+    cartesian products anywhere in the iterated lineage (each round is
+    pinned, so the final frame's plan is just the last round)."""
+    from l1dbproto_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_band_buckets(minhash_signatures(shingle_rows(docs)))
+    )
+    ranks = pagerank(pairs, src="doc_a", dst="doc_b", iterations=5)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = ranks.collect()
+    assert len(rows) > 0
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
