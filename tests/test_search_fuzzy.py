@@ -199,3 +199,31 @@ def test_fuzzy_block_cap_drops_hot_tokens(spark):
     capped = fuzzy_self_join(names, "name", 2, block_cap=2).count()
     assert uncapped > 0
     assert capped == 0
+
+
+def test_bm25_absent_terms(spark):
+    """Query terms absent from the whole corpus contribute nothing; a query
+    whose EVERY term is absent returns no rows at all (never a null score)."""
+    docs = spark.createDataFrame(DOCS, "doc_id INT, text STRING")
+    qt = queries_df(spark, [(1, "quick zzz"), (2, "xyzzy plugh")])
+    rows = bm25_scores(docs, qt).collect()
+    assert {r.query_id for r in rows} == {1}
+    assert all(r.score is not None and r.score > 0 for r in rows)
+    # query 1's score equals a pure-"quick" query's score (zzz adds nothing)
+    only_quick = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, queries_df(spark, [(1, "quick")])).collect()
+    }
+    assert {r.doc_id: r.score for r in rows} == only_quick
+
+
+def test_fuzzy_distance_zero_and_case(spark):
+    """max_distance=0 keeps only pairs equal as raw strings — but blocking
+    lowercases tokens, so case-variants still meet in a block and are
+    reported at their true (case-sensitive) distance when it fits."""
+    names = spark.createDataFrame([("Red Bolt",), ("red bolt",), ("red belt",)], ["name"])
+    d0 = {(r.a_name, r.b_name, r.dist) for r in fuzzy_self_join(names, "name", 0).collect()}
+    assert d0 == set()  # distinct raw strings, none at distance 0
+    d2 = {(r.a_name, r.b_name): r.dist for r in fuzzy_self_join(names, "name", 2).collect()}
+    assert d2[("Red Bolt", "red bolt")] == 2  # R->r, B->b
+    assert d2[("red belt", "red bolt")] == 1
