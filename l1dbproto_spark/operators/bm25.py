@@ -178,3 +178,188 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", key.alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persistent inverted index (build / append / query), mirroring the PQ index
+# contract (operators/pq.py build/append/load): artifacts under one root,
+# incremental growth encodes ONLY the delta, grown == rebuilt is pinned in
+# tests, single-writer appends.
+
+import zlib
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class BM25IndexMeta:
+    n_buckets: int
+
+
+class BM25Index:
+    """Directory-backed inverted index:
+
+    * ``postings.parquet`` (hive-partitioned by ``term_bucket``): one row
+      per (term, doc) with its tf and the doc's length — the ONLY large
+      artifact, and queries read just the partitions holding their terms;
+    * ``stats.parquet``: one (n_docs, sum_dl) row PER GENERATION (build +
+      each append) — corpus statistics stay mergeable, the query path sums
+      them (a bounded aggregate) instead of rewriting a global row;
+    * ``meta.parquet``: the bucket count (the write-side and query-side
+      bucket function must agree forever).
+
+    Bucketing is ``crc32(term) % n_buckets`` — computed by Spark's
+    ``crc32`` at write time and by ``zlib.crc32`` on the driver at query
+    time (same CRC-32), so the query plan carries a LITERAL partition
+    filter: scanning an index of any size touches only the query terms'
+    buckets (PartitionFilters, plan-asserted in tests)."""
+
+    def __init__(self, spark: SparkSession, root: str, meta: BM25IndexMeta):
+        self.spark = spark
+        self.root = root
+        self.meta = meta
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/postings.parquet")
+
+    def stats(self) -> DataFrame:
+        """Corpus statistics merged across generations (1-row frame)."""
+        gens = self.spark.read.parquet(f"{self.root}/stats.parquet")
+        return gens.agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+        )
+
+
+def _doc_postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    return (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
+    )
+
+
+def _doc_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(tokens(F.col(text_col)).alias("toks")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("toks")).alias("sum_dl")
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    root: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> BM25Index:
+    """One corpus scan: tokenize -> tf aggregate -> bucket-partitioned
+    postings write, plus the generation-0 stats row and the meta row."""
+    spark = docs.sparkSession
+    _doc_postings(docs, id_col, text_col, n_buckets).repartition("term_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{root}/postings.parquet")
+    _doc_stats(docs, id_col, text_col).write.mode("overwrite").parquet(f"{root}/stats.parquet")
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode("overwrite").parquet(
+        f"{root}/meta.parquet"
+    )
+    return BM25Index(spark, root, BM25IndexMeta(n_buckets))
+
+
+def append_to_bm25_index(
+    index: BM25Index,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> BM25Index:
+    """Incremental growth: tokenize ONLY the new docs, append their postings
+    into the bucket partitions and one new stats generation row. Cost is
+    proportional to the delta, never the index. Caller owns id uniqueness
+    across generations; single writer assumed (the PQ-index contract)."""
+    n_buckets = index.meta.n_buckets
+    _doc_postings(new_docs, id_col, text_col, n_buckets).repartition("term_bucket").write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(f"{index.root}/postings.parquet")
+    _doc_stats(new_docs, id_col, text_col).write.mode("append").parquet(
+        f"{index.root}/stats.parquet"
+    )
+    return index
+
+
+def load_bm25_index(spark: SparkSession, root: str) -> BM25Index:
+    r = spark.read.parquet(f"{root}/meta.parquet").first()
+    return BM25Index(spark, root, BM25IndexMeta(r.n_buckets))
+
+
+def bm25_index_topk(
+    index: BM25Index,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    fanout: int = 32,
+) -> DataFrame:
+    """Top-k per query against the PERSISTED index: the postings scan is
+    partition-pruned to the query terms' buckets via a literal filter
+    (computed driver-side with the same CRC-32 as the writer), df comes
+    from the pruned postings themselves, corpus stats from the mergeable
+    generations — no touch of the original corpus."""
+    import re as _re
+
+    spark = index.spark
+    rows = sorted(
+        {
+            (qid, term)
+            for qid, text in queries
+            for term in _re.findall(TOKEN_PATTERN, text.lower())
+        }
+    )
+    if not rows:
+        return spark.createDataFrame([], "query_id INT, doc_id LONG, score DOUBLE, rank INT")
+    qterms = spark.createDataFrame(rows, "query_id INT, term STRING")
+    terms = sorted({t for _, t in rows})
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % index.meta.n_buckets for t in terms})
+
+    postings = (
+        index.postings()
+        .filter(F.col("term_bucket").isin(buckets))  # literal partition filter
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "dl", "tf")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        9,
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(index.stats()))
+        .select("query_id", "doc_id", "term", contrib.alias("contrib"))
+    )
+    scores = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    key = F.round(F.col("score"), 6)
+    w_local = Window.partitionBy("query_id", F.pmod(F.hash("doc_id"), F.lit(fanout))).orderBy(
+        key.desc(), F.col("doc_id").asc()
+    )
+    pruned = scores.withColumn("rn", F.row_number().over(w_local)).filter(F.col("rn") <= k).drop("rn")
+    w = Window.partitionBy("query_id").orderBy(key.desc(), F.col("doc_id").asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", key.alias("score"), "rank")
+    )
