@@ -312,20 +312,11 @@ def main() -> None:
     )
 
     # round-8 additions: lexical retrieval, entity resolution, time-series
-    # densification (registered queries; timed here so the round record
-    # carries their sf0.1 cost without touching the headline total)
-    from l1dbproto_spark.queries import load_all as _load_all
-
-    _r8 = _load_all()
-    _extra("bm25_topk", lambda: _r8["bm25_topk"].builder(spark, sf_dir).count())
-    _extra(
-        "fuzzy_name_match",
-        lambda: _r8["fuzzy_name_match"].builder(spark, sf_dir).count(),
-    )
-    _extra(
-        "gap_fill_resample",
-        lambda: _r8["gap_fill_resample"].builder(spark, sf_dir).count(),
-    )
+    # densification (registered queries — reuse the registry already loaded
+    # by main(); timed here so the round record carries their sf0.1 cost
+    # without touching the headline total)
+    for r8_name in ("bm25_topk", "fuzzy_name_match", "gap_fill_resample"):
+        _extra(r8_name, lambda n=r8_name: specs[n].builder(spark, sf_dir).count())
 
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).

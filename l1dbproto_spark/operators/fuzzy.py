@@ -102,12 +102,14 @@ def fuzzy_join(
     *,
     block_cap: Optional[int] = None,
 ) -> DataFrame:
-    """Two-sided token-blocked edit-distance join.
+    """Two-sided token-blocked edit-distance join over the DISTINCT values
+    of the two string columns.
 
-    Returns all (left row, right row) pairs sharing a word token with
-    ``levenshtein(left_col, right_col) <= max_distance``, left/right columns
-    prefixed ``l_`` / ``r_`` where they collide. Output (l_value, r_value,
-    dist) plus the original key columns if present.
+    Returns (l_value, r_value, dist) — every distinct value pair sharing a
+    word token with ``levenshtein <= max_distance``. Value-level by design
+    (string matching is independent of row identity, so verifying once per
+    distinct pair is strictly cheaper); callers re-attach their rows with an
+    equi-join on the matched value.
     """
     l = left.select(F.col(left_col).alias("l_value")).distinct()
     r = right.select(F.col(right_col).alias("r_value")).distinct()

@@ -179,6 +179,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     tol: float | None = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """(node, rank) by power iteration with dangling-mass redistribution —
     graph centrality for the corpus graph family (link/citation authority as
@@ -188,6 +189,13 @@ def pagerank(
     distributes rank/out_degree along its out-edges; nodes without
     out-edges (dangling) spread their whole rank uniformly; then
     rank = (1-d)/N + d * (in_mass + dangling_mass/N).
+
+    ``dedup_edges`` (default True, matching the simple-graph convention of
+    the dedup pair frames this composes with) collapses parallel edges;
+    with ``dedup_edges=False`` the walk is MULTIGRAPH-weighted — an edge
+    repeated m times carries m shares of its source's rank (out-degree
+    counts multiplicity), the right semantics for repeated link/citation
+    events.
 
     Scale shape: two uniform shuffles per round (rank join keyed on src —
     the edge side is pinned once, degree attached — and the in-mass
@@ -200,7 +208,12 @@ def pagerank(
     ``tol``: if set, stop early when the L1 rank delta falls below it
     (costs one extra bounded aggregate per round).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edge weights: 1 per distinct edge (simple graph) or the multiplicity
+    # (multigraph) — one uniform groupBy either way
+    e = raw.groupBy("src", "dst").agg(
+        (F.lit(1) if dedup_edges else F.count(F.lit(1))).cast("long").alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -210,7 +223,7 @@ def pagerank(
     n = nodes.count()  # bounded driver scalar (node count)
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
     e_deg = e.join(deg, "src").transform(pin, eager=True)
     sinks = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
@@ -220,7 +233,10 @@ def pagerank(
     for _ in range(iterations):
         in_mass = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )

@@ -54,7 +54,12 @@ def normalize_to_bits(col: Column, lo: float, hi: float, bits: int = DEFAULT_BIT
         raise ValueError(f"normalize_to_bits: need lo < hi, got [{lo}, {hi}]")
     top = (1 << bits) - 1
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(top))
-    return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top))
+    clamped = F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top))
+    # NULL propagates (greatest/least SKIP nulls, which would silently clamp
+    # a NULL key to bucket 0 and pile every null row at the domain edge);
+    # a NULL component makes the whole z-key NULL and the range partitioner
+    # groups those rows together explicitly
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def zorder_key(cols: Sequence[Column], bits: int = DEFAULT_BITS) -> Column:

@@ -50,9 +50,11 @@ def _bm25_oracle() -> str:
       GROUP BY doc_id, term, dl
     ),
     stats AS (
+      -- indexable (>= 1 token) docs only: the engine-wide BM25 stats rule
       SELECT COUNT(*) AS n_docs,
              CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS DOUBLE) / COUNT(*) AS avgdl
       FROM documents
+      WHERE len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) > 0
     ),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     contrib AS (

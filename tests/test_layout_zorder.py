@@ -137,3 +137,16 @@ def test_zorder_skips_more_files_than_linear_sort(spark, tmp_path):
     want = li.filter(q).count()
     assert spark.read.parquet(zord).filter(q).count() == want
     assert spark.read.parquet(linear).filter(q).count() == want
+
+
+def test_normalize_to_bits_propagates_null(spark):
+    """NULL keys must NOT silently clamp to bucket 0 (review find r8): the
+    component — and therefore the z-key — stays NULL."""
+    df = spark.createDataFrame([(None,), (50.0,)], "v DOUBLE")
+    out = df.select(
+        normalize_to_bits(F.col("v"), 0.0, 100.0, bits=8).alias("n"),
+        zorder_key([normalize_to_bits(F.col("v"), 0.0, 100.0, bits=8)], bits=8).alias("z"),
+    ).collect()
+    by_null = {r.n is None: r for r in out}
+    assert by_null[True].z is None
+    assert by_null[False].n == 127 and by_null[False].z is not None

@@ -94,3 +94,24 @@ def test_rank_near_dup_graph(spark):
     rows = ranks.collect()
     assert len(rows) > 0
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+
+
+def test_multigraph_weights(spark):
+    """dedup_edges=False: a parallel edge carries multiplicity — 2x the
+    (1,2) edge shifts rank toward 2 vs the deduped walk, and matches a
+    numpy reference whose edge list repeats the edge."""
+    edges = EDGES + [(1, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    deduped = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    weighted = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=10, dedup_edges=False).collect()
+    }
+    want = _np_pagerank(edges, iterations=10)  # numpy weights by repetition
+    for k in want:
+        assert abs(weighted[k] - want[k]) < 1e-9
+    assert weighted[2] > deduped[2]
+    # deduped walk equals the simple-graph reference
+    want_simple = _np_pagerank(EDGES, iterations=10)
+    for k in want_simple:
+        assert abs(deduped[k] - want_simple[k]) < 1e-9
