@@ -100,7 +100,6 @@ _PRIORITY = [
     "frequent_items_per_group",
     # windows / events
     "partitioned_source_ids",
-    "top_k_per_group",
     "metrics_pivot_wide",
     "session_window_agg",
     "json_payload_extract",
@@ -118,6 +117,7 @@ _PRIORITY = [
     # LLM-pipeline: lexical retrieval + entity resolution (round 8)
     "bm25_topk",
     "fuzzy_name_match",
+    "phrase_match",
 ]
 
 

@@ -141,3 +141,60 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     out = best_fuzzy_match(part, "p_name", max_distance=2)
     return out.select("name", "best_match", out["dist"].cast("int").alias("dist"))
+
+
+# Probe phrases: a frequent bigram, a REPEATED-term bigram (exercises the
+# countDistinct-offset rule), and a real trigram from the fixture corpus.
+PHRASES: list[tuple[int, str]] = [
+    (1, "table hash"),
+    (2, "small small"),
+    (3, "slow hash batch"),
+]
+
+
+def _phrase_oracle() -> str:
+    from ..operators.bm25 import TOKEN_PATTERN
+    from ..operators.phrase import phrase_rows
+
+    values = ", ".join(
+        f"({pid}, '{term}', {off}, {plen})" for pid, term, off, plen in phrase_rows(PHRASES)
+    )
+    return f"""
+    WITH p(phrase_id, term, off, phrase_len) AS (VALUES {values}),
+    dt0 AS (
+      SELECT doc_id, unnest(lst) AS term, generate_subscripts(lst, 1) - 1 AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS lst
+            FROM documents)
+    ),
+    dt AS (SELECT * FROM dt0 WHERE term IN (SELECT DISTINCT term FROM p)),
+    anchored AS (
+      SELECT p.phrase_id, dt.doc_id, dt.pos - p.off AS anchor, p.off, p.phrase_len
+      FROM dt JOIN p USING (term)
+      WHERE dt.pos - p.off >= 0
+    ),
+    occ AS (
+      SELECT phrase_id, doc_id, anchor
+      FROM anchored
+      GROUP BY phrase_id, doc_id, anchor, phrase_len
+      HAVING COUNT(DISTINCT off) = phrase_len
+    )
+    SELECT phrase_id, doc_id, COUNT(*) AS n_occurrences
+    FROM occ GROUP BY phrase_id, doc_id
+    """
+
+
+@query(
+    "phrase_match",
+    oracle=_phrase_oracle(),
+    survey="ext:search (positional exact phrase match via anchor aggregation; "
+    "query-time analog of exact-substring dedup / verbatim decontamination probe)",
+)
+def phrase_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim occurrence counts for the probe phrases: posexplode
+    positions -> broadcast-semi vocabulary filter -> anchor = pos - offset
+    -> one uniform (phrase, doc, anchor) shuffle where countDistinct(offset)
+    == phrase_len certifies an occurrence (`operators/phrase.py`)."""
+    from ..operators.phrase import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match(docs, PHRASES)

@@ -72,24 +72,14 @@ def partitioned_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "top_k_per_group",
-    oracle="""
-    SELECT c_nationkey, c_custkey, c_acctbal
-    FROM (
-      SELECT c_nationkey, c_custkey, c_acctbal,
-             ROW_NUMBER() OVER (
-               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
-             ) AS rn
-      FROM customer
-    ) t
-    WHERE rn <= 3
-    """,
-    survey="W1,W7",
-)
 def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group — generalization of the reference's min/max-key
-    selection (log2csv.py:335,341) to ranked selection."""
+    selection (log2csv.py:335,341) to ranked selection.
+
+    De-registered r8 (slot went to phrase_match — W1 stays driver-checked
+    via latest_version_per_key, W7 via q3_top_orders; the registered BM25
+    top-k rows exercise the same ranked-selection window). Oracle kept in
+    tests/test_unregistered_batteries.py."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (

@@ -22,7 +22,6 @@ PORTABLE = [
     "q3_top_orders",
     "q5_region_revenue",
     "filtered_counts",
-    "top_k_per_group",
     "latest_version_per_key",
     "session_window_agg",
     "visit_window_agg",

@@ -416,3 +416,28 @@ def test_q6_forecast_revenue_matches_oracle(spark):
     got = q6_forecast_revenue(spark, SF_DIR).collect()[0]
     want = duckdb.sql(Q6_ORACLE).fetchall()[0]
     assert (got.revenue, got.n) == (want[0], want[1])
+
+
+# Round 8 (late): top_k_per_group (slot to phrase_match; W1 stays
+# driver-checked via latest_version_per_key, W7 via q3_top_orders)
+
+TOP_K_ORACLE = f"""
+WITH customer AS (SELECT * FROM '{SF_DIR}/customer.parquet')
+SELECT c_nationkey, c_custkey, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ) AS rn
+  FROM customer
+) t
+WHERE rn <= 3
+"""
+
+
+def test_top_k_per_group_matches_oracle(spark):
+    from l1dbproto_spark.queries.windows import top_k_per_group
+
+    got = _normalize(top_k_per_group(spark, SF_DIR).toPandas(), "c_custkey")
+    want = _normalize(duckdb.sql(TOP_K_ORACLE).df(), "c_custkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
