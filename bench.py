@@ -315,7 +315,7 @@ def main() -> None:
     # densification (registered queries — reuse the registry already loaded
     # by main(); timed here so the round record carries their sf0.1 cost
     # without touching the headline total)
-    for r8_name in ("bm25_topk", "fuzzy_name_match", "gap_fill_resample"):
+    for r8_name in ("bm25_topk", "fuzzy_name_match", "gap_fill_resample", "phrase_match"):
         _extra(r8_name, lambda n=r8_name: specs[n].builder(spark, sf_dir).count())
 
     # sustained streaming cadence (not folded into the headline total so the

@@ -318,3 +318,30 @@ def test_fuzzy_join_at_growth(spark):
     # the hot-block guard: capping block size strictly reduces the pair count
     capped = fuzzy_self_join(names5, "p_name", 2, block_cap=max(2, d1 // 8))
     assert capped.count() < n5
+
+
+def test_phrase_match_at_10x(spark):
+    """Exact phrase search at 10x: linear work (only phrase-vocabulary
+    positions shuffle), constant exchange budget, occurrence counts grow
+    exactly with the clone mass (even replicas are verbatim copies)."""
+    from l1dbproto_spark.operators.phrase import phrase_match
+    from l1dbproto_spark.queries.search import PHRASES
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    docs10 = grow_docs(spark)
+
+    out1 = phrase_match(docs1, PHRASES)
+    base = {(r.phrase_id, r.doc_id): r.n_occurrences for r in out1.collect()}
+    t0 = time.time()
+    out10 = phrase_match(docs10, PHRASES)
+    got = {(r.phrase_id, r.doc_id): r.n_occurrences for r in out10.collect()}
+    t10 = time.time() - t0
+    # replica k (even) clones doc d as d + k*1_000_000 with IDENTICAL text:
+    # every original hit must reappear verbatim on the clone
+    for (pid, did), n in base.items():
+        assert got.get((pid, did)) == n
+        assert got.get((pid, did + 2_000_000)) == n  # replica 2 is a clone
+    plan = _executed(out10)
+    assert "CartesianProduct" not in plan, plan
+    assert _exchanges(plan) == _exchanges(_executed(out1)), plan
+    assert t10 <= 120, f"10x phrase search took {t10:.1f}s"
