@@ -42,6 +42,11 @@ RECALL_FLOORS = {
     "ann_topk_ivf": 0.6,
     "ivf_pq_topk": 0.6,
     "quantized_topk": 0.95,
+    # 1-bit sign signatures (r9): 0.67 measured at the sf0.1 bench shape
+    # with refine=16 — the documented coarse end of the quantization
+    # family (32x less candidate-scan I/O than float32, 8x less than
+    # int8), floor 0.5 under the measurement with real headroom.
+    "hamming_topk": 0.5,
 }
 
 #: Query-set spec for each registered approximate query: vectors with
@@ -54,6 +59,7 @@ RECALL_QUERY_MAX_ID = {
     "ann_topk_ivf": 20,
     "ivf_pq_topk": 10,
     "quantized_topk": 20,
+    "hamming_topk": 20,
 }
 
 #: Ceiling on the multitable-LSH candidate fraction (distinct candidate

@@ -68,7 +68,6 @@ _PRIORITY = [
     "forced_photometry_eligibility",
     "pixelization_ids",
     "pixel_histogram",
-    "catalog_union",
     "visit_window_agg",
     # LLM-pipeline: dedup family
     "dedup_exact",
@@ -86,14 +85,12 @@ _PRIORITY = [
     "text_stats",
     "language_id",
     "tfidf_top_terms",
-    "doc_fingerprint",
     "doc_embed_ann",
     "media_byte_histogram",
     "media_chunk_fingerprints",
     # relational / analytic surface
     "q3_top_orders",
     "q5_region_revenue",
-    "filtered_counts",
     "asof_last_click_before_purchase",
     "argmax_order_per_customer",
     "salted_skew_agg",
@@ -118,6 +115,12 @@ _PRIORITY = [
     "bm25_topk",
     "fuzzy_name_match",
     "phrase_match",
+    # round 9: 1-bit quantized ANN + event analytics (rotation: out
+    # catalog_union / filtered_counts / doc_fingerprint -> in-suite
+    # oracles in tests/test_unregistered_batteries.py)
+    "hamming_topk",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 
@@ -141,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         synthesis,
         misc,
         search,
+        analytics,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -1,0 +1,86 @@
+"""Event-analytics queries — sequential funnel and cohort retention over
+the events/orders tables (operators/analytics.py). The generalized form of
+the reference's per-visit counting family (SURVEY.md A1-A6) applied to
+arbitrary user timelines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.analytics import cohort_retention as _cohort
+from ..operators.analytics import funnel_conversion as _funnel
+from ..sources.catalog import load_table
+from . import query
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH e1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    e2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM e1
+    ),
+    e3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM e2
+    ),
+    u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+          FROM e3 GROUP BY 1),
+    c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM u)
+    SELECT 0 AS stage_idx, 'view' AS stage, c0 AS n_users,
+           round(c0 / c0, 6) AS pct_of_first FROM c
+    UNION ALL
+    SELECT 1, 'click', c1, round(c1 / c0, 6) FROM c
+    UNION ALL
+    SELECT 2, 'purchase', c2, round(c2 / c0, 6) FROM c
+    """,
+    survey="ext:analytics (ordered funnel); A1-A3 generalized",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: per-user sequential min
+    timestamps (stage i counts only strictly after stage i-1) via chained
+    mins over ONE per-user window partition, then a single-row stage
+    summary. One hash exchange total regardless of stage count."""
+    events = load_table(spark, sf_dir, "events")
+    return _funnel(events, _FUNNEL_STAGES)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_ts FROM orders GROUP BY 1
+    ),
+    acts AS (
+      SELECT date_trunc('month', f.first_ts) AS cohort_month,
+             datediff('month', date_trunc('month', f.first_ts),
+                      date_trunc('month', o.o_orderdate)) AS month_offset,
+             count(DISTINCT o.o_custkey) AS n_active
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_month, n_active AS cohort_size
+              FROM acts WHERE month_offset = 0)
+    SELECT a.cohort_month, a.month_offset, a.n_active,
+           round(a.n_active / s.cohort_size, 6) AS retention_rate
+    FROM acts a JOIN sizes s ON a.cohort_month = s.cohort_month
+    """,
+    survey="ext:analytics (cohort retention); A5/A6 generalized",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly first-order cohorts x month offset: distinct active
+    customers and their share of the cohort. One per-customer window min
+    + one (cohort, offset) aggregation; the offset-0 sizes frame is
+    months-count tiny and broadcast for the rate join."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _cohort(orders, "o_custkey", "o_orderdate")

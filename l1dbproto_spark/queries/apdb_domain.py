@@ -92,16 +92,9 @@ def pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "catalog_union",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 350000
-    UNION
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
-    """,
-    survey="U1,U2 (variables + transients union, DIA.py:85-86)",
-)
+# Rotated out of the 50-cap registry in r9 (slot to hamming_topk); the
+# SAME DuckDB oracle runs in-suite in tests/test_unregistered_batteries.py.
+# U1 stays driver-covered through the workload union inside ap_visit.
 def catalog_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog union with dedup — the variables+transients concatenation
     (``DIA.py:85-86``) generalized to a distinct union."""

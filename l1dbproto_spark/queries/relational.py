@@ -260,20 +260,10 @@ def exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.unionByName(semi)
 
 
-@query(
-    "filtered_counts",
-    oracle="""
-    SELECT
-      o_orderstatus,
-      COUNT(*) AS n_orders,
-      COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
-      COUNT(DISTINCT o_custkey) AS n_customers,
-      MAX(o_orderkey) AS last_order_id
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    survey="A2,A3,A4",
-)
+# Rotated out of the 50-cap registry in r9 (slot to funnel_conversion);
+# the SAME DuckDB oracle runs in-suite in
+# tests/test_unregistered_batteries.py. A2-A4 stay driver-covered via
+# q1_pricing_summary (counts) and the funnel/cohort aggregations.
 def filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional counting + max-ID recovery: the reference counts transients
     with ``sum(diaObjectId >= 1e9)`` (``_executors.py:327-328``) and recovers

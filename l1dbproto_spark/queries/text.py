@@ -206,17 +206,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_fingerprint",
-    oracle="""
-    SELECT
-      doc_id,
-      md5(lower(trim(text))) AS fingerprint,
-      substr(md5(lower(trim(text))), 1, 4) AS shard
-    FROM documents
-    """,
-    survey="ext:text (fingerprinting); F13",
-)
+# Rotated out of the 50-cap registry in r9 (slot to cohort_retention);
+# the SAME DuckDB oracle runs in-suite in
+# tests/test_unregistered_batteries.py. F13 formatting stays
+# driver-covered via json_payload_extract's string surface.
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of normalized text, plus a 16-bit shard prefix
     (the fingerprint doubles as a dedup key and a balanced partition key at

@@ -70,6 +70,13 @@ ALLOWED = {
     # observation agg + the grid side's bounds clone of the same agg
     # subtree — one shared exchange, AQE-reused at runtime
     "gap_fill_resample": {"events": 2},
+    # corpus signatures (stage 1) + survivor join-back + the vec_id<20
+    # query carve-out (pinned to one materialization) — same shape and
+    # rationale as quantized_topk
+    "hamming_topk": {"embeddings": 3},
+    # (cohort, offset) activity agg + the offset-0 sizes clone of the
+    # same subtree — one shared exchange, AQE-reused at runtime
+    "cohort_retention": {"orders": 2},
 }
 
 

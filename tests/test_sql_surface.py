@@ -21,7 +21,6 @@ PORTABLE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
-    "filtered_counts",
     "latest_version_per_key",
     "session_window_agg",
     "visit_window_agg",
@@ -30,9 +29,9 @@ PORTABLE = [
     "frequent_items_per_group",
     "partitioned_source_ids",
     "pixel_histogram",
-    "catalog_union",
     "forced_photometry_eligibility",
     "history_semi_join",
+    "funnel_conversion",
 ]
 
 

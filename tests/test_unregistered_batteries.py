@@ -441,3 +441,63 @@ def test_top_k_per_group_matches_oracle(spark):
     got = _normalize(top_k_per_group(spark, SF_DIR).toPandas(), "c_custkey")
     want = _normalize(duckdb.sql(TOP_K_ORACLE).df(), "c_custkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 9: catalog_union / filtered_counts / doc_fingerprint (slots to
+# hamming_topk / funnel_conversion / cohort_retention) — the three thinnest
+# registered rows; same oracles, same compare, in-suite.
+
+CATALOG_UNION_ORACLE = f"""
+WITH orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 350000
+UNION
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+"""
+
+
+def test_catalog_union_matches_oracle(spark):
+    from l1dbproto_spark.queries.apdb_domain import catalog_union
+
+    got = _normalize(catalog_union(spark, SF_DIR).toPandas(), "o_orderkey")
+    want = _normalize(duckdb.sql(CATALOG_UNION_ORACLE).df(), "o_orderkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+FILTERED_COUNTS_ORACLE = f"""
+WITH orders AS (SELECT * FROM '{SF_DIR}/orders.parquet')
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  MAX(o_orderkey) AS last_order_id
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def test_filtered_counts_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational import filtered_counts
+
+    got = _normalize(filtered_counts(spark, SF_DIR).toPandas(), "o_orderstatus")
+    want = _normalize(duckdb.sql(FILTERED_COUNTS_ORACLE).df(), "o_orderstatus")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+WITH documents AS (SELECT * FROM '{SF_DIR}/documents.parquet')
+SELECT
+  doc_id,
+  md5(lower(trim(text))) AS fingerprint,
+  substr(md5(lower(trim(text))), 1, 4) AS shard
+FROM documents
+"""
+
+
+def test_doc_fingerprint_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import doc_fingerprint
+
+    got = _normalize(doc_fingerprint(spark, SF_DIR).toPandas(), "doc_id")
+    want = _normalize(duckdb.sql(DOC_FINGERPRINT_ORACLE).df(), "doc_id")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
