@@ -117,6 +117,23 @@ def canonical_rank(score_col: str, id_col: str):
     )
 
 
+def canonical_rank_inv(score_col: str, id_col: str):
+    """min_by twin of :func:`canonical_rank` for NON-NUMERIC ids (entity
+    resolution clusters string keys — names, URLs — which the max_by
+    struct can't tie-break because ``-id`` needs a numeric). Same
+    semantics (scored beats unscored, then max score, ties to smallest
+    id) expressed as the smallest struct: invert the two score fields,
+    keep the id ascending. Pinned equal to canonical_rank on numeric ids
+    by test."""
+    return F.struct(
+        F.col(score_col).isNull().alias("no_score"),
+        (-F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))).alias(
+            "ns"
+        ),
+        F.col(id_col).alias("id"),
+    )
+
+
 def resolve_canonicals(
     components: DataFrame,
     scores: DataFrame,
@@ -140,8 +157,8 @@ def resolve_canonicals(
     to the SMALLEST id (so the default behavior is recovered by a
     constant score). Documents missing from ``scores`` score NULL and
     never win unless the whole cluster is unscored, in which case min id
-    wins (max_by over the (-id)-tiebroken struct treats NULL score as
-    lowest).
+    wins (min_by over the inverted rank struct treats NULL score as
+    lowest; ids may be any orderable type, including strings).
 
     One equi-join on id + one aggregation on component — both uniform
     keys (cluster sizes are bounded by the near-dup rule), nothing
@@ -156,9 +173,9 @@ def resolve_canonicals(
         id_col,
         "left",
     )
-    rank = canonical_rank("_score", id_col)
+    rank = canonical_rank_inv("_score", id_col)
     winners = nodes.groupBy("component").agg(
-        F.max_by(F.col(id_col), rank).alias("canonical_id")
+        F.min_by(F.col(id_col), rank).alias("canonical_id")
     )
     return (
         nodes.join(winners, "component")
