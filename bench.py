@@ -318,6 +318,25 @@ def main() -> None:
     for r8_name in ("bm25_topk", "fuzzy_name_match", "gap_fill_resample", "phrase_match"):
         _extra(r8_name, lambda n=r8_name: specs[n].builder(spark, sf_dir).count())
 
+    # round-9 additions: 1-bit quantized ANN (also in the recall record),
+    # event analytics, interval-overlap join
+    for r9_name in ("hamming_topk", "funnel_conversion", "cohort_retention"):
+        _extra(r9_name, lambda n=r9_name: specs[n].builder(spark, sf_dir).count())
+    from l1dbproto_spark.operators.interval_join import overlapping_order_windows
+
+    # 1-in-10 order subset: the FULL sf0.1 demo emits ~27M overlap pairs
+    # (12 window-starts/day/priority x 28-day pair range — output-bound at
+    # ~1M pairs/s, see PERFORMANCE.md); the subset keeps pair density
+    # realistic (~270k pairs) so the number tracks operator overhead, not
+    # result materialization
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    _extra(
+        "interval_overlap_join",
+        lambda: overlapping_order_windows(orders).count(),
+    )
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC

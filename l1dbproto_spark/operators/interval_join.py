@@ -157,3 +157,33 @@ def overlapping_order_windows(
             .alias("overlap_days"),
         )
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    p_col: str,
+    i_start: str,
+    i_end: str,
+    bucket_width: float,
+    extra_on: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Join each point to every CLOSED interval containing it
+    (``i_start <= p <= i_end``) — temporal containment, the complement of
+    :func:`interval_overlap_join` (as-of join answers "latest before";
+    this answers "which windows cover t").
+
+    Same bucket strategy, simpler dedup: only the INTERVAL side explodes
+    (a point has exactly one bucket), so each (point, interval) pair
+    meets in exactly one bucket and needs no canonical-bucket filter.
+    ``extra_on`` adds ``(point_col, interval_col)`` equi keys. Output:
+    all point columns + all interval columns (names must not collide)."""
+    pb = points.withColumn(
+        "_pbucket", F.floor(F.col(p_col) / F.lit(bucket_width)).cast("long")
+    )
+    ib = _bucketed(intervals, i_start, i_end, bucket_width, "i")
+    on: Column = pb["_pbucket"] == ib["_ibucket"]
+    for pcol, icol in extra_on or []:
+        on = on & (pb[pcol] == ib[icol])
+    contained = (F.col(i_start) <= F.col(p_col)) & (F.col(p_col) <= F.col(i_end))
+    return pb.join(ib, on).filter(contained).drop("_pbucket", "_ibucket")

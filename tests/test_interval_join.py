@@ -111,3 +111,49 @@ def test_touching_endpoints_count_as_overlap(spark):
     )
     got = interval_overlap_join(a, b, "s", "e", "s2", "e2", bucket_width=7.0)
     assert [r.id2 for r in got.collect()] == [2]
+
+
+PIJ_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, epoch(ts) AS t FROM '{SF_DIR}/events.parquet'
+  WHERE event_type = 'purchase'
+),
+iv AS (
+  SELECT o_orderkey, epoch(o_orderdate) AS s,
+         epoch(o_orderdate) + 7 * 86400.0 AS e
+  FROM '{SF_DIR}/orders.parquet'
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+)
+SELECT ev.event_id, iv.o_orderkey
+FROM ev JOIN iv ON iv.s <= ev.t AND ev.t <= iv.e
+"""
+
+
+def test_point_in_interval_matches_duckdb(spark):
+    from l1dbproto_spark.operators.interval_join import point_in_interval_join
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        # cast, not unix_timestamp: the cast keeps fractional seconds,
+        # matching DuckDB's epoch()
+        .select("event_id", F.col("ts").cast("double").alias("t"))
+    )
+    iv = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("double").alias("s"),
+            (F.unix_timestamp("o_orderdate") + 7 * 86400.0).alias("e"),
+        )
+    )
+    got = point_in_interval_join(
+        ev, iv, "t", "s", "e", bucket_width=7 * 86400.0
+    ).select("event_id", "o_orderkey")
+    want = duckdb.sql(PIJ_ORACLE).df()
+    g = got.toPandas().sort_values(["event_id", "o_orderkey"]).reset_index(drop=True)
+    w = want.sort_values(["event_id", "o_orderkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # no duplicate pairs even though intervals explode to 2 buckets
+    assert len(g) == len(g.drop_duplicates())

@@ -345,3 +345,113 @@ def test_phrase_match_at_10x(spark):
     assert "CartesianProduct" not in plan, plan
     assert _exchanges(plan) == _exchanges(_executed(out1)), plan
     assert t10 <= 120, f"10x phrase search took {t10:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# Round 9 families: funnel/cohort analytics, 1-bit Hamming ANN, interval join
+
+
+def grow_events(spark, factor: int = FACTOR) -> DataFrame:
+    """sf0.1 events replicated ``factor``x as CLONED USERS: replica k
+    copies every user's full timeline onto user_id + k*1_000_000 (event
+    ids offset too). Per-user analytics must scale EXACTLY linearly:
+    each stage count x factor, identical conversion rates."""
+    base = load_table(spark, SF_DIR, "events")
+    parts = [base]
+    for k in range(1, factor):
+        parts.append(
+            base.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_funnel_at_10x(spark):
+    from l1dbproto_spark.operators.analytics import funnel_conversion
+
+    stages = ["view", "click", "purchase"]
+    ev1 = load_table(spark, SF_DIR, "events")
+    ev10 = grow_events(spark)
+
+    r1 = {r.stage: r for r in funnel_conversion(ev1, stages).collect()}
+    t0 = time.time()
+    out10 = funnel_conversion(ev10, stages)
+    r10 = {r.stage: r for r in out10.collect()}
+    t10 = time.time() - t0
+    for s in stages:
+        # cloned users replicate the funnel exactly
+        assert r10[s].n_users == FACTOR * r1[s].n_users
+        assert r10[s].pct_of_first == r1[s].pct_of_first
+    # plan property: still ONE per-user hash exchange + the final
+    # single-row agg, independent of data volume (the union is flat).
+    # Post-collect AQE plans print final + initial sections; count the
+    # final one only.
+    plan = _executed(out10).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert t10 < 120, f"10x funnel took {t10:.1f}s"
+
+
+def test_hamming_topk_at_10x(spark):
+    """Exact clone replicas (k even, +2M ids) have Hamming distance 0 and
+    cosine 1.0 to their originals: after 10x growth each original query's
+    top-1 neighbor MUST be its own clone — recall at growth, not just at
+    the bench shape."""
+    from l1dbproto_spark.operators.quantize import hamming_topk
+
+    emb10 = grow_embeddings(spark)
+    q10 = emb10.filter(F.col("vec_id") < 10)  # originals
+    t0 = time.time()
+    got = hamming_topk(emb10, q10, k=5, refine=16, dim=64)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.cosine_sim)
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    t10 = time.time() - t0
+    for qid in range(10):
+        nid, sim = top1[qid]
+        # ties among the exact clones break to the smallest id: replica 2
+        assert nid == qid + 2_000_000, (qid, nid)
+        assert sim == 1.0
+    assert t10 < 120, f"10x hamming_topk took {t10:.1f}s"
+
+
+def test_interval_join_at_growth(spark):
+    """Order-window overlap pairs on a 5x cloned subset: cross-replica
+    pairs make the output superlinear BY SEMANTICS (clones share exact
+    windows) — what must hold is the plan shape (equi-join, no
+    nested-loop/cartesian) and a bounded wall-clock."""
+    from l1dbproto_spark.operators.interval_join import overlapping_order_windows
+
+    factor = 5
+    base = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    parts = [base]
+    for k in range(1, factor):
+        parts.append(
+            base.withColumn("o_orderkey", F.col("o_orderkey") + k * 100_000_000)
+            .withColumn("o_custkey", F.col("o_custkey") + k * 1_000_000)
+        )
+    grown = parts[0]
+    for p in parts[1:]:
+        grown = grown.unionByName(p)
+
+    n1, t1 = _timed_count(overlapping_order_windows(base))
+    out = overlapping_order_windows(grown)
+    n5, t5 = _timed_count(out)
+    # every base pair reappears across replica combinations; clones of the
+    # same order also overlap each other -> strictly superlinear
+    assert n5 > factor * n1
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert t5 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 5x {t5:.2f}s"
