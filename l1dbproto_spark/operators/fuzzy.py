@@ -47,17 +47,66 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), WHITESPACE)
 
 
+def _rare_prefix(
+    toks: DataFrame,
+    name_col: str,
+    max_distance: int,
+    freq: Optional[DataFrame] = None,
+) -> DataFrame:
+    """LOSSLESS Ed-Join-style prefix blocking (Xiao et al. 2008, word-token
+    form): keep only each string's ``2*d + 1`` globally RAREST tokens as
+    blocking keys.
+
+    Why lossless: one character edit touches at most 2 word tokens (an
+    edit at a space merges/splits neighbors), so two strings within edit
+    distance ``d`` share all but <= 2d of either side's tokens; under ONE
+    global total order (document frequency asc, token asc) the classic
+    prefix-filter lemma then guarantees their (2d+1)-prefixes intersect.
+    Rare tokens are the discriminative ones, so the survivors of this cut
+    are exactly the blocks worth probing — on a skewed vocabulary the
+    candidate-pair shuffle shrinks by the frequency of the common tokens
+    that no longer block (the "inc"/"corp" problem solved losslessly,
+    where ``block_cap`` solves it approximately).
+
+    Cost: one token-frequency aggregation + one per-string window — both
+    uniform-key shuffles; the quadratic pair join they shrink dominates
+    at any interesting scale. ``toks`` must carry (name_col, *, tok).
+
+    ``freq`` overrides the (tok, _df) order table — two-sided joins MUST
+    pass one table spanning both sides, because losslessness requires a
+    single global order."""
+    k = 2 * max_distance + 1
+    # DISTINCT tokens per string: the lemma needs the k rarest distinct
+    # tokens — a repeated token must not eat prefix slots
+    toks = toks.distinct()
+    if freq is None:
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(name_col).orderBy(F.col("_df").asc(), F.col("tok").asc())
+    return (
+        toks.join(freq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_df", "_rn")
+    )
+
+
 def fuzzy_self_join(
     names: DataFrame,
     name_col: str,
     max_distance: int = 2,
     *,
     block_cap: Optional[int] = None,
+    prefix_blocking: bool = False,
 ) -> DataFrame:
     """Unordered pairs (a_name < b_name) of rows within ``max_distance`` edits
     that share >= 1 word token. Input should be distinct on ``name_col``
     (callers dedup first — clone rows are exact-dedup's job, distance 0 here
     only arises for distinct-but-equal-after-lower strings).
+
+    ``prefix_blocking=True`` blocks only on each string's ``2*d+1`` rarest
+    tokens — IDENTICAL output (see :func:`_rare_prefix` for the lemma),
+    strictly fewer candidate pairs; the default stays off so the simplest
+    plan remains the reference shape.
 
     Returns (a_name, b_name, dist).
     """
@@ -72,6 +121,8 @@ def fuzzy_self_join(
         toks = toks.join(
             F.broadcast(sizes.filter(F.col("n") > block_cap).select("tok")), "tok", "left_anti"
         )
+    if prefix_blocking:
+        toks = _rare_prefix(toks, "a_name", max_distance)
     other = (
         toks.select(
             F.col("a_name").alias("b_name"), F.col("a_len").alias("b_len"), F.col("tok").alias("tok")
@@ -101,9 +152,12 @@ def fuzzy_join(
     max_distance: int = 2,
     *,
     block_cap: Optional[int] = None,
+    prefix_blocking: bool = False,
 ) -> DataFrame:
     """Two-sided token-blocked edit-distance join over the DISTINCT values
-    of the two string columns.
+    of the two string columns. ``prefix_blocking`` as in
+    :func:`fuzzy_self_join` (lossless; the global token order spans BOTH
+    sides via one shared frequency table).
 
     Returns (l_value, r_value, dist) — every distinct value pair sharing a
     word token with ``levenshtein <= max_distance``. Value-level by design
@@ -120,6 +174,15 @@ def fuzzy_join(
         hot = F.broadcast(sizes.filter(F.col("n") > block_cap).select("tok"))
         lt = lt.join(hot, "tok", "left_anti")
         rt = rt.join(hot, "tok", "left_anti")
+    if prefix_blocking:
+        freq = (
+            lt.select("l_value", "tok").distinct().select("tok")
+            .unionAll(rt.select("r_value", "tok").distinct().select("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+        lt = _rare_prefix(lt, "l_value", max_distance, freq)
+        rt = _rare_prefix(rt, "r_value", max_distance, freq)
     pairs = (
         lt.join(rt, "tok")
         .filter(F.abs(F.col("l_len") - F.col("r_len")) <= max_distance)
@@ -136,6 +199,7 @@ def best_fuzzy_match(
     max_distance: int = 2,
     *,
     block_cap: Optional[int] = None,
+    prefix_blocking: bool = False,
 ) -> DataFrame:
     """For every distinct name, its single closest fuzzy neighbor (min edit
     distance, ties broken by lexicographically smallest neighbor) — the
@@ -145,7 +209,13 @@ def best_fuzzy_match(
     Returns (name, best_match, dist). Deterministic: the argmin is a
     row_number window over (dist asc, neighbor asc).
     """
-    pairs = fuzzy_self_join(names, name_col, max_distance, block_cap=block_cap)
+    pairs = fuzzy_self_join(
+        names,
+        name_col,
+        max_distance,
+        block_cap=block_cap,
+        prefix_blocking=prefix_blocking,
+    )
     # symmetric closure WITHOUT a self-union: explode each pair into its two
     # directed views in one pass (a union would re-plan the whole blocking
     # subtree — 2x the scans in the static plan)
