@@ -80,7 +80,11 @@ def funnel_conversion(
             F.col("r.stage_idx").alias("stage_idx"),
             F.col("r.stage").alias("stage"),
             F.col("r.n_users").alias("n_users"),
-            F.round(F.col("r.n_users") / F.col("c0"), 6).alias("pct_of_first"),
+            # c0=0 guard: an empty first stage must yield NULL rates, not
+            # an ANSI divide-by-zero task failure
+            F.when(
+                F.col("c0") > 0, F.round(F.col("r.n_users") / F.col("c0"), 6)
+            ).alias("pct_of_first"),
         )
     )
 

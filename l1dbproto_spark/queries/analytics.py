@@ -38,11 +38,11 @@ _FUNNEL_STAGES = ["view", "click", "purchase"]
           FROM e3 GROUP BY 1),
     c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM u)
     SELECT 0 AS stage_idx, 'view' AS stage, c0 AS n_users,
-           round(c0 / c0, 6) AS pct_of_first FROM c
+           CASE WHEN c0 > 0 THEN round(c0 / c0, 6) END AS pct_of_first FROM c
     UNION ALL
-    SELECT 1, 'click', c1, round(c1 / c0, 6) FROM c
+    SELECT 1, 'click', c1, CASE WHEN c0 > 0 THEN round(c1 / c0, 6) END FROM c
     UNION ALL
-    SELECT 2, 'purchase', c2, round(c2 / c0, 6) FROM c
+    SELECT 2, 'purchase', c2, CASE WHEN c0 > 0 THEN round(c2 / c0, 6) END FROM c
     """,
     survey="ext:analytics (ordered funnel); A1-A3 generalized",
 )

@@ -129,9 +129,17 @@ class StreamingFunnel:
         st = self.state().filter(F.col("user_bucket").isin(buckets))
         self.last_state_scan = st  # plan-assertion handle (tests)
         events = ev.unionByName(self._state_as_events(st))
-        new_state = funnel_times(
-            events, self.stages, self.user_col, self.ts_col, self.type_col
-        ).withColumn("user_bucket", self._bucket(F.col(self.user_col)))
+        new_state = (
+            funnel_times(
+                events, self.stages, self.user_col, self.ts_col, self.type_col
+            )
+            .withColumn("user_bucket", self._bucket(F.col(self.user_col)))
+            # read-before-overwrite: materialize the merged state BEFORE
+            # the dynamic overwrite deletes the partitions it was computed
+            # from (same pin as apdb's partition rewrites); bounded by the
+            # touched buckets
+            .transform(pin, eager=True)
+        )
         (
             new_state.repartition("user_bucket")
             .select("user_bucket", self.user_col, *self._tcols)
@@ -163,7 +171,10 @@ class StreamingFunnel:
             F.col("r.stage_idx").alias("stage_idx"),
             F.col("r.stage").alias("stage"),
             F.col("r.n_users").alias("n_users"),
-            F.round(F.col("r.n_users") / F.col("c0"), 6).alias("pct_of_first"),
+            # same c0=0 guard as the batch operator (empty store)
+            F.when(
+                F.col("c0") > 0, F.round(F.col("r.n_users") / F.col("c0"), 6)
+            ).alias("pct_of_first"),
         )
 
     def bind_stream(self, stream_df: DataFrame, checkpoint_dir: str):

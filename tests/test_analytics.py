@@ -154,3 +154,13 @@ def test_rolling_zscore_constant_history_is_null(spark):
     # constant history -> zero variance -> undefined score, even for the
     # genuinely anomalous row (variance gate beats a divide-by-zero)
     assert all(v is None for v in out.values())
+
+
+def test_funnel_empty_first_stage_yields_null_rates(spark):
+    """No 'view' events at all: counts 0, rates NULL — not an ANSI
+    divide-by-zero task failure (review find r9)."""
+    rows = [(1, _ts(0), 1, "click", 0.0), (2, _ts(1), 1, "purchase", 0.0)]
+    df = spark.createDataFrame(rows, _EV_SCHEMA)
+    got = {r.stage: (r.n_users, r.pct_of_first) for r in
+           funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": (0, None), "click": (0, None), "purchase": (0, None)}
