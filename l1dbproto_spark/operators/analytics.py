@@ -93,6 +93,8 @@ def cohort_retention(
     orders: DataFrame,
     user_col: str = "o_custkey",
     ts_col: str = "o_orderdate",
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Monthly cohort retention: cohort = month of the user's first event;
     for each (cohort, month offset) count the distinct cohort users active
@@ -103,7 +105,15 @@ def cohort_retention(
 
     Plan: one per-user window min (hash exchange on user) -> one
     (cohort, offset) distinct-count aggregation; the offset-0 sizes frame
-    is months-count tiny and broadcast back for the rate division."""
+    is months-count tiny and broadcast back for the rate division.
+
+    ``approx=True`` swaps the exact distinct count for HLL
+    (``approx_count_distinct`` at relative std dev ``rsd``): the exact
+    form's distinct expansion re-shuffles every (cohort, offset, user)
+    triple, the sketch form map-side-combines to one fixed-size register
+    set per (cohort, offset) — at 100 TB that is the difference between
+    a user-cardinality shuffle and a few KB per group. Rates then carry
+    the same ~rsd error (tested <= 3*rsd on the fixture)."""
     w = Window.partitionBy(user_col)
     acts = (
         orders.withColumn("_first_ts", F.min(ts_col).over(w))
@@ -120,7 +130,13 @@ def cohort_retention(
             .alias("month_offset"),
         )
         .groupBy("cohort_month", "month_offset")
-        .agg(F.count_distinct(F.col("_user")).alias("n_active"))
+        .agg(
+            (
+                F.approx_count_distinct(F.col("_user"), rsd)
+                if approx
+                else F.count_distinct(F.col("_user"))
+            ).alias("n_active")
+        )
     )
     sizes = acts.filter(F.col("month_offset") == 0).select(
         "cohort_month", F.col("n_active").alias("_cohort_size")

@@ -164,3 +164,22 @@ def test_funnel_empty_first_stage_yields_null_rates(spark):
     got = {r.stage: (r.n_users, r.pct_of_first) for r in
            funnel_conversion(df, ["view", "click", "purchase"]).collect()}
     assert got == {"view": (0, None), "click": (0, None), "purchase": (0, None)}
+
+
+def test_cohort_retention_approx_within_tolerance(spark):
+    """HLL form: per-(cohort, offset) counts within 3*rsd of exact, no
+    distinct expansion in the plan (the sketch map-side-combines)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = {
+        (r.cohort_month, r.month_offset): r.n_active
+        for r in cohort_retention(orders).collect()
+    }
+    rsd = 0.05
+    approx = cohort_retention(orders, approx=True, rsd=rsd)
+    rows = approx.collect()
+    assert set((r.cohort_month, r.month_offset) for r in rows) == set(exact)
+    for r in rows:
+        e = exact[(r.cohort_month, r.month_offset)]
+        assert abs(r.n_active - e) <= max(3 * rsd * e, 2), (e, r.n_active)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan  # exact distinct would add one
