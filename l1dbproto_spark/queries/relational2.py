@@ -266,3 +266,105 @@ def date_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_days"),
         F.nullif(gap_self.cast("long"), F.lit(0)).alias("gap_or_null"),
     )
+
+
+# Multi-way-join battery (r9, in-suite oracles in
+# tests/test_unregistered_batteries.py): the TPC-H q7/q8 join shapes on
+# the synthetic tables — two-role dimension joins (nation as supplier
+# nation AND customer nation), star joins over five tables, conditional
+# share-of-total aggregation. Broadcast every dimension; only
+# lineitem x orders shuffles.
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between a nation pair by year (TPC-H Q7 shape):
+    lineitem -> orders (the one shuffled join, both big) with supplier /
+    customer / nation x2 broadcast. Exact-decimal revenue sum cast to
+    double after aggregation (engine-order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        )
+    ).cast("double")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1998-12-31 23:59:59")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of NATION_3 suppliers in EUROPE customers' revenue for one
+    part type by year (TPC-H Q8 shape): five-table star with conditional
+    share-of-total — both the numerator and denominator come out of ONE
+    aggregation (sum(when)/sum), no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side region restriction
+    cregion = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    nsupp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    ptype = part.filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    df = (
+        li.join(F.broadcast(ptype), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate").between("1995-01-01", "1997-12-31 23:59:59"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cregion), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nsupp), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double")
+    den = F.sum(vol).cast("double")
+    return (
+        df.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            num.alias("nation_volume"),
+            den.alias("total_volume"),
+            F.when(den > 0, F.round(num / den, 6)).alias("mkt_share"),
+        )
+    )

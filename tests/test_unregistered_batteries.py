@@ -501,3 +501,93 @@ def test_doc_fingerprint_matches_oracle(spark):
     got = _normalize(doc_fingerprint(spark, SF_DIR).toPandas(), "doc_id")
     want = _normalize(duckdb.sql(DOC_FINGERPRINT_ORACLE).df(), "doc_id")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 9: multi-way-join battery (TPC-H q7/q8 shapes — in-suite only,
+# no registry slot spent; the join strategies are already driver-covered)
+
+Q7_ORACLE = f"""
+WITH li AS (SELECT * FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1998-12-31 23:59:59'),
+o AS (SELECT * FROM '{SF_DIR}/orders.parquet'),
+c AS (SELECT * FROM '{SF_DIR}/customer.parquet'),
+s AS (SELECT * FROM '{SF_DIR}/supplier.parquet'),
+n AS (SELECT * FROM '{SF_DIR}/nation.parquet')
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM li
+JOIN o ON l_orderkey = o_orderkey
+JOIN s ON l_suppkey = s_suppkey
+JOIN c ON o_custkey = c_custkey
+JOIN n n1 ON s_nationkey = n1.n_nationkey
+JOIN n n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def test_q7_volume_shipping_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import q7_volume_shipping
+
+    keys = ["supp_nation", "cust_nation", "l_year"]
+    got = (
+        _normalize(q7_volume_shipping(spark, SF_DIR).toPandas(), "l_year")
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = (
+        _normalize(duckdb.sql(Q7_ORACLE).df(), "l_year")
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+Q8_ORACLE = f"""
+WITH li AS (SELECT l.* FROM '{SF_DIR}/lineitem.parquet' l
+            JOIN '{SF_DIR}/part.parquet' ON l_partkey = p_partkey
+            WHERE p_type = 'STANDARD'),
+o AS (SELECT * FROM '{SF_DIR}/orders.parquet'
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                            AND TIMESTAMP '1997-12-31 23:59:59'),
+c AS (SELECT c_custkey FROM '{SF_DIR}/customer.parquet'
+      JOIN '{SF_DIR}/nation.parquet' ON c_nationkey = n_nationkey
+      JOIN '{SF_DIR}/region.parquet' ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+s AS (SELECT s_suppkey, n_name AS supp_nation FROM '{SF_DIR}/supplier.parquet'
+      JOIN '{SF_DIR}/nation.parquet' ON s_nationkey = n_nationkey),
+vols AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year, supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM li JOIN o ON l_orderkey = o_orderkey
+  JOIN c ON o_custkey = c_custkey
+  JOIN s ON l_suppkey = s_suppkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
+         AS nation_volume,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       CASE WHEN CAST(SUM(vol) AS DOUBLE) > 0
+            THEN round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END)
+                            AS DOUBLE) / CAST(SUM(vol) AS DOUBLE), 6)
+       END AS mkt_share
+FROM vols
+GROUP BY 1
+"""
+
+
+def test_q8_market_share_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import q8_market_share
+
+    got = _normalize(q8_market_share(spark, SF_DIR).toPandas(), "o_year")
+    want = _normalize(duckdb.sql(Q8_ORACLE).df(), "o_year")
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
