@@ -287,3 +287,77 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node_col: str = "node",
+    max_hops: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Hop distance from a SET of source nodes — multi-source BFS as
+    iterative frontier expansion (the third member of the graph family
+    next to connected_components and pagerank; answers "how far is every
+    document from the seed set", e.g. dedup-cluster radius from the
+    canonical, or link-graph distance from a trusted seed list).
+
+    ``sources`` carries one column ``node_col``. Returns (node, dist)
+    with ``dist`` = minimum number of edges to any source (0 for the
+    sources themselves); unreachable nodes are absent — callers needing
+    them attach ``coalesce(dist, lit(None))`` via a left join.
+
+    Scale shape: each round is one equi-join frontier expansion + one
+    anti-join against the visited set — both shuffles on the uniform node
+    key; the frontier is pinned per round (O(1) lineage like pagerank's
+    rank frames), and the loop exits as soon as a frontier comes back
+    empty, so total work is O(edges within the reached radius), never
+    max_hops * edges. Raises if the graph is still expanding at
+    ``max_hops`` (silent truncation would mislabel distances)."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (
+        fwd
+        if directed
+        else fwd.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    )
+    adj = adj.transform(pin, eager=True)
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .transform(pin, eager=True)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .transform(pin, eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return dist
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(hop).cast("long"))
+        ).transform(pin, eager=True)
+        frontier = nxt
+    # still expanding at the cap: distances beyond max_hops would be
+    # silently wrong, so refuse (same contract as connected_components)
+    remaining = (
+        adj.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .join(dist.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if remaining:
+        raise RuntimeError(
+            f"bfs_distances still expanding after {max_hops} hops; raise max_hops"
+        )
+    return dist
