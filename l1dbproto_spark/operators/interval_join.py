@@ -73,7 +73,10 @@ def interval_overlap_join(
     Inverted intervals (end < start) fail the executing task loudly (the
     step-1 sequence raises) instead of silently joining nothing — at
     100 TB a silent no-match reads as data loss, and a validation
-    pre-scan would cost two extra jobs."""
+    pre-scan would cost two extra jobs. NULL bounds, by contrast, are an
+    UNDEFINED interval: the null sequence explodes to no buckets and the
+    row joins nothing (pinned by test) — the usual SQL null-predicate
+    semantics, not an error."""
     lb = _bucketed(left, l_start, l_end, bucket_width, "l")
     rb = _bucketed(right, r_start, r_end, bucket_width, "r")
     on: Column = lb["_lbucket"] == rb["_rbucket"]

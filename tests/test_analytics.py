@@ -183,3 +183,31 @@ def test_cohort_retention_approx_within_tolerance(spark):
         assert abs(r.n_active - e) <= max(3 * rsd * e, 2), (e, r.n_active)
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan  # exact distinct would add one
+
+
+def test_analytics_garbage_resilience(spark):
+    """Null user/ts/value rows and empty frames must not crash any of the
+    analytics operators (engine-wide garbage-sweep convention)."""
+    rows = [
+        (1, None, 1, "view", 1.0),            # null ts
+        (2, _ts(1), None, "click", 2.0),      # null user
+        (3, _ts(2), 1, None, 3.0),            # null type
+        (4, _ts(3), 1, "view", None),         # null value
+        (5, _ts(4), 1, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(rows, _EV_SCHEMA)
+    # funnel: null ts never becomes a stage min; null type matches nothing
+    conv = funnel_conversion(df, ["view", "click", "purchase"]).collect()
+    assert len(conv) == 3
+    # zscore: null value rows emit null scores, others unaffected
+    z = rolling_zscore(df, n_prev=2, min_n=2).collect()
+    assert len(z) == 5
+    # empty frames
+    empty = spark.createDataFrame([], _EV_SCHEMA)
+    assert funnel_conversion(empty, ["view", "click"]).collect()[0].n_users == 0
+    assert rolling_zscore(empty).count() == 0
+    empty_orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    assert cohort_retention(empty_orders).count() == 0

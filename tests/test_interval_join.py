@@ -157,3 +157,16 @@ def test_point_in_interval_matches_duckdb(spark):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     # no duplicate pairs even though intervals explode to 2 buckets
     assert len(g) == len(g.drop_duplicates())
+
+
+def test_null_bounds_drop_silently_documented(spark):
+    """NULL interval bounds produce no buckets (explode of null sequence):
+    the row joins nothing — pinned behavior (undefined interval = no
+    match), unlike the LOUD inverted-interval failure."""
+    a = spark.createDataFrame(
+        [(1, None, 10.0), (2, 0.0, None), (3, 0.0, 10.0)],
+        "id long, s double, e double",
+    )
+    b = spark.createDataFrame([(9, 1.0, 2.0)], "id2 long, s2 double, e2 double")
+    got = interval_overlap_join(a, b, "s", "e", "s2", "e2", bucket_width=5.0)
+    assert [r.id for r in got.collect()] == [3]
