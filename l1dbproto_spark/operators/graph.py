@@ -197,6 +197,7 @@ def pagerank(
     iterations: int = 10,
     tol: float | None = None,
     dedup_edges: bool = True,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) by power iteration with dangling-mass redistribution —
     graph centrality for the corpus graph family (link/citation authority as
@@ -224,7 +225,17 @@ def pagerank(
 
     ``tol``: if set, stop early when the L1 rank delta falls below it
     (costs one extra bounded aggregate per round).
-    """
+
+    ``personalization``: seed frame (``node`` column, optional ``weight``)
+    turning this into PERSONALIZED PageRank (Haveliwala 2002): teleport
+    and dangling mass flow to the seed distribution instead of uniformly
+    — the quality-propagation-from-trusted-seeds prior (curated domains,
+    verified authors) a corpus-curation pipeline scores link graphs
+    with. The seed vector is normalized, joined once as a pinned column
+    (one extra broadcast-sized join per round), and seeds absent from the
+    edge list still receive their teleport mass. A uniform seed frame
+    over all nodes reproduces standard PageRank bit-for-bit (pinned by
+    test)."""
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # edge weights: 1 per distinct edge (simple graph) or the multiplicity
     # (multigraph) — one uniform groupBy either way
@@ -235,8 +246,13 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .transform(pin, eager=True)
     )
+    if personalization is not None:
+        # seeds outside the edge list still get teleport mass
+        nodes = nodes.unionByName(
+            personalization.select(F.col("node"))
+        ).distinct()
+    nodes = nodes.transform(pin, eager=True)
     n = nodes.count()  # bounded driver scalar (node count)
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
@@ -246,7 +262,38 @@ def pagerank(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).transform(pin, eager=True)
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if personalization is not None:
+        w = (
+            personalization.select(
+                "node",
+                (
+                    F.col("weight").cast("double")
+                    if "weight" in personalization.columns
+                    else F.lit(1.0)
+                ).alias("_w"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        total = w.agg(F.sum("_w")).collect()[0][0]
+        if not total or total <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        pvec = (
+            nodes.join(w, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("_w"), F.lit(0.0)) / F.lit(float(total))).alias(
+                    "p"
+                ),
+            )
+            .transform(pin, eager=True)
+        )
+    else:
+        pvec = nodes.select("node", F.lit(1.0 / n).alias("p")).transform(
+            pin, eager=True
+        )
+
+    ranks = pvec.select("node", F.col("p").alias("rank"))
     for _ in range(iterations):
         in_mass = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -263,13 +310,16 @@ def pagerank(
             .collect()[0][0]
         )  # 1-row aggregate
         new_ranks = (
-            nodes.join(in_mass, "node", "left")
+            pvec.join(in_mass, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("p")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("p")
+                    )
                 ).alias("rank"),
             )
             .transform(pin, eager=True)

@@ -115,3 +115,62 @@ def test_multigraph_weights(spark):
     want_simple = _np_pagerank(EDGES, iterations=10)
     for k in want_simple:
         assert abs(deduped[k] - want_simple[k]) < 1e-9
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Seeded teleport (Haveliwala PPR): numpy power-iteration reference
+    with the same dangling-to-seeds redistribution."""
+    import numpy as np
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)]  # 4 -> dangling
+    seeds = [(0, 3.0), (5, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = spark.createDataFrame(seeds, "node long, weight double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=25, personalization=p).collect()
+    }
+    n, d = 6, 0.85
+    pv = np.zeros(n)
+    for s, w in seeds:
+        pv[s] = w
+    pv /= pv.sum()
+    out = {u: [] for u in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    r = pv.copy()
+    for _ in range(25):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            if out[u]:
+                for v in out[u]:
+                    nxt[v] += r[u] / len(out[u])
+            else:
+                dangling += r[u]
+        r = (1 - d) * pv + d * (nxt + dangling * pv)
+    for k in range(n):
+        assert abs(got[k] - r[k]) < 1e-9, (k, got[k], r[k])
+    # seeds dominate: node 0 carries more rank than the unseeded sink 4
+    assert got[0] > got[4]
+
+
+def test_uniform_personalization_equals_default(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    uni = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    base = {r.node: r.rank for r in pagerank(e, iterations=8).collect()}
+    pers = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=8, personalization=uni).collect()
+    }
+    assert base == pers  # bit-identical: same formula, same p column
+
+
+def test_personalization_seed_outside_graph(spark):
+    edges = [(0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    p = spark.createDataFrame([(7,)], "node long")  # isolated seed
+    got = {r.node: r.rank for r in pagerank(e, iterations=5, personalization=p).collect()}
+    assert 7 in got and got[7] > 0  # teleport mass reaches the seed
+    assert set(got) == {0, 1, 7}
