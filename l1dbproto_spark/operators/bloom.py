@@ -273,3 +273,49 @@ def filter_definitely_new(
     designed false-positive fraction of the batch."""
     flagged = bloom_might_contain(batch, bloom, col, m_bits, k, salt)
     return flagged.filter(~F.col("might_contain")).drop("might_contain")
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    fpr: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle-reducing join: a Bloom filter of the SMALL side's keys
+    prunes the BIG side before the join shuffle — the explicit form of
+    Spark's runtime row-level bloom pushdown, usable where the optimizer
+    won't inject one (non-equi plans, pre-aggregated sides, persisted
+    filters via bloom_save/load).
+
+    Result is IDENTICAL to the plain join: the filter has no false
+    negatives (no matching row is dropped) and the exact join removes
+    the false positives. Only ``inner`` and ``left_semi`` are accepted —
+    an outer/left join must keep non-matching big rows, which is exactly
+    what the prefilter removes.
+
+    Scale: when selectivity is low (the usual reason a 100 TB fact table
+    joins a bounded dim), the join shuffle carries only the
+    maybe-matching fraction (true matches + the designed ``fpr`` of the
+    rest) instead of the whole fact table; the filter itself is the
+    bounded word table (<= m/64 rows), built with one small-side pass."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, not {how!r} "
+            "(outer joins must keep the rows the prefilter removes)"
+        )
+    keys = small.select(F.col(small_key)).distinct()
+    n = keys.count()  # bounded driver scalar (small side by assumption)
+    if n == 0:
+        return big.join(
+            small, big[big_key] == small[small_key], how
+        )  # empty small side: plain join returns empty anyway
+    m_bits, k = bloom_params(n, fpr)
+    bloom = bloom_build(keys, small_key, m_bits, k)
+    pruned = (
+        bloom_might_contain(big, bloom, big_key, m_bits, k)
+        .filter(F.col("might_contain"))
+        .drop("might_contain")
+    )
+    return pruned.join(small, pruned[big_key] == small[small_key], how)
