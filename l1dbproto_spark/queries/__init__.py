@@ -86,7 +86,6 @@ _PRIORITY = [
     "language_id",
     "tfidf_top_terms",
     "doc_embed_ann",
-    "media_byte_histogram",
     "media_chunk_fingerprints",
     # relational / analytic surface
     "q3_top_orders",
@@ -96,7 +95,6 @@ _PRIORITY = [
     "salted_skew_agg",
     "frequent_items_per_group",
     # windows / events
-    "partitioned_source_ids",
     "metrics_pivot_wide",
     "session_window_agg",
     "json_payload_extract",
@@ -121,6 +119,12 @@ _PRIORITY = [
     "hamming_topk",
     "funnel_conversion",
     "cohort_retention",
+    # round 10: TPC-H completion battery signature members (rotation: out
+    # partitioned_source_ids / media_byte_histogram -> in-suite oracles in
+    # tests/test_unregistered_batteries.py; W3 keeps its formula pytest and
+    # multimodal keeps the registered media_chunk_fingerprints row)
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 
 
@@ -145,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         misc,
         search,
         analytics,
+        tpch_battery,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -58,9 +58,11 @@ _HIST_COLS = ",\n      ".join(
 )
 
 
-@query(
-    "media_byte_histogram",
-    oracle=f"""
+# Rotated out of the 50-cap registry in r10 (slot to q18_large_orders); the
+# SAME DuckDB oracle (below, view-name form) runs in-suite in
+# tests/test_unregistered_batteries.py and the multimodal family keeps the
+# registered media_chunk_fingerprints row.
+MEDIA_BYTE_HISTOGRAM_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id AS media_id, text, length(text) AS total FROM documents
     ),
@@ -74,9 +76,9 @@ _HIST_COLS = ",\n      ".join(
       {_HIST_COLS}
     FROM docs d LEFT JOIN agg a ON a.media_id = d.media_id
     GROUP BY d.media_id
-    """,
-    survey="ext:multimodal (feature extraction via mapInPandas, SQL-oracled)",
-)
+    """
+
+
 def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bin normalized byte-histogram features per blob through the Arrow
     mapInPandas batch path (numpy per batch — the exact plumbing a real

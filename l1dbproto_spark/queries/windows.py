@@ -43,19 +43,9 @@ def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "partitioned_source_ids",
-    oracle="""
-    SELECT
-      l_orderkey,
-      l_linenumber,
-      l_orderkey * 1000000 + ROW_NUMBER() OVER (
-        PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
-      ) AS dia_source_id
-    FROM lineitem
-    """,
-    survey="W3,W4",
-)
+# Rotated out of the 50-cap registry in r10 (slot to q10_returned_items);
+# the SAME DuckDB oracle runs in-suite in tests/test_unregistered_batteries.py
+# and W3/W4 keep their id-formula pytest coverage.
 def partitioned_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-partition ID allocation: the reference's
     ``diaSourceId = (visit*n_detectors+detector)*1e6 + 1..n``

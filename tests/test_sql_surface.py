@@ -27,7 +27,8 @@ PORTABLE = [
     "metrics_pivot_wide",
     "salted_skew_agg",
     "frequent_items_per_group",
-    "partitioned_source_ids",
+    "q10_returned_items",
+    "q18_large_orders",
     "pixel_histogram",
     "forced_photometry_eligibility",
     "history_semi_join",

@@ -591,3 +591,51 @@ def test_q8_market_share_matches_oracle(spark):
     want = _normalize(duckdb.sql(Q8_ORACLE).df(), "o_year")
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 10: partitioned_source_ids / media_byte_histogram (slots to
+# q10_returned_items / q18_large_orders) — same oracles, same compare,
+# in-suite. W3/W4 keep their id-formula pytest; multimodal keeps the
+# registered media_chunk_fingerprints row.
+
+PARTITIONED_SOURCE_IDS_ORACLE = f"""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_orderkey * 1000000 + ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+  ) AS dia_source_id
+FROM '{SF_DIR}/lineitem.parquet'
+"""
+
+
+def test_partitioned_source_ids_matches_oracle(spark):
+    from l1dbproto_spark.queries.windows import partitioned_source_ids
+
+    got = _normalize(
+        partitioned_source_ids(spark, SF_DIR).toPandas(),
+        ["l_orderkey", "l_linenumber"],
+    )
+    want = _normalize(
+        duckdb.sql(PARTITIONED_SOURCE_IDS_ORACLE).df(),
+        ["l_orderkey", "l_linenumber"],
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_media_byte_histogram_matches_oracle(spark):
+    from l1dbproto_spark.queries.multimodal import (
+        MEDIA_BYTE_HISTOGRAM_ORACLE,
+        media_byte_histogram,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    got = _normalize(media_byte_histogram(spark, SF_DIR).toPandas(), "media_id")
+    want = _normalize(con.execute(MEDIA_BYTE_HISTOGRAM_ORACLE).df(), "media_id")
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
