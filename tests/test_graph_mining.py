@@ -1,0 +1,188 @@
+"""Graph-mining operators (triangles / clustering coefficient / k-core /
+coreness) vs independent references: a DuckDB 3-way-join oracle for
+triangles and pure-Python peeling / brute-force references for the rest,
+on known tiny graphs and a seeded random graph. Plan guard: the triangle
+pipeline must stay cartesian-free (degree-ordered orientation bounds the
+wedge join)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.graph import (
+    canonical_edges,
+    clustering_coefficient,
+    core_numbers,
+    degrees,
+    k_core,
+    triangle_counts,
+    triangles,
+)
+
+# K4 plus a pendant (node 5 hangs off 1) plus an isolated edge 6-7:
+# K4 has 4 triangles; each K4 node is in 3 of them.
+K4_PLUS = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7)]
+
+
+def _random_edges(n_nodes: int = 60, n_edges: int = 240, seed: int = 7):
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        u, v = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if u == v:
+            continue
+        seen.add((min(u, v), max(u, v)))
+    edges = list(seen)
+    # messy input on purpose: duplicates, reversals, self-loops
+    messy = edges + [(v, u) for u, v in edges[:40]] + edges[:10] + [(3, 3)]
+    rng.shuffle(messy)
+    return edges, messy
+
+
+def _py_triangle_counts(edges):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _py_core_numbers(edges):
+    """Classic sequential peeling: repeatedly remove the minimum-degree
+    node; its core number is the running maximum of the degree it had at
+    removal time."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core: dict[int, int] = {}
+    k = 0
+    live = dict(adj)
+    while live:
+        node = min(live, key=lambda n: (len(live[n]), n))
+        k = max(k, len(live[node]))
+        core[node] = k
+        for nb in live.pop(node):
+            live[nb].discard(node)
+    return core
+
+
+@pytest.fixture(scope="module")
+def rnd(spark):
+    edges, messy = _random_edges()
+    return edges, spark.createDataFrame(messy, "src INT, dst INT")
+
+
+def test_canonical_edges_normalizes(spark, rnd):
+    edges, df = rnd
+    got = {(r.u, r.v) for r in canonical_edges(df).collect()}
+    assert got == set(edges)
+
+
+def test_triangles_match_duckdb_oracle(spark, rnd):
+    edges, df = rnd
+    tri = triangles(df).toPandas()
+    # each triangle once, regardless of corner order
+    got = {tuple(sorted(t)) for t in tri.itertuples(index=False)}
+    assert len(got) == len(tri)
+    e = pd.DataFrame(edges, columns=["u", "v"])  # noqa: F841 (duckdb scans it)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            """
+            SELECT e1.u, e1.v, e2.v
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_triangle_counts_match_python(spark, rnd):
+    edges, df = rnd
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _py_triangle_counts(edges)
+
+
+def test_k4_known_values(spark):
+    df = spark.createDataFrame(K4_PLUS, "src INT, dst INT")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    cc = {r.node: r.coefficient for r in clustering_coefficient(df).collect()}
+    # K4 corners 2,3,4: all 3 neighbor pairs connected -> 1.0; node 1 has
+    # degree 4 (K4 + pendant) and 3 of its 6 neighbor pairs closed -> 0.5;
+    # pendant and the isolated edge have degree 1 -> 0.0
+    assert cc == {1: 0.5, 2: 1.0, 3: 1.0, 4: 1.0, 5: 0.0, 6: 0.0, 7: 0.0}
+
+
+def test_clustering_coefficient_matches_python(spark, rnd):
+    edges, df = rnd
+    tri = _py_triangle_counts(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = {
+        n: (2.0 * tri.get(n, 0) / (d * (d - 1)) if d >= 2 else 0.0)
+        for n, d in deg.items()
+    }
+    got = {r.node: r.coefficient for r in clustering_coefficient(df).collect()}
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12
+
+
+def test_core_numbers_match_python(spark, rnd):
+    edges, df = rnd
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert got == _py_core_numbers(edges)
+
+
+def test_core_numbers_k4(spark):
+    df = spark.createDataFrame(K4_PLUS, "src INT, dst INT")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+
+
+def test_k_core_consistent_with_core_numbers(spark, rnd):
+    edges, df = rnd
+    core = _py_core_numbers(edges)
+    for k in (1, 2, max(core.values())):
+        got = {r.node for r in k_core(df, k).collect()}
+        assert got == {n for n, c in core.items() if c >= k}, k
+
+
+def test_k_core_empty_when_k_exceeds_degeneracy(spark, rnd):
+    edges, df = rnd
+    kmax = max(_py_core_numbers(edges).values())
+    assert k_core(df, kmax + 1).count() == 0
+
+
+def test_triangle_plan_cartesian_free(spark, rnd):
+    _, df = rnd
+    plan = triangles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degrees_on_dedup_pair_graph(spark):
+    """Composition smoke: the near-dup pair output shape (doc_a, doc_b)
+    feeds straight in through the column parameters."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (10, 30)], "doc_a LONG, doc_b LONG"
+    )
+    got = {r.node: r.degree for r in degrees(pairs, "doc_a", "doc_b").collect()}
+    assert got == {10: 2, 20: 2, 30: 2}
+    assert triangles(pairs, "doc_a", "doc_b").count() == 1
