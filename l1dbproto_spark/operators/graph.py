@@ -460,8 +460,12 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     on the oriented source is therefore bounded even at hub nodes, and the
     closing check is a left-semi join back to the oriented edge set (three
     shuffles total: degree attach, wedge join, closing semi-join; no
-    cartesian anywhere)."""
-    e = canonical_edges(edges, src, dst)
+    cartesian anywhere). The canonical edge list and the oriented edge set
+    are pinned (checkpoint.pin) because each is referenced from multiple
+    branches of the plan — without the lineage cut every branch would
+    re-derive the edges from the raw input (for a derived graph that means
+    re-running the edge-building join once per branch)."""
+    e = canonical_edges(edges, src, dst).transform(pin, eager=True)
     deg = degrees(e, "u", "v")
     withdeg = (
         e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
@@ -473,7 +477,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).transform(pin, eager=True)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, F.col("x.a") == F.col("y.a"))

@@ -91,13 +91,11 @@ _PRIORITY = [
     "q3_top_orders",
     "q5_region_revenue",
     "asof_last_click_before_purchase",
-    "argmax_order_per_customer",
     "salted_skew_agg",
     "frequent_items_per_group",
     # windows / events
     "metrics_pivot_wide",
     "session_window_agg",
-    "json_payload_extract",
     "gap_fill_resample",
     # LLM-pipeline: packing, quantization, composed ANN, sampling,
     # decontamination, semantic dedup, DSIR, collocations
@@ -125,6 +123,12 @@ _PRIORITY = [
     # multimodal keeps the registered media_chunk_fingerprints row)
     "q10_returned_items",
     "q18_large_orders",
+    # round 10 (cont.): graph mining + ingest validation (rotation: out
+    # argmax_order_per_customer / json_payload_extract -> in-suite oracles
+    # in tests/test_unregistered_batteries.py; max_by and JSON-extraction
+    # surfaces keep their other pytest coverage)
+    "part_copurchase_triangles",
+    "data_quality_report",
 ]
 
 
@@ -150,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
         search,
         analytics,
         tpch_battery,
+        mining,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -122,9 +122,11 @@ def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "json_payload_extract",
-    oracle="""
+# Rotated out of the 50-cap registry in r10 (slot to data_quality_report);
+# the SAME DuckDB oracle (below) runs in-suite in
+# tests/test_unregistered_batteries.py and the F11/F12 log-extraction
+# surface keeps its sources/logs pytest coverage.
+JSON_PAYLOAD_EXTRACT_ORACLE = """
     SELECT
       event_type,
       COUNT(*) AS n,
@@ -132,9 +134,9 @@ def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
     FROM events
     GROUP BY event_type
-    """,
-    survey="F11,F12,S9",
-)
+    """
+
+
 def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-payload JSON extraction: the reference parses ' apdb_metrics: '
     JSON payloads out of log lines (log2csv.py:321-332) — get_json_object +

@@ -162,9 +162,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "argmax_order_per_customer",
-    oracle="""
+# Rotated out of the 50-cap registry in r10 (slot to
+# part_copurchase_triangles); the SAME DuckDB oracle (below) runs in-suite
+# in tests/test_unregistered_batteries.py and max_by keeps its other
+# pytest coverage (q3/top-k selection family).
+ARGMAX_ORDER_ORACLE = """
     SELECT
       o_custkey,
       arg_max(o_orderkey,
@@ -173,9 +175,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(MAX(o_totalprice) AS DOUBLE) AS best_price
     FROM orders
     GROUP BY o_custkey
-    """,
-    survey="argmax aggregate (max_by / arg_max) with deterministic tie-break",
-)
+    """
+
+
 def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per customer: the key of their most expensive order. The ordering key
     is an exact integer composite (price-cents * 1e7 + orderkey) so ties

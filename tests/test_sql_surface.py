@@ -29,6 +29,7 @@ PORTABLE = [
     "frequent_items_per_group",
     "q10_returned_items",
     "q18_large_orders",
+    "part_copurchase_triangles",
     "pixel_histogram",
     "forced_photometry_eligibility",
     "history_semi_join",

@@ -639,3 +639,40 @@ def test_media_byte_histogram_matches_oracle(spark):
     con.close()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 10 (cont.): argmax_order_per_customer / json_payload_extract
+# (slots to part_copurchase_triangles / data_quality_report) — same
+# oracles, same compare, in-suite.
+
+
+def test_argmax_order_per_customer_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import (
+        ARGMAX_ORDER_ORACLE,
+        argmax_order_per_customer,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    got = _normalize(
+        argmax_order_per_customer(spark, SF_DIR).toPandas(), "o_custkey"
+    )
+    want = _normalize(con.execute(ARGMAX_ORDER_ORACLE).df(), "o_custkey")
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_json_payload_extract_matches_oracle(spark):
+    from l1dbproto_spark.queries.events import (
+        JSON_PAYLOAD_EXTRACT_ORACLE,
+        json_payload_extract,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    got = _normalize(json_payload_extract(spark, SF_DIR).toPandas(), "event_type")
+    want = _normalize(con.execute(JSON_PAYLOAD_EXTRACT_ORACLE).df(), "event_type")
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
