@@ -634,3 +634,69 @@ def core_numbers(
     raise RuntimeError(
         f"core_numbers did not converge in {max_iterations} h-index rounds"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """(node, label) community assignment by synchronous label propagation
+    (Raghavan et al. 2007), made deterministic: every node re-labels to the
+    most frequent label among its neighbors AND itself (the self-vote damps
+    the 2-cycle oscillation of the pure synchronous rule), ties broken to
+    the SMALLEST label. Returns early when a round changes nothing;
+    otherwise returns the state after ``max_iterations``. Unlike
+    connected_components this does NOT raise at the cap — LPA is a
+    heuristic with no convergence guarantee, and the fixed-round state is
+    a valid (and, being deterministic, reproducible) answer.
+
+    Scale shape per round: one join (edges x labels) + one (node, label)
+    count + one max_by per node — the same two-exchange profile as a
+    pagerank round. Labels are node ids, so communities are identified by
+    their smallest member in practice (exactly = only after convergence).
+    """
+    e = canonical_edges(edges, src, dst)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # self-edge per node = the self-vote; union once, pin once
+    und = (
+        e.select("u", "v")
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionAll(nodes.select(F.col("node").alias("u"), F.col("node").alias("v")))
+        .transform(pin, eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iterations):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("lab")),
+                "v",
+            )
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = (
+            votes.groupBy("u")
+            .agg(
+                F.max_by(
+                    F.col("lab"), F.struct(F.col("cnt"), (-F.col("lab")).alias("nl"))
+                ).alias("label")
+            )
+            .select(F.col("u").alias("node"), "label")
+            .transform(pin, eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -186,3 +186,50 @@ def test_degrees_on_dedup_pair_graph(spark):
     got = {r.node: r.degree for r in degrees(pairs, "doc_a", "doc_b").collect()}
     assert got == {10: 2, 20: 2, 30: 2}
     assert triangles(pairs, "doc_a", "doc_b").count() == 1
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def _py_label_propagation(edges, max_iterations=10):
+    """Exact mirror of the Spark rule: synchronous, self-vote, most
+    frequent neighbor label with ties to the smallest label."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(max_iterations):
+        new = {}
+        for n in adj:
+            votes: dict[int, int] = {}
+            for nb in adj[n] | {n}:
+                lab = labels[nb]
+                votes[lab] = votes.get(lab, 0) + 1
+            new[n] = max(votes, key=lambda lab: (votes[lab], -lab))
+        if new == labels:
+            return new
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python(spark, rnd):
+    from l1dbproto_spark.operators.graph import label_propagation
+
+    edges, df = rnd
+    got = {r.node: r.label for r in label_propagation(df, max_iterations=6).collect()}
+    want = _py_label_propagation(edges, max_iterations=6)
+    assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    from l1dbproto_spark.operators.graph import label_propagation
+
+    clique_a = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    clique_b = [(u, v) for u in range(10, 15) for v in range(u + 1, 15)]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(clique_a + clique_b + bridge, "src INT, dst INT")
+    got = {r.node: r.label for r in label_propagation(df).collect()}
+    # two communities, labelled by their smallest member
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n] for n in range(10, 15)} == {10}
