@@ -337,6 +337,36 @@ def main() -> None:
         lambda: overlapping_order_windows(orders).count(),
     )
 
+    # round-10 additions: TPC-H signature members, graph mining on the
+    # part co-purchase graph (triangles registered; coreness on the same
+    # derived graph), and the one-scan data-quality suite
+    for r10_name in (
+        "q10_returned_items",
+        "q18_large_orders",
+        "part_copurchase_triangles",
+        "data_quality_report",
+    ):
+        _extra(r10_name, lambda n=r10_name: specs[n].builder(spark, sf_dir).count())
+    from l1dbproto_spark.operators.graph import core_numbers
+
+    # 1-in-10 order subset (same rationale as interval_overlap_join): the
+    # h-index fixpoint is round-count-bound, so the subset tracks per-round
+    # overhead without paying ~10 full-graph rounds at sf0.1
+    li_g = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 25) & (F.col("l_orderkey") % 10 == 0)
+    )
+    part_edges = (
+        li_g.alias("a")
+        .join(
+            li_g.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    _extra("core_numbers", lambda: core_numbers(part_edges, "u", "v").count(), reps=1)
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
