@@ -63,3 +63,50 @@ def salted_join(
     dim_rep = dim.select("*", salts)
     fact_salted = facts.withColumn("_salt", F.spark_partition_id() % n_salts)
     return fact_salted.join(dim_rep, [key, "_salt"]).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Diagnose key skew before choosing a strategy: one aggregation pass
+    over (keys) producing the ``top_k`` heaviest keys each annotated with
+    the distribution context —
+
+    ``keys..., n_rows, share`` (fraction of all rows), ``skew_ratio``
+    (this key's count / mean key count), and ``suggested_salts`` (how many
+    salt partitions bring the key under ``target_rows_per_task`` rows per
+    task — 1 means salting buys nothing).
+
+    Scale shape: the per-key count is the same single shuffle the real
+    aggregation would pay; totals ride along as window-free scalar
+    aggregates re-broadcast through a 1-row join, and the top-k is a
+    TakeOrdered, so the report costs one exchange + one broadcast however
+    many keys exist. Run it on a SAMPLE at 100 TB — shares and ratios are
+    scale-free, and ``suggested_salts`` accepts the sample factor through
+    ``target_rows_per_task``."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+            (
+                F.col("n_rows")
+                / (F.col("_total") / F.col("_n_keys"))
+            ).alias("skew_ratio"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / F.lit(target_rows_per_task)),
+            ).cast("int").alias("suggested_salts"),
+        )
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top_k)
+    )
