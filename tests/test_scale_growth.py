@@ -455,3 +455,38 @@ def test_interval_join_at_growth(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert t5 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 5x {t5:.2f}s"
+
+
+def _random_graph(spark, n_edges: int, n_nodes: int) -> DataFrame:
+    """Deterministic pseudo-random multigraph from pure column algebra
+    (xxhash64 of the row id) — constant average degree when n_edges and
+    n_nodes scale together, which keeps triangle work near-linear."""
+    return spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % n_nodes).alias("dst"),
+    )
+
+
+def test_triangle_counts_at_10x(spark):
+    """Triangle counting at 10x edges/nodes (constant avg degree): the
+    degree-ordered plan stays cartesian-free with a data-independent
+    exchange budget, and wall-clock stays within the loose linearity
+    factor."""
+    from l1dbproto_spark.operators.graph import triangle_counts
+
+    g1 = _random_graph(spark, 40_000, 4_000)
+    g10 = _random_graph(spark, 400_000, 40_000)
+
+    tri1 = triangle_counts(g1)
+    n1, t1 = _timed_count(tri1)
+    tri10 = triangle_counts(g10)
+    n10, t10 = _timed_count(tri10)
+    assert n1 > 0 and n10 > 0
+    plan = _executed(tri10)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    plan1_final = _executed(tri1).split("== Initial Plan ==")[0]
+    # the exchange budget is a property of the plan, not the data
+    assert _exchanges(final) == _exchanges(plan1_final), final
+    assert t10 <= max(30 * t1, 60), f"1x {t1:.2f}s vs 10x {t10:.2f}s"
