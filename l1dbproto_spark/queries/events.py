@@ -199,3 +199,30 @@ def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return _gfr(ev, "user_id", "ts", "value", unit="day")
+
+
+# In-suite member (DuckDB oracle in tests/test_unregistered_batteries.py —
+# the registry is at its 50-cap; tumbling windows are driver-covered via
+# the streaming metrics pipeline and session windows via session_window_agg).
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-hour windows every 15
+    minutes, so each event lands in exactly window/slide = 4 buckets.
+    Spark's native ``window(ts, len, slide)`` expands the buckets
+    JVM-side (no explode round-trip) and the decimal-sum contract keeps
+    the per-window floats order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -676,3 +676,42 @@ def test_json_payload_extract_matches_oracle(spark):
     con.close()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 10 (cont.): hopping-window aggregation — each event in exactly
+# window/slide = 4 epoch-aligned buckets; the oracle reconstructs the
+# bucket expansion with generate_series (DuckDB-dialect, oracle-side only).
+
+HOPPING_WINDOW_ORACLE = f"""
+WITH expanded AS (
+  -- time_bucket's default origin (2000-01-01) is a multiple of 900 s, so
+  -- buckets align with Spark's epoch-aligned windows; it returns a NAIVE
+  -- timestamp (to_timestamp would come back tz-aware and break the compare)
+  SELECT e.event_type, e.value, ts,
+         unnest(generate_series(
+           time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 45 MINUTE,
+           time_bucket(INTERVAL '15 minutes', ts),
+           INTERVAL 15 MINUTE)) AS window_start
+  FROM '{SF_DIR}/events.parquet' e
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM expanded
+WHERE ts >= window_start AND ts < window_start + INTERVAL 60 MINUTE
+GROUP BY 1, 2
+"""
+
+
+def test_hopping_window_agg_matches_oracle(spark):
+    from l1dbproto_spark.queries.events import hopping_window_agg
+
+    keys = ["window_start", "event_type"]
+    got = _normalize(hopping_window_agg(spark, SF_DIR).toPandas(), keys)
+    want = _normalize(duckdb.sql(HOPPING_WINDOW_ORACLE).df(), keys)
+    assert len(got) > 0
+    # every event appears in exactly 4 buckets
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert got["n"].sum() == 4 * n_events
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
