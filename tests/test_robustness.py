@@ -389,3 +389,59 @@ def test_asof_and_salted_agg_null_keys(spark):
         for r in skewed.groupBy("k").agg(F.sum("v").alias("s")).collect()
     }
     assert got == want and None in got
+
+
+def test_graph_mining_family_garbage(spark):
+    """NULL endpoints, self-loops, and empty graphs: canonical_edges drops
+    NULL-endpoint rows (a NULL key is unjoinable, not a node) and
+    self-loops; every miner returns an empty frame — not an error — on an
+    empty edge set."""
+    from l1dbproto_spark.operators.graph import (
+        canonical_edges,
+        clustering_coefficient,
+        core_numbers,
+        k_core,
+        label_propagation,
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (5, 5), (2, 1)],
+        "src INT, dst INT",
+    )
+    got = {(r.u, r.v) for r in canonical_edges(edges).collect()}
+    assert got == {(1, 2)}
+
+    empty = spark.createDataFrame([], "src INT, dst INT")
+    assert triangle_counts(empty).count() == 0
+    assert clustering_coefficient(empty).count() == 0
+    assert core_numbers(empty).count() == 0
+    assert k_core(empty, 1).count() == 0
+    assert label_propagation(empty).count() == 0
+
+
+def test_check_suite_garbage(spark):
+    """All-NULL columns: completeness 0.0 (fails), predicate rates count
+    NULL predicates as unsatisfied, uniqueness of an all-NULL key is
+    rows-distinct semantics (count_distinct ignores NULLs -> 0.0, fails) —
+    never a NULL verdict."""
+    from l1dbproto_spark.operators.checks import CheckSuite
+
+    df = spark.createDataFrame(
+        [(None, None)] * 4, "k STRING, v DOUBLE"
+    )
+    rows = {
+        r.check: r
+        for r in (
+            CheckSuite()
+            .completeness("k")
+            .uniqueness("k")
+            .satisfies("pos", F.col("v") > 0)
+            .run(df)
+            .collect()
+        )
+    }
+    assert rows["completeness(k)"].metric == 0.0 and not rows["completeness(k)"].passed
+    assert rows["uniqueness(k)"].metric == 0.0 and not rows["uniqueness(k)"].passed
+    assert rows["satisfies(pos)"].metric == 0.0 and not rows["satisfies(pos)"].passed
+    assert all(r.passed is not None for r in rows.values())
