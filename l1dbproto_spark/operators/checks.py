@@ -48,6 +48,7 @@ class CheckSuite:
     def __init__(self) -> None:
         self._constraints: list[_Constraint] = []
         self._referential: list[tuple[str, str, DataFrame, str, float]] = []
+        self._schema_expected: dict[str, str] | None = None
 
     # -- constraint builders (all return self for chaining) ----------------
 
@@ -66,11 +67,22 @@ class CheckSuite:
             1.0,
         )
 
-    def uniqueness(self, *cols: str, min_ratio: float = 1.0):
-        """distinct(cols) / count — 1.0 means a perfect key."""
+    def uniqueness(self, *cols: str, min_ratio: float = 1.0, approx: bool = False):
+        """distinct(cols) / count — 1.0 means a perfect key. ``approx=True``
+        swaps the exact distinct for HLL (approx_count_distinct): at 100 TB
+        the exact form is a full distinct shuffle on the key, the HLL form
+        is fixed-size registers merged map-side — use it with a min_ratio
+        slightly under the intended bound (HLL rsd defaults to 5%)."""
         name = f"uniqueness({','.join(cols)})"
-        metric = F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
-        return self._add(name, metric, min_ratio, 1.0)
+        d = (
+            F.approx_count_distinct(F.struct(*[F.col(c) for c in cols]))
+            if approx
+            else F.count_distinct(*[F.col(c) for c in cols])
+        )
+        # HLL can overestimate past 1.0, so only the approx form opens the
+        # upper bound; the exact form keeps the tight [min_ratio, 1] band
+        hi = float("inf") if approx else 1.0
+        return self._add(name, d / F.count(F.lit(1)), min_ratio, hi)
 
     def in_range(self, col: str, lo: float, hi: float, min_ratio: float = 1.0):
         """Fraction of non-null values inside [lo, hi]."""
@@ -114,6 +126,15 @@ class CheckSuite:
     def mean_between(self, col: str, lo: float, hi: float):
         return self._add(f"mean({col})", F.avg(F.col(col)), lo, hi)
 
+    def schema(self, expected: dict[str, str]):
+        """Expected columns present with expected Spark SQL types — pure
+        metadata (evaluated from df.schema at ``run`` time, NO scan).
+        Metric = fraction of expected (name, type) pairs satisfied."""
+        if self._schema_expected is not None:
+            raise ValueError("duplicate check name: schema")
+        self._schema_expected = dict(expected)
+        return self
+
     def referential(
         self,
         col: str,
@@ -138,10 +159,28 @@ class CheckSuite:
         """(check, metric, lo, hi, passed) — one scan for all single-table
         constraints plus one join-aggregation per referential check. A NULL
         metric (empty table) fails the check explicitly."""
-        if not self._constraints and not self._referential:
+        if (
+            not self._constraints
+            and not self._referential
+            and self._schema_expected is None
+        ):
             raise ValueError("empty check suite")
         spark = df.sparkSession
         parts: list[DataFrame] = []
+        if self._schema_expected is not None:
+            actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            ok = sum(
+                1
+                for name, typ in self._schema_expected.items()
+                if actual.get(name) == typ
+            )
+            metric = ok / len(self._schema_expected)
+            parts.append(
+                spark.createDataFrame(
+                    [("schema", float(metric), 1.0, 1.0)],
+                    "check STRING, metric DOUBLE, lo DOUBLE, hi DOUBLE",
+                )
+            )
         if self._constraints:
             wide = df.agg(
                 *[

@@ -138,7 +138,25 @@ def _stage_split_corpus(docs: DataFrame, **p) -> DataFrame:
     return split_corpus(docs, **p)
 
 
+def _stage_validate(docs: DataFrame, suite=None, **p) -> DataFrame:
+    """Data-quality gate (operators/checks.py): run the ``suite`` and
+    raise — naming every failed constraint and its metric — instead of
+    letting a bad drop flow into the expensive stages downstream. Passes
+    the corpus through unchanged on success."""
+    from .checks import failures
+
+    if suite is None:
+        raise ValueError("validate stage needs suite=CheckSuite(...)")
+    fails = [
+        (r.check, r.metric) for r in failures(suite.run(docs)).collect()
+    ]
+    if fails:
+        raise ValueError(f"data-quality gate failed: {fails}")
+    return docs
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
+    "validate": _stage_validate,
     "strip_html": _stage_strip_html,
     "c4_clean": _stage_c4_clean,
     "c4_span_dedup": _stage_c4_span_dedup,

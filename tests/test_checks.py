@@ -135,3 +135,66 @@ def test_duplicate_name_raises(spark):
         CheckSuite().completeness("text").completeness("text")
     with pytest.raises(ValueError, match="empty"):
         CheckSuite().run(load_table(spark, SF_DIR, "documents"))
+
+
+def test_uniqueness_approx_hll(spark):
+    """approx=True swaps the full distinct shuffle for HLL registers: on a
+    perfect key the estimate sits within the default 5% rsd of 1.0, and
+    the acceptance band's upper side is open (HLL may overestimate)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    row = (
+        CheckSuite()
+        .uniqueness("doc_id", min_ratio=0.9, approx=True)
+        .run(docs)
+        .collect()[0]
+    )
+    assert 0.9 <= row.metric <= 1.2
+    assert row.passed
+    # plan has no exact-distinct expand: approx aggregates map-side
+    plan = (
+        CheckSuite()
+        .uniqueness("doc_id", approx=True)
+        .completeness("text")
+        .run(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+
+
+def test_schema_check(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    good = (
+        CheckSuite()
+        .schema({"doc_id": "bigint", "text": "string", "n_chars": "bigint"})
+        .run(docs)
+        .collect()[0]
+    )
+    assert good.check == "schema" and good.metric == 1.0 and good.passed
+    bad = (
+        CheckSuite()
+        .schema({"doc_id": "bigint", "text": "int", "missing_col": "string"})
+        .completeness("text")
+        .run(docs)
+    )
+    rows = {r.check: r for r in bad.collect()}
+    assert rows["schema"].metric == pytest.approx(1 / 3)
+    assert not rows["schema"].passed
+    assert rows["completeness(text)"].passed  # scan checks unaffected
+
+
+def test_validate_pipeline_stage(spark):
+    from l1dbproto_spark.operators.pipeline import run_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ok_suite = CheckSuite().completeness("text", min_ratio=0.5).row_count()
+    out, audit = run_pipeline(
+        docs, [{"stage": "validate", "suite": ok_suite}], audit=True
+    )
+    assert out.count() == docs.count()
+    assert audit[-1]["stage"] == "validate"
+
+    bad_suite = CheckSuite().in_set("lang", ["zz"], min_ratio=0.9)
+    with pytest.raises(ValueError, match="in_set\\(lang\\)"):
+        run_pipeline(docs, [{"stage": "validate", "suite": bad_suite}])
