@@ -198,6 +198,7 @@ def pagerank(
     tol: float | None = None,
     dedup_edges: bool = True,
     personalization: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) by power iteration with dangling-mass redistribution —
     graph centrality for the corpus graph family (link/citation authority as
@@ -235,13 +236,30 @@ def pagerank(
     (one extra broadcast-sized join per round), and seeds absent from the
     edge list still receive their teleport mass. A uniform seed frame
     over all nodes reproduces standard PageRank bit-for-bit (pinned by
-    test)."""
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # edge weights: 1 per distinct edge (simple graph) or the multiplicity
-    # (multigraph) — one uniform groupBy either way
-    e = raw.groupBy("src", "dst").agg(
-        (F.lit(1) if dedup_edges else F.count(F.lit(1))).cast("long").alias("w")
-    )
+    test).
+
+    ``weight_col``: real-valued edge weights (similarity scores, link
+    counts) — each round a node's rank splits proportionally to its
+    out-weights instead of uniformly. Weights must be positive (validated
+    with one bounded probe, raising rather than silently dropping);
+    parallel edges' weights ADD. Unit weights reproduce the unweighted
+    walk bit-for-bit (pinned by test)."""
+    if weight_col is not None:
+        raw = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("_ew"),
+        )
+        e = raw.groupBy("src", "dst").agg(F.sum("_ew").alias("w"))
+        if e.filter((F.col("w") <= 0) | F.col("w").isNull()).limit(1).count():
+            raise ValueError("weight_col must be positive and non-null")
+    else:
+        raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # edge weights: 1 per distinct edge (simple graph) or the
+        # multiplicity (multigraph) — one uniform groupBy either way
+        e = raw.groupBy("src", "dst").agg(
+            (F.lit(1) if dedup_edges else F.count(F.lit(1))).cast("long").alias("w")
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

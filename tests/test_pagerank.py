@@ -174,3 +174,54 @@ def test_personalization_seed_outside_graph(spark):
     got = {r.node: r.rank for r in pagerank(e, iterations=5, personalization=p).collect()}
     assert 7 in got and got[7] > 0  # teleport mass reaches the seed
     assert set(got) == {0, 1, 7}
+
+
+# --- weighted edges (round 10) ------------------------------------------------
+
+W_EDGES = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 3, 0.5)]
+
+
+def _np_weighted_pagerank(edges, damping=0.85, iterations=10):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _, w in edges:
+        out[idx[u]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        new = np.zeros(n)
+        for u, v, w in edges:
+            new[idx[v]] += r[idx[u]] * w / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (new + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    df = spark.createDataFrame(W_EDGES, "src INT, dst INT, w DOUBLE")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=10, weight_col="w").collect()
+    }
+    want = _np_weighted_pagerank(W_EDGES)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_unit_weights_reproduce_unweighted(spark, edge_df):
+    unit = edge_df.withColumn("w", F.lit(1.0))
+    got_w = {
+        r.node: r.rank for r in pagerank(unit, iterations=8, weight_col="w").collect()
+    }
+    got = {r.node: r.rank for r in pagerank(edge_df, iterations=8).collect()}
+    assert got_w == got  # bit-identical
+
+
+def test_weighted_pagerank_rejects_nonpositive(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 0.0)], "src INT, dst INT, w DOUBLE")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(df, weight_col="w")
