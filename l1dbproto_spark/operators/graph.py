@@ -593,6 +593,7 @@ def core_numbers(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 100,
+    frontier: bool = False,
 ) -> DataFrame:
     """(node, core) — every node's coreness (the largest k for which it is
     in the k-core) in ONE fixpoint instead of a peel per k.
@@ -606,7 +607,19 @@ def core_numbers(
     per-node sort is bounded by degree, and only the top-(current estimate)
     neighbors can matter, so hub cost is bounded by the hub's own coreness
     bound. Raises if not converged within ``max_iterations`` (real graphs
-    converge in a few dozen rounds; bound documented in the paper)."""
+    converge in a few dozen rounds; bound documented in the paper).
+
+    ``frontier=True`` adds changed-set pruning: a node's h-index can only
+    drop when a NEIGHBOR's estimate dropped last round, so each round
+    recomputes h only for nodes adjacent to the previous round's changed
+    set (estimates are monotone, so skipped nodes keep provably-correct
+    values). MEASURED tradeoff: the pruning costs two extra semi-joins +
+    a distinct + a pin per round, which LOSES on small or fast-converging
+    graphs (sf0.01 co-purchase graph: 8 s pruned vs 6 s plain — fixed
+    job overhead dominates); it wins only when the graph is large enough
+    that per-round data volume dominates and convergence has a long
+    small-frontier tail. Default is the plain round; flip it on for
+    100 TB-class graphs with heavy-tailed settling."""
     from pyspark.sql import Window
 
     e = canonical_edges(edges, src, dst)
@@ -617,10 +630,22 @@ def core_numbers(
     )
     est = und.groupBy("u").agg(F.count(F.lit(1)).alias("core")).select(
         F.col("u").alias("node"), "core"
-    )
+    ).transform(pin, eager=True)
+    changed = est.select("node")  # round 1: every node may drop
     w = Window.partitionBy("u").orderBy(F.desc("ne"), F.asc("v"))
     for _ in range(max_iterations):
-        nb = und.join(
+        nb = und
+        if frontier:
+            # nodes whose h-index can change: neighbors of the changed set
+            affected = (
+                und.join(changed.withColumnRenamed("node", "v"), "v", "left_semi")
+                .select(F.col("u").alias("node"))
+                .distinct()
+            )
+            nb = und.join(
+                affected.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+        nb = nb.join(
             est.select(F.col("node").alias("v"), F.col("core").alias("ne")), "v"
         )
         h = (
@@ -644,10 +669,11 @@ def core_numbers(
             new_est.alias("n")
             .join(est.alias("o"), "node")
             .filter(F.col("n.core") != F.col("o.core"))
-            .count()
+            .select("node")
+            .transform(pin, eager=True)
         )
         est = new_est
-        if changed == 0:
+        if changed.limit(1).count() == 0:
             return est
     raise RuntimeError(
         f"core_numbers did not converge in {max_iterations} h-index rounds"

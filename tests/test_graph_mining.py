@@ -233,3 +233,12 @@ def test_label_propagation_two_cliques(spark):
     # two communities, labelled by their smallest member
     assert {got[n] for n in range(5)} == {0}
     assert {got[n] for n in range(10, 15)} == {10}
+
+
+def test_core_numbers_frontier_parity(spark, rnd):
+    """The frontier-pruned round (opt-in, for graphs where per-round data
+    volume dominates) must produce the identical core numbers."""
+    edges, df = rnd
+    plain = {r.node: r.core for r in core_numbers(df).collect()}
+    pruned = {r.node: r.core for r in core_numbers(df, frontier=True).collect()}
+    assert plain == pruned == _py_core_numbers(edges)
