@@ -744,3 +744,42 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def graph_quality_signals(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-document structural quality signals from the near-dup pair
+    graph, joined back onto the corpus: ``degree`` (how many near-dups),
+    ``coefficient`` (how clique-like the neighborhood — template farms and
+    boilerplate rings sit near 1.0), ``core`` (depth inside the duplicate
+    mass), ``component`` (the dedup cluster id). Documents outside the
+    pair graph get degree 0 / coefficient 0.0 / core 0 / component = own
+    id — every document gets a full signal row, ready for the attribute
+    store (operators/attributes.py) or a quality-policy join.
+
+    One composition, no new machinery: clustering_coefficient +
+    core_numbers + connected_components over the same canonical edge
+    list, three uniform-key joins back to the corpus."""
+    sig = (
+        clustering_coefficient(pairs, src, dst)
+        .join(core_numbers(pairs, src, dst), "node")
+        .join(connected_components(pairs, src, dst), "node")
+        .withColumnRenamed("node", id_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(sig, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("degree"), F.lit(0)).alias("degree"),
+            F.coalesce(F.col("coefficient"), F.lit(0.0)).alias("coefficient"),
+            F.coalesce(F.col("core"), F.lit(0)).alias("core"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (F.col("degree").isNotNull()).alias("in_dup_graph"),
+        )
+    )

@@ -242,3 +242,24 @@ def test_core_numbers_frontier_parity(spark, rnd):
     plain = {r.node: r.core for r in core_numbers(df).collect()}
     pruned = {r.node: r.core for r in core_numbers(df, frontier=True).collect()}
     assert plain == pruned == _py_core_numbers(edges)
+
+
+def test_graph_quality_signals_composition(spark):
+    from l1dbproto_spark.operators.graph import graph_quality_signals
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id LONG")
+    # triangle 0-1-2 plus pendant 3; 4-7 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "doc_a LONG, doc_b LONG"
+    )
+    rows = {r.doc_id: r for r in graph_quality_signals(docs, pairs).collect()}
+    assert len(rows) == 8
+    assert rows[0].degree == 2 and rows[0].coefficient == 1.0 and rows[0].core == 2
+    assert rows[2].degree == 3 and rows[2].core == 2
+    assert rows[3].degree == 1 and rows[3].core == 1 and rows[3].coefficient == 0.0
+    assert rows[0].component == rows[3].component == 0
+    for i in range(4, 8):
+        r = rows[i]
+        assert (r.degree, r.coefficient, r.core, r.component) == (0, 0.0, 0, i)
+        assert not r.in_dup_graph
+    assert rows[0].in_dup_graph
