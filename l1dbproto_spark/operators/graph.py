@@ -783,3 +783,125 @@ def graph_quality_signals(
             (F.col("degree").isNotNull()).alias("in_dup_graph"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+) -> DataFrame:
+    """(node, hub, authority) by HITS power iteration (Kleinberg 1999):
+    authority = normalized in-flow of hub scores, hub = normalized
+    out-flow of authority scores, both L1-normalized per round (sum = 1,
+    which keeps the fixpoint deterministic without an eigenvector sign
+    convention). Directed multigraph edges collapse to simple edges.
+
+    Scale shape per round: two shuffled joins (hub mass keyed on src,
+    authority mass keyed on dst), both map-side combined, plus two 1-row
+    normalization aggregates; ranks pinned per round like pagerank."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .transform(pin, eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(pin, eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+    )
+    for _ in range(iterations):
+        auth_in = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+            .select(F.col("dst").alias("node"), "a_raw")
+        )
+        a_tot = auth_in.agg(F.sum("a_raw")).collect()[0][0] or 1.0
+        new_auth = nodes.join(auth_in, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.lit(float(a_tot))).alias(
+                "authority"
+            ),
+        )
+        hub_out = (
+            e.join(
+                new_auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("authority").alias("h_raw"))
+            .select(F.col("src").alias("node"), "h_raw")
+        )
+        h_tot = hub_out.agg(F.sum("h_raw")).collect()[0][0] or 1.0
+        scores = (
+            nodes.join(hub_out, "node", "left")
+            .join(new_auth, "node")
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.lit(float(h_tot))).alias(
+                    "hub"
+                ),
+                "authority",
+            )
+            .transform(pin, eager=True)
+        )
+    return scores
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """Newman modularity Q of a community assignment over the undirected
+    simple graph — the standard objective for judging a partition (LPA,
+    components, any clustering): Q = sum_c [ e_c/m - (d_c/(2m))^2 ] with
+    e_c = intra-community edges, d_c = total degree inside c, m = edges.
+    One labels join per endpoint + two bounded aggregations; returns a
+    driver float (it IS a scalar diagnostic)."""
+    e = canonical_edges(edges, src, dst).transform(pin, eager=True)
+    m = e.count()
+    if m == 0:
+        return 0.0
+    lab = labels.select(F.col("node"), F.col("label"))
+    both = (
+        e.join(lab.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u")
+        .join(lab.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v")
+    )
+    intra = (
+        both.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg_c = (
+        degrees(e, "u", "v")
+        .join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("d_c"))
+    )
+    # per-community terms stay distributed; only the final Q crosses to
+    # the driver (communities can number in the millions at corpus scale)
+    q = (
+        deg_c.join(intra, "label", "left")
+        .select(
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.lit(float(m))
+                - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+            ).alias("term")
+        )
+        .agg(F.sum("term"))
+        .collect()[0][0]
+    )
+    return float(q)

@@ -263,3 +263,93 @@ def test_graph_quality_signals_composition(spark):
         assert (r.degree, r.coefficient, r.core, r.component) == (0, 0.0, 0, i)
         assert not r.in_dup_graph
     assert rows[0].in_dup_graph
+
+
+# --- HITS + modularity --------------------------------------------------------
+
+
+def _np_hits(edges, iterations=10):
+    nodes = sorted({u for u, v in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    import numpy as np
+
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    es = sorted(set(edges))
+    for _ in range(iterations):
+        a_new = np.zeros(n)
+        for u, v in es:
+            a_new[idx[v]] += h[idx[u]]
+        a = a_new / (a_new.sum() or 1.0)
+        h_new = np.zeros(n)
+        for u, v in es:
+            h_new[idx[u]] += a[idx[v]]
+        h = h_new / (h_new.sum() or 1.0)
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    from l1dbproto_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iterations=8).collect()}
+    want = _np_hits(edges, iterations=8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9, k
+        assert abs(got[k][1] - want[k][1]) < 1e-9, k
+    # node 3 has the most in-links: top authority; node 1 the most
+    # out-links to strong authorities: top hub
+    assert max(got, key=lambda n: got[n][1]) == 3
+    assert max(got, key=lambda n: got[n][0]) == 1
+
+
+def _py_modularity(edges, labels):
+    clean = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    m = len(clean)
+    if m == 0:
+        return 0.0
+    deg: dict[int, int] = {}
+    for u, v in clean:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    comms = set(labels.values())
+    q = 0.0
+    for c in comms:
+        e_c = sum(1 for u, v in clean if labels[u] == c and labels[v] == c)
+        d_c = sum(d for n, d in deg.items() if labels[n] == c)
+        q += e_c / m - (d_c / (2.0 * m)) ** 2
+    return q
+
+
+def test_modularity_matches_python(spark, rnd):
+    from l1dbproto_spark.operators.graph import label_propagation, modularity
+
+    edges, df = rnd
+    lpa = label_propagation(df, max_iterations=5)
+    labels = {r.node: r.label for r in lpa.collect()}
+    got = modularity(df, lpa)
+    want = _py_modularity(edges, labels)
+    assert abs(got - want) < 1e-12
+
+
+def test_modularity_known_cases(spark):
+    from l1dbproto_spark.operators.graph import modularity
+
+    # two disjoint cliques, perfectly partitioned: Q = 1/2
+    clique_a = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    clique_b = [(u, v) for u in range(10, 14) for v in range(u + 1, 14)]
+    df = spark.createDataFrame(clique_a + clique_b, "src INT, dst INT")
+    perfect = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 1) for n in range(10, 14)],
+        "node INT, label INT",
+    )
+    assert abs(modularity(df, perfect) - 0.5) < 1e-12
+    # everything in one community: Q = 0
+    one = spark.createDataFrame(
+        [(n, 0) for n in list(range(4)) + list(range(10, 14))],
+        "node INT, label INT",
+    )
+    assert abs(modularity(df, one)) < 1e-12
