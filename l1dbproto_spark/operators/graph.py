@@ -905,3 +905,84 @@ def modularity(
         .collect()[0][0]
     )
     return float(q)
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 5,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """(walk_id, step, node) — DeepWalk-style uniform random walks, the
+    training-corpus generator for graph embeddings (Perozzi 2014), made
+    fully DETERMINISTIC: step choices come from
+    crc32(walk_id:step:seed) % degree over the node's sorted neighbor
+    list, so any engine (and the Python reference test) reproduces the
+    same walks bit-for-bit — re-running a 100 TB job after a failure
+    regenerates identical training data, no RNG state to persist.
+
+    ``walks_per_node`` walks start at every node; a walk stops early at a
+    node with no (out-)neighbors. Scale shape: one row_number window over
+    the adjacency (build-once, pinned), then per step ONE join keyed on
+    the current node + ONE indexed-neighbor join — the frontier stays at
+    nodes x walks_per_node rows for every step, and walk state never
+    accumulates in the frontier (steps are appended to the result set,
+    pinned per round like every iterative operator here)."""
+    from pyspark.sql import Window
+
+    if directed:
+        adj_edges = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).distinct()
+    else:
+        e = canonical_edges(edges, src, dst)
+        adj_edges = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    w = Window.partitionBy("u").orderBy("v")
+    adj = adj_edges.withColumn("rn", F.row_number().over(w)).transform(
+        pin, eager=True
+    )
+    deg = adj.groupBy("u").agg(F.max("rn").alias("deg"))
+    nodes = adj.select(F.col("u").alias("node")).distinct().unionByName(
+        adj.select(F.col("v").alias("node")).distinct()
+    ).distinct()
+    starts = nodes.crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(
+                F.col("id").alias("k")
+            )
+        )
+    ).select(
+        F.concat_ws("_", F.col("node").cast("string"), F.col("k")).alias(
+            "walk_id"
+        ),
+        F.lit(0).alias("step"),
+        "node",
+    )
+    out = starts.transform(pin, eager=True)
+    frontier = out
+    for step in range(walk_length):
+        pick_key = F.concat_ws(
+            ":", F.col("walk_id"), F.lit(step), F.lit(seed)
+        )
+        nxt = (
+            frontier.join(deg.withColumnRenamed("u", "node"), "node")
+            .withColumn(
+                "rn",
+                (F.crc32(pick_key.cast("binary")) % F.col("deg") + 1).cast("int"),
+            )
+            .join(adj.withColumnRenamed("u", "node"), ["node", "rn"])
+            .select(
+                "walk_id",
+                F.lit(step + 1).alias("step"),
+                F.col("v").alias("node"),
+            )
+            .transform(pin, eager=True)
+        )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

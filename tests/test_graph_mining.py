@@ -353,3 +353,65 @@ def test_modularity_known_cases(spark):
         "node INT, label INT",
     )
     assert abs(modularity(df, one)) < 1e-12
+
+
+# --- deterministic random walks ------------------------------------------------
+
+
+def _py_random_walks(edges, walks_per_node=2, walk_length=5, seed=42):
+    import zlib
+
+    adj: dict[int, list[int]] = {}
+    for u, v in {(min(a, b), max(a, b)) for a, b in edges if a != b}:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    for n in adj:
+        adj[n].sort()
+    walks = {}
+    for n in sorted(adj):
+        for k in range(walks_per_node):
+            wid = f"{n}_{k}"
+            path = [n]
+            for step in range(walk_length):
+                cur = path[-1]
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                pick = zlib.crc32(f"{wid}:{step}:{seed}".encode()) % len(nbrs)
+                path.append(nbrs[pick])
+            walks[wid] = path
+    return walks
+
+
+def test_random_walks_match_python(spark, rnd):
+    from l1dbproto_spark.operators.graph import random_walks
+
+    edges, df = rnd
+    out = random_walks(df, walks_per_node=2, walk_length=4).collect()
+    got: dict[str, dict[int, int]] = {}
+    for r in out:
+        got.setdefault(r.walk_id, {})[r.step] = r.node
+    want = _py_random_walks(edges, walks_per_node=2, walk_length=4)
+    assert set(got) == set(want)
+    for wid, path in want.items():
+        steps = got[wid]
+        assert [steps[i] for i in sorted(steps)] == path, wid
+
+
+def test_random_walks_steps_are_edges_and_deterministic(spark, rnd):
+    from l1dbproto_spark.operators.graph import random_walks
+
+    edges, df = rnd
+    eset = set(edges) | {(v, u) for u, v in edges}
+    a = random_walks(df, walks_per_node=1, walk_length=3)
+    rows = a.collect()
+    byw: dict[str, dict[int, int]] = {}
+    for r in rows:
+        byw.setdefault(r.walk_id, {})[r.step] = r.node
+    for wid, steps in byw.items():
+        path = [steps[i] for i in sorted(steps)]
+        for x, y in zip(path, path[1:]):
+            assert (x, y) in eset, (wid, x, y)
+    # bit-identical on re-run (no RNG state anywhere)
+    b = {(r.walk_id, r.step, r.node) for r in random_walks(df, 1, 3).collect()}
+    assert b == {(r.walk_id, r.step, r.node) for r in rows}
