@@ -66,7 +66,6 @@ _PRIORITY = [
     "history_semi_join",
     "latest_version_per_key",
     "forced_photometry_eligibility",
-    "pixelization_ids",
     "pixel_histogram",
     "visit_window_agg",
     # LLM-pipeline: dedup family
@@ -129,6 +128,10 @@ _PRIORITY = [
     # surfaces keep their other pytest coverage)
     "part_copurchase_triangles",
     "data_quality_report",
+    # round 11: one-pass column profiler (rotation: out pixelization_ids ->
+    # in-suite oracle in tests/test_unregistered_batteries.py; J5/§4 stay
+    # driver-checked via pixel_range_scan, which consumes the same ids)
+    "column_profile",
 ]
 
 
@@ -155,6 +158,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         tpch_battery,
         mining,
+        profiling,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -81,9 +81,11 @@ def cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(pred).select("o_orderkey")
 
 
-@query(
-    "pixelization_ids",
-    oracle=f"""
+# Rotated out of the driver registry in round 11 (slot to column_profile);
+# the identical oracle runs in-suite: tests/test_unregistered_batteries.py
+# test_pixelization_ids_matches_oracle. J5/§4 stay driver-checked via
+# pixel_range_scan (the range planner consumes these ids).
+PIXELIZATION_IDS_ORACLE = f"""
     WITH derived AS ({_DERIVED_SQL}),
     xyz AS ({_XYZ_SQL}),
     p AS (
@@ -109,9 +111,9 @@ def cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         + greatest(0, least(127, CAST(floor((v + 1.0) * 64.0) AS BIGINT))) * 128
         + greatest(0, least(127, CAST(floor((u + 1.0) * 64.0) AS BIGINT))) AS pixel_id
     FROM uv
-    """,
-    survey="J5,§4 spatial partition pruning",
-)
+    """
+
+
 def pixelization_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quad-sphere pixel index (functions/pixelize.py) computed for every
     derived point — the write-time spatial key that makes region queries

@@ -715,3 +715,22 @@ def test_hopping_window_agg_matches_oracle(spark):
     ).fetchone()[0]
     assert got["n"].sum() == 4 * n_events
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Round 11: pixelization_ids (slot to column_profile) — same oracle,
+# same compare, in-suite. J5/§4 stay driver-checked via pixel_range_scan.
+
+
+def test_pixelization_ids_matches_oracle(spark):
+    from l1dbproto_spark.queries.geo import (
+        PIXELIZATION_IDS_ORACLE,
+        pixelization_ids,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    got = _normalize(pixelization_ids(spark, SF_DIR).toPandas(), "o_orderkey")
+    want = _normalize(con.execute(PIXELIZATION_IDS_ORACLE).df(), "o_orderkey")
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
