@@ -1,0 +1,203 @@
+"""Retrieval evaluation metrics — precision/recall/hit/MRR/nDCG@k over a
+(results, qrels) pair, the trec_eval surface the engine's retrieval
+family (BM25, ANN, hybrid RRF) is tuned against.
+
+Inputs are two DataFrames:
+
+* ``results``: one row per (query, candidate) with either an explicit
+  1-based ``rank`` column or a ``score`` column (ranked descending with
+  the doc id as deterministic tiebreak);
+* ``qrels``: one row per (query, doc) with an integer relevance grade
+  ``rel`` >= 0 (0 = judged non-relevant; absent = unjudged, treated as
+  non-relevant like trec_eval does).
+
+Scale shape: one shuffle join of the rank-filtered results against
+qrels on the (query, doc) composite key (AQE broadcasts whichever side
+is small), then per-query aggregations — uniform keys, map-side
+combinable. The per-query frame is |queries| rows; ``macro_metrics``
+reduces it to one row.
+
+Determinism contract (the registry's): every metric is either exact
+rational arithmetic (counts, 1/rank) or a sum of per-term values rounded
+to 9 decimals and accumulated as exact DECIMAL — the metric definition
+itself fixes the 9dp term precision, so both engines compute the
+identical number regardless of partitioning or sum order. The log2
+discount table is Python-computed once and embedded as literals in both
+the Spark plan and the SQL oracle (libm log2 is not cross-engine
+bit-stable; a rank->discount lookup is).
+
+No reference analog (the reference has no retrieval stack); part of the
+beyond-reference completeness surface next to bm25/fusion/similarity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(28,9)"  # exact accumulator for 9dp-rounded terms
+
+
+def discount_table(k: int) -> list[tuple[int, float]]:
+    """(rank, 1/log2(rank+1)) for ranks 1..k — the shared literal table."""
+    return [(r, 1.0 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def _gain_col(rel: F.Column, gain: str) -> F.Column:
+    if gain == "exp":
+        return F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)
+    if gain == "linear":
+        return rel.cast("double")
+    raise ValueError(f"gain must be 'exp' or 'linear', got {gain!r}")
+
+
+def ranked_results(
+    results: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str | None = "rank",
+    score_col: str | None = None,
+) -> DataFrame:
+    """(query, doc, rank<=k). With ``score_col`` set, ranks are derived
+    per query by score desc with doc id as the deterministic tiebreak
+    (the ANN/BM25 convention); otherwise ``rank_col`` is trusted."""
+    if score_col is not None:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), F.col(doc_col)
+        )
+        ranked = results.withColumn("rank", F.row_number().over(w))
+    elif rank_col is not None:
+        ranked = results.withColumn("rank", F.col(rank_col).cast("int"))
+    else:
+        raise ValueError("one of rank_col / score_col is required")
+    return ranked.filter(F.col("rank") <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        "rank",
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    gain: str = "exp",
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rel_col: str = "rel",
+    rank_col: str | None = "rank",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-query metrics at cutoff k; one row per query in ``qrels``
+    (trec_eval semantics: the judged query set defines the evaluation,
+    queries with no retrieved rows score 0). Columns:
+
+    ``(query_id, n_retrieved, n_rel, hits, precision_at_k, recall_at_k,
+    rr_at_k, dcg_at_k, idcg_at_k, ndcg_at_k)``
+
+    recall/ndcg are NULL for a query whose qrels hold no positive grade
+    (0/0 is a judgment error, not a score — the loud-NULL convention of
+    funnel_conversion). nDCG uses the ``gain`` scheme for both DCG and
+    the ideal ranking, top-k ideal like trec_eval's ndcg_cut."""
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    spark = results.sparkSession
+    disc = spark.createDataFrame(
+        discount_table(k), "rank INT, discount DOUBLE"
+    )
+
+    ranked = ranked_results(
+        results, k, query_col, doc_col, rank_col, score_col
+    )
+    judged = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rel_col).cast("int").alias("rel"),
+    )
+
+    # retrieved side: unjudged docs count as rel=0 (left join)
+    hits = (
+        ranked.join(judged, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .join(F.broadcast(disc), "rank")
+    )
+    term = F.round(_gain_col(F.col("rel"), gain) * F.col("discount"), 9)
+    got = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.count(F.when(F.col("rel") > 0, True)).alias("n_rel_ret"),
+        F.max(
+            F.when(F.col("rel") > 0, F.lit(1.0) / F.col("rank"))
+        ).alias("rr_raw"),
+        F.sum(term.cast(_DEC)).cast("double").alias("dcg_at_k"),
+    )
+
+    # ideal side: per-query top-k of the qrels by grade (doc id tiebreak)
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ideal = (
+        judged.filter(F.col("rel") > 0)
+        .withColumn("rank", F.row_number().over(iw))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(disc), "rank")
+    )
+    iterm = F.round(_gain_col(F.col("rel"), gain) * F.col("discount"), 9)
+    per_q = judged.groupBy("query_id").agg(
+        F.count(F.when(F.col("rel") > 0, True)).alias("n_rel")
+    )
+    ideal_agg = ideal.groupBy("query_id").agg(
+        F.sum(iterm.cast(_DEC)).cast("double").alias("idcg_at_k")
+    )
+
+    out = (
+        per_q.join(ideal_agg, "query_id", "left")
+        .join(got, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            "n_rel",
+            (F.coalesce("n_rel_ret", F.lit(0)) > 0).alias("hits"),
+            (F.coalesce("n_rel_ret", F.lit(0)) / F.lit(float(k))).alias(
+                "precision_at_k"
+            ),
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce("n_rel_ret", F.lit(0)) / F.col("n_rel"),
+            ).alias("recall_at_k"),
+            F.coalesce("rr_raw", F.lit(0.0)).alias("rr_at_k"),
+            F.coalesce("dcg_at_k", F.lit(0.0)).alias("dcg_at_k"),
+            F.coalesce("idcg_at_k", F.lit(0.0)).alias("idcg_at_k"),
+            F.when(
+                F.col("idcg_at_k") > 0,
+                F.coalesce("dcg_at_k", F.lit(0.0)) / F.col("idcg_at_k"),
+            ).alias("ndcg_at_k"),
+        )
+    )
+    return out
+
+
+def macro_metrics(per_query: DataFrame) -> DataFrame:
+    """One-row macro averages over the per-query frame. Each mean is an
+    exact-decimal sum of the 9dp-rounded per-query values divided once —
+    order-independent like every registry mean. NULL per-query values
+    (undefined recall/ndcg) are excluded from their mean, trec_eval
+    style."""
+
+    def m(col: str) -> F.Column:
+        return (
+            F.sum(F.round(F.col(col), 9).cast(_DEC)).cast("double")
+            / F.count(F.col(col))
+        ).alias(f"mean_{col}")
+
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg(F.col("hits").cast("double")).alias("hit_rate"),
+        m("precision_at_k"),
+        m("recall_at_k"),
+        m("rr_at_k"),
+        m("ndcg_at_k"),
+    )

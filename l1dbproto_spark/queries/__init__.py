@@ -93,7 +93,6 @@ _PRIORITY = [
     "salted_skew_agg",
     "frequent_items_per_group",
     # windows / events
-    "metrics_pivot_wide",
     "session_window_agg",
     "gap_fill_resample",
     # LLM-pipeline: packing, quantization, composed ANN, sampling,
@@ -132,6 +131,10 @@ _PRIORITY = [
     # in-suite oracle in tests/test_unregistered_batteries.py; J5/§4 stay
     # driver-checked via pixel_range_scan, which consumes the same ids)
     "column_profile",
+    # round 11: retrieval evaluation metrics (rotation: out
+    # metrics_pivot_wide -> in-suite oracle; A9 keeps the streaming
+    # metrics pivot pytest coverage)
+    "retrieval_eval",
 ]
 
 
@@ -159,6 +162,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_battery,
         mining,
         profiling,
+        evaluation,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -1,0 +1,161 @@
+"""Round-11 registered row: retrieval evaluation metrics.
+
+``retrieval_eval`` drives operators/evals.py end-to-end — ranked
+results -> qrels join -> per-query precision/recall/MRR/nDCG@k —
+against a full ANSI-SQL oracle. The rankings and judgments are derived
+deterministically from the documents table with the engine's portable
+hash, so the row pins the METRIC algebra (rank cutoffs, grade gains,
+discount table, exact-decimal DCG sums, loud-NULL conventions), not a
+particular retrieval model; the retrieval models have their own
+registered rows (bm25_topk, ann_topk_*) and tests/test_hybrid_retrieval
+composes real rankings through these metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..operators.evals import discount_table, retrieval_metrics
+from ..sources.catalog import load_table
+from . import query
+
+_K = 10
+_Q_MOD = 10  # every 10th doc id is a query
+
+# rank -> 1/log2(rank+1), Python-computed once, embedded as literals on
+# BOTH sides (libm log2 is not cross-engine bit-stable; a lookup is)
+_DISC_VALUES = ", ".join(f"({r}, {d!r})" for r, d in discount_table(_K))
+
+_SCORE = portable_hash64_sql("concat(q.query_id, '|', d.doc_id)", salt="rsc")
+_JUDGE = portable_hash64_sql("concat(q.query_id, '|', d.doc_id)", salt="rel")
+
+_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id AS query_id FROM documents WHERE doc_id % {_Q_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, d.doc_id, {_SCORE} % 100000 AS score
+  FROM q, documents d
+),
+ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {_K}
+),
+qrels AS (
+  SELECT query_id, doc_id, CAST(j % 3 AS INT) AS rel FROM (
+    SELECT q.query_id, d.doc_id, {_JUDGE} AS j
+    FROM q, documents d
+  ) WHERE j % 7 < 2
+),
+disc(rank, discount) AS (VALUES {_DISC_VALUES}),
+hits AS (
+  SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels qr
+    ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+),
+got AS (
+  SELECT h.query_id,
+         COUNT(*) AS n_retrieved,
+         COUNT(CASE WHEN h.rel > 0 THEN 1 END) AS n_rel_ret,
+         MAX(CASE WHEN h.rel > 0 THEN 1.0 / h.rank END) AS rr_raw,
+         CAST(CAST(SUM(CAST(round((power(2.0, h.rel) - 1.0) * disc.discount, 9)
+                            AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+           AS dcg_at_k
+  FROM hits h JOIN disc ON disc.rank = h.rank
+  GROUP BY h.query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rel DESC, doc_id
+         ) AS rank
+  FROM qrels WHERE rel > 0
+),
+ideal_agg AS (
+  SELECT i.query_id,
+         CAST(CAST(SUM(CAST(round((power(2.0, i.rel) - 1.0) * disc.discount, 9)
+                            AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+           AS idcg_at_k
+  FROM ideal i JOIN disc ON disc.rank = i.rank
+  WHERE i.rank <= {_K}
+  GROUP BY i.query_id
+),
+per_q AS (
+  SELECT query_id, COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel
+  FROM qrels GROUP BY query_id
+)
+SELECT
+  p.query_id,
+  COALESCE(g.n_retrieved, 0) AS n_retrieved,
+  p.n_rel,
+  COALESCE(g.n_rel_ret, 0) > 0 AS hits,
+  COALESCE(g.n_rel_ret, 0) / {float(_K)!r} AS precision_at_k,
+  CASE WHEN p.n_rel > 0
+       THEN COALESCE(g.n_rel_ret, 0) / p.n_rel END AS recall_at_k,
+  COALESCE(g.rr_raw, 0.0) AS rr_at_k,
+  COALESCE(g.dcg_at_k, 0.0) AS dcg_at_k,
+  COALESCE(i.idcg_at_k, 0.0) AS idcg_at_k,
+  CASE WHEN i.idcg_at_k > 0
+       THEN COALESCE(g.dcg_at_k, 0.0) / i.idcg_at_k END AS ndcg_at_k
+FROM per_q p
+LEFT JOIN ideal_agg i ON i.query_id = p.query_id
+LEFT JOIN got g ON g.query_id = p.query_id
+"""
+
+
+def _pair_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    queries = docs.filter(F.col("doc_id") % _Q_MOD == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    pairs = docs.crossJoin(F.broadcast(queries))
+    key = F.concat(
+        F.col("query_id").cast("string"),
+        F.lit("|"),
+        F.col("doc_id").cast("string"),
+    )
+    results = pairs.select(
+        "query_id",
+        "doc_id",
+        (portable_hash64(key, salt="rsc") % 100000).alias("score"),
+    )
+    j = portable_hash64(key, salt="rel")
+    qrels = (
+        pairs.withColumn("j", j)
+        .filter(F.col("j") % 7 < 2)
+        .select("query_id", "doc_id", (F.col("j") % 3).cast("int").alias("rel"))
+    )
+    return results, qrels
+
+
+@query(
+    "retrieval_eval",
+    oracle=_ORACLE,
+    survey=(
+        "beyond-reference engine completeness: retrieval evaluation "
+        "(operators/evals.py) — the trec_eval surface for the BM25/ANN/"
+        "hybrid retrieval family"
+    ),
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query precision/recall/MRR/nDCG@10 over hash-deterministic
+    rankings and graded judgments on the documents table. The score
+    ranking path (window per query) and every metric column run through
+    the real operator; the oracle recomputes all of it independently.
+
+    Scale shape: the candidate cross join is the demo harness (queries
+    broadcast, corpus scanned once); the operator itself costs one
+    (query, doc) shuffle join plus uniform per-query aggregations."""
+    results, qrels = _pair_frames(spark, sf_dir)
+    return retrieval_metrics(
+        results, qrels, k=_K, rank_col=None, score_col="score"
+    )

@@ -94,9 +94,11 @@ def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "metrics_pivot_wide",
-    oracle="""
+# Rotated out of the driver registry in round 11 (slot to retrieval_eval);
+# the identical oracle runs in-suite: tests/test_unregistered_batteries.py
+# test_metrics_pivot_wide_matches_oracle. A9 keeps its streaming/metrics
+# pytest coverage (streaming/metrics.py pivot path).
+METRICS_PIVOT_WIDE_ORACLE = """
     SELECT
       date_trunc('day', ts) AS day,
       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
@@ -106,9 +108,9 @@ def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
     FROM events
     GROUP BY 1
-    """,
-    survey="A9",
-)
+    """
+
+
 def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-to-wide-row: the reference emits one wide CSV row per visit with a
     fixed metric column list (log2csv.py:156-217) — groupBy().pivot() with an

@@ -1,0 +1,149 @@
+"""Retrieval-eval metrics (operators/evals.py): python-reference parity,
+loud-NULL conventions, macro averages, and composition with a real
+ranking. The registered retrieval_eval row's full DuckDB oracle runs in
+test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from l1dbproto_spark.operators.evals import (
+    macro_metrics,
+    ranked_results,
+    retrieval_metrics,
+)
+
+# hand corpus: 2 judged queries + 1 qrels-only query
+RESULTS = [
+    # q1: ranks 1..4 -> docs 10,11,12,13
+    (1, 10, 1),
+    (1, 11, 2),
+    (1, 12, 3),
+    (1, 13, 4),
+    # q2: one retrieved doc, unjudged
+    (2, 20, 1),
+    # q99 retrieved but never judged: excluded from the eval (trec_eval)
+    (99, 1, 1),
+]
+QRELS = [
+    (1, 10, 2),  # rel grade 2 at rank 1
+    (1, 12, 1),  # rel grade 1 at rank 3
+    (1, 14, 3),  # relevant but not retrieved
+    (1, 15, 0),  # judged non-relevant
+    (2, 21, 0),  # q2: judged, but NO positive grade
+    (3, 30, 1),  # q3: judged + relevant, nothing retrieved
+]
+
+
+def _py_dcg(grades_at_ranks: list[tuple[int, int]]) -> float:
+    # same definition as the operator: 9dp-rounded terms, exact sum
+    return float(
+        sum(
+            round((2.0**rel - 1.0) * (1.0 / math.log2(r + 1)), 9)
+            for r, rel in grades_at_ranks
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def per_query(spark):
+    results = spark.createDataFrame(
+        RESULTS, "query_id INT, doc_id INT, rank INT"
+    )
+    qrels = spark.createDataFrame(QRELS, "query_id INT, doc_id INT, rel INT")
+    out = retrieval_metrics(results, qrels, k=3)
+    return {r["query_id"]: r for r in out.collect()}
+
+
+def test_per_query_values(per_query):
+    assert set(per_query) == {1, 2, 3}  # judged queries only
+
+    q1 = per_query[1]
+    # cutoff k=3 drops rank-4; retrieved rel grades: r1->2, r2->0, r3->1
+    assert q1["n_retrieved"] == 3 and q1["n_rel"] == 3
+    assert q1["hits"] is True
+    assert q1["precision_at_k"] == 2 / 3.0
+    assert q1["recall_at_k"] == 2 / 3.0  # doc 14 relevant but unretrieved
+    assert q1["rr_at_k"] == 1.0
+    assert q1["dcg_at_k"] == _py_dcg([(1, 2), (3, 1)])
+    # ideal ordering of q1 grades (3,2,1) at ranks 1..3
+    assert q1["idcg_at_k"] == _py_dcg([(1, 3), (2, 2), (3, 1)])
+    assert q1["ndcg_at_k"] == q1["dcg_at_k"] / q1["idcg_at_k"]
+
+    q2 = per_query[2]  # judged with no positive grade: loud NULLs
+    assert q2["n_rel"] == 0 and q2["hits"] is False
+    assert q2["recall_at_k"] is None and q2["ndcg_at_k"] is None
+    assert q2["rr_at_k"] == 0.0 and q2["precision_at_k"] == 0.0
+
+    q3 = per_query[3]  # relevant docs exist, nothing retrieved
+    assert q3["n_retrieved"] == 0 and q3["n_rel"] == 1
+    assert q3["recall_at_k"] == 0.0 and q3["ndcg_at_k"] == 0.0
+    assert q3["idcg_at_k"] == _py_dcg([(1, 1)])
+
+
+def test_q1_recall_counts_unretrieved(per_query):
+    # n_rel counts ALL positively-judged docs (14 included) -> recall 2/3
+    q1 = per_query[1]
+    assert q1["n_rel"] == 3
+    assert q1["recall_at_k"] == 2 / 3.0
+
+
+def test_macro_metrics(spark, per_query):
+    results = spark.createDataFrame(
+        RESULTS, "query_id INT, doc_id INT, rank INT"
+    )
+    qrels = spark.createDataFrame(QRELS, "query_id INT, doc_id INT, rel INT")
+    row = macro_metrics(retrieval_metrics(results, qrels, k=3)).collect()[0]
+    assert row["n_queries"] == 3
+    assert row["hit_rate"] == pytest.approx(1 / 3.0)
+    # NULL recall/ndcg (q2) excluded from their means
+    q1, q3 = per_query[1], per_query[3]
+    assert row["mean_recall_at_k"] == pytest.approx(
+        (q1["recall_at_k"] + q3["recall_at_k"]) / 2
+    )
+    assert row["mean_ndcg_at_k"] == pytest.approx(
+        (q1["ndcg_at_k"] + q3["ndcg_at_k"]) / 2
+    )
+    assert row["mean_precision_at_k"] == pytest.approx(
+        (q1["precision_at_k"] + 0.0 + 0.0) / 3
+    )
+
+
+def test_score_ranking_and_linear_gain(spark):
+    # score path: ties broken by doc id ascending
+    results = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 5.0), (1, 12, 9.0)],
+        "query_id INT, doc_id INT, score DOUBLE",
+    )
+    ranked = {
+        r["doc_id"]: r["rank"]
+        for r in ranked_results(
+            results, k=3, rank_col=None, score_col="score"
+        ).collect()
+    }
+    assert ranked == {12: 1, 10: 2, 11: 3}
+
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id INT, doc_id INT, rel INT"
+    )
+    row = retrieval_metrics(
+        results, qrels, k=2, gain="linear", rank_col=None, score_col="score"
+    ).collect()[0]
+    # linear gains: rank1 rel=1, rank2 rel=2
+    want = float(
+        round(1 * (1 / math.log2(2)), 9) + round(2 * (1 / math.log2(3)), 9)
+    )
+    assert row["dcg_at_k"] == want
+    assert row["rr_at_k"] == 1.0
+
+
+def test_errors(spark):
+    df = spark.createDataFrame([(1, 2, 1)], "query_id INT, doc_id INT, rank INT")
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval_metrics(df, df, k=0)
+    with pytest.raises(ValueError, match="rank_col / score_col"):
+        ranked_results(df, k=1, rank_col=None, score_col=None)
+    with pytest.raises(ValueError, match="gain must be"):
+        retrieval_metrics(df, df.selectExpr("query_id", "doc_id", "1 as rel"), k=1, gain="bogus").collect()

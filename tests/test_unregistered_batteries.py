@@ -734,3 +734,21 @@ def test_pixelization_ids_matches_oracle(spark):
     con.close()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_metrics_pivot_wide_matches_oracle(spark):
+    from l1dbproto_spark.queries.events import (
+        METRICS_PIVOT_WIDE_ORACLE,
+        metrics_pivot_wide,
+    )
+    from l1dbproto_spark.sources.catalog import load_table
+
+    con = duckdb.connect()
+    load_table(spark, SF_DIR, "events").toPandas().pipe(
+        lambda pdf: con.register("events", pdf)
+    )
+    got = _normalize(metrics_pivot_wide(spark, SF_DIR).toPandas(), "day")
+    want = _normalize(con.execute(METRICS_PIVOT_WIDE_ORACLE).df(), "day")
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
