@@ -1,0 +1,129 @@
+"""Maximal-marginal-relevance (MMR) diversified re-ranking.
+
+The re-rank stage of a retrieval pipeline: given each query's bounded
+candidate set (the top-N of BM25 / ANN / RRF — N is tens-to-hundreds by
+construction), greedily select k items maximizing
+
+    mmr(d) = lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)
+
+(Carbonell & Goldstein 1998). lam=1 reproduces the plain relevance
+ranking; smaller lam trades relevance for diversity.
+
+Spark-first shape: the greedy loop is k driver-orchestrated rounds of
+pure DataFrame algebra — no Python touches row data:
+
+* argmax per query via ``max_by`` over a (mmr, -doc) struct (one
+  uniform-key aggregation; deterministic smaller-doc tiebreak);
+* the per-round picks frame is |Q| rows -> broadcast back onto the
+  candidates to update each survivor's running max-similarity with one
+  ``greatest`` (the incremental identity: max over S grows one element
+  per round, so no re-scan of S);
+* lineage pinned per round (checkpoint.pin) so the plan stays O(1)
+  deep — the dedup_clusters/BFS iterative convention.
+
+At 100 TB the frame size is |queries| x N candidates — the corpus never
+enters; cost scales with the query load, not the table. Each round is
+one shuffle of the shrinking candidate frame plus a broadcast join.
+
+No reference analog; beyond-reference completeness next to
+operators/fusion.py (RRF) and operators/evals.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import pin
+from .similarity import cosine
+
+_EPS_DOC = "__mmr_negdoc"
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Greedy MMR selection of k items per query. Returns
+    ``(query_col, doc_col, score_col, mmr_score, mmr_rank)`` with
+    mmr_rank 1..k in selection order (queries with fewer than k
+    candidates return them all).
+
+    ``candidates`` must be one row per (query, doc) with a relevance
+    score and the doc's embedding vector; scores should be on a
+    comparable scale to cosine (normalize upstream if mixing, e.g.
+    min-max per query) — the operator uses them as given.
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("mmr_rerank: lam must be in [0, 1]")
+
+    cands = candidates.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(score_col).cast("double").alias("rel"),
+        F.col(vec_col).alias("vec"),
+        F.lit(None).cast("double").alias("maxsim"),
+    )
+    selected: DataFrame | None = None
+    for t in range(1, k + 1):
+        # round-t objective; maxsim is NULL only before the first pick
+        mmr = F.when(
+            F.col("maxsim").isNull(), F.lit(lam) * F.col("rel")
+        ).otherwise(
+            F.lit(lam) * F.col("rel")
+            - F.lit(1.0 - lam) * F.col("maxsim")
+        )
+        scored = cands.withColumn("mmr", mmr)
+        picks = scored.groupBy("query_id").agg(
+            F.max_by(
+                F.struct("doc_id", "vec", "rel", "mmr"),
+                F.struct(F.col("mmr"), (-F.col("doc_id")).alias(_EPS_DOC)),
+            ).alias("p")
+        )
+        round_rows = picks.select(
+            "query_id",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.rel").alias("rel"),
+            F.col("p.mmr").alias("mmr_score"),
+            F.lit(t).alias("mmr_rank"),
+        )
+        selected = (
+            round_rows
+            if selected is None
+            else selected.unionByName(round_rows)
+        )
+        if t == k:
+            break
+        pvec = picks.select(
+            "query_id",
+            F.col("p.doc_id").alias("__pdoc"),
+            F.col("p.vec").alias("__pvec"),
+        )
+        cands = (
+            cands.join(F.broadcast(pvec), "query_id")
+            .filter(F.col("doc_id") != F.col("__pdoc"))
+            .withColumn(
+                "maxsim",
+                F.greatest(
+                    F.coalesce(F.col("maxsim"), F.lit(float("-inf"))),
+                    cosine(F.col("vec"), F.col("__pvec"), dim),
+                ),
+            )
+            .drop("__pdoc", "__pvec")
+        )
+        cands = pin(cands, eager=False)
+    return selected.select(
+        F.col("query_id").alias(query_col),
+        F.col("doc_id").alias(doc_col),
+        F.col("rel").alias(score_col),
+        "mmr_score",
+        "mmr_rank",
+    )
