@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..operators.evals import discount_table, retrieval_metrics
 from ..sources.catalog import load_table
@@ -117,7 +118,13 @@ def _pair_frames(
     queries = docs.filter(F.col("doc_id") % _Q_MOD == 0).select(
         F.col("doc_id").alias("query_id")
     )
-    pairs = docs.crossJoin(F.broadcast(queries))
+    # Pin the (query, doc) candidate frame ONCE: results + qrels and the
+    # metric operator's ranked/hits/ideal branches all derive from it, and
+    # without the cut each branch re-embeds the documents scan (8 static
+    # scans, flagged by tests/test_scan_audit). The pinned frame is two id
+    # columns — the same id-sized-materialization rule every other staged
+    # query follows (checkpoint.py module docstring).
+    pairs = docs.crossJoin(F.broadcast(queries)).transform(pin)
     key = F.concat(
         F.col("query_id").cast("string"),
         F.lit("|"),
