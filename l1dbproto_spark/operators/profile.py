@@ -98,6 +98,16 @@ def profile(
     missing = [c for c in columns if c not in fields]
     if missing:
         raise ValueError(f"profile: no such columns: {missing}")
+    if not columns:
+        raise ValueError("profile: columns must be non-empty")
+    quoted = [c for c in columns if "'" in c or "\\" in c]
+    if quoted:
+        # names are interpolated into the stack() literal list; a quote
+        # breaks out of the SQL string and a trailing backslash eats the
+        # closing quote (expression injection either way)
+        raise ValueError(
+            f"profile: column names may not contain ' or \\: {quoted}"
+        )
 
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
     per_col_exprs: list[str] = []
@@ -117,9 +127,18 @@ def profile(
                 # calendar columns: min/max are meaningful, a mean is not
                 aggs.append(F.lit(None).cast("double").alias(f"me{i}"))
             else:
-                dec = "decimal(38,9)" if _is_fractional(dt) else "decimal(38,0)"
+                # exact-decimal sum straight FROM THE SOURCE TYPE — routing
+                # integral columns through the double view would quantize
+                # bigints above 2^53 before the "exact" sum (r8 advice);
+                # only the final quotient is a double
+                if _is_fractional(dt):
+                    sum_src = c.cast("decimal(38,9)")
+                elif isinstance(dt, T.BooleanType):
+                    sum_src = c.cast("long").cast("decimal(38,0)")
+                else:
+                    sum_src = c.cast("decimal(38,0)")
                 aggs.append(
-                    (F.sum(num.cast(dec)).cast("double") / F.count(c)).alias(
+                    (F.sum(sum_src).cast("double") / F.count(c)).alias(
                         f"me{i}"
                     )
                 )
@@ -177,6 +196,8 @@ def top_values(
     """
     if k < 1:
         raise ValueError("top_values: k must be >= 1")
+    if not columns:
+        raise ValueError("top_values: columns must be non-empty")
     fields = {f.name for f in df.schema.fields}
     missing = [c for c in columns if c not in fields]
     if missing:

@@ -12,12 +12,20 @@ ranking; smaller lam trades relevance for diversity.
 Spark-first shape: the greedy loop is k driver-orchestrated rounds of
 pure DataFrame algebra — no Python touches row data:
 
-* argmax per query via ``max_by`` over a (mmr, -doc) struct (one
-  uniform-key aggregation; deterministic smaller-doc tiebreak);
+* argmax per query via ``min_by`` over a (-mmr, doc) struct (one
+  uniform-key aggregation; deterministic smaller-doc tiebreak that works
+  for ANY orderable doc-id type — strings included — because only the
+  double mmr is negated). NaN mmr sorts GREATEST under min_by's struct
+  order, so a NaN-scored row loses every round instead of winning them
+  (the inverse of the max_by(NaN) hazard brute_force_topk guards);
 * the per-round picks frame is |Q| rows -> broadcast back onto the
   candidates to update each survivor's running max-similarity with one
   ``greatest`` (the incremental identity: max over S grows one element
-  per round, so no re-scan of S);
+  per round, so no re-scan of S). The cosine is guarded: zero-norm /
+  NULL / NaN vectors yield NULL similarity (never an ANSI
+  divide-by-zero, never a NaN), and ``greatest`` skips NULLs, so a
+  degenerate pick leaves survivors' maxsim unchanged rather than
+  poisoning the next round's objective;
 * lineage pinned per round (checkpoint.pin) so the plan stays O(1)
   deep — the dedup_clusters/BFS iterative convention.
 
@@ -35,9 +43,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin
-from .similarity import cosine
+from .similarity import dot, l2_norm
 
-_EPS_DOC = "__mmr_negdoc"
+
+def _safe_cosine(a, b, dim):
+    """cosine(a, b), NULL for degenerate inputs. Zero-norm / NULL vectors
+    make the norm product non-positive (or NULL), NaN components make it
+    NaN — both gated BEFORE the division so ANSI mode never sees 0/0; a
+    residual NaN ratio (inf components) is mapped to NULL after."""
+    np_ = l2_norm(a, dim) * l2_norm(b, dim)
+    sim = F.when((np_ > 0) & ~F.isnan(np_), dot(a, b, dim) / np_)
+    return F.when(~F.isnan(F.coalesce(sim, F.lit(0.0))), sim)
 
 
 def mmr_rerank(
@@ -74,7 +90,9 @@ def mmr_rerank(
     )
     selected: DataFrame | None = None
     for t in range(1, k + 1):
-        # round-t objective; maxsim is NULL only before the first pick
+        # round-t objective; maxsim is NULL until the first pick with a
+        # well-defined similarity to this row (degenerate vectors never
+        # set it — see _safe_cosine)
         mmr = F.when(
             F.col("maxsim").isNull(), F.lit(lam) * F.col("rel")
         ).otherwise(
@@ -83,9 +101,9 @@ def mmr_rerank(
         )
         scored = cands.withColumn("mmr", mmr)
         picks = scored.groupBy("query_id").agg(
-            F.max_by(
+            F.min_by(
                 F.struct("doc_id", "vec", "rel", "mmr"),
-                F.struct(F.col("mmr"), (-F.col("doc_id")).alias(_EPS_DOC)),
+                F.struct((-F.col("mmr")).alias("negmmr"), F.col("doc_id")),
             ).alias("p")
         )
         round_rows = picks.select(
@@ -110,11 +128,15 @@ def mmr_rerank(
         cands = (
             cands.join(F.broadcast(pvec), "query_id")
             .filter(F.col("doc_id") != F.col("__pdoc"))
+            # greatest() skips NULLs: a degenerate pick (NULL similarity)
+            # leaves maxsim as-is, and maxsim stays NULL — "no similarity
+            # observed yet", routing mmr to its lam*rel branch — until a
+            # real similarity arrives. No -inf sentinel to overflow.
             .withColumn(
                 "maxsim",
                 F.greatest(
-                    F.coalesce(F.col("maxsim"), F.lit(float("-inf"))),
-                    cosine(F.col("vec"), F.col("__pvec"), dim),
+                    F.col("maxsim"),
+                    _safe_cosine(F.col("vec"), F.col("__pvec"), dim),
                 ),
             )
             .drop("__pdoc", "__pvec")

@@ -92,7 +92,7 @@ def pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the 50-cap registry in r9 (slot to hamming_topk); the
+# Rotated out of the 50-cap registry in driver round 8 (slot to hamming_topk); the
 # SAME DuckDB oracle runs in-suite in tests/test_unregistered_batteries.py.
 # U1 stays driver-covered through the workload union inside ap_visit.
 def catalog_union(spark: SparkSession, sf_dir: str) -> DataFrame:

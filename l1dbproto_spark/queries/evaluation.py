@@ -1,4 +1,4 @@
-"""Round-11 registered row: retrieval evaluation metrics.
+"""Driver-round-8 registered row: retrieval evaluation metrics.
 
 ``retrieval_eval`` drives operators/evals.py end-to-end — ranked
 results -> qrels join -> per-query precision/recall/MRR/nDCG@k —

@@ -94,7 +94,7 @@ def visit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the driver registry in round 11 (slot to retrieval_eval);
+# Rotated out of the driver registry in driver round 8 (slot to retrieval_eval);
 # the identical oracle runs in-suite: tests/test_unregistered_batteries.py
 # test_metrics_pivot_wide_matches_oracle. A9 keeps its streaming/metrics
 # pytest coverage (streaming/metrics.py pivot path).
@@ -124,7 +124,7 @@ def metrics_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the 50-cap registry in r10 (slot to data_quality_report);
+# Rotated out of the 50-cap registry in driver round 8 (slot to data_quality_report);
 # the SAME DuckDB oracle (below) runs in-suite in
 # tests/test_unregistered_batteries.py and the F11/F12 log-extraction
 # surface keeps its sources/logs pytest coverage.

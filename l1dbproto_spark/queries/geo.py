@@ -81,7 +81,7 @@ def cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(pred).select("o_orderkey")
 
 
-# Rotated out of the driver registry in round 11 (slot to column_profile);
+# Rotated out of the driver registry in driver round 8 (slot to column_profile);
 # the identical oracle runs in-suite: tests/test_unregistered_batteries.py
 # test_pixelization_ids_matches_oracle. J5/§4 stay driver-checked via
 # pixel_range_scan (the range planner consumes these ids).

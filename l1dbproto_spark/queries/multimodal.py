@@ -58,7 +58,7 @@ _HIST_COLS = ",\n      ".join(
 )
 
 
-# Rotated out of the 50-cap registry in r10 (slot to q18_large_orders); the
+# Rotated out of the 50-cap registry in driver round 8 (slot to q18_large_orders); the
 # SAME DuckDB oracle (below, view-name form) runs in-suite in
 # tests/test_unregistered_batteries.py and the multimodal family keeps the
 # registered media_chunk_fingerprints row.

@@ -260,7 +260,7 @@ def exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.unionByName(semi)
 
 
-# Rotated out of the 50-cap registry in r9 (slot to funnel_conversion);
+# Rotated out of the 50-cap registry in driver round 8 (slot to funnel_conversion);
 # the SAME DuckDB oracle runs in-suite in
 # tests/test_unregistered_batteries.py. A2-A4 stay driver-covered via
 # q1_pricing_summary (counts) and the funnel/cohort aggregations.

@@ -162,7 +162,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the 50-cap registry in r10 (slot to
+# Rotated out of the 50-cap registry in driver round 8 (slot to
 # part_copurchase_triangles); the SAME DuckDB oracle (below) runs in-suite
 # in tests/test_unregistered_batteries.py and max_by keeps its other
 # pytest coverage (q3/top-k selection family).

@@ -206,7 +206,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the 50-cap registry in r9 (slot to cohort_retention);
+# Rotated out of the 50-cap registry in driver round 8 (slot to cohort_retention);
 # the SAME DuckDB oracle runs in-suite in
 # tests/test_unregistered_batteries.py. F13 formatting stays
 # driver-covered via json_payload_extract's string surface.

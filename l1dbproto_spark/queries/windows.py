@@ -43,7 +43,7 @@ def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rotated out of the 50-cap registry in r10 (slot to q10_returned_items);
+# Rotated out of the 50-cap registry in driver round 8 (slot to q10_returned_items);
 # the SAME DuckDB oracle runs in-suite in tests/test_unregistered_batteries.py
 # and W3/W4 keep their id-formula pytest coverage.
 def partitioned_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,3 +89,44 @@ def test_hybrid_more_like_this(spark):
     fused_set = {(r.query_id, r.doc_id) for r in rows}
     assert fused_set & (lex_set - sem_set)
     assert fused_set & (sem_set - lex_set)
+
+
+def test_fused_ranking_through_retrieval_metrics(spark):
+    """Composition: a real RRF-fused ranking flows straight into
+    operators/evals.retrieval_metrics (the registered retrieval_eval row
+    pins the metric ALGEBRA on hash-synthetic rankings; this pins the
+    integration — fused (query, doc, rank) triples are directly consumable
+    as the results side), checked against hand-computed metrics."""
+    import math
+
+    from l1dbproto_spark.operators.evals import macro_metrics, retrieval_metrics
+
+    a = _mk(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)])
+    b = _mk(spark, [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)])
+    fused = rrf_fuse([a, b], k=60)
+    # judged: q1 -> 11 highly relevant, 12 relevant, 99 relevant-but-missed;
+    # q2 -> 20 relevant, 21 judged non-relevant
+    qrels = spark.createDataFrame(
+        [(1, 11, 2), (1, 12, 1), (1, 99, 1), (2, 20, 1), (2, 21, 0)],
+        "query_id INT, doc_id INT, rel INT",
+    )
+    per_q = {
+        r.query_id: r for r in retrieval_metrics(fused, qrels, k=3).collect()
+    }
+    # q1 fused order: 11 (both sources, 1/61+1/62), then the single-source
+    # docs by their RRF mass: 10 (1/61), 13 (1/62), 12 (1/63) -> top-3 is
+    # [11, 10, 13]; only doc 11 is relevant among them
+    d = lambda r: 1.0 / math.log2(r + 1)
+    q1 = per_q[1]
+    assert (q1.n_retrieved, q1.n_rel, q1.hits) == (3, 3, True)
+    assert q1.precision_at_k == 1 / 3
+    assert q1.recall_at_k == 1 / 3
+    assert q1.rr_at_k == 1.0  # doc 11 at rank 1
+    assert abs(q1.dcg_at_k - 3 * d(1)) < 1e-8
+    assert abs(q1.idcg_at_k - (3 * d(1) + 1 * d(2) + 1 * d(3))) < 1e-8
+    # q2 fused order: 20 (both sources) then 21 -> rel doc first
+    q2 = per_q[2]
+    assert (q2.precision_at_k, q2.recall_at_k, q2.rr_at_k) == (1 / 3, 1.0, 1.0)
+    macro = macro_metrics(retrieval_metrics(fused, qrels, k=3)).collect()[0]
+    assert macro.n_queries == 2
+    assert abs(macro.mean_rr_at_k - 1.0) < 1e-12

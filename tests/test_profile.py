@@ -114,3 +114,38 @@ def test_profile_empty_and_errors(spark):
         top_values(df, ["nope"])
     with pytest.raises(ValueError, match="k must be"):
         top_values(df, ["o_custkey"], k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        profile(df, columns=[])
+    with pytest.raises(ValueError, match="non-empty"):
+        top_values(df, [])
+
+
+def test_quote_bearing_column_rejected(spark):
+    """Names reach the stack() SQL as quoted literals — a quote or a
+    trailing backslash must be rejected, not silently parsed as SQL."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("a'b"), F.col("id").alias("c\\")
+    )
+    for bad in ("a'b", "c\\"):
+        with pytest.raises(ValueError, match="may not contain"):
+            profile(df, columns=[bad])
+
+
+def test_exact_mean_beyond_double_precision(spark):
+    """Bigints above 2^53: the exact-decimal mean must NOT route through a
+    double intermediate (2^53+1 and 2^53+3 are both 2^53+2.0 as doubles —
+    a double-pathed sum would land on a different mean than the decimal
+    truth, which here is exactly representable)."""
+    base = 1 << 53
+    df = spark.createDataFrame([(base + 1,), (base + 3,)], "v long")
+    r = profile(df, columns=["v"]).collect()[0]
+    assert r["mean_num"] == float(base + 2)
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 2 "
+        f"FROM (VALUES ({base + 1}), ({base + 3})) t(v)"
+    ).fetchone()[0]
+    assert r["mean_num"] == want
