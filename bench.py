@@ -367,6 +367,36 @@ def main() -> None:
     )
     _extra("core_numbers", lambda: core_numbers(part_edges, "u", "v").count(), reps=1)
 
+    # driver-round-9 addition: MMR diversified re-ranking over the exact
+    # ANN top-50 of 20 query vectors (k=10 greedy rounds; the cost is the
+    # per-round driver loop + pin, same amortization story as coreness)
+    from l1dbproto_spark.operators.rerank import mmr_rerank
+    from l1dbproto_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mmr_q = emb.filter(F.col("vec_id") < 20)
+
+    def _mmr():
+        cands = (
+            brute_force_topk(emb, mmr_q, k=50)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("vec"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("cosine_sim").alias("score"),
+                "vec",
+            )
+        )
+        return mmr_rerank(cands, k=10, lam=0.5).count()
+
+    _extra("mmr_rerank_ann50", _mmr, reps=1)
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC

@@ -81,13 +81,17 @@ def mmr_rerank(
     if not (0.0 <= lam <= 1.0):
         raise ValueError("mmr_rerank: lam must be in [0, 1]")
 
+    # pin the candidate frame once at entry: round 1's argmax and the
+    # survivor-update chain both consume it, and without the cut each
+    # embeds the caller's (often expensive — a full ANN retrieval)
+    # candidate-generation subtree as its own copy
     cands = candidates.select(
         F.col(query_col).alias("query_id"),
         F.col(doc_col).alias("doc_id"),
         F.col(score_col).cast("double").alias("rel"),
         F.col(vec_col).alias("vec"),
         F.lit(None).cast("double").alias("maxsim"),
-    )
+    ).transform(pin, eager=False)
     selected: DataFrame | None = None
     for t in range(1, k + 1):
         # round-t objective; maxsim is NULL until the first pick with a
