@@ -459,13 +459,19 @@ def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     ).distinct()
 
 
-def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """(node, degree) over the canonicalized undirected graph."""
-    e = canonical_edges(edges, src, dst)
+def _degrees_canon(e: DataFrame) -> DataFrame:
+    """(node, degree) for an ALREADY-canonical (u, v) edge frame — the
+    internal form operators use on their pinned canonical edges, so the
+    canonicalization distinct isn't re-planned per consumer."""
     ends = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )
     return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree) over the canonicalized undirected graph."""
+    return _degrees_canon(canonical_edges(edges, src, dst))
 
 
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -484,7 +490,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     re-derive the edges from the raw input (for a derived graph that means
     re-running the edge-building join once per branch)."""
     e = canonical_edges(edges, src, dst).transform(pin, eager=True)
-    deg = degrees(e, "u", "v")
+    deg = _degrees_canon(e)
     withdeg = (
         e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
@@ -564,7 +570,7 @@ def k_core(
         raise ValueError("k must be >= 1")
     e = canonical_edges(edges, src, dst).transform(pin, eager=True)
     for _ in range(max_iterations):
-        deg = degrees(e, "u", "v")
+        deg = _degrees_canon(e)  # e stays canonical through the peels
         keep = deg.filter(F.col("degree") >= k).select("node")
         kept = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")

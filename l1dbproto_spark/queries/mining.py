@@ -63,7 +63,9 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+        # no .distinct() here: triangle_counts canonicalizes (least/greatest
+        # + distinct) as its first step, so a query-side dedup would just
+        # add a second exchange over the same pairs
     )
     return triangle_counts(edges, "u", "v")
 
