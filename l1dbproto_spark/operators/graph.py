@@ -678,8 +678,13 @@ def core_numbers(
         # plain rounds: the estimate sum is a monotone non-increasing
         # integer, so "sum unchanged" == "nothing changed" — an exact
         # convergence probe that is one scalar aggregation over the pinned
-        # blocks instead of a change-detection join.
-        prev_sum = None
+        # blocks instead of a change-detection join. Seeded from the
+        # INITIAL degree estimates (one cheap agg over the pinned frame)
+        # so a graph already at its fixpoint converges inside the FIRST
+        # batch — the same contract as the old per-round change detection:
+        # max_iterations bounds h-applications, and a batch that changes
+        # nothing returns within those applications, never raises.
+        prev_sum = est.agg(F.sum("core")).collect()[0][0]
         rounds = 0
         while rounds < max_iterations:
             cur = est

@@ -63,6 +63,15 @@ def _is_fractional(dt: T.DataType) -> bool:
     return isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType))
 
 
+def _sql_str(s: str) -> str:
+    """``s`` as a Spark SQL string literal. Column NAMES and type
+    simpleStrings both reach the stack() expression as literals; quoting
+    here (backslash escapes, the parser's default mode) is what keeps a
+    quote-bearing column name or struct-field type from breaking out of
+    the string (expression injection)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _num_col(name: str, dt: T.DataType) -> F.Column | None:
     """A double-valued view of the column for min/max/mean, or None."""
     c = F.col(name)
@@ -100,14 +109,6 @@ def profile(
         raise ValueError(f"profile: no such columns: {missing}")
     if not columns:
         raise ValueError("profile: columns must be non-empty")
-    quoted = [c for c in columns if "'" in c or "\\" in c]
-    if quoted:
-        # names are interpolated into the stack() literal list; a quote
-        # breaks out of the SQL string and a trailing backslash eats the
-        # closing quote (expression injection either way)
-        raise ValueError(
-            f"profile: column names may not contain ' or \\: {quoted}"
-        )
 
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
     per_col_exprs: list[str] = []
@@ -159,7 +160,7 @@ def profile(
             aggs.append(F.lit(None).cast("long").alias(f"xl{i}"))
             aggs.append(F.lit(None).cast("double").alias(f"al{i}"))
         per_col_exprs.append(
-            f"'{name}', '{dt.simpleString()}', nn{i}, nd{i}, "
+            f"{_sql_str(name)}, {_sql_str(dt.simpleString())}, nn{i}, nd{i}, "
             f"mn{i}, mx{i}, me{i}, nl{i}, xl{i}, al{i}"
         )
 

@@ -43,17 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin
-from .similarity import dot, l2_norm
-
-
-def _safe_cosine(a, b, dim):
-    """cosine(a, b), NULL for degenerate inputs. Zero-norm / NULL vectors
-    make the norm product non-positive (or NULL), NaN components make it
-    NaN — both gated BEFORE the division so ANSI mode never sees 0/0; a
-    residual NaN ratio (inf components) is mapped to NULL after."""
-    np_ = l2_norm(a, dim) * l2_norm(b, dim)
-    sim = F.when((np_ > 0) & ~F.isnan(np_), dot(a, b, dim) / np_)
-    return F.when(~F.isnan(F.coalesce(sim, F.lit(0.0))), sim)
+from .similarity import safe_cosine
 
 
 def mmr_rerank(
@@ -96,7 +86,7 @@ def mmr_rerank(
     for t in range(1, k + 1):
         # round-t objective; maxsim is NULL until the first pick with a
         # well-defined similarity to this row (degenerate vectors never
-        # set it — see _safe_cosine)
+        # set it — see similarity.safe_cosine)
         mmr = F.when(
             F.col("maxsim").isNull(), F.lit(lam) * F.col("rel")
         ).otherwise(
@@ -104,10 +94,16 @@ def mmr_rerank(
             - F.lit(1.0 - lam) * F.col("maxsim")
         )
         scored = cands.withColumn("mmr", mmr)
+        # argmax key: -mmr ascending. NULL mmr (NULL relevance score) must
+        # LOSE, but NULL sorts SMALLEST in min_by's ascending struct order
+        # — coalesce it to +inf so it sorts last (it still fills trailing
+        # ranks once every scored candidate is taken). NaN needs no guard
+        # here: -NaN is NaN, which sorts GREATEST ascending, i.e. loses.
+        negmmr = F.coalesce(-F.col("mmr"), F.lit(float("inf")))
         picks = scored.groupBy("query_id").agg(
             F.min_by(
                 F.struct("doc_id", "vec", "rel", "mmr"),
-                F.struct((-F.col("mmr")).alias("negmmr"), F.col("doc_id")),
+                F.struct(negmmr.alias("negmmr"), F.col("doc_id")),
             ).alias("p")
         )
         round_rows = picks.select(
@@ -140,7 +136,7 @@ def mmr_rerank(
                 "maxsim",
                 F.greatest(
                     F.col("maxsim"),
-                    _safe_cosine(F.col("vec"), F.col("__pvec"), dim),
+                    safe_cosine(F.col("vec"), F.col("__pvec"), dim),
                 ),
             )
             .drop("__pdoc", "__pvec")

@@ -103,7 +103,21 @@ def l2_norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Raw cosine — callers must exclude zero-norm/NaN vectors first (as
+    brute_force_topk's side filters do) or use :func:`safe_cosine`."""
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+
+
+def safe_cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """cosine(a, b), NULL for degenerate inputs — the expression-form
+    counterpart of brute_force_topk's row filters, for call sites that
+    must keep the row (e.g. mmr_rerank's survivor updates). Zero-norm /
+    NULL vectors make the norm product non-positive (or NULL), NaN
+    components make it NaN — both gated BEFORE the division so ANSI mode
+    never sees 0/0; a residual NaN ratio (inf components) maps to NULL."""
+    np_ = l2_norm(a, dim) * l2_norm(b, dim)
+    sim = F.when((np_ > 0) & ~F.isnan(np_), dot(a, b, dim) / np_)
+    return F.when(~F.isnan(F.coalesce(sim, F.lit(0.0))), sim)
 
 
 def brute_force_topk(

@@ -121,10 +121,12 @@ def _pair_frames(
     # Pin the (query, doc) candidate frame ONCE: results + qrels and the
     # metric operator's ranked/hits/ideal branches all derive from it, and
     # without the cut each branch re-embeds the documents scan (8 static
-    # scans, flagged by tests/test_scan_audit). The pinned frame is two id
-    # columns — the same id-sized-materialization rule every other staged
-    # query follows (checkpoint.py module docstring).
-    pairs = docs.crossJoin(F.broadcast(queries)).transform(pin)
+    # scans, flagged by tests/test_scan_audit). eager=False — the builder
+    # must stay job-free (plan inspection, registry enumeration); the cut
+    # materializes at the query's own first action. The frame is |docs| x
+    # |docs|/Q_MOD id PAIRS (the demo harness's deliberate cross join, not
+    # id-sized) — two-long rows, ~57 MB at the driver's sf0.01 gate.
+    pairs = docs.crossJoin(F.broadcast(queries)).transform(pin, eager=False)
     key = F.concat(
         F.col("query_id").cast("string"),
         F.lit("|"),

@@ -156,6 +156,26 @@ def test_core_numbers_k4(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
 
 
+def test_core_numbers_converged_graph_tight_iteration_cap(spark):
+    """A graph already at its h-index fixpoint (a triangle: estimates =
+    degrees = cores) must RETURN under a tight max_iterations, not raise —
+    the sum probe is seeded from the initial estimates so convergence is
+    detectable inside the first batch (r9 review regression)."""
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src INT, dst INT")
+    for kwargs in ({"max_iterations": 1}, {"max_iterations": 2, "unroll": 2}):
+        got = {r.node: r.core for r in core_numbers(tri, **kwargs).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}, kwargs
+    # and a genuinely non-converged run still raises
+    import pytest as _pytest
+
+    tadpole = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], "src INT, dst INT"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        # estimates still dropping after one application; cap below that
+        core_numbers(tadpole, max_iterations=1)
+
+
 def test_k_core_consistent_with_core_numbers(spark, rnd):
     edges, df = rnd
     core = _py_core_numbers(edges)

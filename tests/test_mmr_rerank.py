@@ -156,6 +156,25 @@ def test_degenerate_pick_leaves_maxsim_null(spark):
     assert scores[3] == pytest.approx(0.5 * 0.2 - 0.5 * 1.0)  # sim to 2
 
 
+def test_null_score_candidates_lose(spark):
+    """NULL relevance -> NULL mmr, which sorts SMALLEST under min_by's
+    ascending key and would win every round unguarded (r9 review): the
+    NULL-scored rows must instead fill the TRAILING ranks, after every
+    scored candidate."""
+    cand = [
+        (0, 1, 0.9, [1.0, 0.0]),
+        (0, 2, None, [0.0, 1.0]),
+        (0, 3, 0.1, [1.0, 1.0]),
+        (0, 4, None, [0.5, 0.5]),
+    ]
+    got = mmr_rerank(
+        spark.createDataFrame(cand, SCHEMA), k=4, lam=1.0
+    ).collect()
+    by_rank = {r.mmr_rank: r.doc_id for r in got}
+    assert by_rank[1] == 1 and by_rank[2] == 3
+    assert set(by_rank[r] for r in (3, 4)) == {2, 4}
+
+
 def test_fewer_candidates_than_k(spark):
     cand = [(0, 1, 0.9, [1.0]), (0, 2, 0.8, [1.0]), (1, 7, 0.5, [1.0])]
     got = mmr_rerank(spark.createDataFrame(cand, SCHEMA), k=10, lam=0.5)

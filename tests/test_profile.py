@@ -120,17 +120,23 @@ def test_profile_empty_and_errors(spark):
         top_values(df, [])
 
 
-def test_quote_bearing_column_rejected(spark):
-    """Names reach the stack() SQL as quoted literals — a quote or a
-    trailing backslash must be rejected, not silently parsed as SQL."""
+def test_quote_bearing_names_and_types_escaped(spark):
+    """Names AND type simpleStrings reach the stack() SQL as quoted
+    literals — quote/backslash-bearing column names and struct-field
+    names must profile correctly, not parse as SQL (expression
+    injection). Covers the r9-review case: the type string of
+    struct<a'b:bigint> is interpolated too."""
     from pyspark.sql import functions as F
 
     df = spark.range(3).select(
-        F.col("id").alias("a'b"), F.col("id").alias("c\\")
+        F.col("id").alias("a'b"),
+        F.col("id").alias("c\\"),
+        F.struct(F.col("id").alias("x'y")).alias("s"),
     )
-    for bad in ("a'b", "c\\"):
-        with pytest.raises(ValueError, match="may not contain"):
-            profile(df, columns=[bad])
+    rows = {r["col_name"]: r for r in profile(df).collect()}
+    assert set(rows) == {"a'b", "c\\", "s"}
+    assert rows["a'b"]["n_nonnull"] == 3 and rows["a'b"]["mean_num"] == 1.0
+    assert rows["s"]["dtype"] == "struct<x'y:bigint>"
 
 
 def test_exact_mean_beyond_double_precision(spark):
