@@ -397,6 +397,26 @@ def main() -> None:
 
     _extra("mmr_rerank_ann50", _mmr, reps=1)
 
+    # driver-round-9 addition: continuous aggregate — one full-table fold
+    # plus one incremental fold into the persisted hourly rollup (the
+    # hypertable-rollup maintenance path; serving reads the 3.6k-group
+    # rollup, not the raw events)
+    from l1dbproto_spark.streaming.rollup import ContinuousAggregate
+
+    def _rollup():
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events")
+        agg = ContinuousAggregate(
+            spark, tempfile.mkdtemp(prefix="rollup_bench_"), 3600,
+            group_cols=["event_type"],
+        )
+        agg.merge(ev, epoch_id=0)
+        agg.merge(ev.limit(50_000), epoch_id=1)
+        return agg.finalize().count()
+
+    _extra("rollup_build_plus_incr", _rollup, reps=1)
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
