@@ -63,12 +63,23 @@ def _is_fractional(dt: T.DataType) -> bool:
     return isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType))
 
 
-def _sql_str(s: str) -> str:
+def _sql_str(s: str, raw_literals: bool) -> str:
     """``s`` as a Spark SQL string literal. Column NAMES and type
     simpleStrings both reach the stack() expression as literals; quoting
-    here (backslash escapes, the parser's default mode) is what keeps a
-    quote-bearing column name or struct-field type from breaking out of
-    the string (expression injection)."""
+    is what keeps a quote-bearing column name or struct-field type from
+    breaking out of the string (expression injection). Backslash escapes
+    hold only in the parser's default mode — under
+    ``spark.sql.parser.escapedStringLiterals=true`` (Hive-style raw
+    strings) a quote cannot be escaped at all, so quote-bearing values
+    are REJECTED there instead of mis-parsed."""
+    if raw_literals:
+        if "'" in s:
+            raise ValueError(
+                "profile: column/type names containing ' are not "
+                "representable under spark.sql.parser.escapedStringLiterals"
+                f"=true: {s!r}"
+            )
+        return "'" + s + "'"
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
@@ -109,6 +120,12 @@ def profile(
         raise ValueError(f"profile: no such columns: {missing}")
     if not columns:
         raise ValueError("profile: columns must be non-empty")
+    raw = (
+        df.sparkSession.conf.get(
+            "spark.sql.parser.escapedStringLiterals", "false"
+        ).lower()
+        == "true"
+    )
 
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
     per_col_exprs: list[str] = []
@@ -160,8 +177,8 @@ def profile(
             aggs.append(F.lit(None).cast("long").alias(f"xl{i}"))
             aggs.append(F.lit(None).cast("double").alias(f"al{i}"))
         per_col_exprs.append(
-            f"{_sql_str(name)}, {_sql_str(dt.simpleString())}, nn{i}, nd{i}, "
-            f"mn{i}, mx{i}, me{i}, nl{i}, xl{i}, al{i}"
+            f"{_sql_str(name, raw)}, {_sql_str(dt.simpleString(), raw)}, "
+            f"nn{i}, nd{i}, mn{i}, mx{i}, me{i}, nl{i}, xl{i}, al{i}"
         )
 
     wide = df.agg(*aggs)

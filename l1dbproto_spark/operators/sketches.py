@@ -33,6 +33,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hll_input(df: DataFrame, value_col: str):
+    """``value_col`` in an hll_sketch_agg-accepted form. The builtin takes
+    int/long/string/binary only; every other type (double, date,
+    timestamp, decimal, boolean) is canonicalized to its string form —
+    bijective per distinct value, so the distinct count is unchanged (the
+    one standard caveat: -0.0 and 0.0 stringify differently, and all NaNs
+    stringify identically). Shared by hll_rollup and the continuous
+    aggregate (streaming/rollup.py)."""
+    vtype = dict(df.dtypes)[value_col]
+    if vtype in ("int", "bigint", "smallint", "tinyint", "string", "binary"):
+        return F.col(value_col)
+    return F.col(value_col).cast("string")
+
+
 def approx_distinct_per_group(
     df: DataFrame,
     group_cols: list[str] | str,
@@ -70,12 +84,7 @@ def hll_rollup(
     stringify differently, and all NaNs stringify identically)."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
-    vtype = dict(df.dtypes)[value_col]
-    val = (
-        F.col(value_col)
-        if vtype in ("int", "bigint", "smallint", "tinyint", "string", "binary")
-        else F.col(value_col).cast("string")
-    )
+    val = hll_input(df, value_col)
     sk = F.hll_sketch_agg(val, F.lit(lg_config_k))
     return df.groupBy(*group_cols).agg(
         sk.alias("hll_sketch"),

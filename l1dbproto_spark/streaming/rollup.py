@@ -35,16 +35,27 @@ age (pair with a watermarked reorder buffer upstream to bound it
 hard). Group keys inside a bucket are uniform aggregation keys; the
 merge is one map-side-combinable groupBy per batch.
 
-Retry/re-delivery safety: every stored row carries the ``last_epoch``
-that last folded data into its group. ``merge(batch, epoch_id)`` first
-probes the touched partitions for ``last_epoch == epoch_id`` — a hit
-means a prior attempt of THIS epoch already committed its overwrite
-(foreachBatch replays the identical batch for an epoch, so the fold is
-already in the partials) and the merge is skipped; counts and sums are
-NOT idempotent under blind re-merge, which is exactly why the epoch
-rides in the state (the funnel store can rely on its min-fold fixed
-point instead; a rollup cannot). Without an epoch (ad-hoc batch use)
-the caller owns at-most-once delivery.
+Retry/re-delivery safety: every stored row carries the ``(last_run,
+last_epoch)`` that last folded data into its group, committed IN THE
+SAME job as the data. ``merge(batch, epoch_id)`` probes each touched
+day for ``(last_run, last_epoch) == (run_id, epoch_id)`` and skips the
+DAYS that already hold this epoch's fold — per day, not per batch,
+because a multi-day dynamic overwrite is not atomic across partitions:
+a crash can commit day D1 but not D2, and the retry must re-fold D2
+while leaving D1 alone (foreachBatch replays the identical batch for
+an epoch, so per-day skip + per-day re-fold reconstructs the exact
+intended state). Counts and sums are NOT idempotent under blind
+re-merge, which is why the epoch rides in the state (the funnel store
+relies on its min-fold fixed point instead; a rollup cannot). The
+``run_id`` scopes epochs to one streaming query incarnation: epoch
+numbers RESTART at 0 with a fresh checkpointLocation, and without the
+scope a restarted stream would false-match old epochs and silently drop
+batches — pass a new ``run_id`` whenever the checkpoint changes.
+Without an epoch (ad-hoc batch use) the caller owns at-most-once
+delivery.
+
+Rows with NULL timestamps are dropped (an unbucketable event has no
+place in a time rollup); count them upstream if they matter.
 """
 
 from __future__ import annotations
@@ -75,15 +86,16 @@ class ContinuousAggregate:
         ts_col: str = "ts",
         value_col: str = "value",
         user_col: str = "user_id",
+        run_id: str = "run-0",
+        lg_config_k: int = 12,
     ) -> None:
-        if bucket_seconds < 1:
-            raise ValueError("bucket_seconds must be >= 1")
-        if bucket_seconds > 86_400:
+        if bucket_seconds < 1 or 86_400 % bucket_seconds != 0:
             # the day partition must contain whole buckets, or a bucket's
             # partials would split across partitions and double-serve
-            raise ValueError("bucket_seconds must divide into days (<= 86400)")
-        if 86_400 % bucket_seconds != 0:
-            raise ValueError("bucket_seconds must divide 86400 evenly")
+            raise ValueError(
+                "bucket_seconds must be >= 1 and divide 86400 evenly "
+                f"(got {bucket_seconds})"
+            )
         self.spark = spark
         self.store_path = store_path
         self.bucket_seconds = int(bucket_seconds)
@@ -91,13 +103,16 @@ class ContinuousAggregate:
         self.ts_col = ts_col
         self.value_col = value_col
         self.user_col = user_col
+        self.run_id = run_id
+        self.lg_config_k = int(lg_config_k)
         self._fs = TableFS(spark, store_path)
         gcols = "".join(f"{c} string, " for c in self.group_cols)
         self._schema = (
             "bucket_day date, bucket_start timestamp, "
             + gcols
             + "n long, sum_val decimal(38,6), min_val double, "
-            + "max_val double, users_hll binary, last_epoch long"
+            + "max_val double, users_hll binary, "
+            + "last_run string, last_epoch long"
         )
         self._keys = ["bucket_start", *self.group_cols]
         self.last_state_scan: DataFrame | None = None
@@ -105,9 +120,10 @@ class ContinuousAggregate:
     # ------------------------------------------------------------- state
     def _bucket(self, ts):
         w = self.bucket_seconds
-        return F.timestamp_seconds(
-            (F.unix_timestamp(ts) / w).cast("long") * w
-        )
+        # floor, not cast: cast truncates toward zero and would round
+        # pre-1970 (negative-epoch) timestamps into the WRONG (later)
+        # bucket and day partition
+        return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / w) * w)
 
     def state(self) -> DataFrame:
         if not self._fs.has_parquet_file(self.store_path):
@@ -115,19 +131,22 @@ class ContinuousAggregate:
         return self.spark.read.schema(self._schema).parquet(self.store_path)
 
     def _batch_partials(self, batch: DataFrame, epoch: int | None) -> DataFrame:
-        ev = batch.select(
+        from ..operators.sketches import hll_input
+
+        ev = batch.filter(F.col(self.ts_col).isNotNull()).select(
             self._bucket(F.col(self.ts_col)).alias("bucket_start"),
             *[F.col(c).cast("string").alias(c) for c in self.group_cols],
             F.col(self.value_col).cast("decimal(38,6)").alias("_v"),
             F.col(self.value_col).cast("double").alias("_vd"),
-            F.col(self.user_col).alias("_u"),
+            hll_input(batch, self.user_col).alias("_u"),
         )
         return ev.groupBy(*self._keys).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_v").alias("sum_val"),
             F.min("_vd").alias("min_val"),
             F.max("_vd").alias("max_val"),
-            F.hll_sketch_agg("_u").alias("users_hll"),
+            F.hll_sketch_agg("_u", F.lit(self.lg_config_k)).alias("users_hll"),
+            F.lit(self.run_id).alias("last_run"),
             F.lit(epoch).cast("long").alias("last_epoch"),
         )
 
@@ -135,22 +154,44 @@ class ContinuousAggregate:
     def merge(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch into the rollup (day-scoped MERGE).
 
-        Reads and rewrites ONLY the day partitions the batch touches;
-        same-epoch retries are detected from the stored ``last_epoch``
-        and skipped (module docstring)."""
+        Reads and rewrites ONLY the day partitions the batch touches, and
+        of those, only the days NOT already holding this (run, epoch)'s
+        fold — the per-day skip that makes retries of a partially-
+        committed multi-day overwrite reconstruct the exact intended
+        state (module docstring)."""
         partials = self._batch_partials(batch, epoch_id).withColumn(
             "bucket_day", F.to_date("bucket_start")
         ).transform(pin, eager=True)
-        days = [r.d for r in partials.select(F.col("bucket_day").alias("d")).distinct().collect()]
+        days = [
+            r.d
+            for r in partials.select(F.col("bucket_day").alias("d"))
+            .distinct()
+            .collect()
+        ]
         if not days:
             return
+        if epoch_id is not None:
+            done = {
+                r.d
+                for r in self.state()
+                .filter(F.col("bucket_day").isin(days))
+                .filter(
+                    (F.col("last_run") == self.run_id)
+                    & (F.col("last_epoch") == epoch_id)
+                )
+                .select(F.col("bucket_day").alias("d"))
+                .distinct()
+                .collect()
+            }
+            days = [d for d in days if d not in done]
+            if not days:
+                return  # fully committed retry of this (run, epoch)
+            partials = partials.filter(F.col("bucket_day").isin(days))
         st = self.state().filter(F.col("bucket_day").isin(days))
         self.last_state_scan = st  # plan-assertion handle (tests)
-        if epoch_id is not None and st.filter(
-            F.col("last_epoch") == epoch_id
-        ).limit(1).count() > 0:
-            return  # committed retry of this epoch — fold already stored
-        both = st.select(partials.columns).unionByName(partials)
+        both = st.select(partials.columns).withColumn(
+            "_src", F.lit(0)
+        ).unionByName(partials.withColumn("_src", F.lit(1)))
         merged = (
             both.groupBy("bucket_day", *self._keys)
             .agg(
@@ -159,10 +200,18 @@ class ContinuousAggregate:
                 F.min("min_val").alias("min_val"),
                 F.max("max_val").alias("max_val"),
                 F.hll_union_agg("users_hll").alias("users_hll"),
-                # groups untouched by this batch keep their old epoch; a
-                # touched group takes the new one (max over {old, new} is
-                # correct because foreachBatch epochs are monotone)
-                F.max("last_epoch").alias("last_epoch"),
+                # groups the batch touched take the batch's (run, epoch);
+                # untouched groups in rewritten days keep their stored one
+                # (max_by the partials-side marker)
+                F.max_by(F.struct("last_run", "last_epoch"), F.col("_src"))
+                .alias("_re"),
+            )
+            .select(
+                "bucket_day",
+                *self._keys,
+                *_PARTIALS,
+                F.col("_re.last_run").alias("last_run"),
+                F.col("_re.last_epoch").alias("last_epoch"),
             )
             # read-before-overwrite: materialize the merged partials
             # BEFORE the dynamic overwrite deletes the partitions the
@@ -171,7 +220,9 @@ class ContinuousAggregate:
         )
         (
             merged.repartition("bucket_day")
-            .select("bucket_day", *self._keys, *_PARTIALS, "last_epoch")
+            .select(
+                "bucket_day", *self._keys, *_PARTIALS, "last_run", "last_epoch"
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket_day")

@@ -212,9 +212,78 @@ def test_available_now_binding(spark, tmp_path):
 
 
 def test_validation(spark, tmp_path):
-    with pytest.raises(ValueError, match="bucket_seconds"):
-        ContinuousAggregate(spark, str(tmp_path / "x"), 0)
-    with pytest.raises(ValueError, match="divide 86400"):
-        ContinuousAggregate(spark, str(tmp_path / "x"), 7_000)
-    with pytest.raises(ValueError, match="86400"):
-        ContinuousAggregate(spark, str(tmp_path / "x"), 100_000)
+    for bad in (0, 7_000, 100_000):
+        with pytest.raises(ValueError, match="divide 86400"):
+            ContinuousAggregate(spark, str(tmp_path / "x"), bad)
+
+
+_SCHEMA4 = "ts_s string, event_type string, value double, user_id long"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA4).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+
+
+def test_null_ts_rows_dropped_not_destructive(spark, tmp_path):
+    """NULL-timestamp events are dropped (documented), and folding a
+    second NULL-bearing batch must not destroy earlier state (the r9
+    review's NULL-partition overwrite hazard)."""
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    agg.merge(
+        _frame(spark, [("2024-03-01 00:10:00", "view", 1.0, 1), (None, "view", 9.0, 2)]),
+        epoch_id=0,
+    )
+    agg.merge(_frame(spark, [(None, "view", 7.0, 3)]), epoch_id=1)
+    rows = [(r.n, r.sum_val) for r in agg.finalize().collect()]
+    assert rows == [(1, 1.0)]
+
+
+def test_pre_1970_timestamps_bucket_correctly(spark, tmp_path):
+    """floor, not truncate-toward-zero: 1969-12-31 23:30 UTC belongs to the
+    23:00 bucket of 1969-12-31, not to 1970-01-01 00:00."""
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    agg.merge(
+        _frame(spark, [("1969-12-31 23:30:00", "view", 1.0, 1)]), epoch_id=0
+    )
+    r = agg.finalize().collect()[0]
+    assert str(r.bucket_start) == "1969-12-31 23:00:00"
+
+
+def test_partial_commit_retry_refolds_missing_day_only(spark, tmp_path):
+    """The per-day epoch skip: when one touched day already committed this
+    (run, epoch)'s fold and another did not (a crash mid multi-day
+    overwrite), the retry must re-fold ONLY the missing day."""
+    day1 = [("2024-03-01 00:10:00", "view", 1.0, 1)]
+    day2 = [("2024-03-02 00:10:00", "view", 10.0, 2)]
+    path = str(tmp_path / "rollup")
+    # simulate the partial commit: day1 committed under epoch 5...
+    _mk(spark, path).merge(_frame(spark, day1), epoch_id=5)
+    # ...then the retry replays the FULL two-day batch for epoch 5
+    agg = _mk(spark, path)
+    agg.merge(_frame(spark, day1 + day2), epoch_id=5)
+    rows = {
+        str(r.bucket_start)[:10]: (r.n, r.sum_val)
+        for r in agg.finalize().collect()
+    }
+    assert rows == {"2024-03-01": (1, 1.0), "2024-03-02": (1, 10.0)}
+    # and a full retry of the fully-committed epoch is a complete no-op
+    agg.merge(_frame(spark, day1 + day2), epoch_id=5)
+    rows2 = {
+        str(r.bucket_start)[:10]: (r.n, r.sum_val)
+        for r in agg.finalize().collect()
+    }
+    assert rows2 == rows
+
+
+def test_new_run_id_does_not_false_skip_restarted_epochs(spark, tmp_path):
+    """Epoch numbers restart at 0 with a fresh checkpoint; a new run_id
+    must keep those batches folding instead of matching old epochs."""
+    path = str(tmp_path / "rollup")
+    d = [("2024-03-01 00:10:00", "view", 1.0, 1)]
+    _mk(spark, path, run_id="run-a").merge(_frame(spark, d), epoch_id=0)
+    agg_b = _mk(spark, path, run_id="run-b")
+    agg_b.merge(_frame(spark, [("2024-03-01 00:20:00", "view", 2.0, 2)]), epoch_id=0)
+    r = agg_b.finalize().collect()[0]
+    assert (r.n, r.sum_val) == (2, 3.0)
