@@ -273,7 +273,20 @@ class ContinuousAggregate:
         )
 
     def bind_stream(self, stream_df: DataFrame, checkpoint_dir: str):
-        """Wire merge into foreachBatch (availableNow or continuous)."""
+        """Wire merge into foreachBatch (availableNow or continuous).
+
+        If ``run_id`` was left at its default, it is derived from
+        ``checkpoint_dir`` here — the epoch counter and the run scope then
+        share a lifetime BY CONSTRUCTION: a restart from the same
+        checkpoint keeps both, a fresh checkpoint resets both. (Deleting
+        a checkpoint but reusing its path defeats this — pass an explicit
+        run_id then.)"""
+        if self.run_id == "run-0":
+            import hashlib
+
+            self.run_id = "ckpt-" + hashlib.md5(
+                checkpoint_dir.encode()
+            ).hexdigest()[:12]
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
             self.merge(batch_df, epoch_id)
