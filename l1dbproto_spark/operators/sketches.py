@@ -41,7 +41,10 @@ def hll_input(df: DataFrame, value_col: str):
     one standard caveat: -0.0 and 0.0 stringify differently, and all NaNs
     stringify identically). Shared by hll_rollup and the continuous
     aggregate (streaming/rollup.py)."""
-    vtype = dict(df.dtypes)[value_col]
+    # resolve the dtype the way the analyzer resolves F.col: case-
+    # insensitively; names it can see but dtypes can't (nested refs,
+    # exotic case collisions) fall back to the always-accepted string cast
+    vtype = {k.lower(): t for k, t in df.dtypes}.get(value_col.lower())
     if vtype in ("int", "bigint", "smallint", "tinyint", "string", "binary"):
         return F.col(value_col)
     return F.col(value_col).cast("string")

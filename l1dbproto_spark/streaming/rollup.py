@@ -50,9 +50,11 @@ relies on its min-fold fixed point instead; a rollup cannot). The
 ``run_id`` scopes epochs to one streaming query incarnation: epoch
 numbers RESTART at 0 with a fresh checkpointLocation, and without the
 scope a restarted stream would false-match old epochs and silently drop
-batches — pass a new ``run_id`` whenever the checkpoint changes.
-Without an epoch (ad-hoc batch use) the caller owns at-most-once
-delivery.
+batches. ``bind_stream`` derives the scope from the checkpoint location
+per binding, so the two lifetimes coincide by construction; pass an
+explicit ``run_id`` only to override that. An ad-hoc merge with no
+epoch neither claims nor clobbers a stored (run, epoch) marker — the
+caller owns at-most-once delivery there.
 
 Rows with NULL timestamps are dropped (an unbucketable event has no
 place in a time rollup); count them upstream if they matter.
@@ -86,7 +88,7 @@ class ContinuousAggregate:
         ts_col: str = "ts",
         value_col: str = "value",
         user_col: str = "user_id",
-        run_id: str = "run-0",
+        run_id: str | None = None,
         lg_config_k: int = 12,
     ) -> None:
         if bucket_seconds < 1 or 86_400 % bucket_seconds != 0:
@@ -103,7 +105,8 @@ class ContinuousAggregate:
         self.ts_col = ts_col
         self.value_col = value_col
         self.user_col = user_col
-        self.run_id = run_id
+        self._explicit_run = run_id is not None
+        self.run_id = run_id if run_id is not None else "run-0"
         self.lg_config_k = int(lg_config_k)
         self._fs = TableFS(spark, store_path)
         gcols = "".join(f"{c} string, " for c in self.group_cols)
@@ -130,7 +133,9 @@ class ContinuousAggregate:
             return self.spark.createDataFrame([], self._schema)
         return self.spark.read.schema(self._schema).parquet(self.store_path)
 
-    def _batch_partials(self, batch: DataFrame, epoch: int | None) -> DataFrame:
+    def _batch_partials(
+        self, batch: DataFrame, epoch: int | None, run: str
+    ) -> DataFrame:
         from ..operators.sketches import hll_input
 
         ev = batch.filter(F.col(self.ts_col).isNotNull()).select(
@@ -146,20 +151,32 @@ class ContinuousAggregate:
             F.min("_vd").alias("min_val"),
             F.max("_vd").alias("max_val"),
             F.hll_sketch_agg("_u", F.lit(self.lg_config_k)).alias("users_hll"),
-            F.lit(self.run_id).alias("last_run"),
+            F.lit(run).alias("last_run"),
             F.lit(epoch).cast("long").alias("last_epoch"),
         )
 
     # ------------------------------------------------------------- merge
-    def merge(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: int | None = None,
+        run_id: str | None = None,
+    ) -> None:
         """Fold one micro-batch into the rollup (day-scoped MERGE).
 
         Reads and rewrites ONLY the day partitions the batch touches, and
         of those, only the days NOT already holding this (run, epoch)'s
         fold — the per-day skip that makes retries of a partially-
         committed multi-day overwrite reconstruct the exact intended
-        state (module docstring)."""
-        partials = self._batch_partials(batch, epoch_id).withColumn(
+        state (module docstring). ``run_id`` overrides the instance scope
+        for this call (bind_stream passes its checkpoint-derived scope).
+
+        Legacy compat: rows written before the run column existed read
+        back with last_run NULL; the probe accepts them on epoch equality
+        alone, so an upgrade mid-flight does not re-fold an
+        already-committed epoch."""
+        run = run_id or self.run_id
+        partials = self._batch_partials(batch, epoch_id, run).withColumn(
             "bucket_day", F.to_date("bucket_start")
         ).transform(pin, eager=True)
         days = [
@@ -176,7 +193,7 @@ class ContinuousAggregate:
                 for r in self.state()
                 .filter(F.col("bucket_day").isin(days))
                 .filter(
-                    (F.col("last_run") == self.run_id)
+                    ((F.col("last_run") == run) | F.col("last_run").isNull())
                     & (F.col("last_epoch") == epoch_id)
                 )
                 .select(F.col("bucket_day").alias("d"))
@@ -192,6 +209,14 @@ class ContinuousAggregate:
         both = st.select(partials.columns).withColumn(
             "_src", F.lit(0)
         ).unionByName(partials.withColumn("_src", F.lit(1)))
+        # marker rank: an EPOCHED contribution always beats an epoch-less
+        # one (an ad-hoc merge must not clobber a stored (run, epoch)
+        # marker — the replayed epoch would then re-fold, double counting);
+        # among epoched rows the batch side wins, so a touched group takes
+        # the new epoch and untouched groups keep theirs
+        marker_rank = (
+            F.col("last_epoch").isNotNull().cast("int") * 2 + F.col("_src")
+        )
         merged = (
             both.groupBy("bucket_day", *self._keys)
             .agg(
@@ -199,11 +224,11 @@ class ContinuousAggregate:
                 F.sum("sum_val").alias("sum_val"),
                 F.min("min_val").alias("min_val"),
                 F.max("max_val").alias("max_val"),
-                F.hll_union_agg("users_hll").alias("users_hll"),
-                # groups the batch touched take the batch's (run, epoch);
-                # untouched groups in rewritten days keep their stored one
-                # (max_by the partials-side marker)
-                F.max_by(F.struct("last_run", "last_epoch"), F.col("_src"))
+                # tolerate mixed lgConfigK (a restart with a different
+                # lg_config_k knob must degrade the estimate, not wedge
+                # the stream in a crash-retry loop)
+                F.hll_union_agg("users_hll", F.lit(True)).alias("users_hll"),
+                F.max_by(F.struct("last_run", "last_epoch"), marker_rank)
                 .alias("_re"),
             )
             .select(
@@ -275,21 +300,29 @@ class ContinuousAggregate:
     def bind_stream(self, stream_df: DataFrame, checkpoint_dir: str):
         """Wire merge into foreachBatch (availableNow or continuous).
 
-        If ``run_id`` was left at its default, it is derived from
-        ``checkpoint_dir`` here — the epoch counter and the run scope then
-        share a lifetime BY CONSTRUCTION: a restart from the same
-        checkpoint keeps both, a fresh checkpoint resets both. (Deleting
-        a checkpoint but reusing its path defeats this — pass an explicit
-        run_id then.)"""
-        if self.run_id == "run-0":
+        Unless the instance was constructed with an explicit ``run_id``,
+        the run scope is derived from ``checkpoint_dir`` PER BINDING (a
+        closure value, never instance mutation) — the epoch counter and
+        the run scope then share a lifetime by construction: a restart
+        from the same checkpoint keeps both, a fresh checkpoint resets
+        both, and re-binding the same object to a new checkpoint gets a
+        new scope. The path is lightly normalized (scheme prefix and
+        trailing slashes stripped) so equivalent spellings across
+        restarts keep the scope; deleting a checkpoint but reusing its
+        path defeats the derivation — pass an explicit run_id then."""
+        if self._explicit_run:
+            rid = self.run_id
+        else:
             import hashlib
 
-            self.run_id = "ckpt-" + hashlib.md5(
-                checkpoint_dir.encode()
-            ).hexdigest()[:12]
+            norm = checkpoint_dir.rstrip("/")
+            if norm.startswith("file:"):
+                norm = norm[len("file:"):]
+            norm = norm.lstrip("/")
+            rid = "ckpt-" + hashlib.md5(norm.encode()).hexdigest()[:12]
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
-            self.merge(batch_df, epoch_id)
+            self.merge(batch_df, epoch_id, run_id=rid)
 
         return stream_df.writeStream.foreachBatch(_each).option(
             "checkpointLocation", checkpoint_dir

@@ -277,6 +277,60 @@ def test_partial_commit_retry_refolds_missing_day_only(spark, tmp_path):
     assert rows2 == rows
 
 
+def test_epochless_merge_preserves_epoch_marker(spark, tmp_path):
+    """An ad-hoc (epoch-less) merge touching an epoch-marked group must
+    not clobber the stored (run, epoch) — a later replay of that epoch
+    would otherwise re-fold it (r9 review)."""
+    path = str(tmp_path / "rollup")
+    d = [("2024-03-01 00:10:00", "view", 1.0, 1)]
+    agg = _mk(spark, path, run_id="run-a")
+    agg.merge(_frame(spark, d), epoch_id=7)
+    agg.merge(_frame(spark, [("2024-03-01 00:15:00", "view", 5.0, 9)]))  # ad hoc
+    agg.merge(_frame(spark, d), epoch_id=7)  # replayed epoch: must skip
+    r = agg.finalize().collect()[0]
+    assert (r.n, r.sum_val) == (2, 6.0)  # 1.0 + 5.0, epoch 7 folded ONCE
+
+
+def test_rebinding_new_checkpoint_gets_new_scope(spark, tmp_path):
+    """bind_stream derives the run scope per binding: the same instance
+    re-bound to a fresh checkpoint (epochs restarting at 0) must keep
+    folding instead of false-matching the first binding's epochs."""
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    for ck in ("ckptA", "ckptB"):  # second binding = fresh checkpoint
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            agg.bind_stream(stream, str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    n_total = events.count()
+    # both full passes folded: every group's n is exactly doubled
+    got = {r.bucket_start: r.n for r in agg.finalize().filter(F.col("event_type") == "view").collect()}
+    want = {
+        r.bucket_start: 2 * r.n
+        for r in _batch_truth(events).filter(F.col("event_type") == "view").collect()
+    }
+    assert got == want and n_total > 0
+
+
+def test_mixed_lg_config_k_degrades_not_wedges(spark, tmp_path):
+    """Restarting with a different lg_config_k must keep merging (union
+    downsamples) instead of wedging the stream on HLL_UNION_DIFFERENT_LG_K."""
+    path = str(tmp_path / "rollup")
+    d1 = [("2024-03-01 00:10:00", "view", 1.0, i) for i in range(50)]
+    d2 = [("2024-03-01 00:20:00", "view", 1.0, i) for i in range(50, 100)]
+    _mk(spark, path, run_id="r", lg_config_k=12).merge(_frame(spark, d1), epoch_id=0)
+    agg = _mk(spark, path, run_id="r", lg_config_k=14)
+    agg.merge(_frame(spark, d2), epoch_id=1)
+    r = agg.finalize().collect()[0]
+    assert r.n == 100
+    assert abs(r.approx_users - 100) <= 10
+
+
 def test_new_run_id_does_not_false_skip_restarted_epochs(spark, tmp_path):
     """Epoch numbers restart at 0 with a fresh checkpoint; a new run_id
     must keep those batches folding instead of matching old epochs."""
