@@ -42,11 +42,13 @@ RECALL_FLOORS = {
     "ann_topk_ivf": 0.6,
     "ivf_pq_topk": 0.6,
     "quantized_topk": 0.95,
-    # 1-bit sign signatures (r9): 0.67 measured at the sf0.1 bench shape
-    # with refine=16 — the documented coarse end of the quantization
-    # family (32x less candidate-scan I/O than float32, 8x less than
-    # int8), floor 0.5 under the measurement with real headroom.
-    "hamming_topk": 0.5,
+    # 1-bit sign signatures: 0.91 measured at the sf0.1 bench shape with
+    # refine=16 and the asymmetric int8-query x sign-pattern pre-filter
+    # (r10; symmetric Hamming measured 0.67 at the same 80-candidate
+    # budget). Still the coarse end of the quantization family (32x less
+    # candidate-scan I/O than float32, 8x less than int8); floor 0.8
+    # under the measurement with real headroom.
+    "hamming_topk": 0.8,
 }
 
 #: Query-set spec for each registered approximate query: vectors with

@@ -511,19 +511,25 @@ def semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             list_transform(v, x -> CAST(floor(
+               x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5
+             ) AS BIGINT)) AS q8
+      FROM e WHERE vec_id < 20
+    ),
     c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
     scored AS (
       SELECT query_id, neighbor_id, qv, cv,
              list_sum(list_transform(range(1, 65),
-               i -> CASE WHEN (qv[i] > 0) <> (cv[i] > 0) THEN 1 ELSE 0 END))
-               AS hamming_dist
+               i -> q8[i] * (CASE WHEN cv[i] > 0 THEN 1 ELSE -1 END)))
+               AS asym_score
       FROM c, q WHERE neighbor_id <> query_id
     ),
     cand AS (
       SELECT query_id, neighbor_id, qv, cv FROM (
         SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY query_id ORDER BY hamming_dist ASC, neighbor_id
+          PARTITION BY query_id ORDER BY asym_score DESC, neighbor_id
         ) AS prn
         FROM scored
       ) t WHERE prn <= 80
@@ -536,16 +542,19 @@ def semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
     ) t WHERE rank <= 5
     """,
-    survey="ext:similarity (1-bit binary quantization: Hamming pre-filter + exact re-rank)",
+    survey="ext:similarity (1-bit binary quantization: asymmetric sign-signature pre-filter + exact re-rank)",
 )
 def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors via 1-bit sign signatures: 64 dims pack into
-    ONE long, the Hamming pre-filter (XOR + popcount) keeps k*refine=80
-    candidates per query, exact float cosine re-ranks. The sign predicate
-    (x > 0) and integer Hamming sum are engine-portable, so DuckDB
-    reproduces candidates and ranks exactly (operators/quantize.py
-    hamming_topk; measured recall 0.67 at the sf0.1 bench shape against
-    the 0.5 floor, candidate fraction 80/2000 = 4%)."""
+    ONE long per corpus vector, the asymmetric pre-filter (int8-quantized
+    query dotted with the unpacked corpus sign pattern — exact integer
+    math) keeps k*refine=80 candidates per query, exact float cosine
+    re-ranks. The sign predicate (x > 0), the int8 rounding formula, and
+    the integer fold are engine-portable, so DuckDB reproduces candidates
+    and ranks exactly (operators/quantize.py hamming_topk; measured
+    recall 0.91 at the sf0.1 bench shape against the 0.8 floor — up from
+    0.67 with symmetric Hamming at the SAME candidate fraction
+    80/2000 = 4%)."""
     from ..operators.quantize import hamming_topk as _htopk
 
     emb = load_table(spark, sf_dir, "embeddings")

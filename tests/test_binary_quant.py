@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from l1dbproto_spark.operators.quantize import (
+    asym_sign_score,
     binary_signature,
     hamming,
     hamming_topk,
+    quantize_embeddings,
 )
 from l1dbproto_spark.operators.similarity import ann_recall, brute_force_topk
 from l1dbproto_spark.sources.catalog import load_table
@@ -89,6 +91,54 @@ def test_hamming_matches_numpy_popcount(spark):
         assert got[(ia, ib)] == want
     # identity: distance to self is zero
     assert all(got[(i, i)] == 0 for i, _ in rows)
+
+
+def test_asym_sign_score_matches_numpy(spark):
+    # asym score = sum_i q8[i] * (2*bit_i - 1), exact integers; check the
+    # Spark unpack-and-fold against a direct numpy evaluation, including a
+    # multi-word dim with a tail word (dim=100)
+    rng = np.random.default_rng(11)
+    dim = 100
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(12)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    q = quantize_embeddings(df, "v", "q").select(
+        F.col("id").alias("qid"), F.col("qvec").alias("q8")
+    )
+    c = df.select(
+        F.col("id").alias("cid"), binary_signature(F.col("v"), dim).alias("sig")
+    )
+    got = {
+        (r.qid, r.cid): r.s
+        for r in q.crossJoin(c)
+        .select("qid", "cid", asym_sign_score(F.col("q8"), F.col("sig"), dim).alias("s"))
+        .collect()
+    }
+    for qid, qv in rows:
+        a = np.asarray(qv)
+        amax = np.abs(a).max()
+        q8 = np.floor(a / (amax / 127.0) + 0.5).astype(np.int64)
+        for cid, cv in rows:
+            signs = np.where(np.asarray(cv) > 0, 1, -1)
+            assert got[(qid, cid)] == int((q8 * signs).sum()), (qid, cid)
+
+
+def test_hamming_topk_symmetric_mode_still_exact(spark):
+    # the opt-out symmetric path keeps its contract: k rows per query,
+    # ranks 1..k, cosine matches brute force on the tiny fixture
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = hamming_topk(emb, queries, k=5, refine=16, dim=64, asymmetric=False)
+    exact = brute_force_topk(emb, queries, k=5)
+    r = ann_recall(approx, exact).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert r >= 0.9  # tiny corpus: pre-filter covers most of it
 
 
 def test_hamming_topk_recall_and_guards(spark):
