@@ -55,6 +55,7 @@ def mmr_rerank(
     score_col: str = "score",
     vec_col: str = "vec",
     dim: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Greedy MMR selection of k items per query. Returns
     ``(query_col, doc_col, score_col, mmr_score, mmr_rank)`` with
@@ -65,6 +66,12 @@ def mmr_rerank(
     score and the doc's embedding vector; scores should be on a
     comparable scale to cosine (normalize upstream if mixing, e.g.
     min-max per query) — the operator uses them as given.
+
+    ``round_digits`` rounds each pairwise similarity before it enters
+    the running max — the engine-order-independence convention
+    (queries/__init__.py) that makes the greedy selection reproducible
+    bit-for-bit by an ANSI-SQL oracle on another engine. None (default)
+    keeps raw doubles.
     """
     if k < 1:
         raise ValueError("mmr_rerank: k must be >= 1")
@@ -136,7 +143,12 @@ def mmr_rerank(
                 "maxsim",
                 F.greatest(
                     F.col("maxsim"),
-                    safe_cosine(F.col("vec"), F.col("__pvec"), dim),
+                    safe_cosine(F.col("vec"), F.col("__pvec"), dim)
+                    if round_digits is None
+                    else F.round(
+                        safe_cosine(F.col("vec"), F.col("__pvec"), dim),
+                        round_digits,
+                    ),
                 ),
             )
             .drop("__pdoc", "__pvec")

@@ -90,10 +90,7 @@ _PRIORITY = [
     "q3_top_orders",
     "q5_region_revenue",
     "asof_last_click_before_purchase",
-    "salted_skew_agg",
-    "frequent_items_per_group",
     # windows / events
-    "session_window_agg",
     "gap_fill_resample",
     # LLM-pipeline: packing, quantization, composed ANN, sampling,
     # decontamination, semantic dedup, DSIR, collocations
@@ -135,6 +132,15 @@ _PRIORITY = [
     # metrics_pivot_wide -> in-suite oracle; A9 keeps the streaming
     # metrics pivot pytest coverage)
     "retrieval_eval",
+    # driver round 10: the round-9 serving/re-rank components take driver
+    # slots (rotation: out salted_skew_agg / frequent_items_per_group /
+    # session_window_agg -> same oracles in-suite in
+    # tests/test_unregistered_batteries.py; skew mitigation keeps its
+    # operators/skew.py pytest coverage, sessionization keeps the
+    # streaming sessionize suite, heavy hitters keep test_sketches)
+    "rollup_hourly_serve",
+    "bucketed_join_agg",
+    "mmr_rerank_topk",
 ]
 
 
@@ -163,6 +169,7 @@ def load_all() -> dict[str, QuerySpec]:
         mining,
         profiling,
         evaluation,
+        serving,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -16,31 +16,38 @@ from . import query
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-@query(
-    "frequent_items_per_group",
-    oracle="""
-    SELECT event_type, item, item_count,
-           CAST(group_count AS BIGINT) AS group_count,
-           CAST(item_count AS DOUBLE) / group_count AS support
-    FROM (
-      SELECT event_type,
-             date_trunc('day', ts) AS item,
-             COUNT(*) AS item_count,
-             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS group_count
-      FROM events
-      GROUP BY 1, 2
-    )
-    WHERE CAST(item_count AS DOUBLE) / group_count > 0.02
-    """,
-    survey="ext:sketches (exact heavy hitters per group, single scan; operators/sketches.py)",
+# Unregistered in driver round 10 (50-slot registry cap): slot went to the
+# round-9 serving components. The oracle stays here as a constant so the
+# in-suite battery test and the SQL-surface test share one definition.
+FREQUENT_ITEMS_ORACLE = """
+SELECT event_type, item, item_count,
+       CAST(group_count AS BIGINT) AS group_count,
+       CAST(item_count AS DOUBLE) / group_count AS support
+FROM (
+  SELECT event_type,
+         date_trunc('day', ts) AS item,
+         COUNT(*) AS item_count,
+         SUM(COUNT(*)) OVER (PARTITION BY event_type) AS group_count
+  FROM events
+  GROUP BY 1, 2
 )
+WHERE CAST(item_count AS DOUBLE) / group_count > 0.02
+"""
+
+
 def frequent_items_per_group_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (operators/sketches.frequent_items_per_group):
     per event type, the DAYS holding more than 2% of that type's events —
     the sketch family's one exact, hash-oracle-able member. Single scan:
     one (group, item) aggregation; group totals come from a window over the
     already-aggregated counts, never a second pass over the raw events.
-    Support is exact integer-count division — bit-identical across engines."""
+    Support is exact integer-count division — bit-identical across engines.
+
+    Unregistered in driver round 10 (50-slot registry cap): its slot went
+    to the round-9 serving components; the SAME oracle
+    (FREQUENT_ITEMS_ORACLE) is checked driver-grade in
+    tests/test_unregistered_batteries.py, and the sketch family keeps
+    test_sketches coverage."""
     from ..operators.sketches import frequent_items_per_group
 
     ev = load_table(spark, sf_dir, "events").select(

@@ -13,44 +13,51 @@ from ..sources.catalog import load_table
 from . import query
 
 
-@query(
-    "session_window_agg",
-    oracle="""
-    WITH flagged AS (
-      SELECT
-        user_id, ts, value,
-        CASE
-          WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-          WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               > INTERVAL 30 MINUTE THEN 1
-          ELSE 0
-        END AS new_session
-      FROM events
-    ),
-    numbered AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
-      FROM flagged
-    )
-    SELECT
-      user_id,
-      MIN(ts) AS session_start,
-      COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-    survey="T2,W5,W6 (sessionization: native session_window; oracle = lag/cumsum reconstruction)",
+# Unregistered in driver round 10 (50-slot registry cap): slot went to the
+# round-9 serving components. The oracle stays here as a constant so the
+# in-suite battery test and the SQL-surface test share one definition.
+SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id, ts, value,
+    CASE
+      WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           > INTERVAL 30 MINUTE THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
 )
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native session_window (30-minute gap) per user — checked
     against an independent SQL reconstruction of session boundaries (the
     lag/cumsum sessionize formulation, which this query therefore also
     verifies). The session start is the deterministic join key between the
-    two forms."""
+    two forms.
+
+    Unregistered in driver round 10 (50-slot registry cap): its slot went
+    to the round-9 serving components; the SAME oracle
+    (SESSION_WINDOW_ORACLE) is checked driver-grade in
+    tests/test_unregistered_batteries.py, and sessionization stays
+    covered by the streaming sessionize suite (T2/W5/W6)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))

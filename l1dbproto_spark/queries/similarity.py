@@ -560,3 +560,114 @@ def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return _htopk(emb, queries, k=5, refine=16, dim=64)
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (operators/rerank.py) — driver-registered in
+# round 10. Greedy MMR is deterministic given a fixed candidate frame and
+# the engine-portable rounding convention, so the k selection rounds unroll
+# into plain ANSI SQL: pick argmax(0.5*rel) first, then per round join the
+# survivors to the previous pick, fold the pairwise cosine into the running
+# max, and take argmax(0.5*rel - 0.5*maxsim). Ties break by doc_id on both
+# engines (the operator's min_by struct tiebreak).
+
+_MMR_K = 5
+
+
+def _pair_cos(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) in the operator's exact operand order,
+    rounded to the portability convention's 9 digits (mirrors
+    operators/similarity.safe_cosine under round_digits=9)."""
+    return (
+        f"round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+
+
+def _mmr_oracle() -> str:
+    cos_qc = _pair_cos("qv", "cv")
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS doc_id, v AS cv FROM e),
+    s0 AS (
+      SELECT query_id, doc_id, rel, cv FROM (
+        SELECT query_id, doc_id, {cos_qc} AS rel, cv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY {cos_qc} DESC, doc_id
+               ) AS rn
+        FROM c, q WHERE doc_id <> query_id
+      ) t WHERE rn <= 20
+    ),
+    p1 AS (
+      SELECT query_id, doc_id, rel, cv, 0.5 * rel AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY 0.5 * rel DESC, doc_id
+        ) AS rn FROM s0
+      ) t WHERE rn = 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        sim = _pair_cos("s.cv", "p.cv")
+        maxsim = sim if t == 2 else f"GREATEST(s.maxsim, {sim})"
+        parts.append(
+            f"""
+    s{t - 1} AS (
+      SELECT s.query_id, s.doc_id, s.rel, s.cv, {maxsim} AS maxsim
+      FROM s{t - 2} s JOIN p{t - 1} p
+        ON s.query_id = p.query_id AND s.doc_id <> p.doc_id
+    ),
+    p{t} AS (
+      SELECT query_id, doc_id, rel, cv, maxsim,
+             0.5 * rel - 0.5 * maxsim AS mmr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY (0.5 * rel - 0.5 * maxsim) DESC, doc_id
+        ) AS rn FROM s{t - 1}
+      ) t WHERE rn = 1
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, doc_id, rel AS score, mmr AS mmr_score, "
+        f"{t} AS mmr_rank FROM p{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return ",".join(parts) + "\n    " + selects
+
+
+@query(
+    "mmr_rerank_topk",
+    oracle=_mmr_oracle(),
+    survey="ext:rerank (MMR diversified re-ranking, Carbonell & Goldstein 1998; operators/rerank.py)",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (lam=0.5) over each query's exact top-20
+    cosine candidates, queries vec_id<8. The greedy loop is k=5
+    driver-orchestrated rounds of pure column algebra over the pinned
+    |Q|x20 candidate frame — the corpus never re-enters after candidate
+    generation (operators/rerank.py mmr_rerank). round_digits=9 applies
+    the engine-portability rounding to each pairwise similarity before
+    it enters the running max, which is what lets DuckDB reproduce the
+    greedy selection, mmr scores, and ranks exactly."""
+    from ..operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    cands = (
+        brute_force_topk(emb, qs, k=20)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("cosine_sim").alias("score"),
+            "vec",
+        )
+    )
+    return mmr_rerank(cands, k=_MMR_K, lam=0.5, round_digits=9)

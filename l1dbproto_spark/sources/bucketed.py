@@ -120,7 +120,11 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None
         if r.col_name == "Num Buckets":
             n = int(r.data_type)
         elif r.col_name == "Bucket Columns":
-            cols = [c.strip(" `") for c in r.data_type.strip("[]").split(",")]
+            # format: [`col1`, `col2`] — split on the '`, `' BETWEEN
+            # backtick-quoted identifiers, not on bare ',', so a column
+            # name containing a comma doesn't mis-parse into two
+            inner = r.data_type.strip("[]")
+            cols = [c.strip().strip("`") for c in inner.split("`, `")]
     if cols is None or n is None:
         return None
     return cols, n

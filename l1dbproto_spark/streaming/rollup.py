@@ -14,6 +14,8 @@ Partials are MERGEABLE aggregates only, so incremental == batch by
 algebra, not by luck:
 
 * ``n``          — row count (sum-merge)
+* ``n_val``      — non-null value count (sum-merge; the AVG denominator,
+  so ``avg_val`` keeps SQL AVG semantics when value_col has NULLs)
 * ``sum_val``    — exact DECIMAL(38,6) sum (sum-merge; the registry's
   order-independence contract — bit-identical to a one-pass sum no
   matter how events were batched)
@@ -68,7 +70,7 @@ from pyspark.sql import functions as F
 from ..checkpoint import pin
 from ..fs import TableFS
 
-_PARTIALS = ["n", "sum_val", "min_val", "max_val", "users_hll"]
+_PARTIALS = ["n", "n_val", "sum_val", "min_val", "max_val", "users_hll"]
 
 
 class ContinuousAggregate:
@@ -77,7 +79,24 @@ class ContinuousAggregate:
     ``merge(batch, epoch_id)`` folds one micro-batch into the store;
     ``state()`` reads raw partials; ``finalize()`` produces the served
     metrics (avg from the exact sum, HLL estimate); ``bind_stream``
-    wires merge into ``foreachBatch``."""
+    wires merge into ``foreachBatch``.
+
+    SINGLE WRITER PER STORE PATH: ``merge`` is a read-modify-write with
+    no store-level locking — the (run, epoch) marker makes RETRIES of
+    the same delivery exactly-once, but two CONCURRENT writers (e.g. an
+    ad-hoc merge racing an active stream) can interleave between the
+    state read and the dynamic overwrite and silently lose one side's
+    fold. Serialize all writers per store path; ad-hoc backfills go
+    through the same stream's foreachBatch or run while it is stopped.
+
+    ``accept_legacy_epochs=True`` opts into matching pre-upgrade rows
+    whose ``last_run`` is NULL on epoch equality alone during the
+    retry-skip probe (an upgrade mid-flight then never re-folds an
+    already-committed epoch). It is OFF by default because a fresh
+    stream incarnation restarting epochs at 0 against such a store
+    would false-match a legacy marker and silently drop that day's
+    fold — enable it only for the one migration run, or stamp legacy
+    rows with a real run id instead."""
 
     def __init__(
         self,
@@ -90,6 +109,7 @@ class ContinuousAggregate:
         user_col: str = "user_id",
         run_id: str | None = None,
         lg_config_k: int = 12,
+        accept_legacy_epochs: bool = False,
     ) -> None:
         if bucket_seconds < 1 or 86_400 % bucket_seconds != 0:
             # the day partition must contain whole buckets, or a bucket's
@@ -107,13 +127,14 @@ class ContinuousAggregate:
         self.user_col = user_col
         self._explicit_run = run_id is not None
         self.run_id = run_id if run_id is not None else "run-0"
+        self.accept_legacy_epochs = bool(accept_legacy_epochs)
         self.lg_config_k = int(lg_config_k)
         self._fs = TableFS(spark, store_path)
         gcols = "".join(f"{c} string, " for c in self.group_cols)
         self._schema = (
             "bucket_day date, bucket_start timestamp, "
             + gcols
-            + "n long, sum_val decimal(38,6), min_val double, "
+            + "n long, n_val long, sum_val decimal(38,6), min_val double, "
             + "max_val double, users_hll binary, "
             + "last_run string, last_epoch long"
         )
@@ -147,6 +168,7 @@ class ContinuousAggregate:
         )
         return ev.groupBy(*self._keys).agg(
             F.count(F.lit(1)).alias("n"),
+            F.count("_vd").alias("n_val"),  # non-null values: the avg denominator
             F.sum("_v").alias("sum_val"),
             F.min("_vd").alias("min_val"),
             F.max("_vd").alias("max_val"),
@@ -172,9 +194,13 @@ class ContinuousAggregate:
         for this call (bind_stream passes its checkpoint-derived scope).
 
         Legacy compat: rows written before the run column existed read
-        back with last_run NULL; the probe accepts them on epoch equality
-        alone, so an upgrade mid-flight does not re-fold an
-        already-committed epoch."""
+        back with last_run NULL; ONLY when the instance was constructed
+        with ``accept_legacy_epochs=True`` does the probe accept them on
+        epoch equality alone (so an upgrade mid-flight does not re-fold
+        an already-committed epoch). The default rejects the NULL match
+        because a fresh incarnation restarting epochs at 0 would
+        false-match a legacy marker and silently drop that day's fold —
+        see the class docstring."""
         run = run_id or self.run_id
         partials = self._batch_partials(batch, epoch_id, run).withColumn(
             "bucket_day", F.to_date("bucket_start")
@@ -193,7 +219,14 @@ class ContinuousAggregate:
                 for r in self.state()
                 .filter(F.col("bucket_day").isin(days))
                 .filter(
-                    ((F.col("last_run") == run) | F.col("last_run").isNull())
+                    (
+                        (F.col("last_run") == run)
+                        if not self.accept_legacy_epochs
+                        else (
+                            (F.col("last_run") == run)
+                            | F.col("last_run").isNull()
+                        )
+                    )
                     & (F.col("last_epoch") == epoch_id)
                 )
                 .select(F.col("bucket_day").alias("d"))
@@ -221,6 +254,7 @@ class ContinuousAggregate:
             both.groupBy("bucket_day", *self._keys)
             .agg(
                 F.sum("n").alias("n"),
+                F.sum("n_val").alias("n_val"),
                 F.sum("sum_val").alias("sum_val"),
                 F.min("min_val").alias("min_val"),
                 F.max("max_val").alias("max_val"),
@@ -261,7 +295,13 @@ class ContinuousAggregate:
             *self.group_cols,
             "n",
             F.col("sum_val").cast("double").alias("sum_val"),
-            (F.col("sum_val").cast("double") / F.col("n")).alias("avg_val"),
+            # SQL AVG semantics: sum of non-null values / COUNT of non-null
+            # values (NULL when none) — n counts ALL rows and would skew the
+            # mean low whenever value_col has NULLs
+            F.when(
+                F.col("n_val") > 0,
+                F.col("sum_val").cast("double") / F.col("n_val"),
+            ).alias("avg_val"),
             "min_val",
             "max_val",
             F.round(F.hll_sketch_estimate("users_hll")).cast("long").alias(
@@ -271,8 +311,9 @@ class ContinuousAggregate:
 
     def finalize(self) -> DataFrame:
         """Served metrics per (bucket_start, *group_cols): exact n / sum /
-        min / max, avg as the one-division exact-sum mean, HLL user
-        estimate rounded to a long."""
+        min / max, avg as the one-division exact-sum mean over NON-NULL
+        values (SQL AVG semantics — NULL when the bucket has none), HLL
+        user estimate rounded to a long."""
         return self._finalize_of(self.state())
 
     def serve(self, start, end) -> DataFrame:

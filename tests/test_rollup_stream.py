@@ -341,3 +341,55 @@ def test_new_run_id_does_not_false_skip_restarted_epochs(spark, tmp_path):
     agg_b.merge(_frame(spark, [("2024-03-01 00:20:00", "view", 2.0, 2)]), epoch_id=0)
     r = agg_b.finalize().collect()[0]
     assert (r.n, r.sum_val) == (2, 3.0)
+
+
+def test_avg_uses_nonnull_count_sql_semantics(spark, tmp_path):
+    # value NULLs: SQL AVG divides by COUNT(value), not COUNT(*) — and an
+    # all-NULL bucket serves NULL avg/sum, never a divide-by-zero
+    rows = [
+        (1, "a", "2026-01-01 00:10:00", 10.0),
+        (2, "a", "2026-01-01 00:20:00", None),
+        (3, "a", "2026-01-01 00:30:00", 20.0),
+        (4, "b", "2026-01-01 00:40:00", None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    agg.merge(ev, epoch_id=0)
+    out = {r.event_type: r for r in agg.finalize().collect()}
+    assert out["a"].n == 3
+    assert out["a"].sum_val == 30.0
+    assert out["a"].avg_val == 15.0  # 30 / 2 non-null, NOT 30 / 3
+    assert out["b"].n == 1
+    assert out["b"].sum_val is None
+    assert out["b"].avg_val is None
+
+
+def test_legacy_null_run_rows_gated_behind_opt_in(spark, tmp_path):
+    # pre-upgrade rows read back with last_run NULL: by default a fresh
+    # incarnation's epoch 0 must NOT false-match them (it re-folds); with
+    # accept_legacy_epochs=True the one migration run skips them
+    events = load_table(spark, SF_DIR, "events")
+    b1, _ = _halves(events)
+    path = str(tmp_path / "rollup")
+    agg = _mk(spark, path)
+    agg.merge(b1, epoch_id=0)
+    snap = _pd(agg.finalize(), ["bucket_start", "event_type", "n", "sum_val"])
+    # simulate a legacy store: strip the run scope off every marker
+    legacy = agg.state().withColumn(
+        "last_run", F.lit(None).cast("string")
+    ).localCheckpoint()
+    legacy.write.mode("overwrite").partitionBy("bucket_day").parquet(path)
+
+    migration = _mk(spark, path, accept_legacy_epochs=True)
+    migration.merge(b1, epoch_id=0)  # upgrade mid-flight retry: skipped
+    pd.testing.assert_frame_equal(
+        _pd(migration.finalize(), ["bucket_start", "event_type", "n", "sum_val"]),
+        snap,
+    )
+
+    fresh = _mk(spark, path)  # default: NULL run never matches
+    fresh.merge(b1, epoch_id=0)
+    refolded = _pd(fresh.finalize(), ["bucket_start", "event_type", "n", "sum_val"])
+    assert (refolded["n"] == 2 * snap["n"]).all()  # the fold was NOT dropped

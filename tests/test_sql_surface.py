@@ -22,10 +22,7 @@ PORTABLE = [
     "q3_top_orders",
     "q5_region_revenue",
     "latest_version_per_key",
-    "session_window_agg",
     "visit_window_agg",
-    "salted_skew_agg",
-    "frequent_items_per_group",
     "q10_returned_items",
     "q18_large_orders",
     "part_copurchase_triangles",
@@ -33,6 +30,9 @@ PORTABLE = [
     "forced_photometry_eligibility",
     "history_semi_join",
     "funnel_conversion",
+    # round-10 serving components: both oracles are ANSI-portable
+    "rollup_hourly_serve",
+    "bucketed_join_agg",
 ]
 
 
@@ -41,11 +41,29 @@ def _rotated_portable():
     50-cap driver registry — they stay part of the two-front-end contract
     even without a registry slot."""
     from l1dbproto_spark.queries.events import (
+        FREQUENT_ITEMS_ORACLE,
         METRICS_PIVOT_WIDE_ORACLE,
+        frequent_items_per_group_days,
         metrics_pivot_wide,
     )
+    from l1dbproto_spark.queries.misc import (
+        SESSION_WINDOW_ORACLE,
+        session_window_agg,
+    )
+    from l1dbproto_spark.queries.relational2 import (
+        SALTED_SKEW_ORACLE,
+        salted_skew_agg,
+    )
 
-    return {"metrics_pivot_wide": (metrics_pivot_wide, METRICS_PIVOT_WIDE_ORACLE)}
+    return {
+        "metrics_pivot_wide": (metrics_pivot_wide, METRICS_PIVOT_WIDE_ORACLE),
+        "salted_skew_agg": (salted_skew_agg, SALTED_SKEW_ORACLE),
+        "frequent_items_per_group": (
+            frequent_items_per_group_days,
+            FREQUENT_ITEMS_ORACLE,
+        ),
+        "session_window_agg": (session_window_agg, SESSION_WINDOW_ORACLE),
+    }
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:

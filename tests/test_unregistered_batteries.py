@@ -752,3 +752,56 @@ def test_metrics_pivot_wide_matches_oracle(spark):
     con.close()
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# Driver round 10: salted_skew_agg / frequent_items_per_group /
+# session_window_agg lost their slots to the round-9 serving components
+# (rollup_hourly_serve / bucketed_join_agg / mmr_rerank_topk) — SAME
+# oracles (shared constants in their query modules), driver-grade compare
+# (tools.check_correctness), in-suite.
+
+
+def _driver_grade(spark, builder, oracle, name):
+    from tools.check_correctness import compare, duck_connection
+
+    con = duck_connection(SF_DIR)
+    got = builder(spark, SF_DIR).toPandas()
+    want = con.execute(oracle).df()
+    con.close()
+    assert len(got) > 0
+    issues = compare(name, got, want)
+    assert not issues, f"{name}: {issues}"
+
+
+def test_salted_skew_agg_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import (
+        SALTED_SKEW_ORACLE,
+        salted_skew_agg,
+    )
+
+    _driver_grade(spark, salted_skew_agg, SALTED_SKEW_ORACLE, "salted_skew_agg")
+
+
+def test_frequent_items_per_group_matches_oracle(spark):
+    from l1dbproto_spark.queries.events import (
+        FREQUENT_ITEMS_ORACLE,
+        frequent_items_per_group_days,
+    )
+
+    _driver_grade(
+        spark,
+        frequent_items_per_group_days,
+        FREQUENT_ITEMS_ORACLE,
+        "frequent_items_per_group",
+    )
+
+
+def test_session_window_agg_matches_oracle(spark):
+    from l1dbproto_spark.queries.misc import (
+        SESSION_WINDOW_ORACLE,
+        session_window_agg,
+    )
+
+    _driver_grade(
+        spark, session_window_agg, SESSION_WINDOW_ORACLE, "session_window_agg"
+    )
