@@ -3,13 +3,15 @@ extension.
 
 Media are opaque ``binary`` columns with typed metadata travelling alongside.
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas patterns,
-partition sizing) is real and tested; the actual media decode is stubbed:
-this container has no image/audio libraries, so ``decode_media`` raises
-``NotImplementedError`` unless a known decoder import succeeds, and the
-deterministic byte-level operators (``byte_histogram_features``,
-``chunk_fingerprints``) stand in for feature extraction — they are genuine
-computations over the bytes, exercising exactly the same Arrow/pandas batch
-path a real decoder would use.
+partition sizing) is real and tested, and so is the decode path:
+``decode_media`` uses PIL when importable (full format coverage) and falls
+back to built-in pure-numpy decoders for binary PPM (P6) and uncompressed
+24-bit BMP — real pixel decodes with no external dependency, so the
+mapInPandas decode contract is testable in any environment. Formats neither
+path can handle emit ``ok=false`` rows (one bad member costs one row, never
+a stage retry). The deterministic byte-level operators
+(``byte_histogram_features``, ``chunk_fingerprints``) remain the
+feature-extraction stand-ins for formats without an in-sandbox decoder.
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` so one task holds O(100) blobs, and
@@ -49,32 +51,93 @@ def blob_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _decode_ppm(blob: bytes) -> tuple[int, int, str, bytes]:
+    """Binary PPM (P6, maxval <= 255): tokenizing header parser (arbitrary
+    whitespace + '#' comments per the netpbm spec), then a straight
+    row-major RGB slice. Raises ValueError on anything malformed."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    width, height, maxval = tokens
+    if width < 1 or height < 1 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM geometry/maxval {tokens}")
+    need = width * height * 3
+    raster = blob[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return width, height, "RGB", bytes(raster)
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, str, bytes]:
+    """Uncompressed 24-bit BI_RGB BMP: header fields via numpy views,
+    per-row 4-byte-padded BGR scanlines flipped to top-down RGB. Raises
+    ValueError on other BMP flavors (depths, compression, core headers)."""
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP")
+    off = int(np.frombuffer(blob, "<u4", 1, 10)[0])
+    hdr_size = int(np.frombuffer(blob, "<u4", 1, 14)[0])
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width = int(np.frombuffer(blob, "<i4", 1, 18)[0])
+    height = int(np.frombuffer(blob, "<i4", 1, 22)[0])
+    bpp = int(np.frombuffer(blob, "<u2", 1, 28)[0])
+    compression = int(np.frombuffer(blob, "<u4", 1, 30)[0])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) // 4 * 4
+    need = stride * height
+    if len(blob) < off + need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(blob, "u1", need, off).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]  # BI_RGB default is bottom-up
+    return width, height, "RGB", bgr[:, :, ::-1].tobytes()
+
+
+def _decode_builtin(blob: bytes) -> tuple[int, int, str, bytes]:
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    raise ValueError("no built-in decoder for this format (PPM/BMP only)")
+
+
 def decode_media(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Decode image payloads with PIL when it is importable; raise the
-    documented ``NotImplementedError`` otherwise (this container has no
-    media libraries, so the deterministic byte-level operators below are
-    the tested stand-in path).
+    """Decode image payloads: PIL when it is importable (full format
+    coverage), else the built-in pure-numpy PPM/BMP decoders — so the
+    real decode path runs in any environment.
 
-    With PIL present the operator is real: mapInPandas over Arrow
-    batches, each blob opened from memory, converted to RGB, and emitted
-    as (id, width, height, mode, pixels) with ``pixels`` the row-major
-    raw RGB buffer — the same output contract :func:`resize_media`'s
+    The operator is real either way: mapInPandas over Arrow batches,
+    each blob opened from memory, converted to RGB, and emitted as
+    (id, width, height, mode, pixels) with ``pixels`` the row-major raw
+    RGB buffer — the same output contract :func:`resize_media`'s
     deterministic fake models, so downstream feature extractors swap
-    between the two without schema changes. Undecodable blobs emit
-    ``ok=false`` with null dimensions instead of failing the task: at
-    100 TB a corrupt member in one batch must cost one row, not a stage
-    retry. Null payloads are skipped like every byte operator here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this environment; use byte_histogram_features / "
-            "chunk_fingerprints for the deterministic stand-in path"
-        ) from exc
-
+    between the two without schema changes. Undecodable blobs (corrupt,
+    or a format the active decoder lacks) emit ``ok=false`` with null
+    dimensions instead of failing the task: at 100 TB a corrupt member
+    in one batch must cost one row, not a stage retry. Null payloads
+    are skipped like every byte operator here."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -87,9 +150,18 @@ def decode_media(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+        try:
+            import io
 
-        import PIL.Image as Image
+            import PIL.Image as Image
+
+            def _open(blob: bytes) -> tuple[int, int, str, bytes]:
+                img = Image.open(io.BytesIO(blob))
+                rgb = img.convert("RGB")
+                return rgb.width, rgb.height, img.mode, rgb.tobytes()
+
+        except ImportError:
+            _open = _decode_builtin
 
         for pdf in batches:
             rows = []
@@ -97,11 +169,8 @@ def decode_media(
                 if blob is None:
                     continue
                 try:
-                    img = Image.open(io.BytesIO(bytes(blob)))
-                    rgb = img.convert("RGB")
-                    rows.append(
-                        (mid, True, rgb.width, rgb.height, img.mode, rgb.tobytes())
-                    )
+                    w, h, mode, pixels = _open(bytes(blob))
+                    rows.append((mid, True, w, h, mode, pixels))
                 except Exception:
                     rows.append((mid, False, None, None, None, None))
             if not rows:

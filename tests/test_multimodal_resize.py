@@ -84,22 +84,74 @@ def test_sample_frames_matches_numpy_reference(spark):
     assert len(got[1]) == 2 and len(got[2]) == 1 and len(got[3]) == 3
 
 
-def test_decode_media_without_pil_raises_documented_stub(spark):
-    """Sandbox path: no PIL -> the documented NotImplementedError at CALL
-    time (graceful gate, not an import-time failure of the module)."""
+def _ppm(width, height, rgb: bytes) -> bytes:
+    return b"P6\n# test comment\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _bmp24(width, height, rgb: bytes, top_down=False) -> bytes:
+    """Minimal uncompressed 24-bit BI_RGB writer (4-byte-padded BGR rows,
+    bottom-up unless top_down) — the independent reference encoder the
+    built-in decoder is checked against."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    px = np.frombuffer(rgb, "u1").reshape(height, width, 3)
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    raster = b"".join(rows)
+    h = height if top_down is False else -height
+    info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return file_hdr + info + raster
+
+
+def test_decode_media_builtin_ppm_bmp_real_decode(spark):
+    """The dependency-free decode path is REAL in any environment: binary
+    PPM and 24-bit BMP payloads decode to exact RGB pixel buffers
+    (bottom-up and top-down BMPs agree), an unknown/corrupt format emits
+    ok=false instead of failing the task, and null payloads are skipped.
+    (With PIL installed, PIL decodes the same formats to the same bytes —
+    the contract is identical either way.)"""
     from l1dbproto_spark.operators import multimodal as mm
 
-    try:
-        import PIL.Image  # noqa: F401
-
-        pytest.skip("PIL present: the real-decode test covers this env")
-    except ImportError:
-        pass
+    rgb = bytes(range(3 * 2 * 3))  # 3x2 image, distinct byte per channel
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\x89PNG.."), 2, 2, None)], mm.MEDIA_SCHEMA
+        [
+            (1, bytearray(_ppm(3, 2, rgb))),
+            (2, bytearray(_bmp24(3, 2, rgb))),
+            (3, bytearray(_bmp24(3, 2, rgb, top_down=True))),
+            (4, bytearray(b"GIF89a not supported")),
+            (5, None),  # null payload: skipped (nullable local schema)
+        ],
+        "media_id long, payload binary",
     )
-    with pytest.raises(NotImplementedError, match="media decode requires"):
-        mm.decode_media(df)
+    rows = {r.media_id: r for r in mm.decode_media(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for mid in (1, 2, 3):
+        assert rows[mid].ok, mid
+        assert (rows[mid].width, rows[mid].height) == (3, 2), mid
+        assert bytes(rows[mid].pixels) == rgb, mid
+    assert not rows[4].ok and rows[4].width is None
+
+
+def test_builtin_decoders_reject_malformed(spark):
+    """Truncated rasters / unsupported depths raise ValueError locally and
+    map to ok=false through the operator."""
+    from l1dbproto_spark.operators import multimodal as mm
+
+    rgb = bytes(18)
+    with pytest.raises(ValueError):
+        mm._decode_ppm(_ppm(3, 2, rgb)[:-4])  # truncated raster
+    with pytest.raises(ValueError):
+        mm._decode_bmp(_bmp24(3, 2, rgb)[:40])  # truncated header
+    with pytest.raises(ValueError):
+        mm._decode_builtin(b"\x89PNG....")  # no builtin decoder
+    ppm16 = _ppm(3, 2, rgb).replace(b"255", b"65535")
+    with pytest.raises(ValueError):
+        mm._decode_ppm(ppm16)  # 16-bit maxval unsupported
 
 
 def test_decode_media_with_pil_decodes_and_flags_corrupt(spark):
