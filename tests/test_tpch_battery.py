@@ -247,3 +247,129 @@ GROUP BY 1
 
 def test_q22_global_opportunity(spark):
     _check(spark, B.q22_global_opportunity, Q22_ORACLE, "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 over the deterministic synthesized partsupp (driver round
+# 10; see the block comment in queries/tpch_battery.py). PARTSUPP_SQL is the
+# oracle-side rendering of partsupp_table — a parity test pins the two
+# engines building the identical table before the queries use it.
+# ---------------------------------------------------------------------------
+
+REG = f"'{SF_DIR}/region.parquet'"
+
+PARTSUPP_SQL = f"""
+  SELECT ps_partkey, ps_suppkey,
+         h % 9999 + 1 AS ps_availqty,
+         CAST(h % 1000 + 1 AS DECIMAL(12,2)) AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + i.i * GREATEST(1, s // 4)) % s AS ps_suppkey,
+           CAST(concat('0x', substr(md5(concat('ps:',
+             CAST(p_partkey AS VARCHAR), ':', CAST(i.i AS VARCHAR))), 1, 15))
+             AS BIGINT) AS h
+    FROM {PART}, (SELECT COUNT(*) AS s FROM {SUPP}),
+         unnest([0, 1, 2, 3]) AS i(i)
+  )
+"""
+
+
+def test_partsupp_synthesis_parity(spark):
+    got = _normalize(
+        B.partsupp_table(spark, SF_DIR).toPandas(), ["ps_partkey", "ps_suppkey"]
+    )
+    want = _normalize(
+        duckdb.sql(PARTSUPP_SQL).df(), ["ps_partkey", "ps_suppkey"]
+    )
+    assert len(got) == 800  # 200 parts x 4 suppliers
+    # 4 DISTINCT suppliers per part (the collision-free stride contract)
+    assert (
+        got.groupby("ps_partkey")["ps_suppkey"].nunique() == 4
+    ).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+Q2_ORACLE = f"""
+WITH ps AS ({PARTSUPP_SQL}),
+eligible AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+         MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM ps
+  JOIN {PART} ON ps_partkey = p_partkey
+    AND p_type = 'STANDARD' AND p_size >= 15
+  JOIN {SUPP} ON ps_suppkey = s_suppkey
+  JOIN {NAT} ON s_nationkey = n_nationkey
+  JOIN {REG} ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM eligible WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def test_q2_min_cost_supplier(spark):
+    _check(spark, B.q2_min_cost_supplier, Q2_ORACLE, ["p_partkey", "s_name"])
+
+
+Q11_ORACLE = f"""
+WITH ps AS ({PARTSUPP_SQL}),
+scoped AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM ps
+  JOIN {SUPP} ON ps_suppkey = s_suppkey
+  JOIN {NAT} ON s_nationkey = n_nationkey
+  JOIN {REG} ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+per_part AS (SELECT ps_partkey, SUM(v) AS v FROM scoped GROUP BY 1),
+thr AS (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_v FROM per_part)
+SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+FROM per_part, thr
+WHERE CAST(v AS DOUBLE) > avg_v
+"""
+
+
+def test_q11_important_stock(spark):
+    got = _normalize(
+        B.q11_important_stock(spark, SF_DIR).toPandas(), ["ps_partkey"]
+    )
+    want = _normalize(duckdb.sql(Q11_ORACLE).df(), ["ps_partkey"])
+    # above-average threshold: a real subset, never empty / never everything
+    n_scoped = duckdb.sql(
+        f"SELECT COUNT(DISTINCT ps_partkey) FROM ({PARTSUPP_SQL}) ps "
+        f"JOIN {SUPP} ON ps_suppkey = s_suppkey "
+        f"JOIN {NAT} ON s_nationkey = n_nationkey "
+        f"JOIN {REG} ON n_regionkey = r_regionkey AND r_name = 'EUROPE'"
+    ).fetchone()[0]
+    assert 0 < len(got) < n_scoped
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+Q20_ORACLE = f"""
+WITH ps AS ({PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM {LI}
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+surplus AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps
+  JOIN {PART} ON ps_partkey = p_partkey AND p_name LIKE '%widget'
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE CAST(ps_availqty AS DOUBLE) > 200.0 * CAST(qty AS DOUBLE)
+)
+SELECT s_suppkey, s_name, n_name
+FROM {SUPP}
+JOIN {NAT} ON s_nationkey = n_nationkey
+JOIN {REG} ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (SELECT ps_suppkey FROM surplus)
+"""
+
+
+def test_q20_surplus_suppliers(spark):
+    _check(spark, B.q20_surplus_suppliers, Q20_ORACLE, ["s_suppkey"])
