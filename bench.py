@@ -37,6 +37,14 @@ Round 7 adds:
   stays visible across touched fractions (PERFORMANCE.md crossover
   study).
 
+Round 10 (driver) adds, per the r9 verdict: one UNTIMED warm rep at the
+measured SF before every timed loop (headline and extra-ops) — the cold
+rep's page-cache/shuffle/codegen warmup no longer rides on min-of-N's
+probability of discarding it, so the recorded number tracks the plan's
+steady-state cost (the r9 record moved +5.5% on zero code change while
+two clean runs moved the other way; the warm rep removes that failure
+mode at the source).
+
 Includes the domain benchmark from BASELINE.md: one full simulated AP visit
 (Q1 region read + match + forced photometry + history reads + versioned
 store) against the 45 s visit cadence budget (reference config.py:49), at the
@@ -187,6 +195,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, spec in headline.items():
+        # one UNTIMED rep at the measured SF first: the cold rep pays page
+        # cache + shuffle-file + codegen-instance warmup that min-of-3 only
+        # PROBABLY discards — excluding it outright converges the recorded
+        # number to the clean-run number (r9: the driver record moved +5.5%
+        # while two same-code clean runs moved -2..-9%; methodology change
+        # recorded in PERFORMANCE.md, applied uniformly to every query)
+        spec.builder(spark, sf_dir).count()
         reps = []
         for _ in range(3):  # min-of-3: robust to ambient host load
             t0 = time.time()
@@ -271,6 +286,7 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     def _extra(name, thunk, reps=2):
+        thunk()  # untimed warm rep — same rationale as the headline loop
         vals = []
         for _ in range(reps):
             t0 = time.time()

@@ -620,13 +620,18 @@ def core_numbers(
     drop when a NEIGHBOR's estimate dropped last round, so each round
     recomputes h only for nodes adjacent to the previous round's changed
     set (estimates are monotone, so skipped nodes keep provably-correct
-    values). MEASURED tradeoff: the pruning costs two extra semi-joins +
-    a distinct + a pin per round, which LOSES on small or fast-converging
-    graphs (sf0.01 co-purchase graph: 8 s pruned vs 6 s plain — fixed
-    job overhead dominates); it wins only when the graph is large enough
-    that per-round data volume dominates and convergence has a long
-    small-frontier tail. Default is the plain round; flip it on for
-    100 TB-class graphs with heavy-tailed settling.
+    values). MEASURED tradeoff (tools/coreness_crossover.py, driver
+    r10): the pruning costs two extra semi-joins + a distinct + a pin
+    per round AND forces unroll=1, which loses on this family of graphs
+    at EVERY measured size — co-purchase graph x1/x10/x100 edges
+    (33k/325k/3.25M): plain 10.8/13.8/39.5 s vs frontier
+    12.1/22.4/45.3 s. Data volume alone never pays for the bookkeeping
+    because the h-index fixpoint converges in a few rounds with LARGE
+    frontiers (most nodes settle together, so little is skippable); the
+    win requires a long SMALL-frontier convergence tail — many rounds
+    in which only a residual region is still changing (slowly peeling
+    cores / high-diameter structures) — not mere scale. Default is the
+    plain round; flip it on only after profiling shows that tail.
 
     ``unroll`` chains that many h-index applications into ONE pinned plan
     per materialized round (each application is a pure monotone map, and
