@@ -212,6 +212,15 @@ def asym_sign_score(q8: Column, sig: Column, dim: int) -> Column:
     return total
 
 
+# Perf note (measured, driver r10): a classic byte-LUT rewrite of
+# asym_sign_score — 256-entry per-query tables so each pair pays dim/8
+# element_at lookups instead of dim bit ops — measured SLOWER here in both
+# the nested (2.0 s) and flattened (2.2 s) forms vs 1.1 s for the plain
+# fold at the sf0.1 bench shape: a data-dependent element_at index on a
+# per-row 2k-long array falls out of whole-stage codegen, while the fold's
+# per-element lambda stays a tight generated loop. The fold stays.
+
+
 def hamming_topk(
     corpus: DataFrame,
     queries: DataFrame,
