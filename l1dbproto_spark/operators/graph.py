@@ -630,8 +630,21 @@ def core_numbers(
     frontiers (most nodes settle together, so little is skippable); the
     win requires a long SMALL-frontier convergence tail — many rounds
     in which only a residual region is still changing (slowly peeling
-    cores / high-diameter structures) — not mere scale. Default is the
-    plain round; flip it on only after profiling shows that tail.
+    cores / high-diameter structures) — not mere scale. Even an
+    ENGINEERED tail (x100 graph + a 60-node path whose degree-1
+    correction creeps one node per round: ~30 tail rounds, frontier
+    size ~4) measured plain 44.7-50.3 s vs frontier 54.3 s locally:
+    a tiny-frontier round still costs ~0.45 s of fixed local job
+    overhead while a full 3.25M-edge round costs ~1 s, and plain's
+    unroll=2 halves its materialized rounds. The flag pays only where
+    a full round costs >> the fixed per-round overhead (true
+    cluster-scale volumes). A frontier+unroll composition was built
+    and measured WORSE (59/119 s at unroll 2/4): the partial
+    application's update join references the chained frame twice, so
+    unrolling re-evaluates the whole prior-application subtree — unlike
+    plain h_of, whose output IS the new estimate (single reference).
+    Default is the plain round; flip frontier on only after profiling
+    shows the tail at volumes where data, not job count, dominates.
 
     ``unroll`` chains that many h-index applications into ONE pinned plan
     per materialized round (each application is a pure monotone map, and

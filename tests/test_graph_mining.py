@@ -257,11 +257,30 @@ def test_label_propagation_two_cliques(spark):
 
 def test_core_numbers_frontier_parity(spark, rnd):
     """The frontier-pruned round (opt-in, for graphs where per-round data
-    volume dominates) must produce the identical core numbers."""
+    volume dominates) must produce the identical core numbers (unroll is
+    forced to 1 under frontier — the composition measured worse, see the
+    operator docstring — but the knob must stay accepted and correct)."""
     edges, df = rnd
     plain = {r.node: r.core for r in core_numbers(df).collect()}
-    pruned = {r.node: r.core for r in core_numbers(df, frontier=True).collect()}
-    assert plain == pruned == _py_core_numbers(edges)
+    pruned = {r.node: r.core for r in core_numbers(df, frontier=True, unroll=1).collect()}
+    pruned2 = {r.node: r.core for r in core_numbers(df, frontier=True, unroll=2).collect()}
+    assert plain == pruned == pruned2 == _py_core_numbers(edges)
+
+
+def test_core_numbers_frontier_long_tail_parity(spark):
+    """The long small-frontier regime the pruning exists for: a clique
+    (settles round 1) plus a 24-node path whose end-degree-1 correction
+    creeps inward one node per application (~12 rounds, frontier size
+    ~2). Every variant must agree with the Python reference, and the
+    frontier runs must SURVIVE the many-round tail (regression guard on
+    the changed-set bookkeeping)."""
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(100 + i, 101 + i) for i in range(24)]
+    df = spark.createDataFrame(clique + path, "src INT, dst INT")
+    want = _py_core_numbers(clique + path)
+    for kw in ({}, {"frontier": True, "unroll": 1}, {"frontier": True, "unroll": 2}, {"unroll": 4}):
+        got = {r.node: r.core for r in core_numbers(df, **kw).collect()}
+        assert got == want, kw
 
 
 def test_graph_quality_signals_composition(spark):

@@ -11,6 +11,12 @@ co-purchase graph:
   x100 = ten disjoint node-offset copies of the full graph (10x the data
          volume with the identical convergence structure — isolating the
          data-volume axis the pruning is supposed to help with)
+  tail = x100 UNION a 60-node path: the path's end-degree-1 correction
+         creeps inward one node per round (~30 rounds with a ~4-node
+         frontier), while the bulk settles in a few — the long
+         SMALL-frontier convergence tail. Plain pays a full-graph
+         recomputation for every tail round; frontier skips the settled
+         bulk. This is the regime the frontier flag exists for.
 
 Usage: python tools/coreness_crossover.py   (prints one JSON line; paste
 the numbers into PERFORMANCE.md's crossover section)
@@ -69,6 +75,11 @@ def main() -> None:
     shapes["x1"] = sub
     shapes["x10"] = full
     shapes["x100"] = replicate(full, 10)
+    path = spark.range(59).select(
+        (F.col("id") + 900_000_000).alias("u"),
+        (F.col("id") + 900_000_001).alias("v"),
+    )
+    shapes["tail"] = replicate(full, 10).unionByName(path)
     result = {}
     for tag, edges in shapes.items():
         n_edges = edges.count()  # also warms the cached frames
