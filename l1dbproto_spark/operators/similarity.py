@@ -626,3 +626,108 @@ def ann_recall(
             "recall", F.col("n_hit").cast("double") / F.col("n_exact")
         )
     )
+
+
+def arrow_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul — the
+    WIDE-embedding scale path next to :func:`brute_force_topk`.
+
+    The expression-level scorers pay O(dim) per pair in generated (or
+    worse, interpreted) JVM code per element; real embedding corpora are
+    dim 384-3072, where the arithmetic should be one BLAS ``C @ Q.T``
+    per Arrow batch instead. Shape: the (bounded) query matrix is
+    normalized once and shipped in the task closure; ``mapInPandas``
+    over the corpus computes each batch's cosine block and emits only
+    each query's LOCAL top-k per batch (k rows per query per batch —
+    the all-pairs frame never materializes and the shuffle carries
+    O(batches x |Q| x k) id/score rows, not dim-wide vectors); a final
+    per-query window keeps the global top-k. Degenerate vectors (zero
+    norm / NaN / NULL, either side) are dropped exactly like
+    brute_force_topk's guards.
+
+    MEASURED crossover vs brute_force_topk (PERFORMANCE.md driver r10):
+    at the bench shape (2k corpus, dim 64, 20 queries) the fold WINS
+    0.49 vs 0.76 s — Arrow serialization overhead isn't repaid on 40k
+    pairs, so the registered narrow-dim queries keep the fold. At
+    50k x dim 512: 20 queries = fold 2.59 s vs arrow 0.95 s (2.7x);
+    100 queries = fold 11.4 s vs arrow 0.77 s (14.7x) — the expression
+    cost scales with pairs x dim while the BLAS block barely moves, and
+    arrow is near-flat in |Q|. Output schema matches brute_force_topk;
+    scores are rounded to ``round_digits`` (BLAS accumulation order
+    differs from the ordered fold, so agreement is to rounding, not
+    bit-for-bit — ann_recall == 1.0 vs the fold is pinned by test at
+    dim 64 and dim 512)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .collect()
+    )
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    if len(qrows):
+        qm = np.array([r.qv for r in qrows], dtype=np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        ok = (qn > 0) & np.isfinite(qn)
+        qids, qm, qn = qids[ok], qm[ok], qn[ok]
+    n_q = len(qids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        if n_q == 0:
+            return
+        qt = (qm / qn[:, None]).T  # dim x n_q, normalized once per task
+        for pdf in batches:
+            ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["_cv"]), dtype=np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            keep = (cn > 0) & np.isfinite(cn)
+            ids, cm, cn = ids[keep], cm[keep], cn[keep]
+            if not len(ids):
+                continue
+            sims = (cm / cn[:, None]) @ qt  # batch x n_q, one BLAS call
+            sims[np.isnan(sims)] = -np.inf  # NaN components lose, never win
+            local_k = min(k + 1, len(ids))  # +1: self-match removed later
+            top = np.argpartition(-sims, local_k - 1, axis=0)[:local_k]
+            rows_q = np.repeat(np.arange(n_q), local_k)
+            rows_c = top.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[rows_q],
+                    "neighbor_id": ids[rows_c],
+                    "cosine_sim": sims[rows_c, rows_q],
+                }
+            )
+
+    cand = (
+        _spread(corpus, id_col)
+        .select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_cv"))
+        .filter(F.col("_cv").isNotNull())
+        .mapInPandas(score, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.isnan("cosine_sim") & (F.col("cosine_sim") > float("-inf")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,73 @@
+"""arrow_topk — the Arrow/BLAS wide-embedding exact top-k scale path:
+parity with the expression-level brute force (same neighbors, same ranks,
+same rounded similarities), degenerate-vector guards, and the empty-query
+edge. Crossover measurements live in the operator docstring +
+PERFORMANCE.md (driver r10)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.similarity import (
+    ann_recall,
+    arrow_topk,
+    brute_force_topk,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _as_map(df):
+    return {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine_sim, 6))
+        for r in df.collect()
+    }
+
+
+def test_parity_with_fold_dim64(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = arrow_topk(emb, qs, k=5)
+    want = brute_force_topk(emb, qs, k=5)
+    rec = ann_recall(got, want).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert rec == 1.0
+    # ranks and similarities agree to rounding, not just the id sets
+    assert _as_map(got) == _as_map(want)
+
+
+def test_parity_with_fold_wide_dim(spark):
+    dim = 512
+    wide = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in np.random.default_rng(i).standard_normal(dim)])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = wide.filter(F.col("vec_id") < 5)
+    got = _as_map(arrow_topk(wide, qs, k=5))
+    want = _as_map(brute_force_topk(wide, qs, k=5))
+    assert got == want
+
+
+def test_degenerate_vectors_dropped_both_sides(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero norm: never a neighbor
+        (2, [1.0, 2.0, 2.9, 0.0]),
+        (3, [float("nan"), 1.0, 1.0, 1.0]),  # NaN: never a neighbor
+        (4, [-1.0, -2.0, -3.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = arrow_topk(df, df.filter(F.col("vec_id") == 0), k=4)
+    got = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert got == [2, 4]  # 1 and 3 dropped, self excluded
+    # degenerate QUERY: contributes no output rows instead of crashing
+    assert arrow_topk(df, df.filter(F.col("vec_id") == 1), k=2).count() == 0
+
+
+def test_empty_query_set(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert arrow_topk(emb, emb.filter(F.col("vec_id") < 0), k=5).count() == 0
