@@ -316,6 +316,39 @@ class ContinuousAggregate:
         user estimate rounded to a long."""
         return self._finalize_of(self.state())
 
+    def downsample(self, bucket_seconds: int) -> DataFrame:
+        """Serve a COARSER resolution exactly from the stored partials —
+        the multi-resolution cascade (hourly store answers daily/weekly
+        queries) with no raw-event re-scan: every partial is mergeable,
+        so re-bucketing is one groupBy over the already-compact rollup.
+        n / n_val / sum_val / min / max (and therefore avg) are EXACTLY
+        what a direct coarse rollup would hold (pinned by test); the HLL
+        union is batching-invariant in sketch state, though its ESTIMATE
+        can differ from a one-pass coarse sketch's within the documented
+        error (module docstring). ``bucket_seconds`` must be a multiple
+        of the store's resolution — finer would need the raw events."""
+        if bucket_seconds % self.bucket_seconds != 0:
+            raise ValueError(
+                f"downsample to {bucket_seconds}s needs a multiple of the "
+                f"store resolution {self.bucket_seconds}s (finer buckets "
+                "would need the raw events)"
+            )
+        w = int(bucket_seconds)
+        b = F.timestamp_seconds(
+            F.floor(F.unix_timestamp("bucket_start") / w) * w
+        )
+        merged = self.state().groupBy(
+            b.alias("bucket_start"), *self.group_cols
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("n_val").alias("n_val"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.hll_union_agg("users_hll", F.lit(True)).alias("users_hll"),
+        )
+        return self._finalize_of(merged)
+
     def serve(self, start, end) -> DataFrame:
         """finalize() restricted to [start, end), with the range ALSO
         applied to the bucket_day PARTITION column (bucket_start derives

@@ -393,3 +393,36 @@ def test_legacy_null_run_rows_gated_behind_opt_in(spark, tmp_path):
     fresh.merge(b1, epoch_id=0)
     refolded = _pd(fresh.finalize(), ["bucket_start", "event_type", "n", "sum_val"])
     assert (refolded["n"] == 2 * snap["n"]).all()  # the fold was NOT dropped
+
+
+def test_downsample_exact_vs_direct_daily_rollup(spark, tmp_path):
+    # hourly store downsampled to daily == a DIRECT daily rollup of the
+    # same events, exactly, for every exact column (the mergeable-partials
+    # cascade); HLL estimate within the sketch's error of exact distincts
+    events = load_table(spark, SF_DIR, "events")
+    hourly = _mk(spark, str(tmp_path / "hourly"))
+    for i, b in enumerate(_halves(events)):
+        hourly.merge(b, epoch_id=i)
+    daily = ContinuousAggregate(
+        spark, str(tmp_path / "daily"), 86_400, group_cols=["event_type"]
+    )
+    daily.merge(events, epoch_id=0)
+    cols = ["bucket_start", "event_type", "n", "sum_val", "avg_val", "min_val", "max_val"]
+    got = _pd(hourly.downsample(86_400), cols)
+    want = _pd(daily.finalize(), cols)
+    pd.testing.assert_frame_equal(got, want)
+    exact = {
+        (r.bucket_start, r.event_type): r.u
+        for r in events.groupBy(
+            F.date_trunc("DAY", "ts").alias("bucket_start"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    for r in hourly.downsample(86_400).collect():
+        e = exact[(r.bucket_start, r.event_type)]
+        assert abs(r.approx_users - e) <= max(2, 0.05 * e)
+
+
+def test_downsample_validates_resolution(spark, tmp_path):
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    with pytest.raises(ValueError, match="multiple of the store resolution"):
+        agg.downsample(1800)  # finer than the hourly store
