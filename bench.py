@@ -383,6 +383,34 @@ def main() -> None:
     )
     _extra("core_numbers", lambda: core_numbers(part_edges, "u", "v").count(), reps=1)
 
+    # driver-round-10 addition: the Arrow/BLAS wide-embedding exact top-k
+    # at a realistic retrieval shape (50k corpus x dim 512, 100 queries) —
+    # the scale path for dim-384..3072 corpora where per-element expression
+    # work loses to one matmul per Arrow batch (measured 14.7x at this
+    # shape; the narrow bench embeddings keep the fold, which wins there)
+    from l1dbproto_spark.operators.similarity import arrow_topk
+
+    wide = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(511)),
+                lambda i: F.sin(F.col("id") * 512 + i),
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    wide.count()
+    wide_q = wide.filter(F.col("vec_id") < 100)
+    _extra(
+        "arrow_topk_wide512",
+        lambda: arrow_topk(wide, wide_q, k=5).count(),
+        reps=1,
+    )
+    wide.unpersist()
+
     # driver-round-9 addition: MMR diversified re-ranking over the exact
     # ANN top-50 of 20 query vectors (k=10 greedy rounds; the cost is the
     # per-round driver loop + pin, same amortization story as coreness)
