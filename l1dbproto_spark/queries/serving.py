@@ -63,8 +63,12 @@ def rollup_hourly_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         3600,
         group_cols=["event_type"],
     )
-    agg.merge(ev.filter(F.col("user_id") % 2 == 0), epoch_id=0)
-    agg.merge(ev.filter(F.col("user_id") % 2 != 0), epoch_id=1)
+    # null-safe complement split: `% 2 != 0` alone would silently drop
+    # NULL-user rows from BOTH epochs (NULL %-> NULL -> both predicates
+    # false) while the one-pass oracle counts them
+    even = F.col("user_id") % 2 == 0
+    agg.merge(ev.filter(even), epoch_id=0)
+    agg.merge(ev.filter(~F.coalesce(even, F.lit(False))), epoch_id=1)
     return agg.finalize().drop("approx_users")
 
 

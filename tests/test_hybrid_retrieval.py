@@ -130,3 +130,60 @@ def test_fused_ranking_through_retrieval_metrics(spark):
     macro = macro_metrics(retrieval_metrics(fused, qrels, k=3)).collect()[0]
     assert macro.n_queries == 2
     assert abs(macro.mean_rr_at_k - 1.0) < 1e-12
+
+
+def test_hybrid_pipeline_ends_in_mmr_diversification(spark):
+    """The full retrieval chain (driver r10 composition pin): BM25 + ANN
+    -> RRF fuse -> min-max normalize per query -> MMR re-rank. At lam=1
+    MMR must REPRODUCE the fused relevance order exactly (the identity
+    that proves the plumbing is lossless); at lam=0.5 it returns k
+    diversified picks drawn from the same candidate set with contiguous
+    ranks."""
+    from l1dbproto_spark.operators.rerank import mmr_rerank
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qmax, k = 4, 8
+    probe_rows = [
+        (int(r.doc_id), r.text)
+        for r in docs.filter(F.col("doc_id") < qmax).select("doc_id", "text").collect()
+    ]
+    lex = (
+        bm25_topk(docs, queries_df(spark, probe_rows), k)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", "rank")
+    )
+    emb = hashed_doc_embeddings(docs, dim=64, id_col="doc_id")
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("doc_id") < qmax), k=k, id_col="doc_id"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex, sem], topk=k)
+    # min-max normalize the rrf score per query (mmr_rerank's documented
+    # contract for mixed-scale scores) + attach each candidate's vector
+    wq = Window.partitionBy("query_id")
+    span = F.max("rrf_score").over(wq) - F.min("rrf_score").over(wq)
+    cands = (
+        fused.withColumn(
+            "score",
+            F.when(span > 0, (F.col("rrf_score") - F.min("rrf_score").over(wq)) / span)
+            .otherwise(F.lit(1.0)),
+        )
+        .join(emb.select(F.col("doc_id"), F.col("embedding").alias("vec")), "doc_id")
+        .select("query_id", "doc_id", "score", "vec", "rank")
+    )
+    # lam=1: pure relevance — MMR order == fused order, doc for doc
+    pure = mmr_rerank(cands.drop("rank"), k=3, lam=1.0)
+    fused_order = {
+        (r.query_id, r.rank): r.doc_id for r in cands.filter(F.col("rank") <= 3).collect()
+    }
+    for r in pure.collect():
+        assert fused_order[(r.query_id, r.mmr_rank)] == r.doc_id
+    # lam=0.5: diversified picks, still from the candidate set, ranks 1..3
+    div = mmr_rerank(cands.drop("rank"), k=3, lam=0.5)
+    cand_set = {(r.query_id, r.doc_id) for r in cands.collect()}
+    by_q = {}
+    for r in div.collect():
+        by_q.setdefault(r.query_id, []).append(r.mmr_rank)
+        assert (r.query_id, r.doc_id) in cand_set
+    assert set(by_q) == set(range(qmax))
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())

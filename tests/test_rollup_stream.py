@@ -426,3 +426,23 @@ def test_downsample_validates_resolution(spark, tmp_path):
     agg = _mk(spark, str(tmp_path / "rollup"))
     with pytest.raises(ValueError, match="multiple of the store resolution"):
         agg.downsample(1800)  # finer than the hourly store
+
+
+def test_registered_serve_split_is_null_safe(spark, tmp_path, monkeypatch):
+    # the registered rollup_hourly_serve epoch split must not lose
+    # NULL-user rows (r10 review find: `% 2` predicates are both false on
+    # NULL) — run the registered builder against a fixture WITH null users
+    # and compare to the one-pass truth
+    import l1dbproto_spark.queries.serving as serving
+
+    rows = [
+        (1, "a", "2026-01-01 00:10:00", 10.0),
+        (None, "a", "2026-01-01 00:20:00", 20.0),
+        (2, "a", "2026-01-01 00:40:00", 30.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    monkeypatch.setattr(serving, "load_table", lambda s, d, t: ev)
+    out = serving.rollup_hourly_serve(spark, "ignored").collect()
+    assert len(out) == 1 and out[0].n == 3 and out[0].sum_val == 60.0
