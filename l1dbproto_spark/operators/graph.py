@@ -652,8 +652,15 @@ def core_numbers(
     factor converges to the same exact answer). Fewer pins + convergence
     probes + job barriers for the same total shuffle work — the measured
     win on the bench co-purchase graph (whose cost is round-count-bound,
-    not data-bound) is ~35%; unroll cannot skip frontier pruning's
-    changed-set bookkeeping, so ``frontier=True`` forces unroll=1."""
+    not data-bound) is ~35%, and the local sweep (driver r10, same
+    graph) reads 7.5 / 5.2 / 4.7 / 5.6 s at unroll 2/3/4/6. The default
+    STAYS 2 despite 4 winning locally: up to unroll-1 applications past
+    the fixpoint are wasted, and at data-dominated scale each waste is a
+    FULL-graph join while the saving is only the per-round scalar probe
+    + small-frame pin — raise it on round-count-bound (small/local)
+    graphs, keep it low on 100 TB ones. unroll cannot skip frontier
+    pruning's changed-set bookkeeping, so ``frontier=True`` forces
+    unroll=1."""
     from pyspark.sql import Window
 
     if unroll < 1:
