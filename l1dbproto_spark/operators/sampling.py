@@ -294,6 +294,61 @@ def weighted_sample(
     )
 
 
+def weighted_topk_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    salt: str = "wtopk-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-SIZE weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): draw exactly ``k`` rows (per ``group_col`` if given)
+    with inclusion probability proportional to ``weight_col`` — the
+    fixed-budget companion to :func:`weighted_sample`'s Bernoulli form,
+    whose output SIZE is random. This is the "pick exactly k training
+    docs per source, quality-proportional" selection a mixture builder
+    runs against hard shard quotas.
+
+    Method: each row gets the exponential race key ``e_i = -ln(u_i) /
+    w_i`` (``u_i`` the engine's deterministic per-(salt, id) unit hash);
+    the k SMALLEST keys are exactly an E-S weighted draw without
+    replacement. Non-positive / NULL weights are EXCLUDED (inclusion
+    probability 0 — they never pad the result either); groups with
+    fewer than k eligible rows return all of them. Deterministic per
+    (salt, id) —
+    re-runs reproduce the same sample, and varying the salt gives
+    independent draws (the statistical test exercises exactly that).
+
+    Scale shape: zero-shuffle key computation on the scan, then ONE
+    top-k: global k is a TakeOrdered (no sort), per-group k is one
+    row_number window partitioned by the group — the same shuffle any
+    per-group selection pays. Adds ``sample_key`` (the race key) and
+    ``sample_rank`` (1..k in key order)."""
+    if k < 1:
+        raise ValueError("weighted_topk_sample: k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = F.greatest(
+        _unit_hash(F.col(id_col), salt), F.lit(2.0**-48)
+    )  # u=0 would make -ln(u) inf for the BEST draw; clamp to the grid step
+    keyed = docs.filter(w > 0).withColumn("sample_key", -F.log(u) / w)
+    order = [F.asc("sample_key"), F.asc(id_col)]  # id tiebreak: total order
+    if group_col is None:
+        return (
+            keyed.orderBy(*order)
+            .limit(k)  # TakeOrdered: no global sort
+            .withColumn(
+                "sample_rank",
+                F.row_number().over(Window.orderBy(*order)).cast("long"),
+            )
+        )
+    wnd = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def token_budget_rates(
     docs: DataFrame,
     weights: dict[str, float],

@@ -348,3 +348,82 @@ def test_sample_with_temperature_null_source_first_class(spark):
     # alpha=1 -> every rate 1.0 -> everything kept, nulls included
     assert len(out) == 40
     assert out["lang"].isna().sum() == 20
+
+
+# ---------------------------------------------------------------------------
+# weighted_topk_sample — exact-size E-S draw (driver r10)
+
+
+def _wtopk_trials(spark, n_trials=600, k=1):
+    # items 1..4 with weight == item, replicated across trials; the id
+    # encodes the trial so each trial gets independent unit hashes
+    from l1dbproto_spark.operators.sampling import weighted_topk_sample
+
+    rows = spark.range(n_trials).select(
+        F.col("id").alias("trial"),
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("item"),
+    ).select(
+        "trial",
+        "item",
+        (F.col("trial") * 1000 + F.col("item")).alias("doc_id"),
+        F.col("item").cast("double").alias("w"),
+    )
+    return weighted_topk_sample(rows, k=k, weight_col="w", group_col="trial")
+
+
+def test_weighted_topk_inclusion_proportional_to_weight(spark):
+    """E-S top-1 inclusion frequency across 600 independent trials must
+    track w_i / sum(w) = i/10 (deterministic given the salt, so this is a
+    pin, not a flaky statistical assertion; tolerance ~3.5 sigma of the
+    binomial it was drawn from)."""
+    won = {
+        r.item: r.n
+        for r in _wtopk_trials(spark).groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(won.values())
+    assert n == 600
+    for item in (1, 2, 3, 4):
+        freq = won.get(item, 0) / n
+        assert abs(freq - item / 10) < 0.07, (item, freq)
+
+
+def test_weighted_topk_exact_k_deterministic_no_replacement(spark):
+    from l1dbproto_spark.operators.sampling import weighted_topk_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("src"),
+        (F.col("id") % 5 + 1).cast("double").alias("w"),
+    )
+    out = weighted_topk_sample(docs, k=3, weight_col="w", group_col="src")
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.src, []).append((r.sample_rank, r.doc_id))
+    assert set(by_g) == {str(i) for i in range(7)}
+    for g, picks in by_g.items():
+        assert sorted(r for r, _ in picks) == [1, 2, 3]
+        assert len({d for _, d in picks}) == 3  # without replacement
+    # re-run: byte-identical draw (same salt)
+    again = {(r.src, r.sample_rank): r.doc_id for r in out.collect()}
+    assert all(again[(r.src, r.sample_rank)] == r.doc_id for r in rows)
+    # different salt: a different draw somewhere
+    other = weighted_topk_sample(docs, k=3, weight_col="w", group_col="src", salt="v2")
+    assert {(r.src, r.doc_id) for r in other.collect()} != {
+        (r.src, r.doc_id) for r in rows
+    }
+
+
+def test_weighted_topk_edge_weights_and_small_groups(spark):
+    from l1dbproto_spark.operators.sampling import weighted_topk_sample
+
+    docs = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    out = weighted_topk_sample(docs, k=3, weight_col="w")
+    got = [r.doc_id for r in out.orderBy("sample_rank").collect()]
+    # zero/negative/NULL weights have inclusion probability 0: they never
+    # win AND never pad — fewer eligible rows than k returns just those
+    assert set(got) == {1, 5}
+    assert [r.sample_rank for r in out.orderBy("sample_rank").collect()] == [1, 2]
