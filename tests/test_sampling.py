@@ -427,3 +427,53 @@ def test_weighted_topk_edge_weights_and_small_groups(spark):
     # win AND never pad — fewer eligible rows than k returns just those
     assert set(got) == {1, 5}
     assert [r.sample_rank for r in out.orderBy("sample_rank").collect()] == [1, 2]
+
+
+def test_weighted_topk_matches_duckdb_oracle(spark):
+    """Oracle-grade check: DuckDB reproduces the E-S draw exactly from the
+    same portable md5 unit hash + exponential key formula (ids and ranks;
+    keys are float but well-separated random values, compared via the
+    selected sets like every float-ranking oracle here)."""
+    import duckdb
+
+    from l1dbproto_spark.operators.sampling import weighted_topk_sample
+
+    docs = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.col("o_orderpriority").alias("src"),
+            (F.col("o_totalprice").cast("double") / 1000.0).alias("w"),
+        )
+    )
+    got = {
+        (r.src, r.sample_rank): r.doc_id
+        for r in weighted_topk_sample(
+            docs, k=5, weight_col="w", group_col="src"
+        ).collect()
+    }
+    oracle = f"""
+    WITH d AS (
+      SELECT o_orderkey AS doc_id, o_orderpriority AS src,
+             CAST(o_totalprice AS DOUBLE) / 1000.0 AS w
+      FROM '{SF_DIR}/orders.parquet'
+    ),
+    keyed AS (
+      SELECT doc_id, src,
+             -ln(GREATEST(
+               CAST(concat('0x', substr(md5(concat('wtopk-v1',
+                 CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+               / 281474976710656.0, 3.552713678800501e-15)) / w AS key
+      FROM d WHERE w > 0
+    )
+    SELECT src, doc_id, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY key, doc_id
+      ) AS rn FROM keyed
+    ) t WHERE rn <= 5
+    """
+    want = {
+        (r.src, r.rn): r.doc_id
+        for r in duckdb.sql(oracle).df().itertuples()
+    }
+    assert got == want and len(got) > 0
