@@ -673,13 +673,29 @@ def arrow_topk(
         .filter(F.col("qv").isNotNull())
         .collect()
     )
-    qids = np.array([r.qid for r in qrows], dtype=np.int64)
-    if len(qrows):
-        qm = np.array([r.qv for r in qrows], dtype=np.float64)
+    # per-row conversion: a NULL ELEMENT inside a vector (or a wrong-width
+    # vector) must drop that query like every degenerate-vector guard in
+    # this family, not throw on the driver
+    qid_list, qvecs, want_dim = [], [], None
+    for r in qrows:
+        try:
+            v = np.asarray(r.qv, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if want_dim is None:
+            want_dim = v.shape[0]
+        if v.shape != (want_dim,):
+            continue
+        qid_list.append(r.qid)
+        qvecs.append(v)
+    qids = np.array(qid_list, dtype=np.int64)
+    if len(qvecs):
+        qm = np.stack(qvecs)
         qn = np.sqrt((qm * qm).sum(axis=1))
         ok = (qn > 0) & np.isfinite(qn)
         qids, qm, qn = qids[ok], qm[ok], qn[ok]
     n_q = len(qids)
+    dim = want_dim
 
     out_schema = T.StructType(
         [
@@ -695,7 +711,24 @@ def arrow_topk(
         qt = (qm / qn[:, None]).T  # dim x n_q, normalized once per task
         for pdf in batches:
             ids = pdf["_nid"].to_numpy(dtype=np.int64)
-            cm = np.array(list(pdf["_cv"]), dtype=np.float64)
+            vecs = list(pdf["_cv"])
+            try:
+                cm = np.array(vecs, dtype=np.float64)
+                if cm.ndim != 2 or cm.shape[1] != dim:
+                    raise ValueError
+            except (TypeError, ValueError):
+                # slow path only when the fast stack fails: NULL elements
+                # or wrong-width corpus vectors become zero rows, which
+                # the norm mask drops — one bad member costs one row,
+                # never the task
+                cm = np.zeros((len(vecs), dim), dtype=np.float64)
+                for i, v in enumerate(vecs):
+                    try:
+                        a = np.asarray(v, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        continue
+                    if a.shape == (dim,):
+                        cm[i] = a
             cn = np.sqrt((cm * cm).sum(axis=1))
             keep = (cn > 0) & np.isfinite(cn)
             ids, cm, cn = ids[keep], cm[keep], cn[keep]

@@ -71,3 +71,24 @@ def test_degenerate_vectors_dropped_both_sides(spark):
 def test_empty_query_set(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     assert arrow_topk(emb, emb.filter(F.col("vec_id") < 0), k=5).count() == 0
+
+
+def test_null_elements_and_ragged_vectors_cost_one_row(spark):
+    """NULL ELEMENTS inside a vector and wrong-width vectors degrade to a
+    dropped row on both sides (r10 review find: a RAGGED vector made the
+    numpy stack throw — on the driver for queries, in the task for corpus
+    rows; null elements convert to NaN and fall to the finite-norm mask,
+    now pinned alongside)."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 0.5]),
+        (1, [1.0, None, 3.0, 0.5]),   # null element: never a neighbor
+        (2, [1.0, 2.0, 2.9, 0.5]),
+        (3, [1.0, 2.0]),              # ragged width: never a neighbor
+        (4, [-1.0, -2.0, -3.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = arrow_topk(df, df.filter(F.col("vec_id") == 0), k=4)
+    assert [r.neighbor_id for r in out.orderBy("rank").collect()] == [2, 4]
+    # degenerate QUERIES (null element / ragged) contribute nothing
+    bad_q = df.filter(F.col("vec_id").isin(1, 3))
+    assert arrow_topk(df, bad_q, k=2).count() == 0
