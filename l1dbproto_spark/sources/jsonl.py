@@ -1,0 +1,103 @@
+"""JSONL corpus source/sink — the interchange format training corpora
+actually arrive in (one JSON object per line, usually gzipped).
+
+Spark's native json reader does the heavy lifting (distributed, splittable
+for plain text, per-file-parallel for .gz); what this module adds is the
+CONTRACT a 100 TB ingest needs and tests pin:
+
+* an explicit schema is REQUIRED — schema inference is a full extra pass
+  over the data (Spark samples, but at PB scale even the sample is a
+  cluster job) and silently widens types per-batch, so the corpus schema
+  is an input, not a discovery;
+* corrupt lines cost ONE ROW, never the task: PERMISSIVE mode with a
+  captured ``_corrupt_record`` column, split into a clean frame and a
+  quarantine frame so the pipeline can count/inspect bad lines instead of
+  choosing between crashing (FAILFAST) and silent loss (DROPMALFORMED);
+* round-trip writer emitting one JSON object per line (optionally
+  gzipped), partitioned like every other sink here.
+
+Reference parity note: the reference ingests line-oriented logs with
+regex/JSON field extraction (``log2csv.py``); this is the same contract
+generalized to whole-object lines for corpus tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: column capturing unparseable lines (quarantine key)
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) frames for a JSONL path (plain or .gz).
+
+    ``clean`` has exactly the requested schema; ``quarantine`` is
+    ``(_corrupt_record string)`` — the RAW text of every line that failed
+    to parse or type-check, for counting and inspection. A line missing a
+    field parses clean with NULLs (JSON semantics); only malformed JSON or
+    type-mismatched values quarantine.
+
+    Implementation note: this parses a TEXT scan through ``from_json``
+    rather than ``spark.read.json`` because Spark disallows queries that
+    reference only the internal corrupt-record column of a raw JSON scan
+    (the documented alternative is caching the whole parse — a non-starter
+    at corpus scale). The text-scan form keeps each returned frame one
+    plain pass, and the quarantine keeps the verbatim line."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    # StructType.add MUTATES self; build the corrupt-capturing schema as a
+    # fresh struct so the caller's schema (and the clean projection below)
+    # stay corrupt-free
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    raw = spark.read.text(path)
+    # a hive-partitioned layout (write_jsonl(partition_by=...)) surfaces the
+    # partition keys as scan columns the JSON lines don't carry — fill those
+    # schema fields from the directory structure
+    part_cols = [c for c in raw.columns if c != "value"]
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_j"),
+        F.col("value"),
+        *part_cols,
+    )
+    bad = F.col(f"_j.{CORRUPT_COL}").isNotNull() | F.col("_j").isNull()
+    fields = [
+        F.coalesce(
+            F.col(f"_j.{f.name}"), F.col(f.name).cast(f.dataType)
+        ).alias(f.name)
+        if f.name in part_cols
+        else F.col(f"_j.{f.name}").alias(f.name)
+        for f in schema.fields
+    ]
+    clean = parsed.filter(~bad).select(*fields)
+    quarantine = parsed.filter(bad).select(F.col("value").alias(CORRUPT_COL))
+    return clean, quarantine
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compress: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """One JSON object per line (gzip per file when ``compress``) — the
+    round-trip partner of :func:`read_jsonl`."""
+    w = df.write.mode(mode)
+    if compress:
+        w = w.option("compression", "gzip")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
