@@ -101,3 +101,56 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def read_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) for a CSV path — the read-side partner of
+    ``sinks.write_csv`` (S10) under the same contract as :func:`read_jsonl`:
+    schema required, malformed / type-mismatched / wrong-arity lines
+    quarantine with the verbatim line, one bad line costs one row. Built
+    on the same text-scan + ``from_csv`` shape (and for the same reason:
+    the native reader cannot serve a corrupt-only projection without
+    caching the parse). Header lines are dropped by exact match against
+    the schema's rendered header, so a mid-file header (concatenated
+    exports — the classic crawl-dump artifact) quarantines instead of
+    parsing as data or silently vanishing."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        "sep": sep,
+    }
+    raw = spark.read.text(path)
+    part_cols = [c for c in raw.columns if c != "value"]
+    header_line = sep.join(f.name for f in schema.fields)
+    if header:
+        raw = raw.filter(F.col("value") != header_line)
+    parsed = raw.select(
+        F.from_csv(F.col("value"), full.simpleString(), opts).alias("_j"),
+        F.col("value"),
+        *part_cols,
+    )
+    bad = F.col(f"_j.{CORRUPT_COL}").isNotNull() | F.col("_j").isNull()
+    fields = [
+        F.coalesce(
+            F.col(f"_j.{f.name}"), F.col(f.name).cast(f.dataType)
+        ).alias(f.name)
+        if f.name in part_cols
+        else F.col(f"_j.{f.name}").alias(f.name)
+        for f in schema.fields
+    ]
+    clean = parsed.filter(~bad).select(*fields)
+    quarantine = parsed.filter(bad).select(F.col("value").alias(CORRUPT_COL))
+    return clean, quarantine

@@ -74,3 +74,42 @@ def test_round_trip_documents_table(spark, tmp_path):
 def test_schema_is_required_and_guarded(spark, tmp_path):
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_jsonl(spark, str(tmp_path), SCHEMA + ", _corrupt_record string")
+
+
+def test_csv_quarantined_roundtrip_and_bad_lines(spark, tmp_path):
+    from l1dbproto_spark.sources.jsonl import read_csv_quarantined
+    from l1dbproto_spark.sources.sinks import write_csv
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    out = tmp_path / "csv"
+    write_csv(orders, str(out))
+    schema = "o_orderkey long, o_custkey long, o_orderpriority string"
+    clean, quarantine = read_csv_quarantined(spark, str(out), schema)
+    assert quarantine.count() == 0
+    got = clean.orderBy("o_orderkey").collect()
+    want = orders.orderBy("o_orderkey").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # hand-built file with a mid-file header, a type mismatch, and a
+    # wrong-arity line: each quarantines (CSV has no field names, so a
+    # short row is indistinguishable from a broken one — unlike JSONL's
+    # named missing-field case, which stays clean), the rest parse
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "o_orderkey,o_custkey,o_orderpriority\n"
+        "1,10,HIGH\n"
+        "o_orderkey,o_custkey,o_orderpriority\n"  # concatenated export
+        "not_a_number,11,LOW\n"
+        "2,20\n"  # wrong arity
+        "3,30,MED\n"
+    )
+    clean, quarantine = read_csv_quarantined(spark, str(p), schema)
+    rows = {r.o_orderkey: r for r in clean.collect()}
+    assert set(rows) == {1, 3}
+    q = [r._corrupt_record for r in quarantine.collect()]
+    assert len(q) == 3
+    assert any("not_a_number" in s for s in q)
+    assert any(s.startswith("o_orderkey") for s in q)
+    assert any(s == "2,20" for s in q)
