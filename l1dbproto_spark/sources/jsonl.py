@@ -117,9 +117,10 @@ def read_csv_quarantined(
     on the same text-scan + ``from_csv`` shape (and for the same reason:
     the native reader cannot serve a corrupt-only projection without
     caching the parse). Header lines are dropped by exact match against
-    the schema's rendered header, so a mid-file header (concatenated
-    exports — the classic crawl-dump artifact) quarantines instead of
-    parsing as data or silently vanishing."""
+    the schema's rendered header — INCLUDING mid-file ones from
+    concatenated exports (the classic crawl-dump artifact), which the
+    native reader would quarantine as data; a header-like line that
+    differs at all is data and parses/quarantines normally."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
