@@ -594,6 +594,68 @@ def k_core(
     return ends.distinct()
 
 
+def _h_round(und: DataFrame, cur: DataFrame) -> DataFrame:
+    """One lazy h-index application for ``core_numbers``: (node, core)
+    over every node with an edge in ``und``.
+
+    ``und`` is the (u, v) directed-both-ways edge frame, ``cur`` the
+    current (node, core) estimates.
+
+    h = max over distinct neighbor-estimate values v (descending) of
+    min(v, count of neighbors with estimate >= v) — computed from
+    per-(u, value) COUNTS, not a ranked scan of the adjacency: the
+    groupBy(u, ne) partial-aggregates map-side, so a hub's rows are
+    combined inside every map task and no single reducer ever sorts its
+    full neighbor list (the r10 skew finding — the old row_number window
+    sorted all neighbors of a hub in one task every round). The frame
+    under the cumulative window is one row per (node, distinct estimate
+    value): a planted 50k-leaf hub contributes 1-2 rows once its leaves'
+    estimates settle, and for ANY graph with m edges the frame is
+    <= the number of distinct current estimates <= ~2*sqrt(m) (D distinct
+    degree values need 1+2+...+D <= 2m), versus O(degree) before.
+
+    A further cap at the node's own round-start estimate (which would
+    shrink the frame bound to the node's coreness) was built and
+    MEASURED OUT: it never changes h — in the synchronous iteration
+    h <= cur(u) <= any earlier estimate, and counts of values below the
+    cap are unchanged — but fetching cap(u) costs a join per
+    application, and on the bench co-purchase graph (round-count-bound,
+    22 applications) the capped variant ran 11.2-13.8 s vs 5.8-7.1 s for
+    this one, with or without AQE. The distinct-value bound above
+    already removes the degree-sized task, which is the part that
+    matters at 100x.
+
+    In the synchronous iteration h is <= the node's current estimate and
+    every node of the edge-derived graph has degree >= 1, so h covers
+    the full node set — the returned frame IS the new estimate, no
+    update join needed. ``cur`` is referenced exactly once, so ``unroll``
+    chains stay single-evaluation."""
+    from pyspark.sql import Window
+
+    # cumulative neighbor count over DISTINCT estimate values, largest
+    # first; one row per (u, value), so the per-node sort is O(distinct
+    # estimate values), never O(degree) — values are distinct per u after
+    # the groupBy, so no tie-break is needed.
+    wcum = (
+        Window.partitionBy("u")
+        .orderBy(F.desc("ne"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        und.join(
+            cur.select(F.col("node").alias("v"), F.col("core").alias("ne")),
+            "v",
+        )
+        .groupBy("u", "ne")  # map-side partial agg absorbs hub skew
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .select("u", F.least(F.col("ne"), F.col("cum")).alias("m"))
+        .groupBy("u")
+        .agg(F.max("m").alias("core"))
+        .select(F.col("u").alias("node"), "core")
+    )
+
+
 def core_numbers(
     edges: DataFrame,
     src: str = "src",
@@ -610,11 +672,16 @@ def core_numbers(
     h-index of its neighbors' estimates (the largest h such that at least h
     neighbors currently estimate >= h). Estimates are monotonically
     non-increasing and converge exactly to the core numbers. Each round is
-    one join (edges x estimates) plus a per-node ranked aggregation; the
-    per-node sort is bounded by degree, and only the top-(current estimate)
-    neighbors can matter, so hub cost is bounded by the hub's own coreness
-    bound. Raises if not converged within ``max_iterations`` (real graphs
-    converge in a few dozen rounds; bound documented in the paper).
+    one join (edges x estimates) plus a per-node aggregation of DISTINCT
+    estimate values (see :func:`_h_round`): the groupBy(u, ne) has
+    map-side partial aggregation, so a hub's adjacency is combined inside
+    every map task and the shuffle carries O(map_tasks x distinct
+    estimates) rows for it — never its full neighbor list in one reducer —
+    and the frame the h-index cumulative window sorts per node is its
+    distinct neighbor-estimate count (<= ~2*sqrt(m) for any graph), not
+    its degree. Raises if not converged within ``max_iterations`` (real
+    graphs converge in a few dozen rounds; bound documented in the
+    paper).
 
     ``frontier=True`` adds changed-set pruning: a node's h-index can only
     drop when a NEIGHBOR's estimate dropped last round, so each round
@@ -661,8 +728,6 @@ def core_numbers(
     graphs, keep it low on 100 TB ones. unroll cannot skip frontier
     pruning's changed-set bookkeeping, so ``frontier=True`` forces
     unroll=1."""
-    from pyspark.sql import Window
-
     if unroll < 1:
         raise ValueError("unroll must be >= 1")
     if frontier:
@@ -678,26 +743,6 @@ def core_numbers(
         F.col("u").alias("node"), "core"
     ).transform(pin, eager=True)
     changed = est.select("node")  # round 1: every node may drop
-    w = Window.partitionBy("u").orderBy(F.desc("ne"), F.asc("v"))
-
-    def h_of(cur: DataFrame) -> DataFrame:
-        """One lazy h-index application: (node, h) over ALL nodes.
-
-        In the synchronous iteration h is <= the node's current estimate
-        (h <= degree initially, and neighbors' estimates only fall), and
-        every node of the edge-derived graph has degree >= 1 so h covers
-        the full node set — the new estimate IS the h frame, no update
-        join against the old estimates needed."""
-        nb = und.join(
-            cur.select(F.col("node").alias("v"), F.col("core").alias("ne")), "v"
-        )
-        return (
-            nb.withColumn("rn", F.row_number().over(w))
-            .select("u", F.least(F.col("rn").cast("long"), F.col("ne")).alias("m"))
-            .groupBy("u")
-            .agg(F.max("m").alias("core"))
-            .select(F.col("u").alias("node"), "core")
-        )
 
     if not frontier:
         # plain rounds: the estimate sum is a monotone non-increasing
@@ -714,7 +759,7 @@ def core_numbers(
         while rounds < max_iterations:
             cur = est
             for _ in range(min(unroll, max_iterations - rounds)):
-                cur = h_of(cur)
+                cur = _h_round(und, cur)
                 rounds += 1
             est = cur.transform(pin, eager=True)
             s = est.agg(F.sum("core")).collect()[0][0]
@@ -735,18 +780,12 @@ def core_numbers(
             .select(F.col("u").alias("node"))
             .distinct()
         )
-        nb = und.join(
+        und_aff = und.join(
             affected.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(
-            est.select(F.col("node").alias("v"), F.col("core").alias("ne")), "v"
         )
-        h = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .select("u", F.least(F.col("rn").cast("long"), F.col("ne")).alias("m"))
-            .groupBy("u")
-            .agg(F.max("m").alias("h"))
-            .select(F.col("u").alias("node"), "h")
-        )
+        # same aggregation-based h-index round, restricted to the affected
+        # edge set.
+        h = _h_round(und_aff, est).withColumnRenamed("core", "h")
         new_core = F.least(F.col("core"), F.coalesce(F.col("h"), F.col("core")))
         new_est = (
             est.join(h, "node", "left")
