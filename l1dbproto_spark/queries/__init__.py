@@ -74,15 +74,12 @@ _PRIORITY = [
     "minhash_lsh_candidates",
     "dedup_clusters",
     "simhash_near_dup_pairs",
-    "dedup_corpus_lines",
     # LLM-pipeline: similarity family
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_near_dup_pairs",
     # LLM-pipeline: text + multimodal
-    "text_stats",
-    "language_id",
     "tfidf_top_terms",
     "doc_embed_ann",
     "media_chunk_fingerprints",
@@ -141,6 +138,16 @@ _PRIORITY = [
     "rollup_hourly_serve",
     "bucketed_join_agg",
     "mmr_rerank_topk",
+    # driver round 11: the round-10 components take driver slots (rotation:
+    # out dedup_corpus_lines / text_stats / language_id -> same oracles
+    # in-suite in tests/test_unregistered_batteries.py; the C4 family keeps
+    # its operator pytest coverage, text analysis keeps the registered
+    # tfidf_top_terms row). In: the E-S exact-k weighted draw, a second
+    # graph-family row (multi-source BFS vs a recursive-CTE oracle), and
+    # the quarantined-CSV ingest contract with planted corruption.
+    "weighted_topk_sample",
+    "bfs_distances",
+    "csv_ingest_quarantine",
 ]
 
 
@@ -170,6 +177,7 @@ def load_all() -> dict[str, QuerySpec]:
         profiling,
         evaluation,
         serving,
+        ingest,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

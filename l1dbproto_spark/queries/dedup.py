@@ -314,9 +314,12 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, n=3, min_overlap=2, index=index)
 
 
-@query(
-    "dedup_corpus_lines",
-    oracle="""
+# Driver round 11: dedup_corpus_lines rotated out of the 50-slot registry
+# (slot to the round-10 components: weighted_topk_sample / bfs_distances /
+# csv_ingest_quarantine) — the C4/CCNet line-cleaning family keeps this
+# SAME oracle in-suite (tests/test_unregistered_batteries.py, driver-grade
+# compare) plus the c4 operator pytest coverage.
+DEDUP_CORPUS_LINES_ORACLE = """
     WITH injected AS (
       SELECT doc_id,
              'Accept our cookies to continue reading.' || chr(10) ||
@@ -357,9 +360,9 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN coalesce(s.new_text, '')
                 ELSE d.text END AS text
     FROM injected d LEFT JOIN surv s USING (doc_id)
-    """,
-    survey="ext:line-dedup (CCNet/RefinedWeb corpus-level boilerplate line removal)",
-)
+"""
+
+
 def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level LINE dedup (operators/c4.py dedup_corpus_lines —
     CCNet/RefinedWeb boilerplate removal, keep_first rule): a recurring

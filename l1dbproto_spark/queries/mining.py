@@ -70,6 +70,68 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "u", "v")
 
 
+@query(
+    "bfs_distances",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 25 AND b.l_quantity >= 25
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seeds AS (SELECT DISTINCT u AS node FROM und WHERE u % 500 = 0),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT und.v, walk.dist + 1
+      FROM walk JOIN und ON und.u = walk.node
+      WHERE walk.dist < 40
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+    survey="graph mining: multi-source BFS hop distances (operators/graph.py bfs_distances; second driver row for the iterative-fixpoint family)",
+)
+def bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance of every part from a deterministic seed set (partkeys
+    divisible by 500) over the SAME co-purchase graph the triangle row
+    derives — multi-source BFS as iterative frontier expansion
+    (operators/graph.py bfs_distances), checked against a DuckDB
+    recursive-CTE oracle (UNION-distinct walk, MIN(dist) per node).
+
+    Scale shape: each round is one equi-join frontier expansion + one
+    anti-join against the visited set, both on the uniform node key; the
+    loop exits when a frontier empties, so total work is O(edges within
+    the reached radius) — at sf0.01 the graph is 3 hops deep from the 4
+    seeds, and the oracle's dist<40 guard is far beyond the radius on
+    both sides (the operator RAISES if still expanding at its cap, so a
+    truncation can never silently diverge from the oracle)."""
+    from ..operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 500 == 0)
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, src="u", dst="v", max_hops=40)
+
+
 # Check-suite thresholds for the documents table: every metric below is
 # order-independent-exact (0/1 indicator averages, integer-exact sums and
 # counts, one final division) so the driver's bit-level value hash holds —

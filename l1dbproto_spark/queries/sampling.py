@@ -40,6 +40,55 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# DuckDB rendering of the E-S race key: same md5 unit hash (wtopk-v1 salt),
+# same 2^-48 clamp (u=0 would make -ln(u) infinite for the BEST draw), same
+# -ln(u)/w formula. ln and division are single IEEE-754 ops on identical
+# operands; ids+ranks are compared, the float key never leaves the ranking.
+_WTOPK_U = (
+    "CAST(concat('0x', substr(md5(concat('wtopk-v1', CAST(doc_id AS VARCHAR))), 1, 12))"
+    " AS BIGINT) / 281474976710656.0"
+)
+
+
+@query(
+    "weighted_topk_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             -ln(GREATEST({_WTOPK_U}, 3.552713678800501e-15))
+               / CAST(length(text) AS DOUBLE) AS sample_key
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY sample_key, doc_id
+      ) AS sample_rank FROM keyed
+    ) t WHERE sample_rank <= 5
+    """,
+    survey="ext:sampling (Efraimidis-Spirakis exact-k weighted draw without replacement; operators/sampling.py weighted_topk_sample)",
+)
+def weighted_topk_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE weighted sample — 5 documents per language drawn with
+    probability proportional to text length (the "pick exactly k training
+    docs per source, quality-proportional" selection a mixture builder
+    runs against hard shard quotas): each row gets the exponential race
+    key -ln(u)/w on its deterministic 48-bit unit hash, and the k
+    smallest keys per group are exactly an Efraimidis-Spirakis draw
+    without replacement (operators/sampling.py weighted_topk_sample).
+
+    Scale shape: zero-shuffle key computation on the scan, then ONE
+    row_number window partitioned by the group — the same shuffle any
+    per-group selection pays; a global draw is a TakeOrdered. The float
+    key stays inside the ranking; the driver hash compares ids + ranks."""
+    from ..operators.sampling import weighted_topk_sample as _wtopk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("w")
+    )
+    out = _wtopk(docs, k=5, weight_col="w", group_col="lang")
+    return out.select("doc_id", "lang", "sample_rank")
+
+
 # DSIR oracle: the full hashed-feature weight computation in one CTE chain.
 # Rounded to 4 decimals on BOTH sides — the per-doc weight is a float sum
 # whose accumulation order differs between engines; terms are O(1)-O(10)

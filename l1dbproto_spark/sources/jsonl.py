@@ -23,6 +23,8 @@ generalized to whole-object lines for corpus tables.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,11 +118,24 @@ def read_csv_quarantined(
     quarantine with the verbatim line, one bad line costs one row. Built
     on the same text-scan + ``from_csv`` shape (and for the same reason:
     the native reader cannot serve a corrupt-only projection without
-    caching the parse). Header lines are dropped by exact match against
-    the schema's rendered header — INCLUDING mid-file ones from
-    concatenated exports (the classic crawl-dump artifact), which the
-    native reader would quarantine as data; a header-like line that
-    differs at all is data and parses/quarantines normally."""
+    caching the parse). Header lines are dropped by NORMALIZED match
+    against the schema's field names — each candidate field is trimmed
+    and stripped of one surrounding double-quote pair before the compare,
+    so ``"doc_id", "lang"`` and ``doc_id,lang`` both drop — INCLUDING
+    mid-file headers from concatenated exports (the classic crawl-dump
+    artifact), which the native reader would quarantine as data. A
+    header-like line that differs beyond quoting/whitespace is data and
+    parses/quarantines normally; a DATA row whose fields literally equal
+    the column names is indistinguishable from a header and drops (CSV
+    carries no types to tell them apart — same ambiguity every
+    header-dropping reader has).
+
+    Out of contract: multi-line quoted records. The scan is
+    line-oriented (that is what makes it splittable at 100 TB), so each
+    physical line parses alone — a record with an embedded newline
+    inside quotes becomes two lines that each parse or quarantine on
+    their own. Exports with embedded newlines must escape them (the
+    ``sinks.write_csv`` partner never emits them)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
@@ -137,7 +152,19 @@ def read_csv_quarantined(
     part_cols = [c for c in raw.columns if c != "value"]
     header_line = sep.join(f.name for f in schema.fields)
     if header:
-        raw = raw.filter(F.col("value") != header_line)
+        # normalized header candidate: split on the separator, trim each
+        # field, strip ONE surrounding double-quote pair — so quoted /
+        # space-padded header styles from foreign exporters drop too
+        # (r10 review find: an exact-string match mislabeled them, they
+        # type-mismatched into quarantine)
+        normalized = F.array_join(
+            F.transform(
+                F.split(F.col("value"), re.escape(sep), -1),
+                lambda t: F.regexp_replace(F.trim(t), '^"(.*)"$', "$1"),
+            ),
+            sep,
+        )
+        raw = raw.filter(normalized != header_line)
     parsed = raw.select(
         F.from_csv(F.col("value"), full.simpleString(), opts).alias("_j"),
         F.col("value"),

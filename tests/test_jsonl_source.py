@@ -111,3 +111,28 @@ def test_csv_quarantined_roundtrip_and_bad_lines(spark, tmp_path):
     assert set(rows) == {1, 3}
     q = [r._corrupt_record for r in quarantine.collect()]
     assert sorted(q) == ["2,20", "not_a_number,11,LOW"]
+
+
+def test_csv_quarantined_normalized_header_variants_drop(spark, tmp_path):
+    """r10 review find: foreign exporters render headers with quotes or
+    padding; exact-string matching mislabeled those as data (they
+    type-mismatched into quarantine). The match is now NORMALIZED —
+    trim + one surrounding quote pair per field — so all these variants
+    drop as headers, first-line or mid-file, while near-miss lines stay
+    data."""
+    from l1dbproto_spark.sources.jsonl import read_csv_quarantined
+
+    p = tmp_path / "quoted.csv"
+    p.write_text(
+        '"o_orderkey","o_custkey","o_orderpriority"\n'  # quoted header
+        "1,10,HIGH\n"
+        '"o_orderkey", "o_custkey", "o_orderpriority"\n'  # quoted+spaced, mid-file
+        " o_orderkey , o_custkey , o_orderpriority \n"  # space-padded, mid-file
+        "2,20,LOW\n"
+        "o_orderkey,o_custkey,EXTRA_COLUMN\n"  # differs beyond style: data -> quarantine
+    )
+    schema = "o_orderkey long, o_custkey long, o_orderpriority string"
+    clean, quarantine = read_csv_quarantined(spark, str(p), schema)
+    assert {r.o_orderkey for r in clean.collect()} == {1, 2}
+    q = [r._corrupt_record for r in quarantine.collect()]
+    assert q == ["o_orderkey,o_custkey,EXTRA_COLUMN"]

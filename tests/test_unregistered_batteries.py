@@ -805,3 +805,34 @@ def test_session_window_agg_matches_oracle(spark):
     _driver_grade(
         spark, session_window_agg, SESSION_WINDOW_ORACLE, "session_window_agg"
     )
+
+
+# Driver round 11: dedup_corpus_lines / text_stats / language_id lost their
+# slots to the round-10 components (weighted_topk_sample / bfs_distances /
+# csv_ingest_quarantine) — SAME oracles (shared constants in their query
+# modules), driver-grade compare, in-suite. The C4 family keeps its
+# operator pytest coverage; text analysis keeps the registered
+# tfidf_top_terms row.
+
+
+def test_dedup_corpus_lines_query_matches_oracle(spark):
+    from l1dbproto_spark.queries.dedup import (
+        DEDUP_CORPUS_LINES_ORACLE,
+        dedup_corpus_lines,
+    )
+
+    _driver_grade(
+        spark, dedup_corpus_lines, DEDUP_CORPUS_LINES_ORACLE, "dedup_corpus_lines"
+    )
+
+
+def test_text_stats_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import TEXT_STATS_ORACLE, text_stats
+
+    _driver_grade(spark, text_stats, TEXT_STATS_ORACLE, "text_stats")
+
+
+def test_language_id_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import LANGUAGE_ID_ORACLE, language_id
+
+    _driver_grade(spark, language_id, LANGUAGE_ID_ORACLE, "language_id")
