@@ -68,11 +68,14 @@ from l1dbproto_spark.queries import load_all
 from l1dbproto_spark.session import get_spark
 
 
-def bench_visit(spark) -> tuple[float, float]:
-    """(min, median) seconds for one steady-state visit over visits 3-5 on
-    the same growing store (visits 1-2 warm the DB; min is robust to
-    transient host load, median is the honest cross-round trend number —
-    see module docstring)."""
+def bench_visit(spark) -> tuple[float, float, list[float]]:
+    """(min, median, raw reps) seconds for one steady-state visit over
+    visits 3-5 on the same growing store (visits 1-2 warm the DB; min is
+    robust to transient host load, median is the honest cross-round trend
+    number — see module docstring). The raw per-visit reps ride along so
+    the recorded artifact shows the spread, not just the estimators
+    (r10 verdict item 8: three rounds of driver-vs-clean-host gaps need
+    per-rep evidence to attribute)."""
     from l1dbproto_spark.apdb import ApdbSpark
     from l1dbproto_spark.plans.region import Circle
     from l1dbproto_spark.workload.dia import DiaConfig, detect_sources
@@ -104,8 +107,9 @@ def bench_visit(spark) -> tuple[float, float]:
             if v >= 3:  # visits 1-2 warm the store; 3-5 are steady state
                 steady.append(time.time() - start)
         cat.unpersist()
+        raw = [round(t, 3) for t in steady]  # visit order, unsorted
         steady.sort()
-        return round(min(steady), 3), round(steady[len(steady) // 2], 3)
+        return round(min(steady), 3), round(steady[len(steady) // 2], 3), raw
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -194,6 +198,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # raw per-rep arrays (execution order, not sorted) ride along in the
+    # JSON so a driver-host-vs-clean-host gap can be attributed to rep
+    # spread directly from the recorded artifact (r10 verdict item 8)
+    rep_arrays: dict[str, list[float]] = {}
     for name, spec in headline.items():
         # one UNTIMED rep at the measured SF first: the cold rep pays page
         # cache + shuffle-file + codegen-instance warmup that min-of-3 only
@@ -208,11 +216,14 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             df.count()  # executes the full plan without driver materialization
             reps.append(time.time() - t0)
+        rep_arrays[name] = [round(r, 3) for r in reps]
         reps.sort()
         timings[name] = round(min(reps), 3)
         medians[name] = round(reps[len(reps) // 2], 3)
 
-    timings["ap_visit"], medians["ap_visit"] = bench_visit(spark)
+    timings["ap_visit"], medians["ap_visit"], rep_arrays["ap_visit"] = (
+        bench_visit(spark)
+    )
 
     # ANN recall record: mean recall@k of each approximate headline vs the
     # exact brute-force result at the same bench shape. The exact result
@@ -285,6 +296,8 @@ def main() -> None:
     # pipeline additions over the sf documents/embeddings tables.
     extra: dict[str, float] = {}
 
+    extra_reps: dict[str, list[float]] = {}
+
     def _extra(name, thunk, reps=2):
         thunk()  # untimed warm rep — same rationale as the headline loop
         vals = []
@@ -292,6 +305,7 @@ def main() -> None:
             t0 = time.time()
             thunk()
             vals.append(time.time() - t0)
+        extra_reps[name] = [round(v, 3) for v in vals]
         extra[name] = round(min(vals), 3)
 
     from l1dbproto_spark.operators.c4 import dedup_corpus_lines
@@ -488,6 +502,8 @@ def main() -> None:
                 "streaming_visit_times": visit_times,
                 "maintenance_events": maintenance_events,
                 "extra_ops": extra,
+                "queries_reps": rep_arrays,
+                "extra_ops_reps": extra_reps,
                 "ap_visit_sustained": steady[len(steady) // 2],
                 "ap_visit_worst": steady[-1],
                 "visit_budget_sec": 45.0,

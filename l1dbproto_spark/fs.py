@@ -44,6 +44,42 @@ class TableFS:
         marker primitive. On object stores the create is atomic on close."""
         self._fs.create(self._jpath(path), True).close()
 
+    def create_exclusive(self, path: str, content: str = "") -> bool:
+        """Create ``path`` only if it does not exist — the check-and-set
+        a fail-fast writer lock needs (``touch`` overwrites, so two racing
+        writers would both 'win'). Returns False when the file already
+        exists; ``content`` (e.g. owner run/epoch) is written for
+        diagnostics. Atomic on HDFS and local FS (create(overwrite=false)
+        is a namenode/syscall-level CAS); on eventually-consistent object
+        stores it is best-effort — still strictly better than no check."""
+        try:
+            out = self._fs.create(self._jpath(path), False)
+        except Exception:  # FileAlreadyExistsException (py4j-wrapped)
+            return False
+        try:
+            if content:
+                out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def read_text(self, path: str) -> str:
+        """Small-file read (lock diagnostics); '' when absent."""
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return ""
+        stream = self._fs.open(p)
+        try:
+            chunks = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                chunks.append(b)
+            return bytes(chunks).decode("utf-8", "replace")
+        finally:
+            stream.close()
+
     def list_names(self, path: str) -> list[str]:
         """Child entry names of a directory ([] when absent)."""
         p = self._jpath(path)

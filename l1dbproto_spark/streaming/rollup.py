@@ -81,13 +81,20 @@ class ContinuousAggregate:
     metrics (avg from the exact sum, HLL estimate); ``bind_stream``
     wires merge into ``foreachBatch``.
 
-    SINGLE WRITER PER STORE PATH: ``merge`` is a read-modify-write with
-    no store-level locking — the (run, epoch) marker makes RETRIES of
-    the same delivery exactly-once, but two CONCURRENT writers (e.g. an
-    ad-hoc merge racing an active stream) can interleave between the
-    state read and the dynamic overwrite and silently lose one side's
-    fold. Serialize all writers per store path; ad-hoc backfills go
-    through the same stream's foreachBatch or run while it is stopped.
+    SINGLE WRITER PER STORE PATH — now ENFORCED fail-fast (r10 advice):
+    ``merge`` is a read-modify-write, and two CONCURRENT writers (e.g.
+    an ad-hoc merge racing an active stream) could interleave between
+    the state read and the dynamic overwrite and silently lose one
+    side's fold. Every writer (merge, compact) therefore takes an
+    exclusive ``_writer.lock`` intent marker (filesystem create with
+    overwrite=false — a check-and-set) for its write window and RAISES
+    if another writer holds it; the loser loses loudly, never a fold.
+    Serialize writers per store path; ad-hoc backfills go through the
+    same stream's foreachBatch or run while it is stopped. A lock left
+    by a crashed writer fails subsequent merges until
+    ``clear_writer_lock()`` — deliberate: the crashed (run, epoch) may
+    have committed a PARTIAL multi-day fold that only its own retry
+    repairs, so the operator must re-deliver before resuming.
 
     ``accept_legacy_epochs=True`` opts into matching pre-upgrade rows
     whose ``last_run`` is NULL on epoch equality alone during the
@@ -130,6 +137,9 @@ class ContinuousAggregate:
         self.accept_legacy_epochs = bool(accept_legacy_epochs)
         self.lg_config_k = int(lg_config_k)
         self._fs = TableFS(spark, store_path)
+        # exclusive intent marker for the merge's read-modify-write window;
+        # underscore prefix keeps it invisible to parquet readers
+        self._lock_path = store_path.rstrip("/") + "/_writer.lock"
         gcols = "".join(f"{c} string, " for c in self.group_cols)
         self._schema = (
             "bucket_day date, bucket_start timestamp, "
@@ -200,8 +210,37 @@ class ContinuousAggregate:
         an already-committed epoch). The default rejects the NULL match
         because a fresh incarnation restarting epochs at 0 would
         false-match a legacy marker and silently drop that day's fold —
-        see the class docstring."""
+        see the class docstring.
+
+        Single-writer enforcement: the merge takes an EXCLUSIVE intent
+        marker (``_writer.lock`` under the store path, created with
+        overwrite=false — a filesystem-level check-and-set) for the
+        read-modify-write window and raises RuntimeError if another
+        writer holds it, instead of silently losing a fold to an
+        interleaved state-read/overwrite. A lock left behind by a
+        CRASHED writer also fails the next merge loudly — the store may
+        hold a partial multi-day fold that the crashed (run, epoch)'s
+        RETRY must repair first; inspect and :meth:`clear_writer_lock`,
+        then re-deliver."""
         run = run_id or self.run_id
+        if not self._fs.create_exclusive(
+            self._lock_path, f"run={run} epoch={epoch_id}"
+        ):
+            raise RuntimeError(
+                f"concurrent rollup writer: {self._lock_path} is held "
+                f"({self._fs.read_text(self._lock_path) or 'no owner info'}). "
+                "Serialize writers per store path; if no merge is in "
+                "flight a previous writer crashed mid-fold — re-deliver "
+                "its batch after clear_writer_lock()."
+            )
+        try:
+            self._merge_locked(batch, epoch_id, run)
+        finally:
+            self._fs.delete(self._lock_path)
+
+    def _merge_locked(
+        self, batch: DataFrame, epoch_id: int | None, run: str
+    ) -> None:
         partials = self._batch_partials(batch, epoch_id, run).withColumn(
             "bucket_day", F.to_date("bucket_start")
         ).transform(pin, eager=True)
@@ -367,9 +406,26 @@ class ContinuousAggregate:
         return self._fs.partition_file_counts(self.store_path)
 
     def compact(self) -> None:
-        self._fs.compact_store(
-            self.spark, self.store_path, self._schema, "bucket_day"
-        )
+        """Rewrite fragmented partitions — a writer like merge, so it takes
+        the same exclusive lock (a compact racing a merge would resurrect
+        the pre-merge partition it read)."""
+        if not self._fs.create_exclusive(self._lock_path, "compact"):
+            raise RuntimeError(
+                f"concurrent rollup writer: {self._lock_path} is held "
+                f"({self._fs.read_text(self._lock_path) or 'no owner info'})"
+            )
+        try:
+            self._fs.compact_store(
+                self.spark, self.store_path, self._schema, "bucket_day"
+            )
+        finally:
+            self._fs.delete(self._lock_path)
+
+    def clear_writer_lock(self) -> bool:
+        """Remove a writer lock left by a CRASHED writer (after confirming
+        no merge is in flight and re-delivering its batch — see merge).
+        Returns False when no lock was present."""
+        return self._fs.delete(self._lock_path)
 
     def bind_stream(self, stream_df: DataFrame, checkpoint_dir: str):
         """Wire merge into foreachBatch (availableNow or continuous).

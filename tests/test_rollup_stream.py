@@ -446,3 +446,52 @@ def test_registered_serve_split_is_null_safe(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(serving, "load_table", lambda s, d, t: ev)
     out = serving.rollup_hourly_serve(spark, "ignored").collect()
     assert len(out) == 1 and out[0].n == 3 and out[0].sum_val == 60.0
+
+
+def test_concurrent_writer_fails_fast_and_loses_nothing(spark, tmp_path):
+    """r10 advice closure: the single-writer contract is now ENFORCED.
+    A second writer racing the lock raises instead of interleaving with
+    the first's read-modify-write, and the store equals exactly the
+    first writer's fold. Crash semantics: a leftover lock keeps failing
+    merges (the crashed epoch's partial fold needs its own retry) until
+    clear_writer_lock, after which the re-delivery folds normally."""
+    events = load_table(spark, SF_DIR, "events")
+    b1, b2 = _halves(events)
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    agg.merge(b1, epoch_id=0)
+    before = _pd(
+        agg.state(),
+        ["bucket_start", "event_type", "n", "min_val", "max_val"],
+    )
+    # simulate a writer holding the lock (as a racing merge would)
+    assert agg._fs.create_exclusive(agg._lock_path, "run=other epoch=9")
+    with pytest.raises(RuntimeError, match="concurrent rollup writer"):
+        agg.merge(b2, epoch_id=1)
+    with pytest.raises(RuntimeError, match="concurrent rollup writer"):
+        agg.compact()
+    after = _pd(
+        agg.state(),
+        ["bucket_start", "event_type", "n", "min_val", "max_val"],
+    )
+    pd.testing.assert_frame_equal(after, before)  # loser lost loudly, not a fold
+    # crashed-writer recovery: clear, re-deliver, incremental == batch
+    assert agg.clear_writer_lock()
+    assert not agg.clear_writer_lock()  # idempotent: nothing left
+    agg.merge(b2, epoch_id=1)
+    cols = ["bucket_start", "event_type", "n", "sum_val", "min_val", "max_val"]
+    pd.testing.assert_frame_equal(
+        _pd(agg.finalize(), cols), _pd(_batch_truth(events), cols)
+    )
+    # a completed merge released its lock: the next writer proceeds
+    agg.compact()
+
+
+def test_writer_lock_is_check_and_set(spark, tmp_path):
+    """create_exclusive must be a real CAS: the second create FAILS (touch
+    would overwrite and let both racers 'win'), and the content names the
+    holder for the error message."""
+    agg = _mk(spark, str(tmp_path / "rollup"))
+    assert agg._fs.create_exclusive(agg._lock_path, "run=a epoch=1")
+    assert not agg._fs.create_exclusive(agg._lock_path, "run=b epoch=2")
+    assert agg._fs.read_text(agg._lock_path) == "run=a epoch=1"
+    agg.clear_writer_lock()
