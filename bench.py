@@ -429,14 +429,16 @@ def main() -> None:
     # ANN top-50 of 20 query vectors (k=10 greedy rounds; the cost is the
     # per-round driver loop + pin, same amortization story as coreness)
     from l1dbproto_spark.operators.rerank import mmr_rerank
-    from l1dbproto_spark.operators.similarity import brute_force_topk
+    from l1dbproto_spark.operators.similarity import exact_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     mmr_q = emb.filter(F.col("vec_id") < 20)
 
     def _mmr():
         cands = (
-            brute_force_topk(emb, mmr_q, k=50)
+            # exact_topk front door: dim 64 x 20 queries dispatches to
+            # the fold here; a wide corpus would get the BLAS path
+            exact_topk(emb, mmr_q, k=50, n_queries=20)
             .join(
                 emb.select(
                     F.col("vec_id").alias("neighbor_id"),

@@ -174,6 +174,63 @@ def brute_force_topk(
     )
 
 
+def exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+    dim: int | None = None,
+    n_queries: int | None = None,
+    arrow_min_work: int = 6000,
+) -> DataFrame:
+    """Front door for exact cosine top-k: dispatches between the
+    expression-fold :func:`brute_force_topk` and the Arrow/BLAS
+    :func:`arrow_topk` on the per-corpus-row work product ``dim x |Q|``
+    — the quantity both engines' costs actually scale with (the fold
+    pays it in generated JVM expression code per pair; arrow pays a flat
+    Arrow serialization per row plus one BLAS block whose flops barely
+    move it). Composed paths (MMR candidate generation, ad-hoc recall
+    baselines) call this so wide-embedding corpora get the BLAS path
+    without every caller re-learning the crossover.
+
+    MEASURED rule basis (local[32]; PERFORMANCE.md driver r10/r11):
+    dim 64 x 20 queries (work 1280) — fold 0.49-0.72 s vs arrow
+    0.65-0.76 s (fold wins; the bench/registered narrow shape);
+    dim 512 x 20 (10240) — arrow 2.7x; dim 512 x 100 (51200) — arrow
+    14.7x; dim 64 x 1000 (64000) — fold 1.04 s vs arrow 0.62 s;
+    dim 128 x 200 (25600) — arrow 0.59 vs 0.71 s. The default threshold
+    6000 puts every measured arrow-win above it and the measured fold
+    win below; it is host-dependent in the tie region (both paths are
+    within ~1.3x there), so callers with a profiled shape can override.
+
+    ``dim`` and ``n_queries`` skip the probes when the caller knows
+    them; otherwise one corpus row is peeked for dim and the (bounded,
+    broadcast-sized by contract) query frame is counted — driver-side
+    scalars, same class as the day-literal collects. Results of the two
+    paths agree to ``round_digits`` rounding (BLAS accumulation order
+    differs from the ordered fold; parity pinned by test at dim 64 and
+    dim 512)."""
+    if dim is None:
+        row = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        dim = int(row.d) if row is not None else 0
+    if n_queries is None:
+        n_queries = queries.count()
+    if dim * n_queries >= arrow_min_work:
+        return arrow_topk(corpus, queries, k, vec_col, id_col, round_digits)
+    # the probed dim is for DISPATCH only — forwarding it would switch
+    # brute_force_topk's dot from the fold to the unrolled chain, which
+    # measured SLOWER at this narrow shape (0.95 -> 2.5 s at dim 64 x 20
+    # queries x 5k corpus) and whose float accumulation order differs
+    # (a caller-visible value change at the rounding margin)
+    return brute_force_topk(corpus, queries, k, vec_col, id_col, round_digits)
+
+
 def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
     """Deterministic sign-pattern bucket from the leading n_bits dimensions:
     bucket = sum(2^i * (v[i] > 0)). Axis-aligned random-hyperplane LSH."""

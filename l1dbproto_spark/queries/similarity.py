@@ -13,6 +13,7 @@ from ..operators.similarity import (
     RECALL_QUERY_MAX_ID,
     brute_force_topk,
     dot,
+    exact_topk,
     l2_norm,
     multiprobe_masks,
     multitable_lsh_topk,
@@ -655,7 +656,11 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 8)
     cands = (
-        brute_force_topk(emb, qs, k=20)
+        # the exact_topk front door: at the fixture shape (dim 64 x 8
+        # queries) it dispatches to the fold — same rounded sims the
+        # oracle reproduces — and a wide-embedding corpus would get the
+        # Arrow/BLAS path without touching this query
+        exact_topk(emb, qs, k=20, n_queries=8)
         .join(
             emb.select(
                 F.col("vec_id").alias("neighbor_id"),

@@ -102,11 +102,21 @@ class VisitStreamDriver:
         )
         self.apdb.save_visit(visit_id, visit_time, self.last_object_id)
         self.counts.append((visit_id, c))
-        if self.maintain_every and visit_id % self.maintain_every == 0:
-            self.apdb.maintenance(self.maintain_max_files)
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """foreachBatch hook: each non-empty micro-batch = one visit."""
+        """foreachBatch hook: each non-empty micro-batch = one visit.
+
+        Maintenance runs AFTER the visit completes (store + visit marker
+        committed), off the visit critical path: a visit must land inside
+        the 45 s budget, while the compaction consumes the idle gap
+        before the next trigger — the gap a fixed-cadence stream has by
+        construction. Inline (pre-r11) it rode inside the measured visit,
+        and the compaction event grows with store size while the budget
+        does not (r10 verdict: the worst bench visit was the inline
+        DiaObject compaction). Running it synchronously between visits —
+        not on a background thread — keeps the single-writer story: a
+        compaction's partition overwrite can never race the next visit's
+        appends into the same table."""
         if batch_df.isEmpty():
             return
         if self._stop_after is not None and len(self.counts) >= self._stop_after:
@@ -117,8 +127,11 @@ class VisitStreamDriver:
         self.ticks += 1
         if self.gate_day_night and not night_gated(visit_time):
             return
-        self._process_one(self.next_visit_id, visit_time)
+        visit_id = self.next_visit_id
+        self._process_one(visit_id, visit_time)
         self.next_visit_id += 1
+        if self.maintain_every and visit_id % self.maintain_every == 0:
+            self.apdb.maintenance(self.maintain_max_files)
 
     def run_stream(self, n_visits: int, trigger_seconds: float = 0.0):
         """Run ``n_visits`` micro-batches through a rate source. Synchronous:
@@ -151,12 +164,17 @@ class VisitStreamDriver:
         return self.counts
 
     def run_batch(self, n_visits: int):
-        """The same loop driven directly (the reference's default mode)."""
+        """The same loop driven directly (the reference's default mode).
+        Maintenance runs between visits here too — same off-critical-path
+        placement as foreach_batch."""
         for _ in range(n_visits):
             visit_time = self.start_time + datetime.timedelta(
                 seconds=self.interval_s * self.ticks
             )
             self.ticks += 1
-            self._process_one(self.next_visit_id, visit_time)
+            visit_id = self.next_visit_id
+            self._process_one(visit_id, visit_time)
             self.next_visit_id += 1
+            if self.maintain_every and visit_id % self.maintain_every == 0:
+                self.apdb.maintenance(self.maintain_max_files)
         return self.counts

@@ -92,3 +92,57 @@ def test_null_elements_and_ragged_vectors_cost_one_row(spark):
     # degenerate QUERIES (null element / ragged) contribute nothing
     bad_q = df.filter(F.col("vec_id").isin(1, 3))
     assert arrow_topk(df, bad_q, k=2).count() == 0
+
+
+# exact_topk — the dim x |Q| dispatch front door (driver r11)
+
+
+def test_exact_topk_dispatches_fold_at_narrow_dim(spark):
+    """dim 64 x 10 queries (work 640 < 6000) must take the expression
+    fold: no MapInPandas in the plan, results identical to
+    brute_force_topk (bit-for-bit — same code path)."""
+    from l1dbproto_spark.operators.similarity import exact_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = exact_topk(emb, qs, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert _as_map(got) == _as_map(brute_force_topk(emb, qs, k=5))
+
+
+def test_exact_topk_dispatches_arrow_at_wide_dim(spark):
+    """dim 512 x 20 queries (work 10240 >= 6000) must take the Arrow/BLAS
+    path: MapInPandas in the plan, results equal to the fold to the
+    round_digits rounding (the documented cross-path contract)."""
+    from l1dbproto_spark.operators.similarity import exact_topk
+
+    dim = 512
+    wide = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in np.random.default_rng(1000 + i).standard_normal(dim)])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = wide.filter(F.col("vec_id") < 20)
+    got = exact_topk(wide, qs, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert _as_map(got) == _as_map(brute_force_topk(wide, qs, k=5))
+
+
+def test_exact_topk_knob_and_probe_overrides(spark):
+    """Explicit dim/n_queries skip the probes and drive the same rule:
+    forcing the threshold down flips the narrow shape to arrow; an empty
+    corpus returns an empty frame through the fold path."""
+    from l1dbproto_spark.operators.similarity import exact_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    forced = exact_topk(emb, qs, k=5, arrow_min_work=1)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert _as_map(forced) == _as_map(brute_force_topk(emb, qs, k=5))
+    empty = emb.filter(F.lit(False))
+    assert exact_topk(empty, qs, k=5).count() == 0
