@@ -103,29 +103,29 @@ _PRIORITY = [
     "bm25_topk",
     "fuzzy_name_match",
     "phrase_match",
-    # driver round 8 (builder label r9): 1-bit quantized ANN + event analytics (rotation: out
+    # driver round 8: 1-bit quantized ANN + event analytics (rotation: out
     # catalog_union / filtered_counts / doc_fingerprint -> in-suite
     # oracles in tests/test_unregistered_batteries.py)
     "hamming_topk",
     "funnel_conversion",
     "cohort_retention",
-    # driver round 8 (builder label r10): TPC-H completion battery signature members (rotation: out
+    # driver round 8: TPC-H completion battery signature members (rotation: out
     # partitioned_source_ids / media_byte_histogram -> in-suite oracles in
     # tests/test_unregistered_batteries.py; W3 keeps its formula pytest and
     # multimodal keeps the registered media_chunk_fingerprints row)
     "q10_returned_items",
     "q18_large_orders",
-    # driver round 8 (builder label r10, cont.): graph mining + ingest validation (rotation: out
+    # driver round 8 (cont.): graph mining + ingest validation (rotation: out
     # argmax_order_per_customer / json_payload_extract -> in-suite oracles
     # in tests/test_unregistered_batteries.py; max_by and JSON-extraction
     # surfaces keep their other pytest coverage)
     "part_copurchase_triangles",
     "data_quality_report",
-    # driver round 8 (builder label r11): one-pass column profiler (rotation: out pixelization_ids ->
+    # driver round 8: one-pass column profiler (rotation: out pixelization_ids ->
     # in-suite oracle in tests/test_unregistered_batteries.py; J5/§4 stay
     # driver-checked via pixel_range_scan, which consumes the same ids)
     "column_profile",
-    # driver round 8 (builder label r11): retrieval evaluation metrics (rotation: out
+    # driver round 8: retrieval evaluation metrics (rotation: out
     # metrics_pivot_wide -> in-suite oracle; A9 keeps the streaming
     # metrics pivot pytest coverage)
     "retrieval_eval",
