@@ -155,8 +155,34 @@ def _stage_validate(docs: DataFrame, suite=None, **p) -> DataFrame:
     return docs
 
 
+def _stage_url_dedup(docs: DataFrame, **p) -> DataFrame:
+    """Canonical-URL exact dedup: keep each group's min-id doc. Documents
+    whose URL does not parse have no canonical key and are KEPT —
+    quarantine/count them upstream (weburl module contract)."""
+    from pyspark.sql import functions as F
+
+    from .weburl import normalize_url, url_dedup_groups
+
+    url_col = p.pop("url_col", "url")
+    id_col = p.pop("id_col", "doc_id")
+    keep = url_dedup_groups(docs, url_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    kept = docs.join(keep, id_col, "left_semi")
+    unparsed = docs.filter(normalize_url(F.col(url_col)).isNull())
+    return kept.unionByName(unparsed)
+
+
+def _stage_filter_blocked_domains(docs: DataFrame, **p) -> DataFrame:
+    from .weburl import filter_blocked_domains
+
+    return filter_blocked_domains(docs, **p)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "validate": _stage_validate,
+    "url_dedup": _stage_url_dedup,
+    "filter_blocked_domains": _stage_filter_blocked_domains,
     "strip_html": _stage_strip_html,
     "c4_clean": _stage_c4_clean,
     "c4_span_dedup": _stage_c4_span_dedup,

@@ -130,3 +130,38 @@ def test_line_dedup_stage_equivalence(spark):
     )
     assert n_banner == 1
     assert audit[-1]["rows"] == len(a)
+
+
+def test_url_stages_equivalence_and_unparsed_kept(spark):
+    """url_dedup keeps each canonical-URL group's min-id doc, keeps
+    unparseable-URL docs (no canonical key), and composes with the
+    domain blocklist stage — stage semantics == operator semantics."""
+    from l1dbproto_spark.operators.weburl import url_dedup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://A.com/p?utm_source=x&q=1", "alpha"),
+            (2, "HTTP://a.com:80/p?q=1#frag", "alpha dup by url"),
+            (3, "https://b.co.uk/page", "beta"),
+            (4, "https://sub.b.co.uk/other", "beta other host same domain"),
+            (5, "not a url at all", "gamma unparseable"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out, audit = run_pipeline(docs, [{"stage": "url_dedup"}])
+    got = {r.doc_id for r in out.collect()}
+    keep = {
+        r.keep_doc_id for r in url_dedup_groups(docs).collect()
+    }
+    assert got == keep | {5}  # 1 and 2 fold to min id 1; 5 kept unparsed
+    assert got == {1, 3, 4, 5}
+    assert audit[-1]["rows"] == 4
+    # composed with the blocklist: b.co.uk covers both hosts 3 and 4
+    out2, _ = run_pipeline(
+        docs,
+        [
+            {"stage": "url_dedup"},
+            {"stage": "filter_blocked_domains", "blocked": ["B.CO.UK"]},
+        ],
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 5}
