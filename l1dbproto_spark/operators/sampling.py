@@ -320,11 +320,16 @@ def weighted_topk_sample(
     re-runs reproduce the same sample, and varying the salt gives
     independent draws (the statistical test exercises exactly that).
 
-    Scale shape: zero-shuffle key computation on the scan, then ONE
-    top-k: global k is a TakeOrdered (no sort), per-group k is one
-    row_number window partitioned by the group — the same shuffle any
-    per-group selection pays. Adds ``sample_key`` (the race key) and
-    ``sample_rank`` (1..k in key order)."""
+    Scale shape: zero-shuffle key computation on the scan, then an exact
+    TWO-PHASE top-k: global k is a TakeOrdered (no sort); per-group k
+    first takes each SCAN PARTITION's local top-k per group (a window
+    keyed on (group, spark_partition_id()) — every frame is bounded by
+    one partition's rows, so a group holding half the corpus never sorts
+    in one task, the skew class the coreness h-index round was flagged
+    for in r10), then ranks the surviving <= partitions x k rows per
+    group. Top-k is associative, so the two-phase result is IDENTICAL
+    to the direct window — pinned by test. Adds ``sample_key`` (the race
+    key) and ``sample_rank`` (1..k in key order)."""
     if k < 1:
         raise ValueError("weighted_topk_sample: k must be >= 1")
     w = F.col(weight_col).cast("double")
@@ -342,9 +347,19 @@ def weighted_topk_sample(
                 F.row_number().over(Window.orderBy(*order)).cast("long"),
             )
         )
+    # phase 1: per-(group, scan partition) top-k — candidate cut whose
+    # window frames are bounded by partition size, never group size
+    wloc = Window.partitionBy(group_col, "_pid").orderBy(*order)
+    local = (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wloc))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    # phase 2: exact rank over <= partitions x k survivors per group
     wnd = Window.partitionBy(group_col).orderBy(*order)
     return (
-        keyed.withColumn("sample_rank", F.row_number().over(wnd).cast("long"))
+        local.withColumn("sample_rank", F.row_number().over(wnd).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
 

@@ -477,3 +477,50 @@ def test_weighted_topk_matches_duckdb_oracle(spark):
         for r in duckdb.sql(oracle).df().itertuples()
     }
     assert got == want and len(got) > 0
+
+
+def test_weighted_topk_two_phase_equals_direct_window(spark):
+    """The per-group path is a two-phase exact top-k (partition-local cut
+    keyed on spark_partition_id, then global rank) so one giant group
+    never sorts in a single task. Top-k is associative: the result must
+    be IDENTICAL to the naive single-window form, on a skewed fixture
+    where one group holds ~90% of rows spread over many partitions."""
+    from pyspark.sql import Window
+
+    from l1dbproto_spark.operators.sampling import (
+        _unit_hash,
+        weighted_topk_sample,
+    )
+
+    docs = (
+        spark.range(20_000)
+        .repartition(16)  # ensure the big group spans many partitions
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, F.lit("small"))
+            .otherwise(F.lit("big"))
+            .alias("src"),
+            (F.col("id") % 13 + 1).cast("double").alias("w"),
+        )
+    )
+    got = {
+        (r.src, r.sample_rank): r.doc_id
+        for r in weighted_topk_sample(
+            docs, k=7, weight_col="w", group_col="src"
+        ).collect()
+    }
+    # naive reference: one window over the full group
+    u = F.greatest(_unit_hash(F.col("doc_id"), "wtopk-v1"), F.lit(2.0**-48))
+    keyed = docs.filter(F.col("w") > 0).withColumn(
+        "sample_key", -F.log(u) / F.col("w")
+    )
+    wnd = Window.partitionBy("src").orderBy(
+        F.asc("sample_key"), F.asc("doc_id")
+    )
+    want = {
+        (r.src, r.rn): r.doc_id
+        for r in keyed.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == want and len(got) == 14
