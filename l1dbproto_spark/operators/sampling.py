@@ -125,16 +125,26 @@ def stratified_sample(
     This is a deterministic hash-rank sample — the same marginal coverage a
     reservoir sample gives, with the stronger property that the chosen set
     is a pure function of (ids, salt): stable across runs, engines, and row
-    order. One hash-partitioned window per stratum; each task sorts only
-    its stratum's rows by a uniform 48-bit key, so the plan is
-    skew-tolerant and engine-reproducible (ROW_NUMBER over the same hash in
-    DuckDB)."""
+    order, and engine-reproducible (ROW_NUMBER over the same hash in
+    DuckDB). Like ``weighted_topk_sample``, the per-stratum rank is an
+    exact TWO-PHASE top-k: a partition-local cut keyed on
+    (strata, spark_partition_id()) bounds every window frame by one scan
+    partition's rows, then the final rank runs over <= partitions x k
+    survivors — a stratum holding most of the corpus never sorts in a
+    single task (a uniform SORT KEY does not make the one-task-per-
+    stratum FRAME small; same fix class as the r10 coreness finding)."""
     if isinstance(strata_cols, str):
         strata_cols = [strata_cols]
     u = _unit_hash(F.col(id_col), salt)
-    w = Window.partitionBy(*strata_cols).orderBy(F.asc("_u"), F.asc(id_col))
+    order = [F.asc("_u"), F.asc(id_col)]
+    wloc = Window.partitionBy(*strata_cols, "_pid").orderBy(*order)
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
     return (
         docs.withColumn("_u", u)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wloc))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
         .drop("_u")

@@ -524,3 +524,40 @@ def test_weighted_topk_two_phase_equals_direct_window(spark):
         .collect()
     }
     assert got == want and len(got) == 14
+
+
+def test_stratified_sample_two_phase_equals_direct_window(spark):
+    """Same associativity pin for stratified_sample: the two-phase plan
+    must match the naive full-stratum window on a skewed multi-partition
+    fixture."""
+    from pyspark.sql import Window
+
+    from l1dbproto_spark.operators.sampling import (
+        _unit_hash,
+        stratified_sample,
+    )
+
+    docs = (
+        spark.range(15_000)
+        .repartition(16)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 == 0, F.lit("rare"))
+            .otherwise(F.lit("common"))
+            .alias("lang"),
+        )
+    )
+    got = {
+        (r.lang, r.sample_rank): r.doc_id
+        for r in stratified_sample(docs, k=6).collect()
+    }
+    u = _unit_hash(F.col("doc_id"), "strat-v1")
+    wnd = Window.partitionBy("lang").orderBy(F.asc("_u"), F.asc("doc_id"))
+    want = {
+        (r.lang, r.rn): r.doc_id
+        for r in docs.withColumn("_u", u)
+        .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 6)
+        .collect()
+    }
+    assert got == want and len(got) == 12
