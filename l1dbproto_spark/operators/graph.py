@@ -1055,7 +1055,18 @@ def random_walks(
     the current node + ONE indexed-neighbor join — the frontier stays at
     nodes x walks_per_node rows for every step, and walk state never
     accumulates in the frontier (steps are appended to the result set,
-    pinned per round like every iterative operator here)."""
+    pinned per round like every iterative operator here).
+
+    Known skew exposure, deliberate: the BUILD-ONCE dense neighbor index
+    sorts each node's adjacency in that node's window task, so a
+    100M-degree hub pays one degree-sized sort — once, amortized over
+    all steps, unlike the per-round sort the r10 coreness finding
+    removed. A dense 1..deg index has no aggregation-based equivalent
+    (top-k tricks don't yield dense ranks); the skew-proof alternative —
+    per-step argmin-of-hash neighbor choice via map-side-combinable
+    min_by — trades it for an O(occupied-adjacency) aggregation EVERY
+    step, which loses whenever walk_length > 1. Flip the trade only if
+    profiles show the one-time hub sort dominating."""
     from pyspark.sql import Window
 
     if directed:
