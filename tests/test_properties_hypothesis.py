@@ -397,3 +397,75 @@ def test_hashed_embedding_invariants_random(words, seed):
         for r in hashed_doc_embeddings(df, dim=16).collect()
     }
     assert norm[1] == norm[2]
+
+
+# --- weburl.normalize_url: algebraic properties over generated URLs ------
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_pname = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+)
+_pval = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789%.~", min_size=0, max_size=8
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/a/b", "/a%20b/.x"]),
+    params=st.lists(st.tuples(_pname, _pval), max_size=5),
+    tracking=st.lists(
+        st.sampled_from(["utm_source=x", "utm_c", "fbclid=1", "gclid=", "ref=nav"]),
+        max_size=3,
+    ),
+    fragment=st.sampled_from(["", "#top", "#a/b?c=d"]),
+    shuffle_seed=st.integers(min_value=0, max_value=999),
+)
+def test_normalize_url_fixpoint_and_insensitivity(
+    scheme, labels, port, path, params, tracking, fragment, shuffle_seed
+):
+    """normalize_url is a FIXPOINT (its output normalizes to itself) and
+    is insensitive to query-param order, tracking params, and fragments —
+    the properties that make it a dedup key."""
+    import random
+
+    from l1dbproto_spark.operators.weburl import normalize_url
+
+    spark = _get_spark()
+    host = ".".join(labels)
+    base_params = [f"{k}={v}" for k, v in params]
+    mixed = base_params + list(tracking)
+    rng = random.Random(shuffle_seed)
+    shuffled = mixed[:]
+    rng.shuffle(shuffled)
+
+    def q(ps):
+        return ("?" + "&".join(ps)) if ps else ""
+
+    u1 = f"{scheme}://{host}{port}{path}{q(mixed)}{fragment}"
+    u2 = f"{scheme.lower()}://{host}{port}{path}{q(shuffled)}"
+    u3 = f"{scheme.upper()}://{host}{port}{path}{q(base_params)}#other"
+    df = spark.createDataFrame(
+        [(u1,), (u2,), (u3,)], "url string"
+    ).select(normalize_url(F.col("url")).alias("n"))
+    n1, n2, n3 = [r.n for r in df.collect()]
+    assert n1 is not None and n1 == n2 == n3
+    # fixpoint: renormalizing the canonical form changes nothing
+    again = (
+        spark.createDataFrame([(n1,)], "url string")
+        .select(normalize_url(F.col("url")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert again == n1
