@@ -72,6 +72,7 @@ def test_day_night_gate_advances_time():
     drv.counts = []
     drv.ticks = 0
     drv.next_visit_id = 1
+    drv.maintain_every = None  # post-visit maintenance hook (off here)
     processed = []
     drv._process_one = lambda vid, vt: (processed.append(vt), drv.counts.append((vid, 0)))
 
