@@ -688,11 +688,17 @@ def core_numbers(
     recomputes h only for nodes adjacent to the previous round's changed
     set (estimates are monotone, so skipped nodes keep provably-correct
     values). MEASURED tradeoff (tools/coreness_crossover.py, driver
-    r10): the pruning costs two extra semi-joins + a distinct + a pin
-    per round AND forces unroll=1, which loses on this family of graphs
-    at EVERY measured size — co-purchase graph x1/x10/x100 edges
+    r10; x100 re-measured driver r11 with the aggregation-based round in
+    fresh sessions — plain 38.5-39.0 s vs frontier 42.2 s, same verdict;
+    the crossover TOOL's one-session sequential sweep overstates
+    whichever size runs late, so same-size comparisons should come from
+    fresh sessions): the pruning costs two extra semi-joins + a distinct
+    + a pin per round AND forces unroll=1, which loses on this family of
+    graphs at EVERY measured size — co-purchase graph x1/x10/x100 edges
     (33k/325k/3.25M): plain 10.8/13.8/39.5 s vs frontier
-    12.1/22.4/45.3 s. Data volume alone never pays for the bookkeeping
+    12.1/22.4/45.3 s (r10 code; the r11 aggregation round measures at
+    parity with these on the same host, old 40.6 vs new 39.0 at x100).
+    Data volume alone never pays for the bookkeeping
     because the h-index fixpoint converges in a few rounds with LARGE
     frontiers (most nodes settle together, so little is skippable); the
     win requires a long SMALL-frontier convergence tail — many rounds
