@@ -33,6 +33,60 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
+def _corrupt_capturing_schema(schema: T.StructType | str) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    # StructType.add MUTATES self; build the corrupt-capturing schema as a
+    # fresh struct so the caller's schema (and the clean projection below)
+    # stay corrupt-free
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
+def _split_parsed(
+    raw: DataFrame, parsed_col, schema: T.StructType, part_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    parsed = raw.select(
+        parsed_col.alias("_j"), F.col("value"), *part_cols
+    )
+    bad = F.col(f"_j.{CORRUPT_COL}").isNotNull() | F.col("_j").isNull()
+    fields = [
+        F.coalesce(
+            F.col(f"_j.{f.name}"), F.col(f.name).cast(f.dataType)
+        ).alias(f.name)
+        if f.name in part_cols
+        else F.col(f"_j.{f.name}").alias(f.name)
+        for f in schema.fields
+    ]
+    clean = parsed.filter(~bad).select(*fields)
+    quarantine = parsed.filter(bad).select(F.col("value").alias(CORRUPT_COL))
+    return clean, quarantine
+
+
+def parse_jsonl_lines(
+    lines: DataFrame, schema: T.StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) from a frame of raw text lines (column
+    ``value`` plus any hive-partition columns) — the parsing core of
+    :func:`read_jsonl`, factored out so the STREAMING ingest gate
+    (streaming/ingest_stream.py) applies the identical contract to each
+    micro-batch. Works on batch and streaming frames alike (pure
+    per-row expressions)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = _corrupt_capturing_schema(schema)
+    part_cols = [c for c in lines.columns if c != "value"]
+    parsed_col = F.from_json(
+        F.col("value"),
+        full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return _split_parsed(lines, parsed_col, schema, part_cols)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType | str
 ) -> tuple[DataFrame, DataFrame]:
@@ -49,43 +103,11 @@ def read_jsonl(
     reference only the internal corrupt-record column of a raw JSON scan
     (the documented alternative is caching the whole parse — a non-starter
     at corpus scale). The text-scan form keeps each returned frame one
-    plain pass, and the quarantine keeps the verbatim line."""
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if CORRUPT_COL in schema.fieldNames():
-        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
-    # StructType.add MUTATES self; build the corrupt-capturing schema as a
-    # fresh struct so the caller's schema (and the clean projection below)
-    # stay corrupt-free
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-    )
-    raw = spark.read.text(path)
-    # a hive-partitioned layout (write_jsonl(partition_by=...)) surfaces the
-    # partition keys as scan columns the JSON lines don't carry — fill those
-    # schema fields from the directory structure
-    part_cols = [c for c in raw.columns if c != "value"]
-    parsed = raw.select(
-        F.from_json(
-            F.col("value"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("_j"),
-        F.col("value"),
-        *part_cols,
-    )
-    bad = F.col(f"_j.{CORRUPT_COL}").isNotNull() | F.col("_j").isNull()
-    fields = [
-        F.coalesce(
-            F.col(f"_j.{f.name}"), F.col(f.name).cast(f.dataType)
-        ).alias(f.name)
-        if f.name in part_cols
-        else F.col(f"_j.{f.name}").alias(f.name)
-        for f in schema.fields
-    ]
-    clean = parsed.filter(~bad).select(*fields)
-    quarantine = parsed.filter(bad).select(F.col("value").alias(CORRUPT_COL))
-    return clean, quarantine
+    plain pass, and the quarantine keeps the verbatim line. A
+    hive-partitioned layout (write_jsonl(partition_by=...)) surfaces the
+    partition keys as scan columns the JSON lines don't carry — those
+    schema fields fill from the directory structure."""
+    return parse_jsonl_lines(spark.read.text(path), schema)
 
 
 def write_jsonl(
@@ -136,20 +158,28 @@ def read_csv_quarantined(
     inside quotes becomes two lines that each parse or quarantine on
     their own. Exports with embedded newlines must escape them (the
     ``sinks.write_csv`` partner never emits them)."""
+    return parse_csv_lines(spark.read.text(path), schema, header, sep)
+
+
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: T.StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) from a frame of raw text lines — the parsing
+    core of :func:`read_csv_quarantined` (same contract, including the
+    normalized header drop), factored out for the streaming ingest gate.
+    Works on batch and streaming frames alike."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    if CORRUPT_COL in schema.fieldNames():
-        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-    )
+    full = _corrupt_capturing_schema(schema)
     opts = {
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": CORRUPT_COL,
         "sep": sep,
     }
-    raw = spark.read.text(path)
-    part_cols = [c for c in raw.columns if c != "value"]
+    part_cols = [c for c in lines.columns if c != "value"]
     header_line = sep.join(f.name for f in schema.fields)
     if header:
         # normalized header candidate: split on the separator, trim each
@@ -164,21 +194,6 @@ def read_csv_quarantined(
             ),
             sep,
         )
-        raw = raw.filter(normalized != header_line)
-    parsed = raw.select(
-        F.from_csv(F.col("value"), full.simpleString(), opts).alias("_j"),
-        F.col("value"),
-        *part_cols,
-    )
-    bad = F.col(f"_j.{CORRUPT_COL}").isNotNull() | F.col("_j").isNull()
-    fields = [
-        F.coalesce(
-            F.col(f"_j.{f.name}"), F.col(f.name).cast(f.dataType)
-        ).alias(f.name)
-        if f.name in part_cols
-        else F.col(f"_j.{f.name}").alias(f.name)
-        for f in schema.fields
-    ]
-    clean = parsed.filter(~bad).select(*fields)
-    quarantine = parsed.filter(bad).select(F.col("value").alias(CORRUPT_COL))
-    return clean, quarantine
+        lines = lines.filter(normalized != header_line)
+    parsed_col = F.from_csv(F.col("value"), full.simpleString(), opts)
+    return _split_parsed(lines, parsed_col, schema, part_cols)
