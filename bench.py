@@ -457,6 +457,44 @@ def main() -> None:
 
     _extra("mmr_rerank_ann50", _mmr, reps=1)
 
+    # driver-round-11 additions: web-URL curation over URLs synthesized
+    # from documents (the crawl-curation pass: normalize -> dedup -> mix
+    # report in one go), and contrastive hard-negative mining (12 anchors
+    # x top-5 with label exclusion over the embeddings corpus)
+    from l1dbproto_spark.operators.negatives import mine_hard_negatives
+    from l1dbproto_spark.operators.weburl import (
+        domain_mix_report,
+        url_dedup_groups,
+    )
+
+    def _weburl():
+        i = F.col("doc_id")
+        url = F.concat(
+            F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://w"),
+            (i % 97).cast("string"),
+            F.lit(".example."),
+            F.when(i % 11 == 0, F.lit("co.uk")).otherwise(F.lit("com")),
+            F.lit("/p/"),
+            (i % 503).cast("string"),
+            F.when(i % 3 == 0, F.lit("?b=2&utm_source=x&a=1")).otherwise(
+                F.lit("?a=1&b=2")
+            ),
+        )
+        urls = docs.select("doc_id", url.alias("url"))
+        return url_dedup_groups(urls).count() + domain_mix_report(urls).count()
+
+    _extra("weburl_dedup_mix", _weburl)
+
+    def _hardneg():
+        lab = load_table(spark, sf_dir, "embeddings").withColumn(
+            "label", (F.col("vec_id") % 4).cast("string")
+        )
+        anchors = lab.filter(F.col("vec_id") < 12)
+        return mine_hard_negatives(lab, anchors, k=5, label_col="label").count()
+
+    _extra("hard_negatives_12x5", _hardneg)
+
     # driver-round-9 addition: continuous aggregate — one full-table fold
     # plus one incremental fold into the persisted hourly rollup (the
     # hypertable-rollup maintenance path; serving reads the 3.6k-group
