@@ -304,6 +304,22 @@ def weighted_sample(
     )
 
 
+def es_race_key(
+    weight_col: str, salt: str = "wtopk-v1", id_col: str = "doc_id"
+) -> Column:
+    """The Efraimidis-Spirakis exponential race key ``-ln(u)/w`` on the
+    engine's deterministic per-(salt, id) unit hash — the k SMALLEST keys
+    are exactly a weighted draw of size k without replacement. Factored
+    out so the batch operator and the streaming sample gate share one
+    formula (and one DuckDB rendering). NULL/non-positive weights yield
+    NULL (callers filter w > 0 first — probability-0 rows never race)."""
+    w = F.col(weight_col).cast("double")
+    u = F.greatest(
+        _unit_hash(F.col(id_col), salt), F.lit(2.0**-48)
+    )  # u=0 would make -ln(u) inf for the BEST draw; clamp to the grid step
+    return F.when(w > 0, -F.log(u) / w)
+
+
 def weighted_topk_sample(
     docs: DataFrame,
     k: int,
@@ -342,11 +358,9 @@ def weighted_topk_sample(
     key) and ``sample_rank`` (1..k in key order)."""
     if k < 1:
         raise ValueError("weighted_topk_sample: k must be >= 1")
-    w = F.col(weight_col).cast("double")
-    u = F.greatest(
-        _unit_hash(F.col(id_col), salt), F.lit(2.0**-48)
-    )  # u=0 would make -ln(u) inf for the BEST draw; clamp to the grid step
-    keyed = docs.filter(w > 0).withColumn("sample_key", -F.log(u) / w)
+    keyed = docs.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "sample_key", es_race_key(weight_col, salt, id_col)
+    )
     order = [F.asc("sample_key"), F.asc(id_col)]  # id tiebreak: total order
     if group_col is None:
         return (
