@@ -33,6 +33,14 @@ PORTABLE = [
     # round-10 serving components: both oracles are ANSI-portable
     "rollup_hourly_serve",
     "bucketed_join_agg",
+    # round-11 ingest row: the oracle predicts the quarantine contract
+    # from `documents` with plain arithmetic, so Spark SQL runs it
+    # verbatim against the builder's actual fixture round-trip. (The
+    # other r11 rows are NOT verbatim-portable: weighted_topk_sample's
+    # hex-literal CAST parses only in DuckDB, and bfs_distances needs a
+    # recursive UNION-distinct CTE where Spark 4 supports UNION ALL
+    # only.)
+    "csv_ingest_quarantine",
 ]
 
 
