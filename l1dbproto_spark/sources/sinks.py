@@ -93,9 +93,68 @@ def write_training_shards(
         .parquet(path)
     )
     spark = docs.sparkSession
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    written = spark.read.parquet(path)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        _shard_content_sum(written).alias("content_sum"),
+    ]
     if count_col is not None:
         aggs.append(F.sum(F.col(count_col)).cast("long").alias("n_tokens"))
-    manifest = spark.read.parquet(path).groupBy("shard").agg(*aggs)
+    manifest = written.groupBy("shard").agg(*aggs)
     write_csv(manifest.coalesce(1), path + "/_manifest")
     return manifest
+
+
+def _shard_content_sum(df: DataFrame) -> Column:
+    """Order-insensitive per-shard content checksum: sum of crc32 over
+    each row's canonical JSON (columns in sorted-name order, shard
+    excluded — it is the group key). Detects lost/altered/duplicated
+    rows; being a sum, it is independent of file and row order, which is
+    what lets :func:`verify_training_shards` recompute it from an
+    arbitrarily-parallel scan."""
+    cols = sorted(c for c in df.columns if c != "shard")
+    return F.sum(
+        F.crc32(F.to_json(F.struct(*[F.col(c) for c in cols]))).cast("long")
+    )
+
+
+def verify_training_shards(spark, path: str) -> DataFrame:
+    """Integrity check of a training-shard directory against its own
+    ``_manifest`` sidecar: (shard, n_rows, manifest_n_rows, content_sum,
+    manifest_content_sum, ok) with one row per shard present on either
+    side (a shard missing from disk or from the manifest shows up with
+    NULLs and ok=false, never silently). Run it after a copy/restore or
+    before a long training run; ``ok`` covers row count AND the
+    order-insensitive content checksum. One scan of the shards plus the
+    tiny manifest read."""
+    actual = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _shard_content_sum(spark.read.parquet(path)).alias("content_sum"),
+        )
+    )
+    manifest = (
+        spark.read.option("header", True)
+        .csv(path.rstrip("/") + "/_manifest")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_rows").cast("long").alias("manifest_n_rows"),
+            F.col("content_sum").cast("long").alias("manifest_content_sum"),
+        )
+    )
+    return (
+        actual.join(manifest, "shard", "full_outer")
+        .select(
+            "shard",
+            "n_rows",
+            "manifest_n_rows",
+            "content_sum",
+            "manifest_content_sum",
+            (
+                F.col("n_rows").eqNullSafe(F.col("manifest_n_rows"))
+                & F.col("content_sum").eqNullSafe(F.col("manifest_content_sum"))
+            ).alias("ok"),
+        )
+    )

@@ -270,6 +270,47 @@ def test_write_training_shards_token_manifest(spark, tmp_path):
     manifest = write_training_shards(
         docs, root, n_shards=4, count_col="n_tok"
     ).toPandas()
-    assert set(manifest.columns) == {"shard", "n_rows", "n_tokens"}
+    assert set(manifest.columns) == {
+        "shard", "n_rows", "content_sum", "n_tokens",
+    }
     total = docs.agg(F.sum("n_tok")).first()[0]
     assert manifest["n_tokens"].sum() == total
+
+
+def test_verify_training_shards_integrity(spark, tmp_path):
+    """The manifest now carries an order-insensitive per-shard content
+    checksum; verify_training_shards recomputes both count and checksum
+    from the shards and flags ANY divergence — a clean write verifies
+    ok on every shard, a damaged shard (row deleted behind the
+    manifest's back) fails exactly that shard, and a shard missing
+    entirely surfaces with NULLs instead of vanishing."""
+    import glob
+    import os
+
+    from l1dbproto_spark.sources.catalog import load_table as lt
+    from l1dbproto_spark.sources.sinks import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = lt(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    root = str(tmp_path / "shards")
+    write_training_shards(docs, root, n_shards=4)
+    rep = verify_training_shards(spark, root)
+    assert rep.count() == 4 and rep.filter("NOT ok").count() == 0
+    # damage shard 2: rewrite it with one row dropped (manifest untouched)
+    s2 = spark.read.parquet(root + "/shard=2").cache()
+    damaged = s2.limit(s2.count() - 1).collect()
+    s2.unpersist()
+    spark.createDataFrame(damaged, s2.schema).write.mode("overwrite").parquet(
+        root + "/shard=2"
+    )
+    bad = {r.shard: r.ok for r in verify_training_shards(spark, root).collect()}
+    assert bad == {0: True, 1: True, 2: False, 3: True}
+    # remove shard 3 entirely: NULL actuals, ok=false, row still present
+    import shutil
+
+    shutil.rmtree(root + "/shard=3")
+    rows = {r.shard: r for r in verify_training_shards(spark, root).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[3].n_rows is None and rows[3].ok is False
