@@ -155,6 +155,12 @@ def _stage_validate(docs: DataFrame, suite=None, **p) -> DataFrame:
     return docs
 
 
+def _stage_normalize_unicode(docs: DataFrame, **p) -> DataFrame:
+    from .textnorm import normalize_unicode
+
+    return normalize_unicode(docs, **p)
+
+
 def _stage_url_dedup(docs: DataFrame, **p) -> DataFrame:
     """Canonical-URL exact dedup: keep each group's min-id doc. Documents
     whose URL does not parse have no canonical key and are KEPT —
@@ -181,6 +187,7 @@ def _stage_filter_blocked_domains(docs: DataFrame, **p) -> DataFrame:
 
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "validate": _stage_validate,
+    "normalize_unicode": _stage_normalize_unicode,
     "url_dedup": _stage_url_dedup,
     "filter_blocked_domains": _stage_filter_blocked_domains,
     "strip_html": _stage_strip_html,

@@ -165,3 +165,19 @@ def test_url_stages_equivalence_and_unparsed_kept(spark):
         ],
     )
     assert {r.doc_id for r in out2.collect()} == {1, 5}
+
+
+def test_normalize_unicode_stage_equivalence(spark):
+    """The normalize_unicode stage wraps the operator verbatim and chains
+    ahead of text-hashing stages (NFC-vs-NFD spellings of the same text
+    must dedup together once the stage runs first)."""
+    import unicodedata
+
+    docs = spark.createDataFrame(
+        [(1, "cafe\u0301 menu"), (2, "caf\u00e9 menu"), (3, "plain")],
+        "doc_id long, text string",
+    )
+    out, _ = run_pipeline(docs, [{"stage": "normalize_unicode", "form": "NFC"}])
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got[1] == got[2] == unicodedata.normalize("NFC", "cafe\u0301 menu")
+    assert got[3] == "plain"
