@@ -26,6 +26,7 @@ class TableFS:
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         jvm = spark._jvm
+        self._jvm = jvm
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -56,27 +57,36 @@ class TableFS:
             out = self._fs.create(self._jpath(path), False)
         except Exception:  # FileAlreadyExistsException (py4j-wrapped)
             return False
+        # the lock is HELD from this point: the content is diagnostics
+        # only, so a failure writing it must not escape — the caller's
+        # try/finally has not started yet and an escaped exception would
+        # orphan the lock forever (r11 review find)
         try:
             if content:
                 out.write(bytearray(content.encode("utf-8")))
+        except Exception:
+            pass
         finally:
-            out.close()
+            try:
+                out.close()
+            except Exception:
+                pass
         return True
 
     def read_text(self, path: str) -> str:
-        """Small-file read (lock diagnostics); '' when absent."""
+        """Small-file read (lock diagnostics, markers); '' when absent.
+        One JVM call via commons-io (ships with Spark) — the first cut
+        looped stream.read() one BYTE per py4j round-trip, fine for a
+        30-byte lock but quadratically wrong the day someone points this
+        at a manifest (r11 review find)."""
         p = self._jpath(path)
         if not self._fs.exists(p):
             return ""
         stream = self._fs.open(p)
         try:
-            chunks = []
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                chunks.append(b)
-            return bytes(chunks).decode("utf-8", "replace")
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
         finally:
             stream.close()
 

@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from .similarity import _spread, l2_norm, dot
 
 
+def _pos_pairs(positives: DataFrame, id_type) -> DataFrame:
+    """Positive pairs cast to the CORPUS id type — a hardcoded long cast
+    nulled out string ids and silently stopped excluding anything (r11
+    review find); casting to the actual id type keeps the anti-join keyed
+    correctly for any id column."""
+    return positives.select(
+        F.col("anchor_id").cast(id_type).alias("anchor_id"),
+        F.col("neighbor_id").cast(id_type).alias("neighbor_id"),
+    ).distinct()
+
+
 def _two_phase_topk(scored: DataFrame, order: list, k: int) -> DataFrame:
     """Exact per-anchor top-k with partition-bounded window frames."""
     wloc = Window.partitionBy("anchor_id", "_pid").orderBy(*order)
@@ -98,12 +109,10 @@ def mine_hard_negatives(
         scored = scored.filter(~F.col("_clbl").eqNullSafe(F.col("_albl")))
     scored = scored.select("anchor_id", "neighbor_id", sim.alias("cosine_sim"))
     if positives is not None:
-        pos = positives.select(
-            F.col("anchor_id").cast("long").alias("anchor_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-        ).distinct()
         scored = scored.join(
-            F.broadcast(pos), ["anchor_id", "neighbor_id"], "left_anti"
+            F.broadcast(_pos_pairs(positives, corpus.schema[id_col].dataType)),
+            ["anchor_id", "neighbor_id"],
+            "left_anti",
         )
     order = [F.desc("cosine_sim"), F.asc("neighbor_id")]
     return _two_phase_topk(scored, order, k)
@@ -139,12 +148,10 @@ def sample_easy_negatives(
         pairs = pairs.filter(~F.col("_clbl").eqNullSafe(F.col("_albl")))
     pairs = pairs.select("anchor_id", "neighbor_id")
     if positives is not None:
-        pos = positives.select(
-            F.col("anchor_id").cast("long").alias("anchor_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-        ).distinct()
         pairs = pairs.join(
-            F.broadcast(pos), ["anchor_id", "neighbor_id"], "left_anti"
+            F.broadcast(_pos_pairs(positives, corpus.schema[id_col].dataType)),
+            ["anchor_id", "neighbor_id"],
+            "left_anti",
         )
     u = F.conv(
         F.substring(

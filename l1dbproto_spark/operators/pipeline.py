@@ -164,19 +164,35 @@ def _stage_normalize_unicode(docs: DataFrame, **p) -> DataFrame:
 def _stage_url_dedup(docs: DataFrame, **p) -> DataFrame:
     """Canonical-URL exact dedup: keep each group's min-id doc. Documents
     whose URL does not parse have no canonical key and are KEPT —
-    quarantine/count them upstream (weburl module contract)."""
+    quarantine/count them upstream (weburl module contract).
+
+    ONE pass over the input (r11 review find: the first cut evaluated
+    the frame — and every upstream stage — three times via an
+    aggregation + semi-join + unparsed re-scan): a min-id window over
+    the canonical URL, with each unparseable doc given its own synthetic
+    key so it survives AND never piles into one giant NULL window
+    partition (the engine's skew rule)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .weburl import normalize_url, url_dedup_groups
+    from .weburl import normalize_url
 
     url_col = p.pop("url_col", "url")
     id_col = p.pop("id_col", "doc_id")
-    keep = url_dedup_groups(docs, url_col, id_col).select(
-        F.col("keep_doc_id").alias(id_col)
+    key = F.coalesce(
+        normalize_url(F.col(url_col)),
+        F.concat(F.lit("_unparsed_:"), F.col(id_col).cast("string")),
     )
-    kept = docs.join(keep, id_col, "left_semi")
-    unparsed = docs.filter(normalize_url(F.col(url_col)).isNull())
-    return kept.unionByName(unparsed)
+    w = Window.partitionBy("_url_norm")
+    return (
+        docs.withColumn("_url_norm", key)
+        .withColumn("_keep", F.min(id_col).over(w))
+        # NULL ids cannot participate in a min-id contract: keep them
+        # visible (the sampling family's null-visibility rule) rather
+        # than letting a NULL comparison silently drop them
+        .filter((F.col(id_col) == F.col("_keep")) | F.col(id_col).isNull())
+        .drop("_url_norm", "_keep")
+    )
 
 
 def _stage_filter_blocked_domains(docs: DataFrame, **p) -> DataFrame:

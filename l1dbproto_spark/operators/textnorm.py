@@ -87,8 +87,11 @@ def unicode_signals(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         n_non_ascii.cast("long").alias("n_non_ascii"),
+        # NULL text -> NULL ratio (the contract above); only an EMPTY
+        # text is ratio 0.0 — a bare .otherwise(0.0) would make a feed
+        # that went NULL read as perfectly-ASCII (r11 review find)
         F.when(n > 0, n_non_ascii.cast("double") / n)
-        .otherwise(F.lit(0.0))
+        .when(n == 0, F.lit(0.0))
         .alias("non_ascii_ratio"),
         F.regexp_count(t, F.lit(_REPLACEMENT))
         .cast("long")

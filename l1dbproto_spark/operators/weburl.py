@@ -14,7 +14,9 @@ uniform-key groupBy like ``dedup.exact_dedup_groups``.
 Normalization contract (deterministic, engine-portable — the DuckDB
 parity test re-derives it in SQL):
 
-* scheme and host lowercased; the fragment dropped;
+* scheme and host lowercased; the fragment dropped; userinfo
+  (``user[:pass]@``) stripped — it names a session, not a resource, and
+  keeping it would let ``https://x@evil.com/`` dodge a domain blocklist;
 * default ports stripped (``:80`` for http, ``:443`` for https), any
   other explicit port kept;
 * an empty path becomes ``/``; otherwise the path is kept VERBATIM
@@ -40,10 +42,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: scheme://host[:port][path][?query][#fragment] — RE2-compatible (no
-#: backrefs), identical group semantics in Java regex and DuckDB's RE2.
+#: scheme://[userinfo@]host[:port][path][?query][#fragment] —
+#: RE2-compatible (no backrefs), identical group semantics in Java regex
+#: and DuckDB's RE2. Userinfo (user[:pass]@) is matched NON-capturing and
+#: therefore STRIPPED by normalization: it names a session, not a
+#: resource, and leaving it in the host group let `https://x@evil.com/`
+#: bypass a domain blocklist and split dedup groups (r11 review find).
 URL_RE = (
-    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?"
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]+)(?::([0-9]+))?"
     r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 )
 
@@ -181,14 +187,26 @@ def domain_mix_report(docs: DataFrame, url_col: str = "url") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("host").alias("n_hosts"),
     )
-    total = per.agg(F.sum("n_docs").alias("_t"))
+    # per the contract above: domain shares are over the PARSEABLE total
+    # (quotas should not deflate with the garbage-URL fraction), while
+    # __unparsed__'s share is over ALL rows (its job is "how much of the
+    # feed is garbage"); r11 review find — the first cut divided both by
+    # the all-rows total
+    total = per.agg(
+        F.sum(F.when(F.col("domain") != "__unparsed__", F.col("n_docs")))
+        .alias("_parseable"),
+        F.sum("n_docs").alias("_all"),
+    )
+    denom = F.when(
+        F.col("domain") == "__unparsed__", F.col("_all")
+    ).otherwise(F.col("_parseable"))
     return (
         per.crossJoin(F.broadcast(total))
         .select(
             "domain",
             "n_docs",
             "n_hosts",
-            (F.col("n_docs").cast("double") / F.col("_t")).alias("share"),
+            (F.col("n_docs").cast("double") / denom).alias("share"),
         )
     )
 
@@ -210,7 +228,13 @@ def filter_blocked_domains(
     if isinstance(blocked, list):
         if not blocked:
             return docs
-        return docs.filter(~dom.isin(*[b.lower() for b in blocked]))
+        # NULL-safe keep: a NULL url (or unparseable -> '' host) has no
+        # domain to match — `~isin` alone evaluates to NULL on NULL input
+        # and filter() would silently DROP those rows, diverging from the
+        # frame form's anti-join (r11 review find)
+        return docs.filter(
+            dom.isNull() | ~dom.isin(*[b.lower() for b in blocked])
+        )
     return (
         docs.withColumn("_dom", dom)
         .join(

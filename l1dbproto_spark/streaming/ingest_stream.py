@@ -69,26 +69,33 @@ class StreamingQuarantineIngest:
 
         def _each(batch_df: DataFrame, epoch_id: int) -> None:
             clean, quarantine = self.parse(batch_df)
-            eid = F.lit(int(epoch_id))
+            eid = int(epoch_id)
+            spark = batch_df.sparkSession
 
             def _write(df: DataFrame, path: str) -> None:
                 (
-                    df.withColumn("epoch", eid)
+                    df.withColumn("epoch", F.lit(eid))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("epoch")
                     .parquet(path)
                 )
 
-            # parse once per output: each branch is one pass over the
-            # batch (the engine avoids caching micro-batches; these
-            # frames are filter+project over the same scan)
             _write(clean, out)
             _write(quarantine, out + "_quarantine")
-            counts = clean.agg(
-                F.count(F.lit(1)).alias("n_clean")
-            ).crossJoin(
-                quarantine.agg(F.count(F.lit(1)).alias("n_quarantined"))
+            # counts come from the just-WRITTEN epoch partitions, not a
+            # re-aggregation of the branches — two text parses per epoch
+            # (one per written output), not four (r11 review find), and
+            # the metric reports what actually landed on disk
+            def _n(path: str) -> DataFrame:
+                return spark.read.parquet(path).filter(
+                    F.col("epoch") == eid
+                )
+
+            counts = _n(out).agg(F.count(F.lit(1)).alias("n_clean")).crossJoin(
+                _n(out + "_quarantine").agg(
+                    F.count(F.lit(1)).alias("n_quarantined")
+                )
             )
             _write(counts, out + "_metrics")
 

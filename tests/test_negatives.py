@@ -152,3 +152,23 @@ def test_contrastive_pairs_assembly(spark):
     for a in range(4):
         assert len(kinds[(a, "hard")]) == 3
         assert len(kinds[(a, "easy")]) == 2
+
+
+def test_string_ids_positive_exclusion(spark):
+    """r11 review find: a hardcoded long cast nulled string ids and the
+    positive exclusion silently matched nothing. The pairs now cast to
+    the corpus id type — string-keyed corpora exclude exactly."""
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.9, 0.1]),
+            ("d", [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") == "a")
+    positives = spark.createDataFrame(
+        [("a", "b")], "anchor_id string, neighbor_id string"
+    )
+    got = [
+        r.neighbor_id
+        for r in mine_hard_negatives(emb, anchors, k=2, positives=positives)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == ["c", "d"]  # "b" (cosine 1.0) excluded, not rank-1

@@ -96,3 +96,35 @@ def test_global_sample_no_group(spark, tmp_path):
     }
     got = {r.sample_rank: r.doc_id for r in gate.sample().collect()}
     assert got == want and len(got) == 5
+
+
+def test_crash_mid_write_preserves_prior_sample(spark, tmp_path):
+    """r11 review find: the first cut overwrote the store in place, so a
+    crash between delete and write lost ALL reservoir state. The store
+    is now versioned with Spark's _SUCCESS marker as the commit: a
+    marker-less directory (crashed writer) above the current version is
+    never selected, and the next merge supersedes it."""
+    import os
+
+    gate = StreamingWeightedSample(
+        spark, str(tmp_path / "s"), k=4, weight_col="w", group_col="src",
+    )
+    b1, b2 = _docs(spark, 0, 400), _docs(spark, 400, 800)
+    gate.merge(b1)
+    committed = _key_ids(gate.sample())
+    # simulate a crashed writer: a higher version dir WITHOUT _SUCCESS
+    crashed = str(tmp_path / "s" / "v=7")
+    _docs(spark, 900, 905).write.parquet(crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert _key_ids(gate.sample()) == committed  # crash invisible
+    gate.merge(b2)  # proceeds past the wreck (writes v=8, GCs the rest)
+    want = _key_ids(
+        weighted_topk_sample(
+            _docs(spark, 0, 800), k=4, weight_col="w", group_col="src"
+        )
+    )
+    assert _key_ids(gate.sample()) == want
+    leftover = [
+        d for d in os.listdir(str(tmp_path / "s")) if d.startswith("v=")
+    ]
+    assert leftover == ["v=8"]  # superseded + crashed versions collected

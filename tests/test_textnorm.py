@@ -82,6 +82,7 @@ def test_unicode_signals_counts(spark):
     assert got[4].n_non_ascii == 0 and got[4].non_ascii_ratio == 0.0
     assert got[0].n_non_ascii == 1  # the combining acute
     assert got[5].n_chars is None  # NULL text -> NULL counts
+    assert got[5].non_ascii_ratio is None  # ...including the ratio
     # ratio is exact int/int division
     r = got[0]
     assert r.non_ascii_ratio == r.n_non_ascii / r.n_chars

@@ -53,6 +53,11 @@ def test_normalize_url_contract_pins(spark):
         "http://a.com/A/B%20c/./d?flag": "http://a.com/A/B%20c/./d?flag",
         # ref is tracking; x_ref is not (anchored name match)
         "http://a.com/p?ref=nav&x_ref=1": "http://a.com/p?x_ref=1",
+        # userinfo stripped — it names a session, not a resource, and
+        # would otherwise dodge domain blocklists (r11 review find)
+        "https://x@evil.com/p": "https://evil.com/p",
+        "http://u:p@a.com:80/x": "http://a.com/x",
+        "http://a.com/a@b": "http://a.com/a@b",  # '@' in path is data
     }
     for raw, want in cases.items():
         assert _norm_one(spark, raw) == want, raw
@@ -84,10 +89,13 @@ def test_filter_blocked_domains_both_forms(spark):
             (2, "https://good.example.com/y"),
             (3, "http://sub.good.example.com/z"),  # same registrable domain
             (4, "garbage-url"),  # unparseable: KEPT (no domain to match)
+            (5, None),  # NULL url: KEPT in BOTH forms (r11 review find —
+            #             the list form's bare ~isin dropped it)
+            (6, "https://attacker@good.example.com/w"),  # userinfo can't dodge
         ],
         "doc_id long, url string",
     )
-    want_kept = {1, 4}  # example.com blocked (covers doc 2 and 3)
+    want_kept = {1, 4, 5}  # example.com blocked (covers docs 2, 3, and 6)
     got_list = {
         r.doc_id
         for r in filter_blocked_domains(docs, ["Example.COM"]).collect()
@@ -98,7 +106,7 @@ def test_filter_blocked_domains_both_forms(spark):
         r.doc_id for r in filter_blocked_domains(docs, frame).collect()
     }
     assert got_frame == want_kept
-    assert filter_blocked_domains(docs, []).count() == 4
+    assert filter_blocked_domains(docs, []).count() == 6
     # the frame form must be a broadcast anti join, never a shuffle of the corpus
     plan = (
         filter_blocked_domains(docs, frame)
@@ -252,3 +260,21 @@ def test_domain_mix_report_matches_duckdb(spark, duck):
         ).fetchall()
     }
     assert got == want and len(got) == 2  # example.com and example.co.uk
+
+
+def test_domain_mix_report_unparsed_denominators(spark):
+    """Domain shares are over the PARSEABLE total (quotas must not
+    deflate with the garbage fraction); __unparsed__'s share is over ALL
+    rows (it measures the garbage fraction itself) — r11 review find,
+    previously both divided by the all-rows total."""
+    docs = spark.createDataFrame(
+        [(i, "https://a.com/x") for i in range(3)]
+        + [(10 + i, "https://b.com/y") for i in range(1)]
+        + [(20 + i, "garbage") for i in range(4)],
+        "doc_id long, url string",
+    )
+    got = {r.domain: r for r in domain_mix_report(docs).collect()}
+    assert got["a.com"].share == 3 / 4  # of 4 parseable
+    assert got["b.com"].share == 1 / 4
+    assert got["__unparsed__"].share == 4 / 8  # of all 8 rows
+    assert got["__unparsed__"].n_hosts == 0
