@@ -161,6 +161,13 @@ def _stage_normalize_unicode(docs: DataFrame, **p) -> DataFrame:
     return normalize_unicode(docs, **p)
 
 
+def _stage_evolve_schema(docs: DataFrame, **p) -> DataFrame:
+    from .evolve import evolve_schema
+
+    conformed, _plan = evolve_schema(docs, **p)
+    return conformed
+
+
 def _stage_url_dedup(docs: DataFrame, **p) -> DataFrame:
     """Canonical-URL exact dedup: keep each group's min-id doc. Documents
     whose URL does not parse have no canonical key and are KEPT —
@@ -203,6 +210,7 @@ def _stage_filter_blocked_domains(docs: DataFrame, **p) -> DataFrame:
 
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "validate": _stage_validate,
+    "evolve_schema": _stage_evolve_schema,
     "normalize_unicode": _stage_normalize_unicode,
     "url_dedup": _stage_url_dedup,
     "filter_blocked_domains": _stage_filter_blocked_domains,

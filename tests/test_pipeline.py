@@ -181,3 +181,18 @@ def test_normalize_unicode_stage_equivalence(spark):
     got = {r.doc_id: r.text for r in out.collect()}
     assert got[1] == got[2] == unicodedata.normalize("NFC", "cafe\u0301 menu")
     assert got[3] == "plain"
+
+
+def test_evolve_schema_stage_equivalence(spark):
+    """The evolve_schema stage conforms an old-generation frame at the
+    head of a declared pipeline (the backfill entry point)."""
+    docs = spark.createDataFrame(
+        [("1", "hello", "junk"), ("x", "world", "junk")],
+        "doc_id string, text string, legacy string",
+    )
+    out, _ = run_pipeline(
+        docs, [{"stage": "evolve_schema", "target": "doc_id bigint, text string"}]
+    )
+    assert out.columns == ["doc_id", "text"]
+    got = {r.text: r.doc_id for r in out.collect()}
+    assert got == {"hello": 1, "world": None}  # try_cast: bad id -> NULL
