@@ -113,14 +113,24 @@ def cast_loss_report(
             F.sum(lost.cast("long")).alias(f"_l_{f.name}")
         )
     wide = df.agg(*aggs)
-    rows = None
-    for f in casts:
-        one = wide.select(
-            F.lit(f.name).alias("column"),
-            F.col(f"_n_{f.name}").alias("n_values"),
-            F.col(f"_l_{f.name}").alias("n_lost"),
-        )
-        rows = one if rows is None else rows.unionByName(one)
+    # Unpivot the 1-row wide aggregate with ONE explode — a union of
+    # per-column selects over `wide` would re-plan the scan+aggregation
+    # subtree once per cast column (verified: no ReusedExchange), turning
+    # a 20-column retype into 20 corpus scans.
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f.name).alias("column"),
+                        F.col(f"_n_{f.name}").alias("n_values"),
+                        F.col(f"_l_{f.name}").alias("n_lost"),
+                    )
+                    for f in casts
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     return rows.select(
         "column",
         "n_values",

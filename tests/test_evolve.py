@@ -82,6 +82,16 @@ def test_cast_loss_report_exact_counts(spark):
     assert same.columns == ["column", "n_values", "n_lost", "loss_ratio"]
 
 
+def test_cast_loss_report_is_one_scan(spark):
+    # the report must ride ONE scan+aggregation however many columns are
+    # retyped — a per-column union would re-scan the corpus per column
+    rep = cast_loss_report(_src(spark), TARGET)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1, plan
+    # one partial + one final aggregate, not a pair per cast column
+    assert plan.count("HashAggregate") <= 2, plan
+
+
 def test_on_extra_modes(spark):
     src = _src(spark)
     kept, plan = evolve_schema(src, TARGET, on_extra="keep")
