@@ -1,0 +1,276 @@
+"""Audio column operators — the audio leg of the multimodal family
+(operators/multimodal.py owns images and video frame sampling).
+
+``decode_audio`` is a REAL decoder with no external dependency: a
+pure-numpy RIFF/WAVE PCM parser (8/16/24/32-bit integer and 32-bit
+float, any channel count) that emits typed metadata plus the mono
+float32 PCM buffer, mirroring ``decode_media``'s (ok, ..., pixels)
+contract — one corrupt member costs one ``ok=false`` row, never a stage
+retry. Compressed containers (MP3/OGG/FLAC) have no in-sandbox decoder;
+they emit ``ok=false`` like every format the active decoder lacks.
+
+``audio_features`` is the speech-pipeline quality gate: framed RMS
+energy, silence ratio, clipping ratio, zero-crossing rate, peak and
+loudness — the columns a data curator filters on before transcription
+(silence-only uploads, clipped recordings, wrong-rate resamples).
+
+Both are sanctioned Arrow ``mapInPandas`` exceptions (same class as the
+image decoders: byte-level semantics genuinely inexpressible in
+``pyspark.sql.functions``). Scale shape: both ride the media scan with
+zero shuffle; payloads dominate partition size, so size
+``spark.sql.files.maxPartitionBytes`` for O(100) blobs per task and
+shuffle fingerprints, never waveforms (see multimodal.py header).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """RIFF/WAVE PCM: (sample_rate, n_channels, bits, mono float32 in
+    [-1, 1]). Chunk-walking parser (fmt may be preceded/followed by
+    LIST/fact/etc.); PCM (format 1), IEEE float (format 3), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either are accepted.
+    Raises ValueError on anything else — the caller maps that to one
+    ok=false row."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int(np.frombuffer(blob, "<u4", 1, pos + 4)[0])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is not None and data is not None:
+            break
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format = int(np.frombuffer(fmt, "<u2", 1, 0)[0])
+    n_channels = int(np.frombuffer(fmt, "<u2", 1, 2)[0])
+    sample_rate = int(np.frombuffer(fmt, "<u4", 1, 4)[0])
+    bits = int(np.frombuffer(fmt, "<u2", 1, 14)[0])
+    if audio_format == 0xFFFE:
+        if len(fmt) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = int(np.frombuffer(fmt, "<u2", 1, 24)[0])
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"degenerate WAV ({n_channels} ch, {sample_rate} Hz)")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:  # 8-bit WAV is unsigned
+            x = np.frombuffer(data, "u1").astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            n = len(data) // 3
+            b = np.frombuffer(data, "u1", n * 3).reshape(n, 3)
+            raw = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+            x = raw.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, "<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format tag {audio_format}")
+    frames = len(x) // n_channels
+    if frames == 0:
+        raise ValueError("empty data chunk")
+    mono = x[: frames * n_channels].reshape(frames, n_channels).mean(axis=1)
+    return sample_rate, n_channels, bits, mono.astype(np.float32)
+
+
+_DECODE_SCHEMA_TAIL = [
+    ("ok", T.BooleanType(), "bool"),
+    ("sample_rate", T.IntegerType(), "Int32"),
+    ("n_channels", T.IntegerType(), "Int32"),
+    ("bits", T.IntegerType(), "Int32"),
+    ("n_samples", T.LongType(), "Int64"),
+    ("duration_ms", T.DoubleType(), "float64"),
+    ("pcm", T.BinaryType(), "object"),
+]
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode WAV payloads to (id, ok, sample_rate, n_channels, bits,
+    n_samples, duration_ms, pcm) where ``pcm`` is the channel-averaged
+    mono float32 little-endian buffer and ``n_samples`` counts mono
+    frames — the exact input :func:`audio_features` consumes.
+    Undecodable blobs emit ``ok=false`` with null fields; null payloads
+    are skipped, both per the decode_media contract."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False)]
+        + [T.StructField(n, t, n != "ok") for n, t, _ in _DECODE_SCHEMA_TAIL]
+    )
+    cols = [id_col] + [n for n, _, _ in _DECODE_SCHEMA_TAIL]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                try:
+                    sr, ch, bits, mono = _decode_wav(bytes(blob))
+                    rows.append(
+                        (
+                            mid,
+                            True,
+                            sr,
+                            ch,
+                            bits,
+                            len(mono),
+                            1000.0 * len(mono) / sr,
+                            mono.tobytes(),
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (mid, False, None, None, None, None, None, None)
+                    )
+            if not rows:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64")}
+                    | {
+                        n: pd.Series([], dtype=d)
+                        for n, _, d in _DECODE_SCHEMA_TAIL
+                    }
+                )
+                continue
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {id_col: "int64", "ok": "bool"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
+
+
+def audio_features(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    win_ms: int = 25,
+    hop_ms: int = 10,
+    silence_db: float = -40.0,
+    clip_level: float = 0.999,
+) -> DataFrame:
+    """Per-recording quality signals from decoded mono PCM: one row per
+    ok decode with (n_windows, rms_db, peak, clipping_ratio,
+    silence_ratio, zcr_mean) — framed at ``win_ms``/``hop_ms`` like a
+    speech front end. ``silence_ratio`` is the fraction of windows whose
+    RMS is below ``silence_db`` dBFS; ``clipping_ratio`` the fraction of
+    SAMPLES at or above ``clip_level`` absolute; ``zcr_mean`` the mean
+    per-window zero-crossing rate (crossings / window samples — the
+    cheap voiced/unvoiced + hiss signal). Recordings shorter than one
+    window are a single truncated window. ok=false rows pass through
+    with null features so a gate can count undecodables."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("n_windows", T.IntegerType(), True),
+            T.StructField("rms_db", T.DoubleType(), True),
+            T.StructField("peak", T.DoubleType(), True),
+            T.StructField("clipping_ratio", T.DoubleType(), True),
+            T.StructField("silence_ratio", T.DoubleType(), True),
+            T.StructField("zcr_mean", T.DoubleType(), True),
+        ]
+    )
+    cols = [
+        id_col,
+        "ok",
+        "n_windows",
+        "rms_db",
+        "peak",
+        "clipping_ratio",
+        "silence_ratio",
+        "zcr_mean",
+    ]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, ok, sr, pcm in zip(
+                pdf[id_col], pdf["ok"], pdf["sample_rate"], pdf["pcm"]
+            ):
+                if not ok or pcm is None:
+                    rows.append((mid, False, None, None, None, None, None, None))
+                    continue
+                x = np.frombuffer(bytes(pcm), "<f4")
+                win = max(1, int(sr) * win_ms // 1000)
+                hop = max(1, int(sr) * hop_ms // 1000)
+                starts = range(0, max(1, len(x) - win + 1), hop)
+                rms = np.array(
+                    [
+                        float(np.sqrt(np.mean(x[s : s + win] ** 2)))
+                        for s in starts
+                    ]
+                )
+                def _zcr(seg: np.ndarray) -> float:
+                    # slice the window ONCE: x[s+1:s+win] vs x[s:s+win-1]
+                    # clamp to different lengths on a truncated final window
+                    return float(
+                        np.count_nonzero(
+                            np.signbit(seg[1:]) != np.signbit(seg[:-1])
+                        )
+                    ) / max(1, len(seg))
+
+                zcr = np.array([_zcr(x[s : s + win]) for s in starts])
+                floor = 10.0 ** (silence_db / 20.0)
+                overall = float(np.sqrt(np.mean(x**2)))
+                rows.append(
+                    (
+                        mid,
+                        True,
+                        len(rms),
+                        20.0 * float(np.log10(max(overall, 1e-10))),
+                        float(np.max(np.abs(x))),
+                        float(np.mean(np.abs(x) >= clip_level)),
+                        float(np.mean(rms < floor)),
+                        float(np.mean(zcr)),
+                    )
+                )
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "n_windows": pd.Series([], dtype="Int32"),
+                        "rms_db": pd.Series([], dtype="float64"),
+                        "peak": pd.Series([], dtype="float64"),
+                        "clipping_ratio": pd.Series([], dtype="float64"),
+                        "silence_ratio": pd.Series([], dtype="float64"),
+                        "zcr_mean": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {id_col: "int64", "ok": "bool"}
+            )
+
+    return decoded.select(id_col, "ok", "sample_rate", "pcm").mapInPandas(
+        extract, out_schema
+    )

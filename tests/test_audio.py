@@ -1,0 +1,188 @@
+"""Audio decode + quality features (operators/audio.py).
+
+The WAV fixtures are built two independent ways: the stdlib ``wave``
+module writes the 16-bit files (an encoder our decoder never saw), and
+the 8/24-bit/float variants are hand-assembled per the RIFF spec — so a
+header-math bug cannot hide behind a shared writer.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from l1dbproto_spark.operators.audio import (
+    _decode_wav,
+    audio_features,
+    decode_audio,
+)
+
+SR = 8000
+
+
+def wav16(x: np.ndarray, sr: int = SR, channels: int = 1) -> bytes:
+    """16-bit PCM via the stdlib encoder. x in [-1, 1], shape (n,) or
+    (n, channels)."""
+    pcm = np.clip(x, -1, 1)
+    ints = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def wav_manual(data: bytes, fmt: int, channels: int, sr: int, bits: int) -> bytes:
+    """Hand-assembled RIFF with a LIST chunk BEFORE fmt (chunk-walk test)."""
+    block = channels * bits // 8
+    fmt_body = struct.pack("<HHIIHH", fmt, channels, sr, sr * block, block, bits)
+    chunks = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def tone(freq: float, ms: int, sr: int = SR, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(int(sr * ms / 1000)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float64)
+
+
+def test_decode_wav_16bit_roundtrip():
+    x = tone(440, 200)
+    sr, ch, bits, mono = _decode_wav(wav16(x))
+    assert (sr, ch, bits) == (SR, 1, 16)
+    assert len(mono) == len(x)
+    assert np.max(np.abs(mono - x.astype(np.float32))) < 2e-4  # quantization
+
+
+def test_decode_wav_stereo_mixdown():
+    left, right = tone(440, 100, amp=0.8), tone(440, 100, amp=0.2)
+    stereo = np.stack([left, right], axis=1)
+    _, ch, _, mono = _decode_wav(wav16(stereo, channels=2))
+    assert ch == 2
+    assert np.max(np.abs(mono - (left + right) / 2)) < 2e-4
+
+
+def test_decode_wav_8_24_float_and_extensible():
+    x = tone(100, 50, amp=0.9)
+    # 8-bit unsigned
+    u8 = (np.clip(x, -1, 1) * 127 + 128).astype("u1").tobytes()
+    sr, _, bits, mono = _decode_wav(wav_manual(u8, 1, 1, SR, 8))
+    assert bits == 8 and np.max(np.abs(mono - x)) < 1 / 64
+    # 24-bit signed little-endian
+    i32 = (np.clip(x, -1, 1) * ((1 << 23) - 1)).astype("<i4")
+    i24 = i32.astype("<i4").tobytes()
+    i24 = b"".join(i24[i : i + 3] for i in range(0, len(i24), 4))
+    _, _, bits, mono = _decode_wav(wav_manual(i24, 1, 1, SR, 24))
+    assert bits == 24 and np.max(np.abs(mono - x)) < 1e-6
+    # IEEE float32
+    f32 = x.astype("<f4").tobytes()
+    _, _, bits, mono = _decode_wav(wav_manual(f32, 3, 1, SR, 32))
+    assert bits == 32 and np.array_equal(mono, x.astype(np.float32))
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM: fmt body 40 bytes, subformat @24
+    body = struct.pack("<HHIIHH", 0xFFFE, 1, SR, SR * 2, 2, 16)
+    # cbSize=22, validbits=16, channel mask, then the 16-byte subformat
+    # GUID whose first 2 bytes are the wrapped format code (1 = PCM)
+    body += struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) + b"\x00" * 14
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 16384, -16384)
+    )
+    sr, ch, bits, mono = _decode_wav(blob)
+    assert (sr, ch, bits) == (SR, 1, 16)
+    assert np.allclose(mono, [0.5, -0.5])
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"",
+        b"RIFF\x10\x00\x00\x00WAVE",  # no chunks
+        b"ID3\x03\x00garbage-mp3-ish" * 3,  # not RIFF
+        wav16(tone(440, 50))[:30],  # truncated mid-fmt
+        wav_manual(b"\x00\x00", 85, 1, SR, 16),  # unknown format tag (MP3=85)
+    ],
+)
+def test_decode_wav_rejects(blob):
+    with pytest.raises(ValueError):
+        _decode_wav(blob)
+
+
+def _media_df(spark, blobs):
+    return spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        "media_id long, payload binary",
+    )
+
+
+def test_decode_audio_contract(spark):
+    blobs = [
+        wav16(tone(440, 120)),
+        b"not audio at all",
+        None,
+        wav16(tone(200, 50, amp=0.3), channels=1),
+    ]
+    out = decode_audio(_media_df(spark, blobs)).orderBy("media_id").collect()
+    assert [r.media_id for r in out] == [0, 1, 3]  # null payload skipped
+    good = out[0]
+    assert good.ok and good.sample_rate == SR and good.n_channels == 1
+    assert good.n_samples == SR * 120 // 1000
+    assert good.duration_ms == pytest.approx(120.0)
+    assert len(good.pcm) == 4 * good.n_samples  # float32 mono
+    bad = out[1]
+    assert not bad.ok and bad.sample_rate is None and bad.pcm is None
+
+
+def test_audio_features_against_numpy(spark):
+    # half silence, half near-clipped tone -> known silence/clip/zcr
+    sig = np.concatenate([np.zeros(SR // 2), tone(1000, 500, amp=1.0)])
+    df = decode_audio(_media_df(spark, [wav16(sig)]))
+    row = audio_features(df).collect()[0]
+    assert row.ok and row.n_windows > 0
+    x = np.frombuffer(
+        decode_audio(_media_df(spark, [wav16(sig)])).collect()[0].pcm, "<f4"
+    )
+    win, hop = SR * 25 // 1000, SR * 10 // 1000
+    starts = range(0, len(x) - win + 1, hop)
+    rms = np.array([np.sqrt(np.mean(x[s : s + win] ** 2)) for s in starts])
+    assert row.n_windows == len(rms)
+    assert row.rms_db == pytest.approx(
+        20 * np.log10(np.sqrt(np.mean(x**2))), abs=1e-6
+    )
+    assert row.peak == pytest.approx(float(np.max(np.abs(x))), abs=1e-7)
+    assert row.silence_ratio == pytest.approx(
+        float(np.mean(rms < 10 ** (-40 / 20))), abs=1e-9
+    )
+    assert row.clipping_ratio == pytest.approx(
+        float(np.mean(np.abs(x) >= 0.999)), abs=1e-9
+    )
+    # 1 kHz tone at 8 kHz: 2 crossings/ms -> zcr ~ 0.25 over the tone half
+    assert 0.05 < row.zcr_mean < 0.3
+
+
+def test_audio_features_gate_semantics(spark):
+    blobs = [wav16(tone(440, 100)), b"corrupt"]
+    feats = (
+        audio_features(decode_audio(_media_df(spark, blobs)))
+        .orderBy("media_id")
+        .collect()
+    )
+    assert feats[0].ok and feats[0].rms_db is not None
+    assert not feats[1].ok and feats[1].rms_db is None  # passes through
+
+
+def test_audio_short_recording_is_one_window(spark):
+    # 5 ms at 8 kHz = 40 samples < one 200-sample window
+    df = decode_audio(_media_df(spark, [wav16(tone(440, 5))]))
+    row = audio_features(df).collect()[0]
+    assert row.ok and row.n_windows == 1
