@@ -405,3 +405,99 @@ def sample_frames(
     return df.select(
         id_col, payload_col, "declared_width", "declared_height", "declared_ms"
     ).mapInPandas(sample, out_schema)
+
+
+def _box_resize_gray(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Separable box resample to (oh, ow): contiguous-bucket means when
+    downscaling an axis, nearest-neighbor when upscaling — every output
+    cell is defined for any input size >= 1x1."""
+
+    def _reduce(arr: np.ndarray, out: int, axis: int) -> np.ndarray:
+        n = arr.shape[axis]
+        if n >= out:
+            edges = (np.arange(out + 1) * n) // out
+            chunks = [
+                arr.take(range(edges[i], edges[i + 1]), axis=axis).mean(axis=axis)
+                for i in range(out)
+            ]
+        else:
+            chunks = [
+                arr.take((i * n) // out, axis=axis) for i in range(out)
+            ]
+        return np.stack(chunks, axis=axis)
+
+    return _reduce(_reduce(gray.astype(np.float64), oh, 0), ow, 1)
+
+
+def _pack_bits_i64(bits: np.ndarray) -> int:
+    """Row-major LSB-first 64-bit pack as a SIGNED int64 (two's complement
+    wraparound so bit 63 survives the LongType column)."""
+    val = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def perceptual_hashes(
+    decoded: DataFrame, id_col: str = "media_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual image fingerprints from DECODED pixels (the
+    :func:`decode_media` output contract): per ok row, ``ahash`` (average
+    hash — luma box-resampled to grid x grid, bit = cell >= mean) and
+    ``dhash`` (difference hash — grid x (grid+1), bit = cell > its right
+    neighbor). Both are 64-bit longs at the default grid, invariant to
+    uniform rescaling and robust to small pixel noise, so Hamming
+    distance over them IS image near-duplication — feed either column
+    straight into ``dedup.simhash_near_dup_pairs(..., bits=64)`` (the
+    block-permutation bucketing is hash-agnostic) for sub-quadratic
+    near-dup pair generation over billions of images. ok=false decodes
+    pass through with null hashes. Luma is ITU-R BT.601."""
+    if grid * grid > 64:
+        raise ValueError(f"grid {grid} overflows the 64-bit hash")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("ahash", T.LongType(), True),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, ok, w, h, pixels in zip(
+                pdf[id_col], pdf["ok"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                if not ok or pixels is None:
+                    rows.append((mid, False, None, None))
+                    continue
+                rgb = np.frombuffer(bytes(pixels), np.uint8).reshape(h, w, 3)
+                luma = (
+                    0.299 * rgb[:, :, 0]
+                    + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2]
+                )
+                a = _box_resize_gray(luma, grid, grid)
+                ahash = _pack_bits_i64(a >= a.mean())
+                d = _box_resize_gray(luma, grid, grid + 1)
+                dhash = _pack_bits_i64(d[:, :-1] > d[:, 1:])
+                rows.append((mid, True, ahash, dhash))
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "ahash": pd.Series([], dtype="Int64"),
+                        "dhash": pd.Series([], dtype="Int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "ahash", "dhash"]
+            ).astype({id_col: "int64", "ok": "bool"})
+
+    return decoded.select(id_col, "ok", "width", "height", "pixels").mapInPandas(
+        extract, out_schema
+    )

@@ -1,0 +1,126 @@
+"""Perceptual image hashing (multimodal.perceptual_hashes) + Hamming
+near-dup retrieval over image hashes via the hash-agnostic SimHash block
+bucketing (dedup.simhash_near_dup_pairs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.dedup import simhash_near_dup_pairs
+from l1dbproto_spark.operators.multimodal import (
+    _box_resize_gray,
+    _pack_bits_i64,
+    decode_media,
+    perceptual_hashes,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return f"P6 {w} {h} 255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+
+def gradient(w: int, h: int) -> np.ndarray:
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    y = np.linspace(0, 128, h, dtype=np.float64)[:, None]
+    img = np.clip(x + y, 0, 255) % 256
+    return np.stack([img, 255 - img, img / 2], axis=2).astype(np.uint8)
+
+
+def _hashes(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "media_id long, payload binary"
+    )
+    return {
+        r.media_id: r
+        for r in perceptual_hashes(decode_media(df)).collect()
+    }
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_box_resize_exact_on_block_image():
+    # a 16x16 image of 8x8 constant 2x2 blocks box-resizes to the blocks
+    blocks = RNG.integers(0, 256, (8, 8)).astype(np.float64)
+    img = np.kron(blocks, np.ones((2, 2)))
+    assert np.allclose(_box_resize_gray(img, 8, 8), blocks)
+    # upscale axis: 4 rows -> 8 uses nearest, every cell defined
+    out = _box_resize_gray(img[:4], 8, 8)
+    assert out.shape == (8, 8) and np.isfinite(out).all()
+
+
+def test_pack_bits_two_complement():
+    bits = np.zeros(64, dtype=bool)
+    bits[63] = True
+    assert _pack_bits_i64(bits) == -(1 << 63)
+    bits[0] = True
+    assert _pack_bits_i64(bits) == -(1 << 63) + 1
+
+
+def test_hash_matches_numpy_reference(spark):
+    rgb = RNG.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    row = _hashes(spark, [ppm(rgb)])[0]
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    a = _box_resize_gray(luma, 8, 8)
+    assert row.ahash == _pack_bits_i64(a >= a.mean())
+    d = _box_resize_gray(luma, 8, 9)
+    assert row.dhash == _pack_bits_i64(d[:, :-1] > d[:, 1:])
+
+
+def test_scale_invariance_and_noise_robustness(spark):
+    base = gradient(64, 64)
+    double = np.kron(base, np.ones((2, 2, 1))).astype(np.uint8)  # 128x128
+    noisy = np.clip(
+        base.astype(np.int16) + RNG.integers(-4, 5, base.shape), 0, 255
+    ).astype(np.uint8)
+    inverted = (255 - base).astype(np.uint8)
+    hs = _hashes(spark, [ppm(base), ppm(double), ppm(noisy), ppm(inverted)])
+    # exact 2x upscale: box means identical -> identical hashes
+    assert hs[0].ahash == hs[1].ahash and hs[0].dhash == hs[1].dhash
+    assert _hamming(hs[0].ahash, hs[2].ahash) <= 3
+    assert _hamming(hs[0].dhash, hs[2].dhash) <= 3
+    # inversion flips nearly every comparison
+    assert _hamming(hs[0].ahash, hs[3].ahash) >= 48
+
+
+def test_undecodable_passthrough(spark):
+    hs = _hashes(spark, [ppm(gradient(16, 16)), b"JFIF-not-really"])
+    assert hs[0].ok and hs[0].ahash is not None
+    assert not hs[1].ok and hs[1].ahash is None and hs[1].dhash is None
+
+
+def test_image_near_dup_pairs_via_block_bucketing(spark):
+    # textured base: on a smooth gradient adjacent resampled cells are
+    # near-equal and dhash comparisons flip under any noise — textured
+    # content is what the difference hash is built for
+    base = RNG.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    near = np.clip(
+        base.astype(np.int16) + RNG.integers(-3, 4, base.shape), 0, 255
+    ).astype(np.uint8)
+    far = RNG.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    hs = perceptual_hashes(
+        decode_media(
+            spark.createDataFrame(
+                [(0, ppm(base)), (1, ppm(near)), (2, ppm(far))],
+                "media_id long, payload binary",
+            )
+        )
+    ).select(F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    pairs = simhash_near_dup_pairs(hs, max_bits=3, bits=64).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
+
+
+def test_grid_overflow_guard(spark):
+    df = decode_media(
+        spark.createDataFrame(
+            [(0, ppm(gradient(8, 8)))], "media_id long, payload binary"
+        )
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        perceptual_hashes(df, grid=9)
