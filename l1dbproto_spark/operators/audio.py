@@ -274,3 +274,175 @@ def audio_features(
     return decoded.select(id_col, "ok", "sample_rate", "pcm").mapInPandas(
         extract, out_schema
     )
+
+
+def segment_silence(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    win_ms: int = 25,
+    hop_ms: int = 10,
+    silence_db: float = -40.0,
+    min_silence_ms: int = 300,
+    min_segment_ms: int = 200,
+) -> DataFrame:
+    """Silence-split utterance segmentation (the energy-VAD chunking a
+    speech-data pipeline runs before transcription): one row per voiced
+    segment — (id, segment_idx, start_ms, end_ms, duration_ms, rms_db)
+    — where a segment is a maximal run of frames whose RMS clears
+    ``silence_db`` dBFS, runs separated by less than ``min_silence_ms``
+    of silence are merged (a mid-word stop is not a boundary), and
+    merged runs shorter than ``min_segment_ms`` are dropped (clicks).
+    Recordings that never clear the floor emit zero rows; ok=false
+    decodes emit zero rows (count them on the decode frame). Fan-out is
+    bounded by duration/min_segment_ms; like every operator here it
+    rides the scan with zero shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("segment_idx", T.IntegerType(), False),
+            T.StructField("start_ms", T.DoubleType(), False),
+            T.StructField("end_ms", T.DoubleType(), False),
+            T.StructField("duration_ms", T.DoubleType(), False),
+            T.StructField("rms_db", T.DoubleType(), False),
+        ]
+    )
+    cols = [id_col, "segment_idx", "start_ms", "end_ms", "duration_ms", "rms_db"]
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        floor = 10.0 ** (silence_db / 20.0)
+        for pdf in batches:
+            rows = []
+            for mid, ok, sr, pcm in zip(
+                pdf[id_col], pdf["ok"], pdf["sample_rate"], pdf["pcm"]
+            ):
+                if not ok or pcm is None:
+                    continue
+                x = np.frombuffer(bytes(pcm), "<f4")
+                sr = int(sr)
+                win = max(1, sr * win_ms // 1000)
+                hop = max(1, sr * hop_ms // 1000)
+                starts = np.arange(0, max(1, len(x) - win + 1), hop)
+                rms = np.array(
+                    [np.sqrt(np.mean(x[s : s + win] ** 2)) for s in starts]
+                )
+                voiced = rms >= floor
+                if not voiced.any():
+                    continue
+                # frame index -> ms; a frame covers [s, s+win)
+                runs: list[list[int]] = []  # [first_frame, last_frame]
+                for i in np.flatnonzero(voiced):
+                    if runs and (i - runs[-1][1]) * hop_ms < min_silence_ms:
+                        runs[-1][1] = i
+                    else:
+                        runs.append([i, i])
+                idx = 0
+                for first, last in runs:
+                    s_ms = 1000.0 * starts[first] / sr
+                    e_ms = 1000.0 * min(starts[last] + win, len(x)) / sr
+                    if e_ms - s_ms < min_segment_ms:
+                        continue
+                    seg = x[starts[first] : starts[last] + win]
+                    level = float(np.sqrt(np.mean(seg**2)))
+                    rows.append(
+                        (
+                            mid,
+                            idx,
+                            s_ms,
+                            e_ms,
+                            e_ms - s_ms,
+                            20.0 * float(np.log10(max(level, 1e-10))),
+                        )
+                    )
+                    idx += 1
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "segment_idx": pd.Series([], dtype="Int32"),
+                        "start_ms": pd.Series([], dtype="float64"),
+                        "end_ms": pd.Series([], dtype="float64"),
+                        "duration_ms": pd.Series([], dtype="float64"),
+                        "rms_db": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(rows, columns=cols).astype({id_col: "int64"})
+
+    return decoded.select(id_col, "ok", "sample_rate", "pcm").mapInPandas(
+        segment, out_schema
+    )
+
+
+def spectrogram_hash(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    grid: int = 8,
+    n_fft: int = 256,
+) -> DataFrame:
+    """Perceptual audio fingerprint: the aHash of the log-power
+    spectrogram — frames of ``n_fft`` samples (half-overlap, Hann
+    window) -> rfft power -> log -> box-resampled to a grid x grid
+    time-frequency energy image (the image family's ``_box_resize_gray``,
+    deliberately shared) -> bit = cell >= mean -> 64-bit long.
+
+    Loudness-invariant (a global gain shifts every log cell equally and
+    the mean comparison cancels it) and robust to mild noise; two
+    renditions of the same clip land within a few bits while different
+    content is ~32 bits apart, so ``dedup.simhash_near_dup_pairs(...,
+    bits=64)`` gives sub-quadratic audio near-dup exactly like text
+    SimHash and image aHash/dHash. Emits (id, ok, spec_hash) with
+    ok=false passthrough; recordings shorter than one FFT frame are
+    zero-padded to one."""
+    from .multimodal import _box_resize_gray, _pack_bits_i64
+
+    if grid * grid > 64:
+        raise ValueError(f"grid {grid} overflows the 64-bit hash")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("spec_hash", T.LongType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hann = np.hanning(n_fft)
+        hop = n_fft // 2
+        for pdf in batches:
+            rows = []
+            for mid, ok, pcm in zip(pdf[id_col], pdf["ok"], pdf["pcm"]):
+                if not ok or pcm is None:
+                    rows.append((mid, False, None))
+                    continue
+                x = np.frombuffer(bytes(pcm), "<f4").astype(np.float64)
+                if len(x) < n_fft:
+                    x = np.pad(x, (0, n_fft - len(x)))
+                frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[
+                    ::hop
+                ]
+                power = np.abs(np.fft.rfft(frames * hann, axis=1)) ** 2
+                # drop DC; clamp to a 40 dB dynamic range RELATIVE to the
+                # recording's own peak before the log: near-silent cells
+                # saturate at the same floor with or without a mild noise
+                # floor (an absolute epsilon made them wildly
+                # noise-sensitive), and a pure gain scales peak and floor
+                # together so invariance stays exact
+                p = power[:, 1:]
+                peak = max(float(p.max()), 1e-300)
+                spec = np.log10(np.maximum(p, peak * 1e-4))
+                cell = _box_resize_gray(spec, grid, grid)
+                rows.append((mid, True, _pack_bits_i64(cell >= cell.mean())))
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "spec_hash": pd.Series([], dtype="Int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "spec_hash"]
+            ).astype({id_col: "int64", "ok": "bool"})
+
+    return decoded.select(id_col, "ok", "pcm").mapInPandas(extract, out_schema)

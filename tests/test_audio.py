@@ -186,3 +186,105 @@ def test_audio_short_recording_is_one_window(spark):
     df = decode_audio(_media_df(spark, [wav16(tone(440, 5))]))
     row = audio_features(df).collect()[0]
     assert row.ok and row.n_windows == 1
+
+
+def _decoded(spark, sigs):
+    return decode_audio(_media_df(spark, [wav16(s) for s in sigs]))
+
+
+def silence(ms: int) -> np.ndarray:
+    return np.zeros(SR * ms // 1000)
+
+
+def test_segment_silence_boundaries_and_click_drop(spark):
+    from l1dbproto_spark.operators.audio import segment_silence
+
+    sig = np.concatenate(
+        [
+            silence(400),
+            tone(440, 300),
+            silence(500),
+            tone(600, 400),
+            silence(400),
+            tone(800, 50),  # 50 ms click < min_segment_ms
+            silence(400),
+        ]
+    )
+    segs = (
+        segment_silence(_decoded(spark, [sig]))
+        .orderBy("segment_idx")
+        .collect()
+    )
+    assert [s.segment_idx for s in segs] == [0, 1]
+    # boundaries within one window+hop of the construction
+    assert segs[0].start_ms == pytest.approx(400, abs=35)
+    assert segs[0].end_ms == pytest.approx(700, abs=35)
+    assert segs[1].start_ms == pytest.approx(1200, abs=35)
+    assert segs[1].duration_ms == pytest.approx(400, abs=70)
+    assert all(s.rms_db > -40 for s in segs)
+
+
+def test_segment_silence_merges_short_gaps(spark):
+    from l1dbproto_spark.operators.audio import segment_silence
+
+    sig = np.concatenate(
+        [silence(300), tone(440, 200), silence(100), tone(440, 200), silence(300)]
+    )
+    segs = segment_silence(_decoded(spark, [sig])).collect()
+    assert len(segs) == 1  # 100 ms gap < min_silence_ms merges
+    assert segs[0].duration_ms == pytest.approx(500, abs=70)
+    # all-silence recording emits zero rows
+    assert segment_silence(_decoded(spark, [silence(800)])).count() == 0
+
+
+def melody(freqs, ms_each=120, amp=0.4):
+    return np.concatenate([tone(f, ms_each, amp=amp) for f in freqs])
+
+
+def test_spectrogram_hash_gain_invariant_and_discriminative(spark):
+    from l1dbproto_spark.operators.audio import spectrogram_hash
+
+    a = melody([300, 500, 700, 900, 400], amp=0.3)
+    hs = {
+        r.media_id: r.spec_hash
+        for r in spectrogram_hash(
+            _decoded(
+                spark,
+                [
+                    a,
+                    2.0 * a,  # 6 dB louder, same content
+                    a + RNG_NOISE.normal(0, 0.01, len(a)),  # mild noise
+                    melody([900, 400, 300, 700, 500], amp=0.3),  # reordered
+                    melody([250, 1100, 350, 1500, 600], amp=0.3),  # different
+                ],
+            )
+        ).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hs[0] == hs[1]  # pure gain cancels in the log-mean comparison
+    assert ham(hs[0], hs[2]) <= 4
+    # same notes reordered: shared frequency content but shifted time
+    # cells — outside near-dup range yet closer than unrelated content
+    assert ham(hs[0], hs[3]) >= 6
+    assert ham(hs[0], hs[4]) >= 12  # different notes -> far
+
+
+RNG_NOISE = np.random.default_rng(7)
+
+
+def test_spectrogram_hash_passthrough_and_short_pad(spark):
+    from l1dbproto_spark.operators.audio import spectrogram_hash
+
+    out = {
+        r.media_id: r
+        for r in spectrogram_hash(
+            decode_audio(
+                _media_df(spark, [wav16(tone(440, 10)), b"corrupt"])
+            )
+        ).collect()
+    }
+    assert out[0].ok and out[0].spec_hash is not None  # 80 samples < n_fft
+    assert not out[1].ok and out[1].spec_hash is None
