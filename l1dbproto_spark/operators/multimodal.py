@@ -501,3 +501,96 @@ def perceptual_hashes(
     return decoded.select(id_col, "ok", "width", "height", "pixels").mapInPandas(
         extract, out_schema
     )
+
+
+def image_quality_signals(
+    decoded: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Image-quality gate signals from DECODED pixels — the classic
+    pre-filters an image-text curation pipeline applies before any
+    learned scoring: (id, ok, brightness, contrast, sharpness,
+    colorfulness). ``brightness``/``contrast`` are mean/std of BT.601
+    luma scaled to [0, 1]; ``sharpness`` is the variance of the
+    4-neighbor Laplacian of luma (the standard blur detector — near 0
+    for defocused or flat images); ``colorfulness`` is the
+    Hasler-Susstrunk metric (0 for grayscale content, ~40+ for vivid
+    scenes). Resolution/aspect gates need no Python — filter on the
+    decode frame's width/height natively. ok=false rows pass through
+    with null signals."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("brightness", T.DoubleType(), True),
+            T.StructField("contrast", T.DoubleType(), True),
+            T.StructField("sharpness", T.DoubleType(), True),
+            T.StructField("colorfulness", T.DoubleType(), True),
+        ]
+    )
+    cols = [id_col, "ok", "brightness", "contrast", "sharpness", "colorfulness"]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, ok, w, h, pixels in zip(
+                pdf[id_col], pdf["ok"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                if not ok or pixels is None:
+                    rows.append((mid, False, None, None, None, None))
+                    continue
+                rgb = (
+                    np.frombuffer(bytes(pixels), np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.float64)
+                )
+                luma = (
+                    0.299 * rgb[:, :, 0]
+                    + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2]
+                )
+                if h >= 3 and w >= 3:
+                    lap = (
+                        4.0 * luma[1:-1, 1:-1]
+                        - luma[:-2, 1:-1]
+                        - luma[2:, 1:-1]
+                        - luma[1:-1, :-2]
+                        - luma[1:-1, 2:]
+                    )
+                    sharp = float(lap.var())
+                else:  # too small for an interior — not sharp by definition
+                    sharp = 0.0
+                rg = rgb[:, :, 0] - rgb[:, :, 1]
+                yb = 0.5 * (rgb[:, :, 0] + rgb[:, :, 1]) - rgb[:, :, 2]
+                colorful = float(
+                    np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+                    + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                rows.append(
+                    (
+                        mid,
+                        True,
+                        float(luma.mean()) / 255.0,
+                        float(luma.std()) / 255.0,
+                        sharp,
+                        colorful,
+                    )
+                )
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "brightness": pd.Series([], dtype="float64"),
+                        "contrast": pd.Series([], dtype="float64"),
+                        "sharpness": pd.Series([], dtype="float64"),
+                        "colorfulness": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {id_col: "int64", "ok": "bool"}
+            )
+
+    return decoded.select(id_col, "ok", "width", "height", "pixels").mapInPandas(
+        extract, out_schema
+    )

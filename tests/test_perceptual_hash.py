@@ -124,3 +124,66 @@ def test_grid_overflow_guard(spark):
     )
     with pytest.raises(ValueError, match="overflow"):
         perceptual_hashes(df, grid=9)
+
+
+def box_blur(rgb: np.ndarray, k: int = 5) -> np.ndarray:
+    """Independent separable box blur for the sharpness fixture."""
+    out = rgb.astype(np.float64)
+    for axis in (0, 1):
+        acc = np.zeros_like(out)
+        for d in range(-(k // 2), k // 2 + 1):
+            acc += np.roll(out, d, axis=axis)
+        out = acc / k
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _signals(spark, blobs):
+    from l1dbproto_spark.operators.multimodal import image_quality_signals
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "media_id long, payload binary"
+    )
+    return {
+        r.media_id: r for r in image_quality_signals(decode_media(df)).collect()
+    }
+
+
+def test_image_quality_flat_and_reference(spark):
+    flat = np.full((16, 16, 3), 96, np.uint8)
+    rgb = RNG.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+    sig = _signals(spark, [ppm(flat), ppm(rgb), b"corrupt"])
+    f = sig[0]
+    assert f.brightness == pytest.approx(96 / 255, abs=1e-9)
+    assert f.contrast == 0.0 and f.sharpness == 0.0 and f.colorfulness == 0.0
+    # independent recompute of every signal on the random image
+    x = rgb.astype(np.float64)
+    luma = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    lap = (
+        4 * luma[1:-1, 1:-1]
+        - luma[:-2, 1:-1]
+        - luma[2:, 1:-1]
+        - luma[1:-1, :-2]
+        - luma[1:-1, 2:]
+    )
+    rg = x[:, :, 0] - x[:, :, 1]
+    yb = 0.5 * (x[:, :, 0] + x[:, :, 1]) - x[:, :, 2]
+    r = sig[1]
+    assert r.brightness == pytest.approx(luma.mean() / 255)
+    assert r.contrast == pytest.approx(luma.std() / 255)
+    assert r.sharpness == pytest.approx(lap.var())
+    assert r.colorfulness == pytest.approx(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    assert not sig[2].ok and sig[2].sharpness is None
+
+
+def test_image_quality_orders_blur_and_color(spark):
+    sharp = RNG.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    gray3 = np.repeat(
+        RNG.integers(0, 256, (32, 32, 1)), 3, axis=2
+    ).astype(np.uint8)
+    sig = _signals(spark, [ppm(sharp), ppm(box_blur(sharp)), ppm(gray3)])
+    assert sig[0].sharpness > 10 * sig[1].sharpness  # blur kills Laplacian var
+    assert sig[2].colorfulness == 0.0  # equal channels = no color
+    assert sig[0].colorfulness > 20
