@@ -1,0 +1,126 @@
+"""WebDataset tar-shard source/sink (sources/webdataset.py). Read
+fixtures are written by the stdlib tarfile (an independent writer);
+written shards are re-read with the stdlib parser (an independent
+reader) — both directions cross-checked."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+
+import pytest
+
+from l1dbproto_spark.sources.webdataset import (
+    _sample_key,
+    read_webdataset,
+    write_webdataset,
+)
+
+
+def make_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw) if gz else raw
+
+
+def test_sample_key_rules():
+    assert _sample_key("000123.jpg") == ("000123", "jpg")
+    assert _sample_key("a/b/000123.seg.json") == ("a/b/000123", "seg.json")
+    assert _sample_key("no_ext") == ("no_ext", "")
+
+
+def test_read_samples_grouped_and_pruned(spark, tmp_path):
+    shard = make_tar(
+        [
+            ("s0.txt", b"hello"),
+            ("s0.img", b"\x00" * 64),
+            ("s0.meta.json", b"{}"),
+            ("s1.txt", b"world"),
+        ]
+    )
+    (tmp_path / "part-0.tar").write_bytes(shard)
+    rows = {
+        r.key: r
+        for r in read_webdataset(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"s0", "s1"}
+    s0 = rows["s0"]
+    assert s0.ok and s0.n_members == 3 and s0.n_bytes == 5 + 64 + 2
+    assert bytes(s0.members["txt"]) == b"hello"
+    assert bytes(s0.members["meta.json"]) == b"{}"
+    # extension pruning: image bytes never cross Arrow, totals unchanged
+    pruned = {
+        r.key: r
+        for r in read_webdataset(spark, str(tmp_path), ["txt"]).collect()
+    }
+    assert set(pruned["s0"].members) == {"txt"}
+    assert pruned["s0"].n_members == 1 and pruned["s0"].n_bytes == 71
+
+
+def test_read_gzip_corrupt_and_dir_members(spark, tmp_path):
+    good = make_tar([("a.txt", b"A"), ("b.txt", b"B")], gz=True)
+    (tmp_path / "good.tar.gz").write_bytes(good)
+    (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive")
+    out = read_webdataset(spark, str(tmp_path)).collect()
+    by_ok = {r.ok: r for r in out}
+    assert len(out) == 3  # two samples + one ok=false shard row
+    bad = [r for r in out if not r.ok]
+    assert len(bad) == 1 and bad[0].shard.endswith("bad.tar")
+    assert bad[0].key is None
+    assert {r.key for r in out if r.ok} == {"a", "b"}
+    del by_ok
+
+
+def _samples_df(spark, n=20):
+    rows = [
+        (f"doc{i:04d}", {"txt": f"text {i}".encode(), "bin": bytes([i] * i)})
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "key string, members map<string,binary>")
+
+
+def test_write_roundtrip_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(_samples_df(spark), out, n_shards=4)
+    m = manifest.collect()
+    assert sum(r.n_samples for r in m) == 20
+    # the shards are REAL tars the stdlib reads back (independent reader)
+    import os
+
+    names = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert names == [f"shard-{r.shard:05d}.tar" for r in sorted(m, key=lambda r: r.shard)]
+    seen = {}
+    for f in names:
+        with tarfile.open(os.path.join(out, f)) as tf:
+            for member in tf:
+                key, ext = _sample_key(member.name)
+                seen.setdefault(key, {})[ext] = tf.extractfile(member).read()
+    assert len(seen) == 20
+    assert seen["doc0007"]["txt"] == b"text 7"
+    assert seen["doc0007"]["bin"] == bytes([7] * 7)
+    # and our own reader round-trips it
+    back = read_webdataset(spark, out).collect()
+    assert {r.key for r in back} == set(seen) and all(r.ok for r in back)
+
+
+def test_write_deterministic_and_duplicate_key(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset(_samples_df(spark), a, n_shards=3)
+    write_webdataset(_samples_df(spark), b, n_shards=3)
+    import os
+
+    for f in os.listdir(a):
+        if f.endswith(".tar"):
+            assert (
+                open(os.path.join(a, f), "rb").read()
+                == open(os.path.join(b, f), "rb").read()
+            )
+    dup = _samples_df(spark, 3).union(_samples_df(spark, 1))
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_webdataset(dup, str(tmp_path / "c"), n_shards=1)
