@@ -173,3 +173,92 @@ def apply_policy(
         F.col(id_col).alias("doc_id"), F.col("_verdict").alias("reason")
     )
     return kept, dropped
+
+
+def media_attributes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    metadata: bool = True,
+    image: bool = True,
+    audio: bool = True,
+    decoded_image: DataFrame | None = None,
+    decoded_audio: DataFrame | None = None,
+) -> DataFrame:
+    """The attribute store's MEDIA counterpart: one wide per-blob signal
+    frame keyed by ``id_col`` — byte metadata (native), image quality +
+    perceptual hashes (from one image decode), audio quality (from one
+    audio decode) — so media policies iterate over persisted attributes
+    exactly like text policies (:func:`apply_policy` is id-generic; pass
+    ``id_col='media_id'``).
+
+    When ``kind_col`` exists, the image families decode only
+    ``kind='image'`` rows and the audio family only ``kind='audio'`` —
+    other rows carry NULL signals, so policies over a mixed store must
+    be kind-scoped (``(kind != 'image') OR sharpness > 25``: the
+    null-rejecting default would otherwise drop every non-image).
+    ``kind`` passes through for exactly that. Decodes are the expensive
+    part: each requested family re-executes its decode subtree unless
+    you pass a PERSISTED frame via ``decoded_image``/``decoded_audio``
+    (same advice as doc_attributes — persist what you reuse)."""
+    out = media.select(
+        id_col, *([kind_col] if kind_col in media.columns else [])
+    )
+    if metadata:
+        from .multimodal import blob_metadata
+
+        m = blob_metadata(media, payload_col=payload_col).select(
+            id_col, "n_bytes", "fingerprint"
+        )
+        out = out.join(m, id_col, "left")
+    has_kind = kind_col in media.columns
+    if image:
+        from .multimodal import (
+            decode_media,
+            image_quality_signals,
+            perceptual_hashes,
+        )
+
+        src = (
+            media.filter(F.col(kind_col) == "image") if has_kind else media
+        )
+        dec = (
+            decoded_image
+            if decoded_image is not None
+            else decode_media(src, payload_col=payload_col, id_col=id_col)
+        )
+        q = image_quality_signals(dec, id_col=id_col).select(
+            id_col,
+            F.col("ok").alias("image_ok"),
+            "brightness",
+            "contrast",
+            "sharpness",
+            "colorfulness",
+        )
+        hsh = perceptual_hashes(dec, id_col=id_col).select(
+            id_col, "ahash", "dhash"
+        )
+        out = out.join(q, id_col, "left").join(hsh, id_col, "left")
+    if audio:
+        from .audio import audio_features, decode_audio
+
+        src = (
+            media.filter(F.col(kind_col) == "audio") if has_kind else media
+        )
+        dec = (
+            decoded_audio
+            if decoded_audio is not None
+            else decode_audio(src, payload_col=payload_col, id_col=id_col)
+        )
+        a = audio_features(dec, id_col=id_col).select(
+            id_col,
+            F.col("ok").alias("audio_ok"),
+            F.col("rms_db"),
+            "peak",
+            "clipping_ratio",
+            "silence_ratio",
+            "zcr_mean",
+        )
+        out = out.join(a, id_col, "left")
+    return out

@@ -159,3 +159,93 @@ def test_apply_policy_partition_contract(spark):
     assert {r.doc_id: r.reason for r in dropped2.collect()} == {
         3: "no_attributes"
     }
+
+
+def _mixed_media(spark):
+    """Two images (one sharp, one blurry-flat), two WAVs (one voiced,
+    one silent), one corrupt blob — the mixed store media_attributes
+    serves."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+
+    def ppm(rgb):
+        h, w, _ = rgb.shape
+        return f"P6 {w} {h} 255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+    def wav(x):
+        ints = (np.clip(x, -1, 1) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(ints.tobytes())
+        return buf.getvalue()
+
+    sharp = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    flat = np.full((24, 24, 3), 120, np.uint8)
+    t = np.arange(4000) / 8000.0
+    voiced = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [
+        (0, "image", ppm(sharp)),
+        (1, "image", ppm(flat)),
+        (2, "audio", wav(voiced)),
+        (3, "audio", wav(np.zeros(4000))),
+        (4, "image", b"corrupt-jpeg"),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def test_media_attributes_wide_frame_and_policy(spark):
+    from l1dbproto_spark.operators.attributes import media_attributes
+
+    media = _mixed_media(spark)
+    attrs = media_attributes(media)
+    rows = {r.media_id: r for r in attrs.collect()}
+    assert len(rows) == 5
+    # metadata present on every row
+    assert all(rows[i].n_bytes > 0 and rows[i].fingerprint for i in rows)
+    # image signals on images only; audio signals null there
+    assert rows[0].image_ok and rows[0].sharpness > rows[1].sharpness
+    assert rows[0].ahash is not None and rows[0].audio_ok is None
+    # audio signals on audio only
+    assert rows[2].audio_ok and rows[2].silence_ratio < 0.1
+    assert rows[3].silence_ratio == 1.0 and rows[3].brightness is None
+    # corrupt image: attributed, image_ok False, null signals
+    assert rows[4].image_ok is False and rows[4].sharpness is None
+
+    # kind-scoped policies through the SAME apply_policy machinery
+    kept, dropped = apply_policy(
+        media,
+        attrs,
+        {
+            "decodes": "(kind != 'image') OR image_ok",
+            "sharp": f"(kind != 'image') OR sharpness > {rows[1].sharpness}",
+            "not_silent": "(kind != 'audio') OR silence_ratio < 0.9",
+        },
+        id_col="media_id",
+    )
+    assert {r.media_id for r in kept.collect()} == {0, 2}
+    reasons = {r.doc_id: r.reason for r in dropped.collect()}
+    assert reasons == {1: "sharp", 3: "not_silent", 4: "decodes"}
+
+
+def test_media_attributes_accepts_persisted_decode(spark):
+    from l1dbproto_spark.operators.attributes import media_attributes
+    from l1dbproto_spark.operators.multimodal import decode_media
+
+    media = _mixed_media(spark).filter("kind = 'image'")
+    dec = decode_media(media).localCheckpoint()
+    attrs = media_attributes(media, audio=False, decoded_image=dec)
+    direct = media_attributes(media, audio=False)
+    a = {r.media_id: r for r in attrs.collect()}
+    b = {r.media_id: r for r in direct.collect()}
+    assert set(a) == set(b)
+    assert all(a[i].ahash == b[i].ahash for i in a)
+    assert all(a[i].sharpness == b[i].sharpness for i in a)
