@@ -594,3 +594,64 @@ def image_quality_signals(
     return decoded.select(id_col, "ok", "width", "height", "pixels").mapInPandas(
         extract, out_schema
     )
+
+
+def image_dedup_clusters(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_bits: int = 3,
+    hash_col: str = "dhash",
+    score: DataFrame | None = None,
+    decoded: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level image dedup, end to end: decode -> perceptual hash
+    (:func:`perceptual_hashes`, ``hash_col`` of ``ahash``/``dhash``) ->
+    Hamming<=``max_bits`` candidate pairs through the hash-agnostic
+    SimHash block bucketing (never all-pairs) -> connected components ->
+    canonical selection. One row per image that decoded:
+    ``(id, component, canonical_id, is_canonical)`` — unique images are
+    their own singleton canonical, near-duplicate groups keep min id, or
+    the max-``score`` member when a (id, score) frame is given (e.g.
+    ``image_quality_signals``' sharpness, so the dedup keeps the
+    sharpest copy). Undecodable blobs are absent (gate them via
+    ``media_attributes``' image_ok). Pass a persisted ``decoded`` frame
+    to share the decode with other consumers.
+
+    Scale shape: the pair stage inherits the pigeonhole bucketing's
+    sub-quadratic cost; components converge in O(log diameter) rounds
+    on near-dup graphs (diameter ~ 2-3); the canonical step is one join
+    + one bounded-cluster aggregation."""
+    from .dedup import simhash_near_dup_pairs
+    from ..operators.graph import connected_components, resolve_canonicals
+
+    dec = (
+        decoded
+        if decoded is not None
+        else decode_media(media, payload_col=payload_col, id_col=id_col)
+    )
+    hashes = perceptual_hashes(dec, id_col=id_col).filter("ok").select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    pairs = simhash_near_dup_pairs(hashes, max_bits=max_bits, bits=64)
+    comps = connected_components(pairs)
+    scores = (
+        score
+        if score is not None
+        else hashes.select(F.col("doc_id").alias(id_col), F.lit(0.0).alias("score"))
+    )
+    resolved = resolve_canonicals(comps, scores, id_col=id_col).select(
+        F.col(id_col), "component", "canonical_id", "is_canonical"
+    )
+    # singletons (no near-dup pair) are their own canonical
+    singles = (
+        hashes.select(F.col("doc_id").alias(id_col))
+        .join(resolved.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.col(id_col).alias("canonical_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return resolved.unionByName(singles)

@@ -187,3 +187,46 @@ def test_image_quality_orders_blur_and_color(spark):
     assert sig[0].sharpness > 10 * sig[1].sharpness  # blur kills Laplacian var
     assert sig[2].colorfulness == 0.0  # equal channels = no color
     assert sig[0].colorfulness > 20
+
+
+def test_image_dedup_clusters_end_to_end(spark):
+    from l1dbproto_spark.operators.multimodal import image_dedup_clusters
+
+    base = RNG.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    near1 = np.clip(
+        base.astype(np.int16) + RNG.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    near2 = np.clip(
+        base.astype(np.int16) + RNG.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    unique = RNG.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (10, ppm(base)),
+            (11, ppm(near1)),
+            (12, ppm(near2)),
+            (20, ppm(unique)),
+            (30, b"corrupt"),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in image_dedup_clusters(media).collect()}
+    # corrupt blob absent; unique image is its own singleton canonical
+    assert set(out) == {10, 11, 12, 20}
+    assert out[20].is_canonical and out[20].canonical_id == 20
+    # the near-dup trio clusters together, min id canonical by default
+    assert out[10].component == out[11].component == out[12].component
+    assert all(out[i].canonical_id == 10 for i in (10, 11, 12))
+    assert out[10].is_canonical and not out[11].is_canonical
+
+    # quality-aware: score frame promotes the sharpest copy instead
+    scores = spark.createDataFrame(
+        [(10, 1.0), (11, 9.0), (12, 2.0), (20, 5.0)], "media_id long, score double"
+    )
+    best = {
+        r.media_id: r
+        for r in image_dedup_clusters(media, score=scores).collect()
+    }
+    assert all(best[i].canonical_id == 11 for i in (10, 11, 12))
+    assert best[11].is_canonical and not best[10].is_canonical
+    assert best[20].is_canonical  # singleton unaffected by scoring
