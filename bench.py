@@ -495,6 +495,40 @@ def main() -> None:
 
     _extra("hard_negatives_12x5", _hardneg)
 
+    # r11 multimodal addition: corpus-level image dedup end to end
+    # (decode -> dhash -> Hamming block buckets -> components ->
+    # canonicals) over 2k synthesized 32x32 PPMs in 200 near-dup
+    # families. Synthesis is OUTSIDE the timed thunk (localCheckpoint
+    # materializes it) so the number measures the dedup, not numpy.
+    from l1dbproto_spark.operators.multimodal import image_dedup_clusters
+
+    def _make_media_2k():
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        bases = [
+            rng.integers(0, 256, (32, 32, 3)).astype("uint8")
+            for _ in range(200)
+        ]
+        rows = []
+        for i in range(2000):
+            b = bases[i % 200]
+            if i >= 200:
+                b = np.clip(
+                    b.astype("int16") + rng.integers(-2, 3, b.shape), 0, 255
+                ).astype("uint8")
+            rows.append((i, b"P6 32 32 255\n" + b.tobytes()))
+        return spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).localCheckpoint()
+
+    media_2k = _make_media_2k()
+    _extra(
+        "image_dedup_2k",
+        lambda: image_dedup_clusters(media_2k).count(),
+        reps=1,
+    )
+
     # driver-round-9 addition: continuous aggregate — one full-table fold
     # plus one incremental fold into the persisted hourly rollup (the
     # hypertable-rollup maintenance path; serving reads the 3.6k-group

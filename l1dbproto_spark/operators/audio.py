@@ -222,23 +222,17 @@ def audio_features(
                 x = np.frombuffer(bytes(pcm), "<f4")
                 win = max(1, int(sr) * win_ms // 1000)
                 hop = max(1, int(sr) * hop_ms // 1000)
-                starts = range(0, max(1, len(x) - win + 1), hop)
-                rms = np.array(
-                    [
-                        float(np.sqrt(np.mean(x[s : s + win] ** 2)))
-                        for s in starts
-                    ]
+                # one strided view instead of a Python loop per window —
+                # an hour of 16 kHz audio is 360k windows (review find);
+                # a sub-window recording is its single truncated window
+                view = (
+                    np.lib.stride_tricks.sliding_window_view(x, win)[::hop]
+                    if len(x) >= win
+                    else x[None, :]
                 )
-                def _zcr(seg: np.ndarray) -> float:
-                    # slice the window ONCE: x[s+1:s+win] vs x[s:s+win-1]
-                    # clamp to different lengths on a truncated final window
-                    return float(
-                        np.count_nonzero(
-                            np.signbit(seg[1:]) != np.signbit(seg[:-1])
-                        )
-                    ) / max(1, len(seg))
-
-                zcr = np.array([_zcr(x[s : s + win]) for s in starts])
+                rms = np.sqrt((view**2).mean(axis=1))
+                sb = np.signbit(view)
+                zcr = (sb[:, 1:] != sb[:, :-1]).sum(axis=1) / view.shape[1]
                 floor = 10.0 ** (silence_db / 20.0)
                 overall = float(np.sqrt(np.mean(x**2)))
                 rows.append(
@@ -322,9 +316,14 @@ def segment_silence(
                 win = max(1, sr * win_ms // 1000)
                 hop = max(1, sr * hop_ms // 1000)
                 starts = np.arange(0, max(1, len(x) - win + 1), hop)
-                rms = np.array(
-                    [np.sqrt(np.mean(x[s : s + win] ** 2)) for s in starts]
+                # strided view, not a per-window Python loop (see
+                # audio_features — same review find)
+                view = (
+                    np.lib.stride_tricks.sliding_window_view(x, win)[::hop]
+                    if len(x) >= win
+                    else x[None, :]
                 )
+                rms = np.sqrt((view**2).mean(axis=1))
                 voiced = rms >= floor
                 if not voiced.any():
                     continue

@@ -622,6 +622,7 @@ def image_dedup_clusters(
     sub-quadratic cost; components converge in O(log diameter) rounds
     on near-dup graphs (diameter ~ 2-3); the canonical step is one join
     + one bounded-cluster aggregation."""
+    from ..checkpoint import pin
     from .dedup import simhash_near_dup_pairs
     from ..operators.graph import connected_components, resolve_canonicals
 
@@ -630,15 +631,31 @@ def image_dedup_clusters(
         if decoded is not None
         else decode_media(media, payload_col=payload_col, id_col=id_col)
     )
-    hashes = perceptual_hashes(dec, id_col=id_col).filter("ok").select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    # pin the (id, hash) frame: it feeds the pair stage, the singleton
+    # anti-join, and (unscored) the canonical step — without the pin each
+    # consumer re-executes the whole corpus decode (review find: 3x)
+    hashes = (
+        perceptual_hashes(dec, id_col=id_col)
+        .filter("ok")
+        .select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash"))
+        .transform(pin, eager=False)
     )
     pairs = simhash_near_dup_pairs(hashes, max_bits=max_bits, bits=64)
     comps = connected_components(pairs)
     scores = (
         score
         if score is not None
-        else hashes.select(F.col("doc_id").alias(id_col), F.lit(0.0).alias("score"))
+        # empty frame: every cluster is unscored, so resolve_canonicals'
+        # all-unscored rule (min id wins) gives the documented default
+        # without touching the decode subtree again
+        else media.sparkSession.createDataFrame(
+            [], T.StructType(
+                [
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            )
+        )
     )
     resolved = resolve_canonicals(comps, scores, id_col=id_col).select(
         F.col(id_col), "component", "canonical_id", "is_canonical"
