@@ -672,3 +672,105 @@ def image_dedup_clusters(
         )
     )
     return resolved.unionByName(singles)
+
+
+def probe_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """One-pass media validation + classification — the decode-validate
+    core of the streaming media ingest gate (streaming/media_stream.py)
+    and the cheap first question of any landing zone: WHAT is this blob,
+    and does it open? Magic-byte dispatch to the family decoders (RIFF/
+    WAVE -> audio, RIFF/AVI -> video container, else the image path),
+    emitting one row per blob:
+
+    ``(id, ok, kind, width, height, sample_rate, duration_ms, fps,
+    n_frames)``
+
+    with the non-applicable columns NULL per kind (images carry w/h,
+    audio carries rate/duration, video carries w/h/fps/n_frames). Only
+    HEADERS and metadata are computed — no pixel/PCM buffers cross Arrow
+    (audio decodes to count frames, then drops the buffer). Blobs no
+    decoder opens are ``ok=false, kind=null``; null payloads skip."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("duration_ms", T.DoubleType(), True),
+            T.StructField("fps", T.DoubleType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audio import _decode_wav
+        from .video import parse_avi
+
+        try:
+            import io
+
+            import PIL.Image as Image
+
+            def _img(blob: bytes) -> tuple[int, int]:
+                img = Image.open(io.BytesIO(blob))
+                return img.width, img.height
+
+        except ImportError:
+
+            def _img(blob: bytes) -> tuple[int, int]:
+                w, h, _, _ = _decode_builtin(blob)
+                return w, h
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                row = None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        sr, _, _, mono = _decode_wav(b)
+                        row = (
+                            mid, True, "audio", None, None, sr,
+                            1000.0 * len(mono) / sr, None, None,
+                        )
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        hdr, chunks = parse_avi(b)
+                        usf = hdr["us_per_frame"]
+                        row = (
+                            mid, True, "video", hdr["width"], hdr["height"],
+                            None, None, 1e6 / usf if usf else None,
+                            sum(1 for c in chunks if c[1] in ("dc", "db")),
+                        )
+                    else:
+                        w, h = _img(b)
+                        row = (mid, True, "image", w, h, None, None, None, None)
+                except Exception:
+                    row = (mid, False, None, None, None, None, None, None, None)
+                rows.append(row)
+            if not rows:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "ok": pd.Series([], dtype="bool"),
+                        "kind": pd.Series([], dtype="object"),
+                        "width": pd.Series([], dtype="Int32"),
+                        "height": pd.Series([], dtype="Int32"),
+                        "sample_rate": pd.Series([], dtype="Int32"),
+                        "duration_ms": pd.Series([], dtype="float64"),
+                        "fps": pd.Series([], dtype="float64"),
+                        "n_frames": pd.Series([], dtype="Int32"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {id_col: "int64", "ok": "bool"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(probe, out_schema)

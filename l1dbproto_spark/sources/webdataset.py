@@ -199,9 +199,11 @@ def write_webdataset(
     assigned = samples.select(
         F.col(key_col),
         F.col(members_col),
-        (
-            F.abs(F.xxhash64(F.col(key_col))) % F.lit(n_shards)
-        ).cast("int").alias("_shard"),
+        # pmod, not abs()%: abs(Long.MIN_VALUE) is still negative in JVM
+        # semantics and would mint a negative shard id
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
     )
     manifest = assigned.groupBy("_shard").applyInPandas(pack, out_schema)
     # materialize BEFORE returning so the write is not lazily re-run
