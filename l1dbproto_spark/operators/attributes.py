@@ -183,18 +183,20 @@ def media_attributes(
     metadata: bool = True,
     image: bool = True,
     audio: bool = True,
+    video: bool = True,
     decoded_image: DataFrame | None = None,
     decoded_audio: DataFrame | None = None,
 ) -> DataFrame:
     """The attribute store's MEDIA counterpart: one wide per-blob signal
     frame keyed by ``id_col`` — byte metadata (native), image quality +
     perceptual hashes (from one image decode), audio quality (from one
-    audio decode) — so media policies iterate over persisted attributes
-    exactly like text policies (:func:`apply_policy` is id-generic; pass
+    audio decode), video container metadata (headers only) — so media
+    policies iterate over persisted attributes exactly like text
+    policies (:func:`apply_policy` is id-generic; pass
     ``id_col='media_id'``).
 
-    When ``kind_col`` exists, the image families decode only
-    ``kind='image'`` rows and the audio family only ``kind='audio'`` —
+    When ``kind_col`` exists, each family decodes only ITS kind's rows
+    (image families ``kind='image'``, audio ``'audio'``, video ``'video'``) —
     other rows carry NULL signals, so policies over a mixed store must
     be kind-scoped (``(kind != 'image') OR sharpness > 25``: the
     null-rejecting default would otherwise drop every non-image).
@@ -261,4 +263,19 @@ def media_attributes(
             "zcr_mean",
         )
         out = out.join(a, id_col, "left")
+    if video:
+        from .video import video_meta
+
+        src = (
+            media.filter(F.col(kind_col) == "video") if has_kind else media
+        )
+        v = video_meta(src, payload_col=payload_col, id_col=id_col).select(
+            id_col,
+            F.col("ok").alias("video_ok"),
+            F.col("fps"),
+            "declared_frames",
+            "n_video_chunks",
+            F.col("video_fourcc"),
+        )
+        out = out.join(v, id_col, "left")
     return out

@@ -186,6 +186,29 @@ def _mixed_media(spark):
             f.writeframes(ints.tobytes())
         return buf.getvalue()
 
+    import struct
+
+    def avi(n_frames):
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        def lst(ltype, body):
+            return chunk(b"LIST", ltype + body)
+
+        avih = struct.pack("<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, 8, 8)
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)),
+        )
+        movi = lst(
+            b"movi", b"".join(chunk(b"00dc", b"\x01\x02") for _ in range(n_frames))
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     sharp = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
     flat = np.full((24, 24, 3), 120, np.uint8)
     t = np.arange(4000) / 8000.0
@@ -196,6 +219,7 @@ def _mixed_media(spark):
         (2, "audio", wav(voiced)),
         (3, "audio", wav(np.zeros(4000))),
         (4, "image", b"corrupt-jpeg"),
+        (5, "video", avi(4)),
     ]
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
@@ -208,7 +232,7 @@ def test_media_attributes_wide_frame_and_policy(spark):
     media = _mixed_media(spark)
     attrs = media_attributes(media)
     rows = {r.media_id: r for r in attrs.collect()}
-    assert len(rows) == 5
+    assert len(rows) == 6
     # metadata present on every row
     assert all(rows[i].n_bytes > 0 and rows[i].fingerprint for i in rows)
     # image signals on images only; audio signals null there
@@ -219,6 +243,11 @@ def test_media_attributes_wide_frame_and_policy(spark):
     assert rows[3].silence_ratio == 1.0 and rows[3].brightness is None
     # corrupt image: attributed, image_ok False, null signals
     assert rows[4].image_ok is False and rows[4].sharpness is None
+    # video container metadata on videos only
+    assert rows[5].video_ok and rows[5].declared_frames == 4
+    assert rows[5].fps == pytest.approx(25.0)
+    assert rows[5].video_fourcc == "MJPG" and rows[5].image_ok is None
+    assert rows[0].video_ok is None
 
     # kind-scoped policies through the SAME apply_policy machinery
     kept, dropped = apply_policy(
@@ -228,10 +257,11 @@ def test_media_attributes_wide_frame_and_policy(spark):
             "decodes": "(kind != 'image') OR image_ok",
             "sharp": f"(kind != 'image') OR sharpness > {rows[1].sharpness}",
             "not_silent": "(kind != 'audio') OR silence_ratio < 0.9",
+            "has_frames": "(kind != 'video') OR n_video_chunks >= 1",
         },
         id_col="media_id",
     )
-    assert {r.media_id for r in kept.collect()} == {0, 2}
+    assert {r.media_id for r in kept.collect()} == {0, 2, 5}
     reasons = {r.doc_id: r.reason for r in dropped.collect()}
     assert reasons == {1: "sharp", 3: "not_silent", 4: "decodes"}
 
