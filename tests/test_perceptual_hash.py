@@ -230,3 +230,15 @@ def test_image_dedup_clusters_end_to_end(spark):
     assert all(best[i].canonical_id == 11 for i in (10, 11, 12))
     assert best[11].is_canonical and not best[10].is_canonical
     assert best[20].is_canonical  # singleton unaffected by scoring
+
+
+def test_image_pair_stage_plan_has_no_cartesian(spark):
+    # the Hamming pair stage must stay bucket-joined at any corpus size —
+    # a CartesianProduct here is the all-pairs scale killer
+    hashes = spark.createDataFrame(
+        [(i, i * 7919) for i in range(100)], "doc_id long, simhash long"
+    )
+    pairs = simhash_near_dup_pairs(hashes, max_bits=3, bits=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
