@@ -445,3 +445,50 @@ def spectrogram_hash(
             ).astype({id_col: "int64", "ok": "bool"})
 
     return decoded.select(id_col, "ok", "pcm").mapInPandas(extract, out_schema)
+
+
+def wav_meta(blob: bytes) -> tuple[int, int, int, int]:
+    """Header-only WAV metadata: (sample_rate, n_channels, bits,
+    n_frames) from the fmt chunk and the DATA CHUNK SIZE — no sample is
+    converted, so a probe over petabytes of audio pays header bytes, not
+    decode (operators/multimodal.probe_media uses this). Same chunk walk
+    and format-class acceptance as :func:`_decode_wav` (a data chunk
+    truncated mid-sample-frame counts whole frames here where the full
+    decoder rejects the ragged buffer); raises ValueError on every
+    format class that decoder rejects."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int(np.frombuffer(blob, "<u4", 1, pos + 4)[0])
+        if cid == b"fmt " and pos + 8 + 16 <= len(blob):
+            fmt = blob[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data_len = min(size, len(blob) - pos - 8)
+        pos += 8 + size + (size & 1)
+        if fmt is not None and data_len is not None:
+            break
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format = int(np.frombuffer(fmt, "<u2", 1, 0)[0])
+    n_channels = int(np.frombuffer(fmt, "<u2", 1, 2)[0])
+    sample_rate = int(np.frombuffer(fmt, "<u4", 1, 4)[0])
+    bits = int(np.frombuffer(fmt, "<u2", 1, 14)[0])
+    if audio_format == 0xFFFE:
+        if len(fmt) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = int(np.frombuffer(fmt, "<u2", 1, 24)[0])
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"degenerate WAV ({n_channels} ch, {sample_rate} Hz)")
+    ok_bits = {1: (8, 16, 24, 32), 3: (32, 64)}.get(audio_format)
+    if ok_bits is None:
+        raise ValueError(f"unsupported WAV format tag {audio_format}")
+    if bits not in ok_bits:
+        raise ValueError(f"unsupported bit depth {bits}")
+    frames = data_len // (n_channels * (bits // 8))
+    if frames == 0:
+        raise ValueError("empty data chunk")
+    return sample_rate, n_channels, bits, frames

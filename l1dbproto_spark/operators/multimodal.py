@@ -51,10 +51,11 @@ def blob_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _decode_ppm(blob: bytes) -> tuple[int, int, str, bytes]:
-    """Binary PPM (P6, maxval <= 255): tokenizing header parser (arbitrary
-    whitespace + '#' comments per the netpbm spec), then a straight
-    row-major RGB slice. Raises ValueError on anything malformed."""
+def _ppm_header(blob: bytes) -> tuple[int, int, int]:
+    """P6 header -> (width, height, raster offset): tokenizing parser
+    (arbitrary whitespace + '#' comments per the netpbm spec). Validates
+    geometry/maxval AND that the raster is fully present, so a
+    header-only probe accepts exactly what the decoder decodes."""
     if blob[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     pos, tokens = 2, []
@@ -75,17 +76,22 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, str, bytes]:
     width, height, maxval = tokens
     if width < 1 or height < 1 or not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM geometry/maxval {tokens}")
-    need = width * height * 3
-    raster = blob[pos : pos + need]
-    if len(raster) != need:
+    if len(blob) - pos < width * height * 3:
         raise ValueError("truncated PPM raster")
-    return width, height, "RGB", bytes(raster)
+    return width, height, pos
 
 
-def _decode_bmp(blob: bytes) -> tuple[int, int, str, bytes]:
-    """Uncompressed 24-bit BI_RGB BMP: header fields via numpy views,
-    per-row 4-byte-padded BGR scanlines flipped to top-down RGB. Raises
-    ValueError on other BMP flavors (depths, compression, core headers)."""
+def _decode_ppm(blob: bytes) -> tuple[int, int, str, bytes]:
+    """Binary PPM (P6, maxval <= 255): header via :func:`_ppm_header`,
+    then a straight row-major RGB slice."""
+    width, height, pos = _ppm_header(blob)
+    return width, height, "RGB", bytes(blob[pos : pos + width * height * 3])
+
+
+def _bmp_header(blob: bytes) -> tuple[int, int, int, int, bool]:
+    """BMP header -> (width, height, raster offset, stride, top_down),
+    validating the same flavor constraints the decoder enforces
+    (uncompressed 24-bit BI_RGB, full raster present)."""
     if blob[:2] != b"BM" or len(blob) < 54:
         raise ValueError("not a BMP")
     off = int(np.frombuffer(blob, "<u4", 1, 10)[0])
@@ -103,10 +109,18 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, str, bytes]:
     if width < 1 or height < 1:
         raise ValueError("degenerate BMP dimensions")
     stride = (width * 3 + 3) // 4 * 4
-    need = stride * height
-    if len(blob) < off + need:
+    if len(blob) < off + stride * height:
         raise ValueError("truncated BMP raster")
-    rows = np.frombuffer(blob, "u1", need, off).reshape(height, stride)
+    return width, height, off, stride, top_down
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, str, bytes]:
+    """Uncompressed 24-bit BI_RGB BMP: header via :func:`_bmp_header`,
+    per-row 4-byte-padded BGR scanlines flipped to top-down RGB."""
+    width, height, off, stride, top_down = _bmp_header(blob)
+    rows = np.frombuffer(blob, "u1", stride * height, off).reshape(
+        height, stride
+    )
     bgr = rows[:, : width * 3].reshape(height, width, 3)
     if not top_down:
         bgr = bgr[::-1]  # BI_RGB default is bottom-up
@@ -689,9 +703,11 @@ def probe_media(
 
     with the non-applicable columns NULL per kind (images carry w/h,
     audio carries rate/duration, video carries w/h/fps/n_frames). Only
-    HEADERS and metadata are computed — no pixel/PCM buffers cross Arrow
-    (audio decodes to count frames, then drops the buffer). Blobs no
-    decoder opens are ``ok=false, kind=null``; null payloads skip."""
+    HEADERS are parsed — audio duration comes from the data-chunk size
+    (audio.wav_meta), image geometry from the PPM/BMP header parses or
+    PIL's lazy open, video from the avih walk — so the probe over
+    petabytes pays header bytes, not decode. Blobs no decoder opens are
+    ``ok=false, kind=null``; null payloads skip."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -708,7 +724,7 @@ def probe_media(
     cols = [f.name for f in out_schema.fields]
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .audio import _decode_wav
+        from .audio import wav_meta
         from .video import parse_avi
 
         try:
@@ -717,13 +733,19 @@ def probe_media(
             import PIL.Image as Image
 
             def _img(blob: bytes) -> tuple[int, int]:
+                # Image.open is lazy — header parse only, no pixel load
                 img = Image.open(io.BytesIO(blob))
                 return img.width, img.height
 
         except ImportError:
 
             def _img(blob: bytes) -> tuple[int, int]:
-                w, h, _, _ = _decode_builtin(blob)
+                if blob[:2] == b"P6":
+                    w, h, _ = _ppm_header(blob)
+                elif blob[:2] == b"BM":
+                    w, h, _, _, _ = _bmp_header(blob)
+                else:
+                    raise ValueError("no built-in decoder for this format")
                 return w, h
 
         for pdf in batches:
@@ -735,10 +757,10 @@ def probe_media(
                 row = None
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        sr, _, _, mono = _decode_wav(b)
+                        sr, _, _, n_frames = wav_meta(b)
                         row = (
                             mid, True, "audio", None, None, sr,
-                            1000.0 * len(mono) / sr, None, None,
+                            1000.0 * n_frames / sr, None, None,
                         )
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         hdr, chunks = parse_avi(b)

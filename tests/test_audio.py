@@ -288,3 +288,25 @@ def test_spectrogram_hash_passthrough_and_short_pad(spark):
     }
     assert out[0].ok and out[0].spec_hash is not None  # 80 samples < n_fft
     assert not out[1].ok and out[1].spec_hash is None
+
+
+def test_wav_meta_matches_decoder():
+    from l1dbproto_spark.operators.audio import wav_meta
+
+    for blob, want_bits in [
+        (wav16(tone(440, 200)), 16),
+        (wav16(tone(440, 100, amp=0.8), channels=1), 16),
+    ]:
+        sr, ch, bits, frames = wav_meta(blob)
+        sr2, ch2, bits2, mono = _decode_wav(blob)
+        assert (sr, ch, bits) == (sr2, ch2, bits2) and bits == want_bits
+        assert frames == len(mono)
+    # stereo frame counting
+    stereo = np.stack([tone(440, 100), tone(440, 100)], axis=1)
+    _, ch, _, frames = wav_meta(wav16(stereo, channels=2))
+    assert ch == 2 and frames == SR // 10
+    # rejects the same format classes
+    for bad in (b"", b"RIFF\x10\x00\x00\x00WAVE",
+                wav_manual(b"\x00\x00", 85, 1, SR, 16)):
+        with pytest.raises(ValueError):
+            wav_meta(bad)
