@@ -68,13 +68,11 @@ def test_read_gzip_corrupt_and_dir_members(spark, tmp_path):
     (tmp_path / "good.tar.gz").write_bytes(good)
     (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive")
     out = read_webdataset(spark, str(tmp_path)).collect()
-    by_ok = {r.ok: r for r in out}
     assert len(out) == 3  # two samples + one ok=false shard row
     bad = [r for r in out if not r.ok]
     assert len(bad) == 1 and bad[0].shard.endswith("bad.tar")
     assert bad[0].key is None
     assert {r.key for r in out if r.ok} == {"a", "b"}
-    del by_ok
 
 
 def _samples_df(spark, n=20):
