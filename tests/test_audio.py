@@ -310,3 +310,15 @@ def test_wav_meta_matches_decoder():
                 wav_manual(b"\x00\x00", 85, 1, SR, 16)):
         with pytest.raises(ValueError):
             wav_meta(bad)
+
+
+def test_wav_meta_truncated_data_counts_whole_frames():
+    from l1dbproto_spark.operators.audio import wav_meta
+
+    # a data chunk truncated mid-sample-frame: meta counts whole frames
+    # (documented), the full decoder rejects the ragged buffer
+    blob = wav_manual(b"\x00\x01\x02", 1, 1, SR, 16)  # 1.5 16-bit frames
+    _, _, _, frames = wav_meta(blob)
+    assert frames == 1
+    with pytest.raises(ValueError):
+        _decode_wav(blob)
