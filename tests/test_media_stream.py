@@ -136,3 +136,34 @@ def test_restart_reads_only_new_files(spark, landing, tmp_path):
     assert df.count() == 4
     new = df.filter(~F.col("epoch").isin(list(epochs1)))
     assert [r.path.split("/")[-1] for r in new.collect()] == ["e.ppm"]
+
+
+def test_all_null_payloads_yield_empty_frames_everywhere(spark):
+    """The all-skipped Arrow batch is the family's known pitfall (empty
+    object columns break conversion) — drive every r11 media operator
+    with only-null payloads and require clean empty results."""
+    from l1dbproto_spark.operators.audio import (
+        audio_features,
+        decode_audio,
+        segment_silence,
+        spectrogram_hash,
+    )
+    from l1dbproto_spark.operators.multimodal import (
+        decode_media,
+        image_quality_signals,
+        perceptual_hashes,
+        probe_media,
+    )
+
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(3)], "media_id long, payload binary"
+    )
+    adec = decode_audio(nulls)
+    idec = decode_media(nulls)
+    assert adec.count() == 0 and idec.count() == 0
+    assert probe_media(nulls).count() == 0
+    assert audio_features(adec).count() == 0
+    assert segment_silence(adec).count() == 0
+    assert spectrogram_hash(adec).count() == 0
+    assert perceptual_hashes(idec).count() == 0
+    assert image_quality_signals(idec).count() == 0
