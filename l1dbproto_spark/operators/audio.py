@@ -96,10 +96,18 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"unsupported float bit depth {bits}")
     else:
         raise ValueError(f"unsupported WAV format tag {audio_format}")
+    if len(x) % n_channels:
+        # a data chunk cut mid-sample-frame (whole samples, partial frame):
+        # reject like the sample-width-ragged case np.frombuffer catches,
+        # so wav_meta's whole-frame count is the only lenient reader
+        raise ValueError(
+            f"data chunk truncated mid-frame: {len(x)} samples over "
+            f"{n_channels} channels"
+        )
     frames = len(x) // n_channels
     if frames == 0:
         raise ValueError("empty data chunk")
-    mono = x[: frames * n_channels].reshape(frames, n_channels).mean(axis=1)
+    mono = x.reshape(frames, n_channels).mean(axis=1)
     return sample_rate, n_channels, bits, mono.astype(np.float32)
 
 

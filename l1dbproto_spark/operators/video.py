@@ -2,7 +2,8 @@
 
 ``parse_avi``/``video_meta``/``avi_frames`` is a REAL pure-Python
 RIFF/AVI container parser (the same chunk-walk discipline as the WAV
-decoder in operators/audio.py, plus nested LIST recursion): the main
+decoder in operators/audio.py, plus an in-order nested-LIST walk on an
+explicit stack — recursion-limit-proof against crafted deep nesting): the main
 ``avih`` header gives geometry/fps/declared frames, ``strh`` stream
 headers give the codec fourcc, and the ``movi`` payload chunks
 (``##dc``/``##db``/``##wb``) give each frame's bytes. Frame PAYLOADS
@@ -55,33 +56,42 @@ def parse_avi(blob: bytes) -> tuple[dict, list[tuple[int, str, int, int]]]:
     streams: list[tuple[str, str]] = []
     chunks: list[tuple[int, str, int, int]] = []
 
-    def walk(pos: int, end: int) -> None:
-        for cid, bs, be in _walk(blob, pos, end):
-            if cid == b"LIST":
-                walk(bs + 4, be)  # skip the 4-byte list type, recurse
-            elif cid == b"avih" and be - bs >= 40:
-                header.update(
-                    us_per_frame=_u4(blob, bs),
-                    total_frames=_u4(blob, bs + 16),
-                    n_streams=_u4(blob, bs + 24),
-                    width=_u4(blob, bs + 32),
-                    height=_u4(blob, bs + 36),
+    # explicit generator stack, not recursion: a crafted blob of minimal
+    # 12-byte LIST headers nests deeper than Python's recursion limit,
+    # and the contract is ValueError (one ok=false row), never
+    # RecursionError escaping to direct callers. The stack keeps the
+    # depth-first IN-ORDER walk, so chunk order stays container order.
+    stack = [_walk(blob, 12, len(blob))]
+    while stack:
+        item = next(stack[-1], None)
+        if item is None:
+            stack.pop()
+            continue
+        cid, bs, be = item
+        if cid == b"LIST":
+            stack.append(_walk(blob, bs + 4, be))  # skip the list type
+        elif cid == b"avih" and be - bs >= 40:
+            header.update(
+                us_per_frame=_u4(blob, bs),
+                total_frames=_u4(blob, bs + 16),
+                n_streams=_u4(blob, bs + 24),
+                width=_u4(blob, bs + 32),
+                height=_u4(blob, bs + 36),
+            )
+        elif cid == b"strh" and be - bs >= 8:
+            streams.append(
+                (
+                    blob[bs : bs + 4].decode("ascii", "replace"),
+                    blob[bs + 4 : bs + 8].decode("ascii", "replace").strip(),
                 )
-            elif cid == b"strh" and be - bs >= 8:
-                streams.append(
-                    (
-                        blob[bs : bs + 4].decode("ascii", "replace"),
-                        blob[bs + 4 : bs + 8].decode("ascii", "replace").strip(),
-                    )
-                )
-            elif (
-                len(cid) == 4
-                and cid[:2].isdigit()
-                and cid[2:] in (b"dc", b"db", b"wb")
-            ):
-                chunks.append((int(cid[:2]), cid[2:].decode(), bs, be))
+            )
+        elif (
+            len(cid) == 4
+            and cid[:2].isdigit()
+            and cid[2:] in (b"dc", b"db", b"wb")
+        ):
+            chunks.append((int(cid[:2]), cid[2:].decode(), bs, be))
 
-    walk(12, len(blob))
     if not header:
         raise ValueError("missing avih header")
     header["streams"] = streams

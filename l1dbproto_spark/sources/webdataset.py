@@ -147,7 +147,7 @@ def write_webdataset(
 ) -> DataFrame:
     """Pack (key, members: map<ext, binary>) rows into ``n_shards`` real
     tar shards under ``path`` (``shard-%05d.tar``), samples
-    hash-assigned by md5(key) — ONE exchange — and written in sorted key
+    hash-assigned by xxhash64(key) — ONE exchange — and written in sorted key
     order so same input gives byte-identical shards (tar mtimes pinned
     to 0). Returns and persists the (shard, n_samples, n_bytes)
     manifest. Duplicate keys raise inside the task: two samples with one

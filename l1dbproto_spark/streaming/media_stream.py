@@ -29,12 +29,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.multimodal import probe_media
 
 _BINARY_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
 )
+
+# The gate's on-disk contracts. A freshly-started gate whose first epoch
+# is all-valid (or all-invalid) leaves the other side as a partition
+# directory with ZERO parquet files, which schema inference cannot read
+# — so every consumer (the gate's own metrics read-back, monitoring,
+# tests) goes through these explicit schemas. test_media_stream pins
+# them against what probe() actually writes.
+ADMITTED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
+        T.StructField("epoch", T.IntegerType(), True),
+    ]
+)
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
+        T.StructField("epoch", T.IntegerType(), True),
+    ]
+)
+
+
+def read_admitted(spark: SparkSession, out_path: str) -> DataFrame:
+    """Typed read of the gate's catalog table (empty-epoch safe)."""
+    return spark.read.schema(ADMITTED_SCHEMA).parquet(out_path.rstrip("/"))
+
+
+def read_quarantined(spark: SparkSession, out_path: str) -> DataFrame:
+    """Typed read of the gate's quarantine table (empty-epoch safe)."""
+    return spark.read.schema(QUARANTINE_SCHEMA).parquet(
+        out_path.rstrip("/") + "_quarantine"
+    )
 
 
 class StreamingMediaIngest:
@@ -85,22 +130,34 @@ class StreamingMediaIngest:
             eid = int(epoch_id)
             spark = batch_df.sparkSession
 
-            def _write(df: DataFrame, path: str) -> None:
+            def _write(df: DataFrame, path: str):
+                stamped = df.withColumn("epoch", F.lit(eid))
                 (
-                    df.withColumn("epoch", F.lit(eid))
-                    .write.mode("overwrite")
+                    stamped.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("epoch")
                     .parquet(path)
                 )
+                # the writer's schema, epoch partition column included —
+                # handed to the read-back so an all-valid (or all-invalid)
+                # epoch, whose side lands a directory with ZERO parquet
+                # files, reads back as an empty typed frame instead of
+                # throwing UNABLE_TO_INFER_SCHEMA and killing the stream
+                return stamped.schema
 
-            _write(admitted, out)
-            _write(quarantined, out + "_quarantine")
+            adm_schema = _write(admitted, out)
+            qua_schema = _write(quarantined, out + "_quarantine")
             # counts from the just-WRITTEN partitions (the text gate's
             # rule): the metric reports what actually landed on disk
-            adm = spark.read.parquet(out).filter(F.col("epoch") == eid)
-            qua = spark.read.parquet(out + "_quarantine").filter(
-                F.col("epoch") == eid
+            adm = (
+                spark.read.schema(adm_schema)
+                .parquet(out)
+                .filter(F.col("epoch") == eid)
+            )
+            qua = (
+                spark.read.schema(qua_schema)
+                .parquet(out + "_quarantine")
+                .filter(F.col("epoch") == eid)
             )
             counts = (
                 adm.agg(

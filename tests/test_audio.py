@@ -322,3 +322,11 @@ def test_wav_meta_truncated_data_counts_whole_frames():
     assert frames == 1
     with pytest.raises(ValueError):
         _decode_wav(blob)
+    # stereo cut on a SAMPLE (not frame) boundary: whole int16 samples,
+    # partial frame — meta counts whole frames, decoder rejects (the
+    # channel-ragged case, distinct from the sample-width-ragged one)
+    stereo_ragged = wav_manual(b"\x00\x01\x02\x03\x04\x05", 1, 2, SR, 16)
+    _, ch, _, frames = wav_meta(stereo_ragged)
+    assert ch == 2 and frames == 1
+    with pytest.raises(ValueError, match="mid-frame"):
+        _decode_wav(stereo_ragged)

@@ -13,8 +13,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from l1dbproto_spark.streaming.media_stream import (
+    ADMITTED_SCHEMA,
+    QUARANTINE_SCHEMA,
     StreamingMediaIngest,
     media_ingest_rate,
+    read_admitted,
+    read_quarantined,
 )
 
 SR = 8000
@@ -136,6 +140,49 @@ def test_restart_reads_only_new_files(spark, landing, tmp_path):
     assert df.count() == 4
     new = df.filter(~F.col("epoch").isin(list(epochs1)))
     assert [r.path.split("/")[-1] for r in new.collect()] == ["e.ppm"]
+
+
+def test_all_valid_first_epoch_has_empty_quarantine(spark, tmp_path):
+    """The common happy path: epoch 0 lands ONLY decodable media, so the
+    quarantine side writes an empty frame (a partition directory with no
+    parquet files). The metrics read-back must survive schema-less
+    directories on either side instead of dying on UNABLE_TO_INFER_SCHEMA."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    _land(d, "a.ppm", ppm_bytes(7))
+    _land(d, "b.wav", wav_bytes())
+    out = str(tmp_path / "media")
+    gate = StreamingMediaIngest(spark)
+    q = gate.bind_stream(str(d), out)
+    q.awaitTermination(120)
+    rate = media_ingest_rate(spark, out).collect()[0]
+    assert (rate.n_admitted, rate.n_quarantined) == (2, 0)
+    assert rate.rate == pytest.approx(0.0)
+    assert read_quarantined(spark, out).count() == 0
+    # the declared contracts match what the writer actually lands
+    landed = spark.read.parquet(out)
+    assert [(f.name, f.dataType) for f in landed.schema.fields] == [
+        (f.name, f.dataType) for f in ADMITTED_SCHEMA.fields
+    ]
+
+
+def test_all_invalid_first_epoch_has_empty_admitted(spark, tmp_path):
+    """Mirror case: a fully-poisoned epoch 0 leaves the admitted side as
+    the file-less directory; the gate must still land the metrics row."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    _land(d, "x.bin", b"\x00\x01 not media at all")
+    out = str(tmp_path / "media")
+    gate = StreamingMediaIngest(spark)
+    gate.bind_stream(str(d), out).awaitTermination(120)
+    rate = media_ingest_rate(spark, out).collect()[0]
+    assert (rate.n_admitted, rate.n_quarantined) == (0, 1)
+    assert rate.rate == pytest.approx(1.0)
+    assert read_admitted(spark, out).count() == 0
+    landed = spark.read.parquet(out + "_quarantine")
+    assert [(f.name, f.dataType) for f in landed.schema.fields] == [
+        (f.name, f.dataType) for f in QUARANTINE_SCHEMA.fields
+    ]
 
 
 def test_all_null_payloads_yield_empty_frames_everywhere(spark):

@@ -89,6 +89,47 @@ def test_parse_avi_rejects():
             parse_avi(blob)
 
 
+def test_parse_avi_survives_pathological_list_nesting():
+    """A crafted blob of minimal LIST headers nested far past Python's
+    recursion limit must raise the documented ValueError (no avih), not
+    RecursionError — the walk runs on an explicit stack."""
+    body = b"JUNK"
+    for _ in range(50_000):
+        payload = b"x\x00\x00\x00" + body
+        body = b"LIST" + struct.pack("<I", len(payload)) + payload
+    full = b"AVI " + body
+    blob = b"RIFF" + struct.pack("<I", len(full)) + full
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(blob)
+
+
+def test_parse_avi_chunk_order_across_sibling_lists():
+    """Video chunks split across two sibling movi LISTs must come back
+    in container order (the stack walk is in-order, not batched)."""
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 4, 0, 1, 0, 32, 24)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)),
+    )
+    movi1 = lst(b"movi", chunk(b"00dc", b"AA") + chunk(b"00dc", b"BB"))
+    movi2 = lst(b"movi", chunk(b"00dc", b"CC") + chunk(b"00dc", b"DD"))
+    full = b"AVI " + hdrl + movi1 + movi2
+    blob = b"RIFF" + struct.pack("<I", len(full)) + full
+    _, chunks = parse_avi(blob)
+    payloads = [blob[s:e] for _, _, s, e in chunks]
+    assert payloads == [b"AA", b"BB", b"CC", b"DD"]
+
+
 def _media(spark, blobs):
     return spark.createDataFrame(
         [(i, b) for i, b in enumerate(blobs)], "media_id long, payload binary"
