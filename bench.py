@@ -349,9 +349,14 @@ def main() -> None:
         _extra(r8_name, lambda n=r8_name: specs[n].builder(spark, sf_dir).count())
 
     # round-9 additions: 1-bit quantized ANN (also in the recall record),
-    # event analytics, interval-overlap join
-    for r9_name in ("hamming_topk", "funnel_conversion", "cohort_retention"):
+    # event analytics, interval-overlap join. cohort_retention rotated out
+    # of the registry in r12 (slot to evolve_cast_loss) but stays measured
+    # here for the cross-round trend — its oracle lives in-suite now.
+    from l1dbproto_spark.queries.analytics import cohort_retention as _cohort_q
+
+    for r9_name in ("hamming_topk", "funnel_conversion"):
         _extra(r9_name, lambda n=r9_name: specs[n].builder(spark, sf_dir).count())
+    _extra("cohort_retention", lambda: _cohort_q(spark, sf_dir).count())
     from l1dbproto_spark.operators.interval_join import overlapping_order_windows
 
     # 1-in-10 order subset: the FULL sf0.1 demo emits ~27M overlap pairs
@@ -457,34 +462,21 @@ def main() -> None:
 
     _extra("mmr_rerank_ann50", _mmr, reps=1)
 
-    # driver-round-11 additions: web-URL curation over URLs synthesized
-    # from documents (the crawl-curation pass: normalize -> dedup -> mix
-    # report in one go), and contrastive hard-negative mining (12 anchors
-    # x top-5 with label exclusion over the embeddings corpus)
+    # driver-round-11 additions, now driver-REGISTERED in r12: the
+    # crawl-curation URL pass and schema evolution run through their
+    # registered specs (one synthesis, one source of truth); contrastive
+    # hard-negative mining keeps the k=5 operator shape alongside the
+    # registered k=3 contrastive_pairs row
     from l1dbproto_spark.operators.negatives import mine_hard_negatives
-    from l1dbproto_spark.operators.weburl import (
-        domain_mix_report,
-        url_dedup_groups,
+
+    _extra(
+        "weburl_dedup_mix",
+        lambda: specs["weburl_dedup_mix"].builder(spark, sf_dir).count(),
     )
-
-    def _weburl():
-        i = F.col("doc_id")
-        url = F.concat(
-            F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-            F.lit("://w"),
-            (i % 97).cast("string"),
-            F.lit(".example."),
-            F.when(i % 11 == 0, F.lit("co.uk")).otherwise(F.lit("com")),
-            F.lit("/p/"),
-            (i % 503).cast("string"),
-            F.when(i % 3 == 0, F.lit("?b=2&utm_source=x&a=1")).otherwise(
-                F.lit("?a=1&b=2")
-            ),
-        )
-        urls = docs.select("doc_id", url.alias("url"))
-        return url_dedup_groups(urls).count() + domain_mix_report(urls).count()
-
-    _extra("weburl_dedup_mix", _weburl)
+    _extra(
+        "evolve_cast_loss",
+        lambda: specs["evolve_cast_loss"].builder(spark, sf_dir).count(),
+    )
 
     def _hardneg():
         lab = load_table(spark, sf_dir, "embeddings").withColumn(

@@ -80,9 +80,7 @@ _PRIORITY = [
     "ann_topk_ivf",
     "embedding_near_dup_pairs",
     # LLM-pipeline: text + multimodal
-    "tfidf_top_terms",
     "doc_embed_ann",
-    "media_chunk_fingerprints",
     # relational / analytic surface
     "q3_top_orders",
     "q5_region_revenue",
@@ -108,7 +106,6 @@ _PRIORITY = [
     # oracles in tests/test_unregistered_batteries.py)
     "hamming_topk",
     "funnel_conversion",
-    "cohort_retention",
     # driver round 8: TPC-H completion battery signature members (rotation: out
     # partitioned_source_ids / media_byte_histogram -> in-suite oracles in
     # tests/test_unregistered_batteries.py; W3 keeps its formula pytest and
@@ -121,10 +118,6 @@ _PRIORITY = [
     # surfaces keep their other pytest coverage)
     "part_copurchase_triangles",
     "data_quality_report",
-    # driver round 8: one-pass column profiler (rotation: out pixelization_ids ->
-    # in-suite oracle in tests/test_unregistered_batteries.py; J5/§4 stay
-    # driver-checked via pixel_range_scan, which consumes the same ids)
-    "column_profile",
     # driver round 8: retrieval evaluation metrics (rotation: out
     # metrics_pivot_wide -> in-suite oracle; A9 keeps the streaming
     # metrics pivot pytest coverage)
@@ -148,6 +141,21 @@ _PRIORITY = [
     "weighted_topk_sample",
     "bfs_distances",
     "csv_ingest_quarantine",
+    # driver round 12: the round-11 pytest-only surfaces take driver slots
+    # (rotation: out tfidf_top_terms / column_profile /
+    # media_chunk_fingerprints / cohort_retention -> same oracles in-suite
+    # in tests/test_unregistered_batteries.py; text keeps bm25/phrase/
+    # collocations driver rows, profiling keeps data_quality_report, the
+    # multimodal family trades its byte-fingerprint row for the REAL
+    # decode->dhash->cluster row below, event analytics keeps
+    # funnel_conversion). In: planted-family image dedup through the full
+    # r11 image stack, the crawl-curation URL pass, contrastive
+    # hard+easy negative mining, and schema evolution with the cast-loss
+    # audit.
+    "image_dedup_families",
+    "weburl_dedup_mix",
+    "contrastive_pairs",
+    "evolve_cast_loss",
 ]
 
 
@@ -178,6 +186,7 @@ def load_all() -> dict[str, QuerySpec]:
         evaluation,
         serving,
         ingest,
+        curation,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

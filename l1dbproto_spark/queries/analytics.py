@@ -55,9 +55,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel(events, _FUNNEL_STAGES)
 
 
-@query(
-    "cohort_retention",
-    oracle="""
+# Rotated out of the driver registry in round 12 (slot to evolve_cast_loss;
+# the event-analytics family keeps the funnel_conversion driver row). SAME
+# oracle, driver-grade compare in tests/test_unregistered_batteries.py.
+COHORT_RETENTION_ORACLE = """
     WITH firsts AS (
       SELECT o_custkey, min(o_orderdate) AS first_ts FROM orders GROUP BY 1
     ),
@@ -74,9 +75,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.cohort_month, a.month_offset, a.n_active,
            round(a.n_active / s.cohort_size, 6) AS retention_rate
     FROM acts a JOIN sizes s ON a.cohort_month = s.cohort_month
-    """,
-    survey="ext:analytics (cohort retention); A5/A6 generalized",
-)
+    """
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly first-order cohorts x month offset: distinct active
     customers and their share of the cohort. One per-customer window min

@@ -92,9 +92,12 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_chunk_fingerprints",
-    oracle="""
+# Rotated out of the driver registry in round 12 (slot to
+# image_dedup_families — the multimodal family trades its byte-fingerprint
+# row for one that exercises the REAL decode -> perceptual-hash -> cluster
+# stack). SAME oracle, driver-grade compare in
+# tests/test_unregistered_batteries.py.
+MEDIA_CHUNK_FINGERPRINTS_ORACLE = """
     WITH docs AS (
       SELECT doc_id AS media_id, text,
              greatest(length(text) // 4, 1) AS step
@@ -105,12 +108,123 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(i AS INT) AS chunk_idx,
       md5(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS chunk_hash
     FROM docs, unnest(range(4)) AS t(i)
-    """,
-    survey="ext:multimodal (frame sampling via mapInPandas, SQL-oracled)",
-)
+    """
+
+
 def media_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample stand-in: 4 equal byte chunks per blob, md5 per chunk,
     through mapInPandas; the oracle reproduces the identical chunking
     arithmetic (step = max(len//4, 1), remainder bytes dropped) with
     substr/md5 over the ASCII payload."""
     return chunk_fingerprints(_as_media(spark, sf_dir), n_chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# image_dedup_families (driver round 12): the REAL image stack under the
+# hard oracle signal — decode (multimodal.decode_media) -> perceptual dhash
+# (multimodal.perceptual_hashes) -> Hamming<=3 block-bucketed pairs ->
+# connected components -> canonicals (multimodal.image_dedup_clusters),
+# over PPM images synthesized so the planted family structure is PROVABLE:
+#
+#  * each doc_id gets a 9x8 grayscale P6 whose 8x9-grid dhash equals a
+#    chosen 64-bit codeword EXACTLY: the image is already at hash-grid
+#    resolution (the box resample is the identity there) and each of the
+#    64 row-adjacent luma comparisons is built as a +/-24 staircase step,
+#    so the +/-4 per-pixel deterministic noise (different BYTES per image)
+#    can never flip a comparison;
+#  * family f = doc_id % 100 has codeword (f+1) * 0x9E3779B97F4A7C15 mod
+#    2^64 (golden-ratio spread — min pairwise Hamming distance 19 across
+#    the 100 codewords and NO equal 16-bit block anywhere, both pinned in
+#    tests/test_media_query.py, so zero cross-family candidate pairs
+#    survive the pigeonhole bucketing);
+#  * variant v = (doc_id // 100) % 4 flips the first v of dhash bits
+#    {0, 2, 4}: within-family distances are |v_i - v_j| <= 3 (every member
+#    pairs with every other under max_bits=3) while cross-family distances
+#    stay >= 19 - 3 - 3 = 13 > 3.
+#
+# The clusters are therefore EXACTLY the doc_id % 100 classes, canonical =
+# min id (unscored default), component = min id (connected_components
+# contract) — which the oracle predicts from `documents` with one window,
+# never decoding a pixel. A wrong decode, hash bit order, bucketing miss,
+# or component merge all hash-mismatch.
+_IDF_MULT = 0x9E3779B97F4A7C15
+_IDF_FAMILIES = 100
+
+
+def _planted_ppm_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): the deterministic planted-family PPMs."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                code = ((i % _IDF_FAMILIES + 1) * _IDF_MULT) & (2**64 - 1)
+                for j in range((i // _IDF_FAMILIES) % 4):
+                    code ^= 1 << (2 * j)
+                img = np.zeros((8, 9), np.uint8)
+                for r in range(8):
+                    vals = [0.0]
+                    for c in range(8):
+                        bit = (code >> (r * 8 + c)) & 1
+                        vals.append(vals[-1] - 24 if bit else vals[-1] + 24)
+                    row = np.array(vals)
+                    row += 8 - row.min()
+                    noise = np.array(
+                        [((i * (r * 9 + c + 7)) % 9) - 4 for c in range(9)]
+                    )
+                    img[r] = (row + noise).astype(np.uint8)
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                ids.append(i)
+                blobs.append(b"P6 9 8 255\n" + rgb.tobytes())
+            yield pd.DataFrame({"media_id": ids, "payload": blobs}).astype(
+                {"media_id": "int64"}
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+@query(
+    "image_dedup_families",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           MIN(doc_id) OVER w AS component,
+           MIN(doc_id) OVER w AS canonical_id,
+           doc_id = MIN(doc_id) OVER w AS is_canonical
+    FROM documents
+    WINDOW w AS (PARTITION BY doc_id % {_IDF_FAMILIES})
+    """,
+    survey=(
+        "ext:multimodal (real image near-dup dedup: decode -> perceptual "
+        "dhash -> Hamming block buckets -> connected components -> "
+        "canonicals; operators/multimodal.py image_dedup_clusters)"
+    ),
+)
+def image_dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per image: (media_id, component, canonical_id,
+    is_canonical) from the full corpus-level image dedup over the
+    planted-family PPMs (see the block comment above for why the planted
+    structure is exact).
+
+    Scale shape: synthesis and decode ride the scan (two mapInPandas
+    passes, zero shuffle); the pair stage is the pigeonhole Hamming
+    bucketing (never all-pairs — zero cross-family candidates by
+    codeword construction); components converge in O(log diameter)
+    rounds on diameter-1 cliques; canonicals are one bounded
+    aggregation."""
+    from ..operators.multimodal import image_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _planted_ppm_media(docs)
+    return image_dedup_clusters(media)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.profile import profile
 from ..sources.catalog import load_table
-from . import query
+
 
 
 def _col_sql(
@@ -78,14 +78,13 @@ _PROFILE_ORACLE = " UNION ALL ".join(
 )
 
 
-@query(
-    "column_profile",
-    oracle=_PROFILE_ORACLE,
-    survey=(
-        "beyond-reference engine completeness: Deequ-style column profiler "
-        "(operators/profile.py), the discovery half of the checks suite"
-    ),
-)
+# Rotated out of the driver registry in round 12 (slot to contrastive_pairs;
+# profiling keeps the data_quality_report driver row). SAME oracle
+# (_PROFILE_ORACLE, exported below), driver-grade compare in
+# tests/test_unregistered_batteries.py.
+COLUMN_PROFILE_ORACLE = _PROFILE_ORACLE
+
+
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile every orders column in one aggregation pass — completeness,
     exact distinct cardinality, numeric min/max and exact-decimal mean,

@@ -146,9 +146,10 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tfidf_top_terms",
-    oracle=r"""
+# Rotated out of the driver registry in round 12 (slot to weburl_dedup_mix;
+# the text family keeps bm25_topk/phrase_match/collocations_pmi driver rows).
+# SAME oracle, driver-grade compare in tests/test_unregistered_batteries.py.
+TFIDF_TOP_TERMS_ORACLE = r"""
     WITH words AS (
       SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
       FROM documents
@@ -166,9 +167,9 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY doc_id ORDER BY tfidf DESC, term
       ) AS rnk FROM scored
     ) t WHERE rnk <= 3
-    """,
-    survey="ext:text (TF-IDF weighting + top-terms per doc)",
-)
+    """
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency x ln(N/df), top-3 terms per document.
 

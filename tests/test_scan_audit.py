@@ -77,6 +77,20 @@ ALLOWED = {
     # (cohort, offset) activity agg + the offset-0 sizes clone of the
     # same subtree — one shared exchange, AQE-reused at runtime
     "cohort_retention": {"orders": 2},
+    # dedup-groups agg + mix's per-domain agg + the mix denominators'
+    # clone of the per-domain subtree (1-row broadcast; shared exchange,
+    # AQE-reused at runtime like cohort_retention)
+    "weburl_dedup_mix": {"documents": 3},
+    # corpus scan x2 (hard scoring fold + easy hash-rank pair gen) +
+    # anchors carve-out x2 + the positives table's anchors clone x2 —
+    # every non-corpus role carries the pushed vec_id<12 filter (12-row
+    # broadcast scans), so the corpus is read once per leg like the
+    # similarity family
+    "contrastive_pairs": {"embeddings": 6},
+    # ONE-scan loss aggregation + the conformed-frame proof aggregate
+    # (deliberately separate consumers of the same table; the loss
+    # report itself is plan-pinned to one scan in test_evolve)
+    "evolve_cast_loss": {"documents": 2},
 }
 
 

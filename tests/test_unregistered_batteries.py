@@ -836,3 +836,56 @@ def test_language_id_matches_oracle(spark):
     from l1dbproto_spark.queries.text import LANGUAGE_ID_ORACLE, language_id
 
     _driver_grade(spark, language_id, LANGUAGE_ID_ORACLE, "language_id")
+
+
+# Driver round 12: tfidf_top_terms / column_profile /
+# media_chunk_fingerprints / cohort_retention lost their slots to the
+# round-11 components (image_dedup_families / weburl_dedup_mix /
+# contrastive_pairs / evolve_cast_loss) — SAME oracles (shared constants
+# in their query modules), driver-grade compare, in-suite. Text keeps
+# bm25/phrase/collocations driver rows, profiling keeps
+# data_quality_report, multimodal trades up to the real decode->dhash->
+# cluster row, event analytics keeps funnel_conversion.
+
+
+def test_tfidf_top_terms_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import (
+        TFIDF_TOP_TERMS_ORACLE,
+        tfidf_top_terms,
+    )
+
+    _driver_grade(spark, tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE, "tfidf_top_terms")
+
+
+def test_column_profile_matches_oracle(spark):
+    from l1dbproto_spark.queries.profiling import (
+        COLUMN_PROFILE_ORACLE,
+        column_profile,
+    )
+
+    _driver_grade(spark, column_profile, COLUMN_PROFILE_ORACLE, "column_profile")
+
+
+def test_media_chunk_fingerprints_matches_oracle(spark):
+    from l1dbproto_spark.queries.multimodal import (
+        MEDIA_CHUNK_FINGERPRINTS_ORACLE,
+        media_chunk_fingerprints,
+    )
+
+    _driver_grade(
+        spark,
+        media_chunk_fingerprints,
+        MEDIA_CHUNK_FINGERPRINTS_ORACLE,
+        "media_chunk_fingerprints",
+    )
+
+
+def test_cohort_retention_query_matches_oracle(spark):
+    from l1dbproto_spark.queries.analytics import (
+        COHORT_RETENTION_ORACLE,
+        cohort_retention,
+    )
+
+    _driver_grade(
+        spark, cohort_retention, COHORT_RETENTION_ORACLE, "cohort_retention"
+    )
