@@ -20,14 +20,19 @@ writes, the same per-task-output shape as a Spark file sink (this
 container's local/NFS roots; an object-store root would swap the
 ``open()`` for its client in ``_write_bytes``). Members are emitted in
 sorted key order, so same input -> byte-identical shards. Returns the
-(shard, n_samples, n_bytes) manifest, persisted under ``_manifest`` like
-the training-shard sink (sources/sinks.py).
+(shard, n_samples, n_bytes, crc32) manifest, persisted under
+``_manifest`` like the training-shard sink (sources/sinks.py); because
+the tar bytes are deterministic, the manifest carries each shard's
+CRC-32 and ``verify_webdataset_shards`` gives tar shards the same
+damage-detection contract as ``sinks.verify_training_shards`` — run it
+after a copy/restore, before a training run.
 """
 
 from __future__ import annotations
 
 import io
 import tarfile
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -149,9 +154,11 @@ def write_webdataset(
     tar shards under ``path`` (``shard-%05d.tar``), samples
     hash-assigned by xxhash64(key) — ONE exchange — and written in sorted key
     order so same input gives byte-identical shards (tar mtimes pinned
-    to 0). Returns and persists the (shard, n_samples, n_bytes)
-    manifest. Duplicate keys raise inside the task: two samples with one
-    name would silently shadow each other at training time."""
+    to 0). Returns and persists the (shard, n_samples, n_bytes, crc32)
+    manifest — crc32 is the shard's tar-byte CRC-32, the damage-detection
+    handle :func:`verify_webdataset_shards` checks. Duplicate keys raise
+    inside the task: two samples with one name would silently shadow each
+    other at training time."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -160,6 +167,7 @@ def write_webdataset(
             T.StructField("shard", T.IntegerType(), False),
             T.StructField("n_samples", T.LongType(), False),
             T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("crc32", T.LongType(), False),
         ]
     )
 
@@ -170,6 +178,7 @@ def write_webdataset(
                     "shard": pd.Series([], dtype="int32"),
                     "n_samples": pd.Series([], dtype="int64"),
                     "n_bytes": pd.Series([], dtype="int64"),
+                    "crc32": pd.Series([], dtype="int64"),
                 }
             )
         shard = int(pdf["_shard"].iloc[0])
@@ -188,11 +197,16 @@ def write_webdataset(
                     tf.addfile(info, io.BytesIO(data))
         data = buf.getvalue()
         _write_bytes(f"{path}/shard-{shard:05d}.tar", data)
+        # tar bytes are deterministic (sorted keys, mtime 0), so the
+        # shard's CRC-32 is a stable content fingerprint — zlib and
+        # Spark's crc32() share the IEEE polynomial, which is what lets
+        # verify_webdataset_shards recompute it JVM-side from a scan
         return pd.DataFrame(
             {
                 "shard": [shard],
                 "n_samples": [len(pdf)],
                 "n_bytes": [len(data)],
+                "crc32": [zlib.crc32(data)],
             }
         )
 
@@ -211,3 +225,47 @@ def write_webdataset(
     manifest.count()
     write_csv(manifest.coalesce(1), path + "/_manifest")
     return manifest
+
+
+def verify_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Integrity check of a WebDataset shard directory against its own
+    ``_manifest``: (shard, n_bytes, manifest_n_bytes, crc32,
+    manifest_crc32, ok), one row per shard present on EITHER side — a
+    shard missing from disk or from the manifest surfaces with NULLs and
+    ok=false, never silently. The recompute is one binaryFile scan with
+    the JVM-side ``crc32()`` over the tar bytes (same IEEE polynomial the
+    writer's zlib.crc32 used), so verification costs a read-through, no
+    Python. Mirrors ``sinks.verify_training_shards`` for the tar
+    container."""
+    actual = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path.rstrip("/"))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d{5})\.tar$", 1)
+            .cast("int")
+            .alias("shard"),
+            F.length(F.col("content")).cast("long").alias("n_bytes"),
+            F.crc32(F.col("content")).alias("crc32"),
+        )
+    )
+    manifest = (
+        spark.read.option("header", True)
+        .csv(path.rstrip("/") + "/_manifest")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_bytes").cast("long").alias("manifest_n_bytes"),
+            F.col("crc32").cast("long").alias("manifest_crc32"),
+        )
+    )
+    return actual.join(manifest, "shard", "full_outer").select(
+        "shard",
+        "n_bytes",
+        "manifest_n_bytes",
+        "crc32",
+        "manifest_crc32",
+        (
+            F.col("n_bytes").eqNullSafe(F.col("manifest_n_bytes"))
+            & F.col("crc32").eqNullSafe(F.col("manifest_crc32"))
+        ).alias("ok"),
+    )

@@ -122,3 +122,55 @@ def test_write_deterministic_and_duplicate_key(spark, tmp_path):
     dup = _samples_df(spark, 3).union(_samples_df(spark, 1))
     with pytest.raises(Exception, match="duplicate sample key"):
         write_webdataset(dup, str(tmp_path / "c"), n_shards=1)
+
+
+def test_manifest_crc_matches_stdlib_and_verify_passes(spark, tmp_path):
+    """The manifest's crc32 is the shard's tar-byte CRC-32 (stdlib zlib
+    recompute — independent of both the writer's record and the JVM-side
+    verify), and verify_webdataset_shards reads all-ok on intact dirs."""
+    import os
+    import zlib
+
+    from l1dbproto_spark.sources.webdataset import verify_webdataset_shards
+
+    out = str(tmp_path / "wds")
+    manifest = {r.shard: r for r in write_webdataset(_samples_df(spark), out, n_shards=4).collect()}
+    for f in os.listdir(out):
+        if f.endswith(".tar"):
+            shard = int(f[len("shard-"):-len(".tar")])
+            data = open(os.path.join(out, f), "rb").read()
+            assert manifest[shard].crc32 == zlib.crc32(data)
+            assert manifest[shard].n_bytes == len(data)
+    v = verify_webdataset_shards(spark, out).collect()
+    assert len(v) == len(manifest) and all(r.ok for r in v)
+
+
+def test_verify_flags_damage_missing_and_extra_shards(spark, tmp_path):
+    """One flipped byte, one deleted shard, one unmanifested extra file —
+    each costs exactly its own ok=false row, with the healthy shards
+    still ok=true (the never-silent contract)."""
+    import os
+
+    from l1dbproto_spark.sources.webdataset import verify_webdataset_shards
+
+    out = str(tmp_path / "wds")
+    write_webdataset(_samples_df(spark), out, n_shards=4)
+    shards = sorted(
+        int(f[len("shard-"):-len(".tar")])
+        for f in os.listdir(out)
+        if f.endswith(".tar")
+    )
+    damaged, removed = shards[0], shards[1]
+    p = os.path.join(out, f"shard-{damaged:05d}.tar")
+    data = bytearray(open(p, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    os.remove(os.path.join(out, f"shard-{removed:05d}.tar"))
+    extra = 90_000
+    open(os.path.join(out, f"shard-{extra:05d}.tar"), "wb").write(b"junk")
+    got = {r.shard: r for r in verify_webdataset_shards(spark, out).collect()}
+    assert not got[damaged].ok and got[damaged].crc32 != got[damaged].manifest_crc32
+    assert not got[removed].ok and got[removed].crc32 is None
+    assert not got[extra].ok and got[extra].manifest_crc32 is None
+    for s in shards[2:]:
+        assert got[s].ok
