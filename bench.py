@@ -487,6 +487,24 @@ def main() -> None:
 
     _extra("hard_negatives_12x5", _hardneg)
 
+    # r12 addition: passage chunking (the RAG indexing fan-out) — both
+    # the fixed sliding window and the sentence-boundary greedy packer
+    # over the sf documents; zero-shuffle per-row algebra, so the number
+    # tracks HOF/codegen cost, not exchanges
+    from l1dbproto_spark.operators.chunking import (
+        chunk_by_sentences,
+        chunk_fixed_tokens,
+    )
+
+    _extra(
+        "chunk_fixed_tokens",
+        lambda: chunk_fixed_tokens(docs, size=128, stride=96).count(),
+    )
+    _extra(
+        "chunk_by_sentences",
+        lambda: chunk_by_sentences(docs, max_tokens=256).count(),
+    )
+
     # r11 multimodal addition: corpus-level image dedup end to end
     # (decode -> dhash -> Hamming block buckets -> components ->
     # canonicals) over 2k synthesized 32x32 PPMs in 200 near-dup

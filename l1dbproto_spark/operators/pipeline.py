@@ -208,6 +208,23 @@ def _stage_filter_blocked_domains(docs: DataFrame, **p) -> DataFrame:
     return filter_blocked_domains(docs, **p)
 
 
+def _stage_chunk_fixed_tokens(docs: DataFrame, **p) -> DataFrame:
+    """Document -> passage fan-out (the RAG indexing step). NOTE: changes
+    the unit of work — downstream stages see passages keyed by
+    (doc_id, chunk_idx), not documents."""
+    from .chunking import chunk_fixed_tokens
+
+    return chunk_fixed_tokens(docs, **p)
+
+
+def _stage_chunk_by_sentences(docs: DataFrame, **p) -> DataFrame:
+    """Sentence-boundary passage fan-out; same unit-of-work note as
+    chunk_fixed_tokens."""
+    from .chunking import chunk_by_sentences
+
+    return chunk_by_sentences(docs, **p)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "validate": _stage_validate,
     "evolve_schema": _stage_evolve_schema,
@@ -228,6 +245,8 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "sample_with_temperature": _stage_sample_with_temperature,
     "split_corpus": _stage_split_corpus,
     "leakage_safe_split": _stage_leakage_safe_split,
+    "chunk_fixed_tokens": _stage_chunk_fixed_tokens,
+    "chunk_by_sentences": _stage_chunk_by_sentences,
 }
 
 

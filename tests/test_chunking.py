@@ -1,0 +1,257 @@
+"""Passage chunking (operators/chunking.py): DuckDB re-derivation of the
+fixed-window rule over the documents fixture, an independent Python
+greedy reference for the sentence packer, coverage/provenance/tiling
+invariants, edge contracts, zero-shuffle/zero-Python plan pins, and the
+chunk -> embed -> ANN passage-retrieval composition."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.chunking import (
+    chunk_by_sentences,
+    chunk_fixed_tokens,
+    split_sentences,
+)
+from l1dbproto_spark.sources.catalog import load_table
+from tools.check_correctness import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+_WS = r"[ \t\r\n\f]+"
+_SENT = r"[^.!?]+[.!?]*"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def test_fixed_tokens_match_duckdb(spark):
+    size, stride = 32, 24
+    got = chunk_fixed_tokens(_docs(spark), size=size, stride=stride).toPandas()
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '[ \t\r\n\f]+') AS tok
+          FROM '{SF_DIR}/documents.parquet'
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        sized AS (
+          SELECT doc_id, tok,
+                 CAST(ceil(greatest(len(tok) - {size}, 0)
+                           / CAST({stride} AS DOUBLE)) AS INT) + 1 AS nc
+          FROM toks WHERE len(tok) > 0
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(i * {stride} AS BIGINT) AS token_start,
+               len(tok[i*{stride}+1 : i*{stride}+{size}]) AS n_tokens,
+               array_to_string(tok[i*{stride}+1 : i*{stride}+{size}], ' ')
+                 AS text
+        FROM sized, unnest(range(nc)) AS t(i)
+        """
+    ).df()
+    assert len(got) > len(got["doc_id"].unique())  # real multi-chunk docs
+    issues = compare("chunk_fixed_tokens", got, want)
+    assert not issues, issues
+
+
+def _py_sentences(text: str) -> list[str]:
+    if text is None:
+        return []
+    return [s.strip() for s in re.findall(_SENT, text) if s.strip()]
+
+
+def _py_greedy(sents: list[str], max_tokens: int) -> list[tuple[int, int]]:
+    spans, cur_s, cur_t = [], 0, 0
+    for i, s in enumerate(sents):
+        t = len(re.split(_WS, s.strip()))
+        if cur_t > 0 and cur_t + t > max_tokens:
+            spans.append((cur_s, i - 1))
+            cur_s, cur_t = i, t
+        else:
+            cur_t += t
+    spans.append((cur_s, len(sents) - 1))
+    return spans
+
+
+def test_sentence_packing_matches_python_greedy(spark):
+    max_tokens = 40
+    rows = _docs(spark).collect()
+    got = {
+        (r.doc_id, r.chunk_idx): (r.sent_start, r.n_sentences, r.n_tokens, r.text)
+        for r in chunk_by_sentences(_docs(spark), max_tokens=max_tokens).collect()
+    }
+    want = {}
+    for r in rows:
+        sents = _py_sentences(r.text)
+        if not sents:
+            continue
+        for idx, (s, e) in enumerate(_py_greedy(sents, max_tokens)):
+            piece = sents[s : e + 1]
+            want[(r.doc_id, idx)] = (
+                s,
+                e - s + 1,
+                sum(len(re.split(_WS, x.strip())) for x in piece),
+                " ".join(piece),
+            )
+    assert got == want and len(got) > 0
+
+
+def test_tiling_and_coverage_invariants(spark):
+    docs = _docs(spark).filter(F.col("text").isNotNull())
+    # stride == size tiles exactly: rejoining the chunks reconstructs the
+    # whitespace-normalized document
+    tiled = (
+        chunk_fixed_tokens(docs, size=16, stride=16)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "text"))
+                ).getField("text"),
+                " ",
+            ).alias("rejoined")
+        )
+    )
+    norm = docs.select(
+        "doc_id",
+        F.array_join(F.split(F.trim("text"), _WS), " ").alias("norm"),
+    )
+    bad = tiled.join(norm, "doc_id").filter(
+        F.col("rejoined") != F.col("norm")
+    )
+    assert bad.count() == 0
+    # overlapping windows: every token index covered, windows start on
+    # the stride grid, last window reaches the end
+    ch = chunk_fixed_tokens(docs, size=32, stride=24)
+    n_tok = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), _WS)).alias("n")
+    )
+    per_doc = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.max(F.col("token_start") + F.col("n_tokens")).alias("covered"),
+            F.min("token_start").alias("first"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .join(n_tok, "doc_id")
+    )
+    assert per_doc.filter(
+        (F.col("covered") != F.col("n"))
+        | (F.col("first") != 0)
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+    ).count() == 0
+
+
+def test_provenance_maps_back_to_source_tokens(spark):
+    """slice(doc tokens, token_start+1, n_tokens) == chunk tokens for
+    every chunk — the retrieval-hit-to-span contract."""
+    docs = _docs(spark)
+    ch = chunk_fixed_tokens(docs, size=20, stride=15)
+    joined = ch.join(
+        docs.select(
+            "doc_id", F.split(F.trim("text"), _WS).alias("_all")
+        ),
+        "doc_id",
+    )
+    bad = joined.filter(
+        F.array_join(
+            F.slice(
+                F.col("_all"),
+                F.col("token_start").cast("int") + 1,
+                F.col("n_tokens"),
+            ),
+            " ",
+        )
+        != F.col("text")
+    )
+    assert bad.count() == 0
+
+
+def test_edge_contracts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "   "),
+            (3, "single"),
+            (4, "This single sentence is much longer than the tiny budget given here."),
+            (5, "Tiny. Also tiny. Third tiny."),
+        ],
+        "doc_id long, text string",
+    )
+    cf = {r.doc_id: r for r in chunk_fixed_tokens(docs, size=4, stride=4).collect()}
+    assert set(cf) == {3, 4, 5}
+    cs = chunk_by_sentences(docs, max_tokens=4).collect()
+    by_doc = {}
+    for r in cs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {3, 4, 5}
+    # an oversize single sentence gets its own chunk, untruncated
+    four = by_doc[4]
+    assert len(four) == 1 and four[0].n_tokens > 4
+    assert four[0].text.startswith("This") and four[0].text.endswith("here.")
+    # budget respected when sentences fit: 1+2 tokens pack, the third
+    # sentence (2 more, exceeding 4) opens the next chunk
+    five = sorted(by_doc[5], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in five] == [3, 2]
+    assert five[0].text == "Tiny. Also tiny."
+    with pytest.raises(ValueError, match="stride"):
+        chunk_fixed_tokens(docs, size=4, stride=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_fixed_tokens(docs, size=0)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_by_sentences(docs, max_tokens=0)
+
+
+def test_split_sentences_rule(spark):
+    got = spark.range(1).select(
+        split_sentences(
+            F.lit('One. Two!! Three?" Quoted. tail no punct')
+        ).alias("s")
+    ).collect()[0].s
+    # the punctuation run ends a sentence, so a quote AFTER it opens the
+    # next one — and trailing unpunctuated text is its own sentence
+    assert got == ["One.", "Two!!", "Three?", '" Quoted.', "tail no punct"]
+
+
+def test_plans_are_shuffle_free_and_python_free(spark):
+    docs = _docs(spark)
+    for df in (
+        chunk_fixed_tokens(docs, size=32, stride=24),
+        chunk_by_sentences(docs, max_tokens=64),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_passage_retrieval_composition(spark):
+    """chunk -> hashed embeddings -> exact ANN: a cloned document's
+    passage retrieves its twin passage at cosine 1.0 — the model-free
+    RAG indexing path, end to end on engine operators only."""
+    from l1dbproto_spark.operators.embed import hashed_doc_embeddings
+    from l1dbproto_spark.operators.similarity import brute_force_topk
+
+    docs = _docs(spark).filter(F.col("doc_id") < 20)
+    clones = docs.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    chunks = chunk_fixed_tokens(docs.unionByName(clones), size=24, stride=24)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("pid"), "text"
+    )
+    emb = hashed_doc_embeddings(keyed, dim=64, id_col="pid")
+    queries = emb.filter(F.col("pid") < 20_000)  # original docs' passages
+    top1 = brute_force_topk(emb, queries, k=1, id_col="pid").collect()
+    texts = {r.pid: r.text for r in keyed.collect()}
+    assert len(top1) > 0
+    for r in top1:
+        # the twin passage guarantees an exact 1.0 match exists; ties
+        # (fixture docs share templated openings) break to min id, so
+        # assert on retrieval CONTENT, not identity
+        assert r.cosine_sim == pytest.approx(1.0)
+        assert texts[r.neighbor_id] == texts[r.query_id]
+        assert r.neighbor_id != r.query_id

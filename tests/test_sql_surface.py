@@ -41,6 +41,12 @@ PORTABLE = [
     # recursive UNION-distinct CTE where Spark 4 supports UNION ALL
     # only.)
     "csv_ingest_quarantine",
+    # round-12 rows: the image-family window oracle and the evolution
+    # plan/loss oracle are ANSI-portable (named WINDOW, TRY_CAST, VALUES
+    # all parse in Spark 4); weburl_dedup_mix (bare VARCHAR casts) and
+    # contrastive_pairs (list_dot_product) stay DuckDB-side only.
+    "image_dedup_families",
+    "evolve_cast_loss",
 ]
 
 
