@@ -9,7 +9,12 @@ back to built-in pure-numpy decoders for binary PPM (P6) and uncompressed
 24-bit BMP — real pixel decodes with no external dependency, so the
 mapInPandas decode contract is testable in any environment. Formats neither
 path can handle emit ``ok=false`` rows (one bad member costs one row, never
-a stage retry). The deterministic byte-level operators
+a stage retry). HEADER-only coverage goes further: ``image_header``
+parses PPM/BMP/PNG/GIF/JPEG geometry from pure public-spec byte layouts
+(IHDR, logical-screen descriptor, SOF marker walk), so ``probe_media``
+and the streaming media gate classify the real web formats identically
+with or without PIL — for those five magics the built-in verdict is
+authoritative even when PIL is present. The deterministic byte-level operators
 (``byte_histogram_features``, ``chunk_fingerprints``) remain the
 feature-extraction stand-ins for formats without an in-sandbox decoder.
 
@@ -112,6 +117,122 @@ def _bmp_header(blob: bytes) -> tuple[int, int, int, int, bool]:
     if len(blob) < off + stride * height:
         raise ValueError("truncated BMP raster")
     return width, height, off, stride, top_down
+
+
+def _png_header(blob: bytes) -> tuple[int, int]:
+    """PNG IHDR -> (width, height), header bytes only (public spec: the
+    8-byte signature is followed immediately by the IHDR chunk — width
+    and height are big-endian u32 at offsets 16/20). Validates signature,
+    chunk type, geometry, and the IHDR bit-depth/color-type domain, so a
+    probe admits only what a real PNG decoder would open."""
+    if blob[:8] != b"\x89PNG\r\n\x1a\n" or len(blob) < 26:
+        raise ValueError("not a PNG")
+    if blob[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width = int(np.frombuffer(blob, ">u4", 1, 16)[0])
+    height = int(np.frombuffer(blob, ">u4", 1, 20)[0])
+    bit_depth, color_type = blob[24], blob[25]
+    if width < 1 or height < 1:
+        raise ValueError("degenerate PNG dimensions")
+    if bit_depth not in (1, 2, 4, 8, 16) or color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(
+            f"invalid PNG IHDR (depth={bit_depth}, color={color_type})"
+        )
+    return width, height
+
+
+def _gif_header(blob: bytes) -> tuple[int, int]:
+    """GIF87a/89a logical-screen descriptor -> (width, height): two
+    little-endian u16 right after the 6-byte version signature."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 10:
+        raise ValueError("not a GIF")
+    width = int(np.frombuffer(blob, "<u2", 1, 6)[0])
+    height = int(np.frombuffer(blob, "<u2", 1, 8)[0])
+    if width < 1 or height < 1:
+        raise ValueError("degenerate GIF dimensions")
+    return width, height
+
+
+def _jpeg_header(blob: bytes) -> tuple[int, int]:
+    """JPEG/JFIF SOF scan -> (width, height), header segments only: walk
+    the marker stream from SOI, skipping fill bytes (a marker may be
+    preceded by any number of 0xFF padding bytes) and length-prefixed
+    segments, until a start-of-frame marker (0xC0-0xCF excluding DHT
+    0xC4 / JPG 0xC8 / DAC 0xCC) carries the geometry — precision u8,
+    then height and width as big-endian u16. Raises on a scan start
+    (SOS) or end (EOI) before any SOF, and on truncation: entropy-coded
+    data is never touched."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG header")
+        if blob[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker byte at {pos}")
+        while pos < len(blob) and blob[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(blob):
+            raise ValueError("truncated JPEG header")
+        marker = blob[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker == 0xD9:
+            raise ValueError("JPEG ended before any SOF")
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG segment length")
+        seg_len = int(np.frombuffer(blob, ">u2", 1, pos)[0])
+        if seg_len < 2 or pos + seg_len > len(blob):
+            raise ValueError("truncated JPEG segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 7:
+                raise ValueError("short JPEG SOF segment")
+            height = int(np.frombuffer(blob, ">u2", 1, pos + 3)[0])
+            width = int(np.frombuffer(blob, ">u2", 1, pos + 5)[0])
+            if width < 1 or height < 1:
+                raise ValueError("degenerate JPEG dimensions")
+            return width, height
+        if marker == 0xDA:
+            raise ValueError("JPEG scan started before any SOF")
+        pos += seg_len
+
+
+def _claimed_by_builtin(blob: bytes) -> bool:
+    """True when the blob's magic belongs to a built-in image format —
+    for those, :func:`image_header`'s verdict (accept AND reject) is
+    authoritative even when PIL is importable."""
+    return (
+        blob[:2] in (b"P6", b"BM", b"\xff\xd8")
+        or blob[:8] == b"\x89PNG\r\n\x1a\n"
+        or blob[:6] in (b"GIF87a", b"GIF89a")
+    )
+
+
+def image_header(blob: bytes) -> tuple[int, int, str]:
+    """Magic-dispatched header-only geometry for the built-in formats:
+    (width, height, format) with format in ppm/bmp/png/gif/jpeg. The
+    probe path (``probe_media``) consults this FIRST in every
+    environment, so landing-zone classification of these five formats is
+    identical with or without PIL; PIL (when importable) extends
+    coverage to everything else. Raises ValueError when no built-in
+    header parser claims the blob."""
+    if blob[:2] == b"P6":
+        w, h, _ = _ppm_header(blob)
+        return w, h, "ppm"
+    if blob[:2] == b"BM":
+        w, h, _, _, _ = _bmp_header(blob)
+        return w, h, "bmp"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _png_header(blob)
+        return w, h, "png"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _gif_header(blob)
+        return w, h, "gif"
+    if blob[:2] == b"\xff\xd8":
+        w, h = _jpeg_header(blob)
+        return w, h, "jpeg"
+    raise ValueError("no built-in header parser for this format")
 
 
 def _decode_bmp(blob: bytes) -> tuple[int, int, str, bytes]:
@@ -727,12 +848,21 @@ def probe_media(
         from .audio import wav_meta
         from .video import parse_avi
 
+        # built-in header parsers FIRST (ppm/bmp/png/gif/jpeg — identical
+        # classification in every environment); PIL, when importable,
+        # extends coverage to the remaining formats
         try:
             import io
 
             import PIL.Image as Image
 
             def _img(blob: bytes) -> tuple[int, int]:
+                if _claimed_by_builtin(blob):
+                    # the built-in verdict is authoritative for its five
+                    # magics (accept AND reject) so classification never
+                    # depends on PIL's leniency for those formats
+                    w, h, _ = image_header(blob)
+                    return w, h
                 # Image.open is lazy — header parse only, no pixel load
                 img = Image.open(io.BytesIO(blob))
                 return img.width, img.height
@@ -740,12 +870,7 @@ def probe_media(
         except ImportError:
 
             def _img(blob: bytes) -> tuple[int, int]:
-                if blob[:2] == b"P6":
-                    w, h, _ = _ppm_header(blob)
-                elif blob[:2] == b"BM":
-                    w, h, _, _, _ = _bmp_header(blob)
-                else:
-                    raise ValueError("no built-in decoder for this format")
+                w, h, _ = image_header(blob)
                 return w, h
 
         for pdf in batches:
