@@ -7,7 +7,11 @@ float, any channel count) that emits typed metadata plus the mono
 float32 PCM buffer, mirroring ``decode_media``'s (ok, ..., pixels)
 contract — one corrupt member costs one ``ok=false`` row, never a stage
 retry. Compressed containers (MP3/OGG/FLAC) have no in-sandbox decoder;
-they emit ``ok=false`` like every format the active decoder lacks.
+they emit ``ok=false`` like every format the active decoder lacks —
+but FLAC gets HEADER-level coverage: :func:`flac_meta` parses the
+mandatory STREAMINFO block (pure public-spec bit layout), so
+``probe_media`` classifies 'fLaC' blobs with rate/channels/duration
+without decoding a frame.
 
 ``audio_features`` is the speech-pipeline quality gate: framed RMS
 energy, silence ratio, clipping ratio, zero-crossing rate, peak and
@@ -500,3 +504,36 @@ def wav_meta(blob: bytes) -> tuple[int, int, int, int]:
     if frames == 0:
         raise ValueError("empty data chunk")
     return sample_rate, n_channels, bits, frames
+
+
+def flac_meta(blob: bytes) -> tuple[int, int, int, int]:
+    """Header-only FLAC metadata: (sample_rate, n_channels, bits,
+    n_frames) from the mandatory STREAMINFO block (public spec: 'fLaC'
+    magic, then metadata blocks each headed by 1 byte last+type and a
+    24-bit big-endian length; STREAMINFO is ALWAYS first — type 0,
+    34 bytes — and packs sample rate (20 bits), channels-1 (3),
+    bits-per-sample-1 (5) and total inter-channel samples (36) into the
+    8 bytes after the block/frame-size fields). ``n_frames`` is the
+    total-samples field; 0 means 'unknown' per spec and is returned
+    as-is. No audio frame is touched — the FLAC analogue of
+    :func:`wav_meta`, and what probe_media's audio leg dispatches on the
+    'fLaC' magic."""
+    if len(blob) < 4 or blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC file")
+    if len(blob) < 8 + 34:
+        raise ValueError("truncated FLAC STREAMINFO")
+    block_type = blob[4] & 0x7F
+    block_len = int.from_bytes(blob[5:8], "big")
+    if block_type != 0 or block_len != 34:
+        raise ValueError(
+            f"first FLAC block must be STREAMINFO(34), got type "
+            f"{block_type} len {block_len}"
+        )
+    packed = int.from_bytes(blob[18:26], "big")
+    sample_rate = packed >> 44
+    n_channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("FLAC sample rate 0 is invalid")
+    return sample_rate, n_channels, bits, total_samples

@@ -845,7 +845,7 @@ def probe_media(
     cols = [f.name for f in out_schema.fields]
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .audio import wav_meta
+        from .audio import flac_meta, wav_meta
         from .video import parse_avi
 
         # built-in header parsers FIRST (ppm/bmp/png/gif/jpeg — identical
@@ -886,6 +886,13 @@ def probe_media(
                         row = (
                             mid, True, "audio", None, None, sr,
                             1000.0 * n_frames / sr, None, None,
+                        )
+                    elif b[:4] == b"fLaC":
+                        sr, _, _, total = flac_meta(b)
+                        row = (
+                            mid, True, "audio", None, None, sr,
+                            1000.0 * total / sr if total else None,
+                            None, None,
                         )
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         hdr, chunks = parse_avi(b)

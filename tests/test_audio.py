@@ -330,3 +330,53 @@ def test_wav_meta_truncated_data_counts_whole_frames():
     assert ch == 2 and frames == 1
     with pytest.raises(ValueError, match="mid-frame"):
         _decode_wav(stereo_ragged)
+
+
+def _flac_bytes(sr=44100, ch=2, bits=16, total=44100 * 3, last=True):
+    import struct
+
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 1024, 1024)  # min/max block size
+        + b"\x00\x00\x00" * 2  # min/max frame size (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio
+    )
+    hdr = bytes([(0x80 if last else 0x00) | 0x00]) + len(streaminfo).to_bytes(3, "big")
+    return b"fLaC" + hdr + streaminfo
+
+
+def test_flac_meta_parses_streaminfo():
+    from l1dbproto_spark.operators.audio import flac_meta
+
+    assert flac_meta(_flac_bytes()) == (44100, 2, 16, 132300)
+    assert flac_meta(_flac_bytes(sr=8000, ch=1, bits=24, total=0)) == (
+        8000, 1, 24, 0,
+    )  # total=0 means 'unknown' per spec, passed through
+
+
+def test_flac_meta_rejections():
+    from l1dbproto_spark.operators.audio import flac_meta
+
+    import struct
+
+    wrong_first = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + b"\x00" * 34
+    zero_rate = _flac_bytes(sr=0)
+    for bad in (b"", b"fLaCxx", _flac_bytes()[:20], wrong_first, zero_rate):
+        with pytest.raises(ValueError):
+            flac_meta(bad)
+
+
+def test_probe_classifies_flac_as_audio(spark):
+    from l1dbproto_spark.operators.multimodal import probe_media
+
+    blobs = spark.createDataFrame(
+        [(1, _flac_bytes(sr=16000, ch=1, total=16000 * 2)),
+         (2, _flac_bytes()[:10])],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in probe_media(blobs).collect()}
+    assert got[1].ok and got[1].kind == "audio"
+    assert got[1].sample_rate == 16000
+    assert got[1].duration_ms == pytest.approx(2000.0)
+    assert not got[2].ok
