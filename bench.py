@@ -505,6 +505,31 @@ def main() -> None:
         lambda: chunk_by_sentences(docs, max_tokens=256).count(),
     )
 
+    # r12 addition: conversation (SFT) operators over a turn table
+    # synthesized from documents (40 conversations x ~13 turns at sf0.1
+    # scale factor of the docs table); one groupBy each, HOF-only bodies
+    from l1dbproto_spark.operators.conversations import (
+        conversation_report,
+        render_conversations,
+    )
+
+    conv = F.col("doc_id") % 400
+    tidx = (F.col("doc_id") / 400).cast("long")
+    turn_tbl = docs.select(
+        conv.alias("conv_id"),
+        tidx.alias("turn_idx"),
+        F.when(tidx % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.col("text").alias("content"),
+    )
+    _extra(
+        "conversation_report",
+        lambda: conversation_report(turn_tbl).count(),
+    )
+    _extra(
+        "render_conversations",
+        lambda: render_conversations(turn_tbl, max_tokens=2048).count(),
+    )
+
     # r11 multimodal addition: corpus-level image dedup end to end
     # (decode -> dhash -> Hamming block buckets -> components ->
     # canonicals) over 2k synthesized 32x32 PPMs in 200 near-dup

@@ -1,0 +1,264 @@
+"""Conversation (SFT/chat) operators (operators/conversations.py):
+DuckDB re-derivation of the structural report and the transcript
+fingerprint over a documents-synthesized turn table, an independent
+Python reference for the budgeted render, span-slice exactness, protocol
+edge contracts, and plan pins (one exchange, zero Python)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.conversations import (
+    conversation_fingerprints,
+    conversation_report,
+    render_conversations,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+_WS = r"[ \t\r\n\f]+"
+
+# deterministic turn table over documents: conv = doc_id % 40, idx =
+# doc_id // 40; conv%5==0 conversations open with a system turn, the
+# rest alternate user/assistant from idx parity — so some conversations
+# satisfy the protocol and some (system convs whose idx-1 parity is
+# shifted) exercise every failure leg
+_N_CONV = 40
+
+
+def _turns(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    conv = F.col("doc_id") % _N_CONV
+    idx = (F.col("doc_id") / _N_CONV).cast("long")
+    role = (
+        F.when((idx == 0) & (conv % 5 == 0), F.lit("system"))
+        .when(idx % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    return docs.select(
+        conv.alias("conv_id"),
+        idx.alias("turn_idx"),
+        role.alias("role"),
+        F.col("text").alias("content"),
+    )
+
+
+_DUCK_TURNS = f"""
+    SELECT doc_id % {_N_CONV} AS conv_id,
+           doc_id // {_N_CONV} AS turn_idx,
+           CASE WHEN doc_id // {_N_CONV} = 0 AND doc_id % {_N_CONV} % 5 = 0
+                THEN 'system'
+                WHEN (doc_id // {_N_CONV}) % 2 = 0 THEN 'user'
+                ELSE 'assistant' END AS role,
+           text AS content
+    FROM '{SF_DIR}/documents.parquet'
+"""
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_report_matches_duckdb(spark, duck):
+    got = {
+        tuple(r)
+        for r in conversation_report(_turns(spark)).collect()
+    }
+    # the oracle re-derives every column relationally: lead_sys from the
+    # first non-system turn, alternation against the (idx - lead_sys)
+    # parity, emptiness/dup from plain aggregates
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+        WITH t AS ({_DUCK_TURNS}),
+        lead AS (
+          SELECT conv_id,
+                 COALESCE(MIN(CASE WHEN role <> 'system' THEN turn_idx END),
+                          COUNT(*)) AS first_non_sys
+          FROM t GROUP BY conv_id
+        ),
+        per AS (
+          SELECT t.conv_id,
+                 COUNT(*) AS n_turns,
+                 CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+                 CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                 COUNT(*) FILTER (turn_idx >= first_non_sys) > 0 AS starts_ok,
+                 COALESCE(bool_and(CASE WHEN turn_idx >= first_non_sys THEN
+                   role = CASE WHEN (turn_idx - first_non_sys) % 2 = 0
+                               THEN 'user' ELSE 'assistant' END END), FALSE)
+                   AND COUNT(*) FILTER (turn_idx >= first_non_sys) > 0 AS alternates,
+                 bool_and(trim(content) <> '') AS no_empty,
+                 COUNT(DISTINCT turn_idx) = COUNT(*) AS no_dup_idx
+          FROM t JOIN lead USING (conv_id)
+          GROUP BY t.conv_id
+        )
+        SELECT conv_id, n_turns, n_system, n_assistant, starts_ok,
+               alternates, no_empty, no_dup_idx,
+               starts_ok AND alternates AND no_empty AND no_dup_idx AS ok
+        FROM per
+        """
+        ).fetchall()
+    }
+    assert got == want and len(got) == _N_CONV
+    # the fixture exercises both verdicts
+    oks = {r[-1] for r in got}
+    assert oks == {True, False}
+
+
+def test_fingerprints_match_duckdb_and_invariances(spark, duck):
+    got = {
+        (r.conv_id, r.fingerprint)
+        for r in conversation_fingerprints(_turns(spark)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+        WITH t AS ({_DUCK_TURNS})
+        SELECT conv_id,
+               md5(string_agg(
+                 role || chr(31) ||
+                 regexp_replace(trim(content), '[ \t\r\n\f]+', ' ', 'g'),
+                 chr(30) ORDER BY turn_idx)) AS fingerprint
+        FROM t GROUP BY conv_id
+        """
+        ).fetchall()
+    }
+    assert got == want and len(got) == _N_CONV
+    # invariances: re-indexed turn numbering and whitespace jitter fold
+    base = [(1, 0, "user", "hello world"), (1, 1, "assistant", "hi")]
+    renum = [(1, 10, "user", "hello   world"), (1, 20, "assistant", " hi ")]
+    caseflip = [(1, 0, "user", "hello world"), (1, 1, "Assistant", "hi")]
+    schema = "conv_id long, turn_idx int, role string, content string"
+
+    def fp(rows):
+        return conversation_fingerprints(
+            spark.createDataFrame(rows, schema)
+        ).collect()[0].fingerprint
+
+    assert fp(base) == fp(renum)
+    assert fp(base) != fp(caseflip)  # roles are case-significant
+
+
+def _py_render(rows, max_tokens):
+    """Independent greedy reference for render_conversations."""
+    rows = sorted(rows)
+    turns = [(r, c) for _, r, c in [(i, r, c) for i, r, c in rows]]
+    lead = 0
+    while lead < len(turns) and turns[lead][0] == "system":
+        lead += 1
+    sys_block, rest = turns[:lead], turns[lead:]
+
+    def tok(role, content):
+        return len(re.split(_WS, f"{role}: {content}".strip()))
+
+    budget = max(max_tokens - sum(tok(*t) for t in sys_block), 0)
+    kept_rest, acc = [], 0
+    for t in reversed(rest):
+        w = tok(*t)
+        if acc + w <= budget or not kept_rest:
+            kept_rest.insert(0, t)
+            acc += w
+        else:
+            break
+    kept = sys_block + kept_rest
+    text, spans, pos = "", [], 0
+    for role, content in kept:
+        line = f"{role}: {content}"
+        if pos:
+            text += "\n"
+            pos += 1
+        if role == "assistant":
+            spans.append((pos + len(role) + 2, pos + len(line)))
+        text += line
+        pos += len(line)
+    return (
+        text,
+        len(kept),
+        len(turns) - len(kept),
+        sum(tok(*t) for t in kept),
+        spans,
+    )
+
+
+def test_render_matches_python_reference(spark):
+    rows = [
+        (int(r.conv_id), int(r.turn_idx), r.role, r.content)
+        for r in _turns(spark).collect()
+    ]
+    by_conv = {}
+    for c, i, r, t in rows:
+        by_conv.setdefault(c, []).append((i, r, t))
+    for budget in (30, 200):
+        got = {
+            r.conv_id: (
+                r.text,
+                r.n_turns_kept,
+                r.n_turns_dropped,
+                r.n_tokens,
+                [(s.s, s.e) for s in r.assistant_spans],
+            )
+            for r in render_conversations(
+                _turns(spark), max_tokens=budget
+            ).collect()
+        }
+        want = {c: _py_render(v, budget) for c, v in by_conv.items()}
+        assert got == want
+
+
+def test_spans_slice_to_assistant_content(spark):
+    out = render_conversations(_turns(spark), max_tokens=120).collect()
+    assert any(r.assistant_spans for r in out)
+    for r in out:
+        for sp in r.assistant_spans:
+            piece = r.text[sp.s : sp.e]
+            # every span is exactly one kept assistant turn's content
+            assert ("assistant: " + piece) in r.text
+        assert r.n_turns_kept + r.n_turns_dropped >= r.n_turns_kept
+
+
+def test_render_edge_contracts(spark):
+    schema = "conv_id long, turn_idx int, role string, content string"
+    rows = [
+        (1, 0, "system", "Be brief."),
+        (1, 1, "user", "a very long question with many many tokens here"),
+        (1, 2, "assistant", "short answer"),
+        (2, 0, "user", "this single final turn is far over the tiny budget"),
+        (3, 0, "system", "only instructions"),
+    ]
+    got = {
+        r.conv_id: r
+        for r in render_conversations(
+            spark.createDataFrame(rows, schema), max_tokens=6
+        ).collect()
+    }
+    # system pinned + final turn kept, middle dropped
+    assert got[1].text == "system: Be brief.\nassistant: short answer"
+    assert (got[1].n_turns_kept, got[1].n_turns_dropped) == (2, 1)
+    # oversize single final turn still renders
+    assert got[2].n_turns_kept == 1 and got[2].n_tokens > 6
+    # all-system conversation renders its system block
+    assert got[3].text == "system: only instructions"
+    assert got[3].assistant_spans == []
+    with pytest.raises(ValueError, match="max_tokens"):
+        render_conversations(spark.createDataFrame(rows, schema), max_tokens=0)
+
+
+def test_plans_one_exchange_zero_python(spark):
+    for df in (
+        conversation_report(_turns(spark)),
+        conversation_fingerprints(_turns(spark)),
+        render_conversations(_turns(spark), max_tokens=64),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2  # partial+final of ONE groupBy
+        assert "Python" not in plan
