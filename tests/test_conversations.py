@@ -262,3 +262,40 @@ def test_plans_one_exchange_zero_python(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 2  # partial+final of ONE groupBy
         assert "Python" not in plan
+
+
+def test_fingerprints_feed_streaming_dedup_gate(spark, tmp_path):
+    """The docstring's composition claim, end to end: conversation
+    fingerprints keyed by conv_id run through the streaming exact-dedup
+    gate — a later re-delivery of the same dialogue (renumbered turns,
+    whitespace jitter, new conv_id) is rejected as a duplicate."""
+    from l1dbproto_spark.streaming.doc_dedup import StreamingDocDedup
+
+    schema = "conv_id long, turn_idx int, role string, content string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, 0, "user", "hello world"),
+            (1, 1, "assistant", "hi"),
+            (2, 0, "user", "different dialogue"),
+            (2, 1, "assistant", "indeed"),
+        ],
+        schema,
+    )
+    # conv 30 duplicates conv 1 (renumbered + whitespace); conv 31 is new
+    batch2 = spark.createDataFrame(
+        [
+            (30, 5, "user", "hello   world"),
+            (30, 9, "assistant", " hi "),
+            (31, 0, "user", "fresh"),
+            (31, 1, "assistant", "pair"),
+        ],
+        schema,
+    )
+    gate = StreamingDocDedup(
+        spark, str(tmp_path / "conv_fps"), text_col="fingerprint",
+        id_col="conv_id",
+    )
+    adm1 = gate.admit(conversation_fingerprints(batch1), epoch_id=0)
+    assert {r.conv_id for r in adm1.collect()} == {1, 2}
+    adm2 = gate.admit(conversation_fingerprints(batch2), epoch_id=1)
+    assert {r.conv_id for r in adm2.collect()} == {31}
