@@ -201,3 +201,116 @@ def macro_metrics(per_query: DataFrame) -> DataFrame:
         m("rr_at_k"),
         m("ndcg_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Generation (QA-style) evaluation: normalized exact match + token F1 —
+# the SQuAD metric pair, computed over a (prediction, references) table
+# at corpus scale. Pure column algebra: the normalization is three
+# regexes, the multiset token overlap is a nested higher-order
+# expression, and the best-over-references reduction is an array_max —
+# zero Python, one aggregation for the corpus roll-up.
+
+#: SQuAD answer normalization, applied to predictions and references
+#: alike: lowercase, strip punctuation, drop english articles, collapse
+#: whitespace. Each step is one RE2-portable regexp so a DuckDB oracle
+#: re-derives the same string.
+_PUNCT_RE = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
+_ARTICLE_RE = r"\b(a|an|the)\b"
+
+
+def normalize_answer(col: F.Column) -> F.Column:
+    """SQuAD-normalized answer string (see _PUNCT_RE/_ARTICLE_RE)."""
+    lowered = F.lower(F.coalesce(col, F.lit("")))
+    no_punct = F.regexp_replace(lowered, _PUNCT_RE, "")
+    no_articles = F.regexp_replace(no_punct, _ARTICLE_RE, " ")
+    return F.trim(F.regexp_replace(no_articles, r"\s+", " "))
+
+
+def _answer_tokens(col: F.Column) -> F.Column:
+    norm = normalize_answer(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _token_f1(pred_toks: F.Column, ref_toks: F.Column) -> F.Column:
+    """Token-multiset F1 between two token arrays: overlap counts each
+    shared token min(count_pred, count_ref) times (the SQuAD rule —
+    a repeated gold token must be repeated in the prediction to count
+    twice). Both-empty scores 1.0 (correctly predicting 'no answer'),
+    one-empty scores 0.0; rounded to 9dp (exact rational otherwise —
+    the division is the only float op)."""
+    overlap = F.aggregate(
+        F.array_distinct(pred_toks),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(pred_toks, lambda x: x == t)),
+            F.size(F.filter(ref_toks, lambda x: x == t)),
+        ).cast("long"),
+    )
+    np_, nr = F.size(pred_toks), F.size(ref_toks)
+    return (
+        F.when((np_ == 0) & (nr == 0), F.lit(1.0))
+        .when((np_ == 0) | (nr == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0 * overlap / (np_ + nr),
+                9,
+            )
+        )
+    )
+
+
+def generation_scores(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+) -> DataFrame:
+    """Per-example scores: (example_id, exact_match, f1) where
+    ``references`` is an ``array<string>`` of acceptable answers —
+    exact_match is 1.0 iff the normalized prediction equals ANY
+    normalized reference, f1 is the MAX token-F1 over references (the
+    SQuAD multi-reference rule). Examples with an empty/NULL reference
+    array score against the single empty reference (no-answer
+    convention). Pure per-row expressions — rides the scan."""
+    pred_n = normalize_answer(F.col(pred_col))
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    em = F.exists(
+        refs_safe, lambda r: normalize_answer(r) == pred_n
+    ).cast("double")
+    ptoks = _answer_tokens(F.col(pred_col))
+    f1 = F.array_max(
+        F.transform(refs_safe, lambda r: _token_f1(ptoks, _answer_tokens(r)))
+    )
+    return preds.select(
+        F.col(id_col).alias("example_id"),
+        em.alias("exact_match"),
+        f1.alias("f1"),
+    )
+
+
+def generation_report(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+) -> DataFrame:
+    """Corpus roll-up of :func:`generation_scores`: one row
+    (n_examples, exact_match, f1) with means computed as exact decimal
+    sums over the 9dp per-example terms divided once — engine-identical
+    under any partitioning (the evals determinism contract)."""
+    scores = generation_scores(preds, id_col, pred_col, refs_col)
+    return scores.agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        (
+            F.sum(F.col("exact_match").cast(_DEC))
+            / F.count(F.lit(1))
+        ).cast("double").alias("exact_match"),
+        (F.sum(F.col("f1").cast(_DEC)) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("f1"),
+    )
