@@ -1,0 +1,202 @@
+"""Distribution drift between two corpus snapshots — the statistical
+complement of ``report.corpus_diff`` (which answers WHICH ids changed;
+this answers whether the corpus' SHAPE moved): two-sample
+Kolmogorov-Smirnov for numeric columns, chi-square + total-variation
+distance for categoricals, one report row per watched column. The
+check a training pipeline runs between snapshot N and N+1 before
+retraining — a feed that silently shifted its length/score/language
+distribution becomes a number with a threshold, not a surprise.
+
+Scale shape: every statistic reduces each side to per-value (or
+per-bin) COUNTS first — the exchanges carry (key, n_old, n_new), never
+rows. The KS cumulative walk is a single-partition window over the
+DISTINCT values, so ``ks_drift`` with ``bins=None`` (exact) is for
+columns whose distinct-value count is bounded (grades, quantized
+scores, small-int features); for continuous columns pass ``bins=k`` —
+values are binned on a fixed-width grid from the two sides' pooled
+min/max (one 1-row broadcast), the ECDF walk shrinks to k rows, and the
+statistic is the standard binned-KS lower bound of the exact D.
+
+Determinism contract (the evals/registry pattern): counts are exact
+longs; each ECDF/expected-frequency term is one double division of
+exact ints (operand-identical in any engine); order-dependent SUMS
+(chi-square, TVD) accumulate 9dp-rounded terms as exact DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,9)"
+
+
+def _sided_counts(
+    old: DataFrame, new: DataFrame, key: F.Column, col: str
+) -> DataFrame:
+    """(key, n_old, n_new) — each side aggregated before the union, so
+    the exchange carries counts; NULLs are excluded (report them via
+    profile/checks, a drift test on missingness is a count ratio)."""
+    o = (
+        old.select(key.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    n = (
+        new.select(key.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return o.join(n, "k", "full_outer").select(
+        "k",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+
+
+def ks_drift(
+    old: DataFrame, new: DataFrame, col: str, bins: int | None = None
+) -> DataFrame:
+    """One row: (column, statistic, n_old, n_new) with ``statistic`` the
+    two-sample KS D = max_x |F_old(x) - F_new(x)| over the column's
+    observed values (``bins=None``, exact — bounded-distinct columns
+    only, see module docstring) or over a ``bins``-cell fixed-width grid
+    between the pooled min/max (continuous columns; grid edges from ONE
+    1-row broadcast). NULLs excluded on both sides."""
+    c = F.col(col).cast("double")
+    if bins is None:
+        key = c
+        counts = _sided_counts(old, new, key, col)
+    else:
+        if bins < 2:
+            raise ValueError(f"bins must be >= 2, got {bins}")
+        pooled = (
+            old.select(c.alias("v"))
+            .unionByName(new.select(c.alias("v")))
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        )
+        o = old.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
+        n = new.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
+        # UNBOUND bin expression (plain column names) so the same
+        # definition resolves against either side's frame
+        width = (F.col("hi") - F.col("lo")) / bins
+        raw = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.floor((F.col("_v") - F.col("lo")) / width)
+        )
+        bin_key = F.least(raw.cast("int"), F.lit(bins - 1))
+        counts = _sided_counts(o, n, bin_key, col)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    ecdf = counts.crossJoin(F.broadcast(tot)).select(
+        "k",
+        (F.sum("n_old").over(w).cast("double") / F.col("t_old")).alias("f_old"),
+        (F.sum("n_new").over(w).cast("double") / F.col("t_new")).alias("f_new"),
+        "t_old",
+        "t_new",
+    )
+    return ecdf.agg(
+        F.max(F.abs(F.col("f_old") - F.col("f_new"))).alias("statistic"),
+        F.first("t_old").alias("n_old"),
+        F.first("t_new").alias("n_new"),
+    ).select(
+        F.lit(col).alias("column"),
+        F.lit("ks").alias("kind"),
+        "statistic",
+        "n_old",
+        "n_new",
+    )
+
+
+def categorical_drift(
+    old: DataFrame, new: DataFrame, col: str
+) -> DataFrame:
+    """One row: (column, kind='chi2', statistic, tvd, top_mover, n_old,
+    n_new). ``statistic`` is the two-sample chi-square over the category
+    contingency (expected frequencies from pooled marginals; categories
+    seen on one side only contribute fully), ``tvd`` the total-variation
+    distance 0.5*sum|p_old - p_new|, and ``top_mover`` the category with
+    the largest absolute share shift (ties to the smallest category
+    value — deterministic). Chi-square/TVD terms are 9dp-rounded and
+    DECIMAL-summed (order-free)."""
+    counts = _sided_counts(old, new, F.col(col).cast("string"), col)
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    c = counts.crossJoin(F.broadcast(tot))
+    # expected count of category k on side s = row_total * side_total / N
+    row_tot = F.col("n_old") + F.col("n_new")
+    grand = F.col("t_old") + F.col("t_new")
+    e_old = row_tot.cast("double") * F.col("t_old") / grand
+    e_new = row_tot.cast("double") * F.col("t_new") / grand
+    chi_term = F.round(
+        (F.col("n_old") - e_old) * (F.col("n_old") - e_old) / e_old
+        + (F.col("n_new") - e_new) * (F.col("n_new") - e_new) / e_new,
+        9,
+    )
+    p_old = F.col("n_old").cast("double") / F.col("t_old")
+    p_new = F.col("n_new").cast("double") / F.col("t_new")
+    shift = F.abs(p_old - p_new)
+    per = c.select(
+        "k",
+        chi_term.cast(_DEC).alias("_chi"),
+        F.round(shift, 9).cast(_DEC).alias("_shift"),
+        "t_old",
+        "t_new",
+    )
+    return per.agg(
+        F.sum("_chi").cast("double").alias("statistic"),
+        (F.sum("_shift") / 2).cast("double").alias("tvd"),
+        F.min_by(
+            "k", F.struct((-F.col("_shift")).alias("s"), F.col("k").alias("k"))
+        ).alias("top_mover"),
+        F.first("t_old").alias("n_old"),
+        F.first("t_new").alias("n_new"),
+    ).select(
+        F.lit(col).alias("column"),
+        F.lit("chi2").alias("kind"),
+        "statistic",
+        "tvd",
+        "top_mover",
+        "n_old",
+        "n_new",
+    )
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    bins: int | None = 64,
+) -> DataFrame:
+    """One row per watched column: numeric columns via :func:`ks_drift`
+    (binned by default — pass ``bins=None`` only for bounded-distinct
+    columns), categoricals via :func:`categorical_drift`; harmonized
+    schema (column, kind, statistic, tvd, top_mover, n_old, n_new) with
+    the non-applicable fields NULL. Thresholding is the caller's policy
+    — this is the measurement, kept a report like checks/profile."""
+    parts: list[DataFrame] = []
+    for c in numeric_cols or []:
+        parts.append(
+            ks_drift(old, new, c, bins=bins).select(
+                "column",
+                "kind",
+                "statistic",
+                F.lit(None).cast("double").alias("tvd"),
+                F.lit(None).cast("string").alias("top_mover"),
+                "n_old",
+                "n_new",
+            )
+        )
+    for c in categorical_cols or []:
+        parts.append(categorical_drift(old, new, c))
+    if not parts:
+        raise ValueError("no columns to watch: pass numeric or categorical columns")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,165 @@
+"""Distribution drift (operators/drift.py): exact-KS Python/DuckDB
+re-derivations over documents snapshots, the binned-KS lower-bound
+property and grid-aligned equality, chi-square/TVD references with the
+top-mover pin, identical-snapshot zeros, and report shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.drift import (
+    categorical_drift,
+    drift_report,
+    ks_drift,
+)
+from l1dbproto_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _old(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _new(spark):
+    # drop short docs and re-source a third — a real drift shape
+    d = load_table(spark, SF_DIR, "documents")
+    return d.filter(F.col("n_chars") >= 120).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("refetch")).otherwise(
+            F.col("source")
+        ),
+    )
+
+
+def _py_ks(a_vals, b_vals):
+    xs = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    ca = cb = 0
+    from collections import Counter
+
+    a_c, b_c = Counter(a_vals), Counter(b_vals)
+    d = 0.0
+    for x in xs:
+        ca += a_c.get(x, 0)
+        cb += b_c.get(x, 0)
+        d = max(d, abs(ca / na - cb / nb))
+    return d
+
+
+def test_exact_ks_matches_python_and_duckdb(spark):
+    got = ks_drift(_old(spark), _new(spark), "n_chars").collect()[0]
+    a = [r.n_chars for r in _old(spark).select("n_chars").collect()]
+    b = [r.n_chars for r in _new(spark).select("n_chars").collect()]
+    assert got.statistic == pytest.approx(_py_ks(a, b), abs=1e-12)
+    assert (got.n_old, got.n_new) == (len(a), len(b))
+    duck = duckdb.connect()
+    want = duck.execute(
+        f"""
+        WITH o AS (SELECT n_chars AS k, COUNT(*) AS n_old
+                   FROM '{SF_DIR}/documents.parquet'
+                   WHERE n_chars IS NOT NULL GROUP BY 1),
+        n AS (SELECT n_chars AS k, COUNT(*) AS n_new
+              FROM '{SF_DIR}/documents.parquet'
+              WHERE n_chars >= 120 GROUP BY 1),
+        j AS (SELECT COALESCE(o.k, n.k) AS k,
+                     COALESCE(n_old, 0) AS n_old,
+                     COALESCE(n_new, 0) AS n_new
+              FROM o FULL OUTER JOIN n ON o.k = n.k),
+        e AS (SELECT k,
+                     CAST(SUM(n_old) OVER w AS DOUBLE)
+                       / (SELECT SUM(n_old) FROM j) AS f_old,
+                     CAST(SUM(n_new) OVER w AS DOUBLE)
+                       / (SELECT SUM(n_new) FROM j) AS f_new
+              FROM j WINDOW w AS (ORDER BY k
+                                  ROWS UNBOUNDED PRECEDING))
+        SELECT MAX(ABS(f_old - f_new)) FROM e
+        """
+    ).fetchone()[0]
+    duck.close()
+    assert got.statistic == pytest.approx(want, abs=1e-12)
+    assert got.statistic > 0.1  # the planted drift is visible
+
+
+def test_binned_ks_lower_bound_and_grid_equality(spark):
+    exact = ks_drift(_old(spark), _new(spark), "n_chars").collect()[0].statistic
+    for bins in (8, 64, 512):
+        binned = (
+            ks_drift(_old(spark), _new(spark), "n_chars", bins=bins)
+            .collect()[0]
+            .statistic
+        )
+        assert binned <= exact + 1e-12
+    # grid-aligned synthetic: uniform ints 0..99 vs +50 shift, bins=2
+    # puts the whole shift on the bin edge -> binned == exact == 0.5
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    b = spark.range(1000).select(
+        ((F.col("id") % 100) + 50).cast("double").alias("x")
+    )
+    exact2 = ks_drift(a, b, "x").collect()[0].statistic
+    binned2 = ks_drift(a, b, "x", bins=3).collect()[0].statistic
+    assert exact2 == pytest.approx(0.5)
+    assert binned2 == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="bins"):
+        ks_drift(a, b, "x", bins=1)
+
+
+def test_categorical_drift_matches_python(spark):
+    got = categorical_drift(_old(spark), _new(spark), "source").collect()[0]
+    from collections import Counter
+
+    a = Counter(r.source for r in _old(spark).select("source").collect())
+    b = Counter(
+        r.source
+        for r in _new(spark).select("source").collect()
+    )
+    ta, tb = sum(a.values()), sum(b.values())
+    chi = tvd = 0.0
+    best_k, best_s = None, -1.0
+    for k in sorted(set(a) | set(b)):
+        na, nb = a.get(k, 0), b.get(k, 0)
+        eo = (na + nb) * ta / (ta + tb)
+        en = (na + nb) * tb / (ta + tb)
+        chi += round((na - eo) ** 2 / eo + (nb - en) ** 2 / en, 9)
+        shift = round(abs(na / ta - nb / tb), 9)
+        tvd += shift
+        if shift > best_s:
+            best_k, best_s = k, shift
+    assert got.statistic == pytest.approx(chi, abs=1e-9)
+    assert got.tvd == pytest.approx(tvd / 2, abs=1e-9)
+    assert got.top_mover == best_k
+    assert got.statistic > 0  # 'refetch' is a planted new category
+
+
+def test_identical_snapshots_are_zero(spark):
+    d = _old(spark)
+    assert ks_drift(d, d, "n_chars").collect()[0].statistic == 0.0
+    cat = categorical_drift(d, d, "lang").collect()[0]
+    assert cat.statistic == 0.0 and cat.tvd == 0.0
+
+
+def test_report_shape_and_validation(spark):
+    rep = drift_report(
+        _old(spark),
+        _new(spark),
+        numeric_cols=["n_chars", "doc_id"],
+        categorical_cols=["source", "lang"],
+        bins=32,
+    ).collect()
+    assert len(rep) == 4
+    kinds = {(r.column, r.kind) for r in rep}
+    assert kinds == {
+        ("n_chars", "ks"),
+        ("doc_id", "ks"),
+        ("source", "chi2"),
+        ("lang", "chi2"),
+    }
+    for r in rep:
+        if r.kind == "ks":
+            assert r.tvd is None and r.top_mover is None
+        else:
+            assert r.tvd is not None and r.top_mover is not None
+    with pytest.raises(ValueError, match="no columns"):
+        drift_report(_old(spark), _new(spark))
