@@ -72,10 +72,16 @@ def ks_drift(
     else:
         if bins < 2:
             raise ValueError(f"bins must be >= 2, got {bins}")
+        from ..checkpoint import pin
+
+        # pin the 1-row min/max: it broadcasts into BOTH sides' bin
+        # expressions, and without the pin each crossJoin consumer would
+        # re-run the pooled scan — two extra corpus passes at scale
         pooled = (
             old.select(c.alias("v"))
             .unionByName(new.select(c.alias("v")))
             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .transform(pin, eager=True)
         )
         o = old.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
         n = new.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
