@@ -49,10 +49,20 @@ def _sided_counts(
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    return o.join(n, "k", "full_outer").select(
-        "k",
-        F.coalesce("n_old", F.lit(0)).alias("n_old"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    from ..checkpoint import pin
+
+    # pin the counts frame (distinct values/bins/categories — small by
+    # construction): it feeds BOTH the totals aggregate and the
+    # statistic walk, and without the pin each consumer re-ran the two
+    # corpus scans (verified: 4 scans static -> 2 with the pin)
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .transform(pin, eager=False)
     )
 
 

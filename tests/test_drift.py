@@ -163,3 +163,15 @@ def test_report_shape_and_validation(spark):
             assert r.tvd is not None and r.top_mover is not None
     with pytest.raises(ValueError, match="no columns"):
         drift_report(_old(spark), _new(spark))
+
+
+def test_binned_ks_scans_each_side_twice_max(spark):
+    """The pooled min/max is pinned: each parquet side is scanned once
+    for its counts and once inside the (checkpointed) pooled aggregate —
+    never re-run per crossJoin consumer."""
+    import re as _re
+
+    df = ks_drift(_old(spark), _new(spark), "n_chars", bins=32)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(_re.findall(r"documents\.parquet", plan))
+    assert n_scans <= 2, f"documents scanned {n_scans}x in the binned-KS plan"
