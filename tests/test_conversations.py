@@ -6,7 +6,6 @@ edge contracts, and plan pins (one exchange, zero Python)."""
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import duckdb
