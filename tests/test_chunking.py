@@ -255,3 +255,61 @@ def test_passage_retrieval_composition(spark):
         assert r.cosine_sim == pytest.approx(1.0)
         assert texts[r.neighbor_id] == texts[r.query_id]
         assert r.neighbor_id != r.query_id
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_piece = st.lists(
+    st.text(alphabet="abcz.!? ", min_size=1, max_size=5),
+    min_size=0,
+    max_size=30,
+).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    text=_piece,
+    size=st.integers(min_value=1, max_value=8),
+    overlap=st.integers(min_value=0, max_value=7),
+    budget=st.integers(min_value=1, max_value=12),
+)
+def test_chunkers_properties_on_random_text(spark, text, size, overlap, budget):
+    """Arbitrary text (punctuation runs, stray spaces, empties): the
+    fixed chunker covers every token exactly under the window algebra,
+    and the sentence packer agrees with the Python greedy reference."""
+    stride = max(size - overlap, 1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_fixed_tokens(df, size=size, stride=stride).collect()
+    toks = [t for t in re.split(_WS, text.strip()) if t]
+    if not toks:
+        assert chunks == []
+    else:
+        assert [c.chunk_idx for c in sorted(chunks, key=lambda c: c.chunk_idx)] == list(
+            range(len(chunks))
+        )
+        covered = set()
+        for c in chunks:
+            assert c.text == " ".join(toks[c.token_start : c.token_start + c.n_tokens])
+            assert 1 <= c.n_tokens <= size
+            covered.update(range(c.token_start, c.token_start + c.n_tokens))
+        assert covered == set(range(len(toks)))
+    got = {
+        r.chunk_idx: (r.sent_start, r.n_sentences, r.n_tokens, r.text)
+        for r in chunk_by_sentences(df, max_tokens=budget).collect()
+    }
+    sents = _py_sentences(text)
+    want = {}
+    for idx, (s, e) in enumerate(_py_greedy(sents, budget)) if sents else []:
+        piece = sents[s : e + 1]
+        want[idx] = (
+            s,
+            e - s + 1,
+            sum(len(re.split(_WS, x.strip())) for x in piece),
+            " ".join(piece),
+        )
+    assert got == want

@@ -298,3 +298,50 @@ def test_fingerprints_feed_streaming_dedup_gate(spark, tmp_path):
     assert {r.conv_id for r in adm1.collect()} == {1, 2}
     adm2 = gate.admit(conversation_fingerprints(batch2), epoch_id=1)
     assert {r.conv_id for r in adm2.collect()} == {31}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+_content = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_role = st.sampled_from(["system", "user", "assistant"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    turns=st.lists(
+        st.tuples(st.integers(0, 30), _role, _content),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_render_property_matches_python_reference(spark, turns, budget):
+    """Any turn table (random roles/indexes/content, including blank
+    contents and mid-conversation system turns) renders exactly like the
+    independent Python greedy reference."""
+    rows = [(7, i, r, c) for i, r, c in turns]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, content string"
+    )
+    out = render_conversations(df, max_tokens=budget).collect()
+    assert len(out) == 1
+    r = out[0]
+    want = _py_render([(i, ro, c) for i, ro, c in turns], budget)
+    got = (
+        r.text,
+        r.n_turns_kept,
+        r.n_turns_dropped,
+        r.n_tokens,
+        [(s.s, s.e) for s in r.assistant_spans],
+    )
+    assert got == want
+    # span-slice exactness holds on arbitrary content
+    for s, e in got[4]:
+        assert ("assistant: " + r.text[s:e]) in r.text
