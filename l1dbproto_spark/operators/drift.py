@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(28,9)"
 
+#: zero-share smoothing floor for PSI (the industry convention: a bin
+#: empty on one side contributes a large-but-finite term instead of inf)
+PSI_EPS = 1e-6
+
+
+def _psi_term(p_old: F.Column, p_new: F.Column) -> F.Column:
+    """One PSI summand (p_new - p_old) * ln(p_new / p_old), shares
+    floored at PSI_EPS; 9dp-rounded and DECIMAL-typed for an order-free
+    sum (ln is libm — the rounding bounds engine skew to the term's
+    last decimal)."""
+    po = F.greatest(p_old, F.lit(PSI_EPS))
+    pn = F.greatest(p_new, F.lit(PSI_EPS))
+    return F.round((pn - po) * F.log(pn / po), 9).cast(_DEC)
+
 
 def _sided_counts(
     old: DataFrame, new: DataFrame, key: F.Column, col: str
@@ -69,7 +83,8 @@ def _sided_counts(
 def ks_drift(
     old: DataFrame, new: DataFrame, col: str, bins: int | None = None
 ) -> DataFrame:
-    """One row: (column, statistic, n_old, n_new) with ``statistic`` the
+    """One row: (column, kind, statistic, psi, n_old, n_new) with
+    ``statistic`` the
     two-sample KS D = max_x |F_old(x) - F_new(x)| over the column's
     observed values (``bins=None``, exact — bounded-distinct columns
     only, see module docstring) or over a ``bins``-cell fixed-width grid
@@ -111,17 +126,23 @@ def ks_drift(
         "k",
         (F.sum("n_old").over(w).cast("double") / F.col("t_old")).alias("f_old"),
         (F.sum("n_new").over(w).cast("double") / F.col("t_new")).alias("f_new"),
+        _psi_term(
+            F.col("n_old").cast("double") / F.col("t_old"),
+            F.col("n_new").cast("double") / F.col("t_new"),
+        ).alias("_psi"),
         "t_old",
         "t_new",
     )
     return ecdf.agg(
         F.max(F.abs(F.col("f_old") - F.col("f_new"))).alias("statistic"),
+        F.sum("_psi").cast("double").alias("psi"),
         F.first("t_old").alias("n_old"),
         F.first("t_new").alias("n_new"),
     ).select(
         F.lit(col).alias("column"),
         F.lit("ks").alias("kind"),
         "statistic",
+        "psi",
         "n_old",
         "n_new",
     )
@@ -130,11 +151,12 @@ def ks_drift(
 def categorical_drift(
     old: DataFrame, new: DataFrame, col: str
 ) -> DataFrame:
-    """One row: (column, kind='chi2', statistic, tvd, top_mover, n_old,
-    n_new). ``statistic`` is the two-sample chi-square over the category
+    """One row: (column, kind='chi2', statistic, tvd, psi, top_mover,
+    n_old, n_new). ``statistic`` is the two-sample chi-square over the category
     contingency (expected frequencies from pooled marginals; categories
     seen on one side only contribute fully), ``tvd`` the total-variation
-    distance 0.5*sum|p_old - p_new|, and ``top_mover`` the category with
+    distance 0.5*sum|p_old - p_new|, ``psi`` the population stability
+    index over category shares (PSI_EPS floor), and ``top_mover`` the category with
     the largest absolute share shift (ties to the smallest category
     value — deterministic). Chi-square/TVD terms are 9dp-rounded and
     DECIMAL-summed (order-free)."""
@@ -160,12 +182,14 @@ def categorical_drift(
         "k",
         chi_term.cast(_DEC).alias("_chi"),
         F.round(shift, 9).cast(_DEC).alias("_shift"),
+        _psi_term(p_old, p_new).alias("_psi"),
         "t_old",
         "t_new",
     )
     return per.agg(
         F.sum("_chi").cast("double").alias("statistic"),
         (F.sum("_shift") / 2).cast("double").alias("tvd"),
+        F.sum("_psi").cast("double").alias("psi"),
         F.min_by(
             "k", F.struct((-F.col("_shift")).alias("s"), F.col("k").alias("k"))
         ).alias("top_mover"),
@@ -176,6 +200,7 @@ def categorical_drift(
         F.lit("chi2").alias("kind"),
         "statistic",
         "tvd",
+        "psi",
         "top_mover",
         "n_old",
         "n_new",
@@ -192,7 +217,8 @@ def drift_report(
     """One row per watched column: numeric columns via :func:`ks_drift`
     (binned by default — pass ``bins=None`` only for bounded-distinct
     columns), categoricals via :func:`categorical_drift`; harmonized
-    schema (column, kind, statistic, tvd, top_mover, n_old, n_new) with
+    schema (column, kind, statistic, tvd, psi, top_mover, n_old, n_new)
+    with
     the non-applicable fields NULL. Thresholding is the caller's policy
     — this is the measurement, kept a report like checks/profile."""
     parts: list[DataFrame] = []
@@ -203,6 +229,7 @@ def drift_report(
                 "kind",
                 "statistic",
                 F.lit(None).cast("double").alias("tvd"),
+                "psi",
                 F.lit(None).cast("string").alias("top_mover"),
                 "n_old",
                 "n_new",

@@ -175,3 +175,41 @@ def test_binned_ks_scans_each_side_twice_max(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = len(_re.findall(r"documents\.parquet", plan))
     assert n_scans <= 2, f"documents scanned {n_scans}x in the binned-KS plan"
+
+
+def test_psi_matches_python_reference(spark):
+    import math
+
+    from collections import Counter
+
+    from l1dbproto_spark.operators.drift import PSI_EPS
+
+    got = categorical_drift(_old(spark), _new(spark), "source").collect()[0]
+    a = Counter(r.source for r in _old(spark).select("source").collect())
+    b = Counter(r.source for r in _new(spark).select("source").collect())
+    ta, tb = sum(a.values()), sum(b.values())
+    psi = 0.0
+    for k in set(a) | set(b):
+        po = max(a.get(k, 0) / ta, PSI_EPS)
+        pn = max(b.get(k, 0) / tb, PSI_EPS)
+        psi += round((pn - po) * math.log(pn / po), 9)
+    # 'refetch' exists only in new -> the eps floor fires on the old side
+    assert got.psi == pytest.approx(psi, abs=1e-7)
+    assert got.psi > 1.0  # a brand-new category is a huge PSI signal
+    # identical snapshots -> psi exactly 0 on both legs
+    d = _old(spark)
+    assert categorical_drift(d, d, "lang").collect()[0].psi == 0.0
+    assert ks_drift(d, d, "n_chars", bins=16).collect()[0].psi == 0.0
+    # numeric binned psi is positive under the planted n_chars shift
+    assert (
+        ks_drift(_old(spark), _new(spark), "n_chars", bins=16)
+        .collect()[0]
+        .psi
+        > 0.01
+    )
+    # the report carries psi on every row
+    rep = drift_report(
+        _old(spark), _new(spark), numeric_cols=["n_chars"],
+        categorical_cols=["source"], bins=16,
+    ).collect()
+    assert all(r.psi is not None for r in rep)
