@@ -53,14 +53,27 @@ def _sorted_turns(
     content_col: str,
 ) -> DataFrame:
     """(conv_id, turns: array<struct<idx, role, content>> sorted by idx) —
-    array_sort on the struct sorts by the first field, so idx leads."""
+    array_sort on the struct sorts by the first field, so idx leads.
+
+    NULL role/content coalesce to '' HERE, at the one entry point all
+    three operators share: a NULL would otherwise propagate through the
+    concat folds (NULLing the fingerprint element — which array_join then
+    silently DROPS, colliding distinct transcripts — the whole rendered
+    text, and the report's no_empty verdict, which evaluates to NULL
+    rather than false under forall). With the coalesce a NULL turn flags
+    ``no_empty = false``, keeps its own fingerprint position, and renders
+    as ``role: `` — never silent."""
     return turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col(idx_col).cast("long").alias("idx"),
-                    F.col(role_col).alias("role"),
-                    F.col(content_col).alias("content"),
+                    F.coalesce(
+                        F.col(role_col).cast("string"), F.lit("")
+                    ).alias("role"),
+                    F.coalesce(
+                        F.col(content_col).cast("string"), F.lit("")
+                    ).alias("content"),
                 )
             )
         ).alias("turns")

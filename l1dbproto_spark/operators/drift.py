@@ -21,6 +21,13 @@ Determinism contract (the evals/registry pattern): counts are exact
 longs; each ECDF/expected-frequency term is one double division of
 exact ints (operand-identical in any engine); order-dependent SUMS
 (chi-square, TVD) accumulate 9dp-rounded terms as exact DECIMAL.
+
+Empty-side contract: when a side has ZERO non-null rows the statistic
+is undefined — every division hits a zero total and Spark's non-ANSI
+division yields NULL, so the report row carries ``statistic = NULL``
+(never a silent 0.0 or NaN). ``drifted_epochs`` treats a NULL
+statistic as an ALERTING row: a drained snapshot is a drift event,
+not a quiet pass.
 """
 
 from __future__ import annotations
@@ -34,15 +41,28 @@ _DEC = "decimal(28,9)"
 #: empty on one side contributes a large-but-finite term instead of inf)
 PSI_EPS = 1e-6
 
+#: exact-mode (bins=None) safety cap: the KS cumulative walk is a
+#: single-partition window over the DISTINCT values, so exact mode is
+#: for bounded-distinct columns only — the guard makes that documented
+#: contract self-enforcing instead of advisory (one sorted task over
+#: >10k rows is where the single-partition window starts to matter)
+EXACT_DISTINCT_CAP = 10_000
+
 
 def _psi_term(p_old: F.Column, p_new: F.Column) -> F.Column:
     """One PSI summand (p_new - p_old) * ln(p_new / p_old), shares
     floored at PSI_EPS; 9dp-rounded and DECIMAL-typed for an order-free
     sum (ln is libm — the rounding bounds engine skew to the term's
-    last decimal)."""
+    last decimal). A NULL share (empty side — try_divide's zero-total
+    signal) yields a NULL term, NOT an eps-floored one: greatest()
+    skips NULLs, so without the guard an undefined share would silently
+    read as the floor and produce a fabricated PSI."""
     po = F.greatest(p_old, F.lit(PSI_EPS))
     pn = F.greatest(p_new, F.lit(PSI_EPS))
-    return F.round((pn - po) * F.log(pn / po), 9).cast(_DEC)
+    term = F.round((pn - po) * F.log(pn / po), 9).cast(_DEC)
+    return F.when(
+        p_old.isNull() | p_new.isNull(), F.lit(None).cast(_DEC)
+    ).otherwise(term)
 
 
 def _sided_counts(
@@ -81,7 +101,11 @@ def _sided_counts(
 
 
 def ks_drift(
-    old: DataFrame, new: DataFrame, col: str, bins: int | None = None
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int | None = None,
+    max_exact_distinct: int | None = EXACT_DISTINCT_CAP,
 ) -> DataFrame:
     """One row: (column, kind, statistic, psi, n_old, n_new) with
     ``statistic`` the
@@ -89,11 +113,31 @@ def ks_drift(
     observed values (``bins=None``, exact — bounded-distinct columns
     only, see module docstring) or over a ``bins``-cell fixed-width grid
     between the pooled min/max (continuous columns; grid edges from ONE
-    1-row broadcast). NULLs excluded on both sides."""
+    1-row broadcast). NULLs excluded on both sides, in BOTH modes — a
+    NULL never lands in a bin (the bin expression would otherwise fold
+    NULL into the top bin via ``least``'s null-skipping).
+
+    Exact mode enforces its bounded-distinct contract: if the two sides'
+    pooled distinct-value count exceeds ``max_exact_distinct`` the call
+    raises (loudly, naming the fix) instead of quietly sorting the
+    distinct values through one task. Pass ``max_exact_distinct=None``
+    to disable the guard, or ``bins=k`` for continuous columns. The
+    guard's count() doubles as the eager materialization of the pinned
+    counts frame, so it costs no extra corpus scan."""
     c = F.col(col).cast("double")
     if bins is None:
         key = c
         counts = _sided_counts(old, new, key, col)
+        if max_exact_distinct is not None:
+            n_distinct = counts.count()
+            if n_distinct > max_exact_distinct:
+                raise ValueError(
+                    f"ks_drift exact mode (bins=None) on {col!r}: "
+                    f"{n_distinct} distinct values exceeds the "
+                    f"bounded-distinct cap {max_exact_distinct}; pass "
+                    f"bins=k for continuous columns or raise "
+                    f"max_exact_distinct explicitly"
+                )
     else:
         if bins < 2:
             raise ValueError(f"bins must be >= 2, got {bins}")
@@ -108,8 +152,20 @@ def ks_drift(
             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
             .transform(pin, eager=True)
         )
-        o = old.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
-        n = new.select(c.alias("_v")).crossJoin(F.broadcast(pooled))
+        # NULLs out BEFORE binning: least(NULL, bins-1) SKIPS the null
+        # and would file every NULL under the top bin (and the hi==lo
+        # branch under bin 0), breaking the NULLs-excluded contract and
+        # making binned and exact modes disagree on NULL-bearing columns
+        o = (
+            old.select(c.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .crossJoin(F.broadcast(pooled))
+        )
+        n = (
+            new.select(c.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .crossJoin(F.broadcast(pooled))
+        )
         # UNBOUND bin expression (plain column names) so the same
         # definition resolves against either side's frame
         width = (F.col("hi") - F.col("lo")) / bins
@@ -122,13 +178,19 @@ def ks_drift(
     tot = counts.agg(
         F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
     )
+    # try_divide: a zero side total (empty/all-NULL snapshot) makes the
+    # ECDF undefined — NULL by contract, never an ANSI divide error
     ecdf = counts.crossJoin(F.broadcast(tot)).select(
         "k",
-        (F.sum("n_old").over(w).cast("double") / F.col("t_old")).alias("f_old"),
-        (F.sum("n_new").over(w).cast("double") / F.col("t_new")).alias("f_new"),
+        F.try_divide(
+            F.sum("n_old").over(w).cast("double"), F.col("t_old")
+        ).alias("f_old"),
+        F.try_divide(
+            F.sum("n_new").over(w).cast("double"), F.col("t_new")
+        ).alias("f_new"),
         _psi_term(
-            F.col("n_old").cast("double") / F.col("t_old"),
-            F.col("n_new").cast("double") / F.col("t_new"),
+            F.try_divide(F.col("n_old").cast("double"), F.col("t_old")),
+            F.try_divide(F.col("n_new").cast("double"), F.col("t_new")),
         ).alias("_psi"),
         "t_old",
         "t_new",
@@ -170,13 +232,21 @@ def categorical_drift(
     grand = F.col("t_old") + F.col("t_new")
     e_old = row_tot.cast("double") * F.col("t_old") / grand
     e_new = row_tot.cast("double") * F.col("t_new") / grand
+    # try_divide: e_old/e_new are zero exactly when that side's TOTAL is
+    # zero (empty snapshot) — the chi term is then undefined -> NULL,
+    # and the NULL-skipping sum leaves statistic NULL (empty-side
+    # contract), never an ANSI divide error
     chi_term = F.round(
-        (F.col("n_old") - e_old) * (F.col("n_old") - e_old) / e_old
-        + (F.col("n_new") - e_new) * (F.col("n_new") - e_new) / e_new,
+        F.try_divide(
+            (F.col("n_old") - e_old) * (F.col("n_old") - e_old), e_old
+        )
+        + F.try_divide(
+            (F.col("n_new") - e_new) * (F.col("n_new") - e_new), e_new
+        ),
         9,
     )
-    p_old = F.col("n_old").cast("double") / F.col("t_old")
-    p_new = F.col("n_new").cast("double") / F.col("t_new")
+    p_old = F.try_divide(F.col("n_old").cast("double"), F.col("t_old"))
+    p_new = F.try_divide(F.col("n_new").cast("double"), F.col("t_new"))
     shift = F.abs(p_old - p_new)
     per = c.select(
         "k",

@@ -102,9 +102,17 @@ def drifted_epochs(
 ) -> DataFrame:
     """The alerting query over the monitor's output: epochs/columns whose
     statistic crossed a threshold — (epoch, column, kind, statistic,
-    tvd, top_mover). Policy lives HERE, in a query, not in the gate."""
+    tvd, top_mover). Policy lives HERE, in a query, not in the gate.
+
+    A NULL or NaN statistic ALERTS: the drift operators emit NULL when a
+    side has zero non-null rows (empty-side contract in operators/drift),
+    and a threshold comparison against NULL/NaN is never true — without
+    this branch a fully-drained snapshot would read as 'no drift'."""
     m = spark.read.parquet(out_path.rstrip("/"))
+    stat = F.col("statistic")
+    undefined = stat.isNull() | F.isnan(stat)
     return m.filter(
-        ((F.col("kind") == "ks") & (F.col("statistic") > ks_threshold))
+        undefined
+        | ((F.col("kind") == "ks") & (stat > ks_threshold))
         | ((F.col("kind") == "chi2") & (F.col("tvd") > tvd_threshold))
     ).select("epoch", "column", "kind", "statistic", "tvd", "top_mover")

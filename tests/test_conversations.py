@@ -345,3 +345,39 @@ def test_render_property_matches_python_reference(spark, turns, budget):
     # span-slice exactness holds on arbitrary content
     for s, e in got[4]:
         assert ("assistant: " + r.text[s:e]) in r.text
+
+
+def test_null_turn_never_silent(spark):
+    """r12 ADVICE (medium): a NULL content (or role) turn used to vanish
+    from the fingerprint identity (concat propagates NULL, array_join
+    DROPS null elements), NULL the whole rendered text, and turn the
+    report's no_empty/ok into NULL instead of false. The coalesce at the
+    shared _sorted_turns entry point makes all three legs loud."""
+    rows = [
+        # conv 1: clean two-turn dialogue
+        (1, 0, "user", "hi"),
+        (1, 1, "assistant", "hello"),
+        # conv 2: same dialogue plus a NULL-content turn in the middle
+        (2, 0, "user", "hi"),
+        (2, 1, None, None),
+        (2, 2, "assistant", "hello"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, content string"
+    )
+    # fingerprints: the NULL turn keeps its position -> convs distinct
+    fps = {r.conv_id: r.fingerprint for r in conversation_fingerprints(df).collect()}
+    assert fps[1] is not None and fps[2] is not None
+    assert fps[1] != fps[2]
+    # report: the NULL turn flags no_empty = false (not NULL), ok = false
+    rep = {r.conv_id: r for r in conversation_report(df).collect()}
+    assert rep[1].no_empty is True
+    assert rep[2].no_empty is False and rep[2].ok is False
+    # render: text never NULL; the NULL turn renders as ': ' line
+    out = {r.conv_id: r for r in render_conversations(df, max_tokens=100).collect()}
+    assert out[1].text == "user: hi\nassistant: hello"
+    assert out[2].text is not None
+    assert out[2].text == "user: hi\n: \nassistant: hello"
+    # span-slice exactness still holds around the NULL turn
+    for s, e in [(sp.s, sp.e) for sp in out[2].assistant_spans]:
+        assert out[2].text[s:e] == "hello"

@@ -213,3 +213,59 @@ def test_psi_matches_python_reference(spark):
         categorical_cols=["source"], bins=16,
     ).collect()
     assert all(r.psi is not None for r in rep)
+
+
+def test_binned_ks_excludes_nulls(spark):
+    """r12 ADVICE (high): least() skips NULLs, so a NULL value used to
+    land in the TOP bin (and in bin 0 on the hi==lo branch) — identical
+    distributions plus NULLs on one side read as drift. Binned mode must
+    match exact mode's NULLs-excluded contract."""
+    a = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    b = a.unionByName(
+        spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    )
+    for bins in (4, None):
+        got = ks_drift(a, b, "x", bins=bins).collect()[0]
+        assert got.statistic == 0.0, f"bins={bins}: NULLs leaked into a bin"
+        assert got.psi == 0.0
+        assert (got.n_old, got.n_new) == (10, 10)
+    # hi==lo branch (constant column): NULLs must not land in bin 0
+    const_a = spark.range(10).select(F.lit(7.0).alias("x"))
+    const_b = const_a.unionByName(
+        spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    )
+    got = ks_drift(const_a, const_b, "x", bins=4).collect()[0]
+    assert got.statistic == 0.0 and (got.n_old, got.n_new) == (10, 10)
+
+
+def test_exact_mode_distinct_cap_guard(spark):
+    """Exact mode's bounded-distinct contract is enforced, not advisory:
+    more distinct values than the cap raises loudly; an explicit None
+    disables the guard; binned mode is untouched by it."""
+    a = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    b = spark.range(100).select((F.col("id") + 3).cast("double").alias("x"))
+    with pytest.raises(ValueError, match="distinct values exceeds"):
+        ks_drift(a, b, "x", max_exact_distinct=50)
+    # under the cap / guard disabled / binned: all fine
+    assert ks_drift(a, b, "x", max_exact_distinct=500).collect()[0].statistic > 0
+    assert ks_drift(a, b, "x", max_exact_distinct=None).collect()[0].statistic > 0
+    assert ks_drift(a, b, "x", bins=8, max_exact_distinct=5).collect()[0].n_old == 100
+
+
+def test_empty_side_emits_null_statistic(spark):
+    """r12 ADVICE (low): a side with zero non-null rows has no defined
+    statistic — the row must carry NULL (the documented empty-side
+    contract), never a silent 0.0 that reads as 'no drift'."""
+    a = spark.range(10).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 3).cast("string").alias("c"),
+    )
+    empty = a.filter(F.lit(False))
+    for bins in (None, 4):
+        got = ks_drift(a, empty, "x", bins=bins).collect()[0]
+        assert got.statistic is None
+    got = categorical_drift(a, empty, "c").collect()[0]
+    assert got.statistic is None
+    # all-NULL side is the same as an empty side
+    all_null = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    assert ks_drift(a, all_null, "x", bins=4).collect()[0].statistic is None

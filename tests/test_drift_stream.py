@@ -105,3 +105,23 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
 def test_constructor_validation(spark):
     with pytest.raises(ValueError, match="no columns"):
         StreamingDriftMonitor(spark, _frame(spark, 10))
+
+
+def test_drained_epoch_alerts(spark, tmp_path):
+    """r12 ADVICE (low): an EMPTY (or all-NULL) epoch produces a NULL
+    statistic, and NULL compares false against any threshold — the
+    alerting query must surface it as a drift event, not a quiet pass."""
+    ref = _frame(spark, 1000)
+    mon = StreamingDriftMonitor(
+        spark, ref, numeric_cols=["n_chars"], categorical_cols=["lang"],
+        bins=16,
+    )
+    out = str(tmp_path / "drift")
+    body = mon.foreach_batch(out)
+    body(_frame(spark, 300), 0)  # healthy epoch, same distribution
+    body(_frame(spark, 300).filter(F.lit(False)), 1)  # drained epoch
+    alerts = drifted_epochs(spark, out, ks_threshold=0.2, tvd_threshold=0.1)
+    got = {(r.epoch, r.column) for r in alerts.collect()}
+    assert got == {(1, "n_chars"), (1, "lang")}
+    stats = {r.column: r.statistic for r in alerts.collect()}
+    assert all(v is None for v in stats.values())
