@@ -258,7 +258,10 @@ def categorical_drift(
     )
     return per.agg(
         F.sum("_chi").cast("double").alias("statistic"),
-        (F.sum("_shift") / 2).cast("double").alias("tvd"),
+        # halve AFTER the exact-decimal sum converts to double: /2 is an
+        # exponent shift (exact), whereas decimal division would re-round
+        # at the decimal scale — double(sum)/2 is the engine-portable form
+        (F.sum("_shift").cast("double") / 2).alias("tvd"),
         F.sum("_psi").cast("double").alias("psi"),
         F.min_by(
             "k", F.struct((-F.col("_shift")).alias("s"), F.col("k").alias("k"))
@@ -313,3 +316,109 @@ def drift_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-distribution drift: the share of each snapshot falling
+    into each centroid's cell, compared through
+    :func:`categorical_drift` — one row (column=``vec_col``,
+    kind='chi2', statistic, tvd, psi, top_mover, n_old, n_new) where
+    ``top_mover`` is the centroid (as a string cluster id) whose share
+    shifted most. The embedding monitor a retraining pipeline runs
+    between snapshot N and N+1: a feed whose vectors silently rotated
+    toward a different region of the space becomes a thresholdable
+    number, without any all-pairs work.
+
+    ``centroids`` is (cluster, centroid) — ``semdedup.train_centroids``
+    output or any model table — and MUST be the same frame for both
+    sides: the cells are the measurement grid, so train them once on
+    the reference snapshot and reuse (re-training per snapshot would
+    move the grid under the comparison and hide drift).
+
+    Scale shape: nearest-centroid assignment is a broadcast map-side
+    argmax on each side (zero shuffle — semdedup.assign_clusters), and
+    everything after is categorical_drift's (cluster, n_old, n_new)
+    count reduction; nothing vector-sized ever crosses an exchange."""
+    from .semdedup import assign_clusters
+
+    o = assign_clusters(
+        old, centroids, vec_col=vec_col, id_col=id_col, dim=dim
+    ).select("cluster")
+    n = assign_clusters(
+        new, centroids, vec_col=vec_col, id_col=id_col, dim=dim
+    ).select("cluster")
+    return categorical_drift(o, n, "cluster").withColumn(
+        "column", F.lit(vec_col)
+    )
+
+
+def quantile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    q: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Reference-quantile binned drift: the OLD snapshot's q-quantiles
+    define the bin edges (equal-mass on the reference — the industry
+    PSI convention of decile bins), both sides are counted per bin, and
+    the categorical machinery runs over the bins — one row
+    (column=``col``, kind='chi2', statistic, tvd, psi, top_mover
+    (= the bin index as a string), n_old, n_new).
+
+    Why next to :func:`ks_drift`'s fixed-width bins: on long-tailed
+    columns a fixed-width grid puts almost all mass in one cell and the
+    statistic goes blind; equal-mass reference bins give every cell
+    ~n/q reference weight, so a shift anywhere in the distribution moves
+    a share some bin can see. The edges come from
+    ``percentile_approx`` (a mergeable quantile sketch — the only
+    scale-correct way to get quantiles; ``accuracy`` is its 1/eps
+    knob), computed ONCE on the reference and pinned: the grid is part
+    of the measurement, so it must come from the reference side only and
+    never move under the comparison.
+
+    Determinism note: the sketch's edges are data-dependent but the
+    SAME pinned 1-row broadcast feeds both sides' bin expressions, so
+    the comparison itself is exact-count arithmetic like every other
+    statistic here. NULLs excluded on both sides; an empty side yields
+    statistic NULL (the module's empty-side contract); an empty
+    REFERENCE yields NULL edges -> every row filters out -> NULL too."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    from ..checkpoint import pin
+
+    c = F.col(col).cast("double")
+    probs = [i / q for i in range(1, q)]
+    edges = (
+        old.select(c.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .agg(F.percentile_approx("v", probs, accuracy).alias("edges"))
+        .transform(pin, eager=True)
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        # bin k = number of interior edges strictly below the value:
+        # 0..q-1, upper-inclusive like every quantile-bin convention
+        return (
+            df.select(c.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(
+                F.size(
+                    F.filter(F.col("edges"), lambda e: F.col("_v") > e)
+                )
+                .cast("string")
+                .alias("qbin")
+            )
+        )
+
+    return categorical_drift(binned(old), binned(new), "qbin").withColumn(
+        "column", F.lit(col)
+    )

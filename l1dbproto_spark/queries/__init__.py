@@ -78,15 +78,11 @@ _PRIORITY = [
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    "embedding_near_dup_pairs",
     # LLM-pipeline: text + multimodal
     "doc_embed_ann",
     # relational / analytic surface
     "q3_top_orders",
     "q5_region_revenue",
-    "asof_last_click_before_purchase",
-    # windows / events
-    "gap_fill_resample",
     # LLM-pipeline: packing, quantization, composed ANN, sampling,
     # decontamination, semantic dedup, DSIR, collocations
     "pack_sequences",
@@ -96,7 +92,6 @@ _PRIORITY = [
     "contamination_report",
     "semdedup_drops",
     "dsir_log_weights",
-    "collocations_pmi",
     # LLM-pipeline: lexical retrieval + entity resolution (round 8)
     "bm25_topk",
     "fuzzy_name_match",
@@ -106,12 +101,6 @@ _PRIORITY = [
     # oracles in tests/test_unregistered_batteries.py)
     "hamming_topk",
     "funnel_conversion",
-    # driver round 8: TPC-H completion battery signature members (rotation: out
-    # partitioned_source_ids / media_byte_histogram -> in-suite oracles in
-    # tests/test_unregistered_batteries.py; W3 keeps its formula pytest and
-    # multimodal keeps the registered media_chunk_fingerprints row)
-    "q10_returned_items",
-    "q18_large_orders",
     # driver round 8 (cont.): graph mining + ingest validation (rotation: out
     # argmax_order_per_customer / json_payload_extract -> in-suite oracles
     # in tests/test_unregistered_batteries.py; max_by and JSON-extraction
@@ -156,6 +145,25 @@ _PRIORITY = [
     "weburl_dedup_mix",
     "contrastive_pairs",
     "evolve_cast_loss",
+    # driver round 13: the round-12 pytest-only training-data families take
+    # driver slots (rotation: out gap_fill_resample /
+    # asof_last_click_before_purchase / q18_large_orders /
+    # q10_returned_items / embedding_near_dup_pairs / collocations_pmi ->
+    # same oracles driver-grade in-suite in
+    # tests/test_unregistered_batteries.py; the timeseries and as-of
+    # operators keep their semantics pytests, TPC-H stays driver-checked
+    # via q1/q3/q5 with the 13-oracle battery in-suite, the similarity
+    # family keeps seven registered rows, and text keeps
+    # bm25/phrase/fuzzy). In: passage chunking, the conversation (SFT)
+    # audit + fingerprint, RM/DPO preference pairs, the SQuAD-rule
+    # generation eval, snapshot distribution drift, and the real
+    # RIFF/WAVE decode under planted-fixture oracles.
+    "chunk_fixed_tokens",
+    "conversation_audit",
+    "preference_pairs",
+    "generation_scores",
+    "snapshot_drift_report",
+    "wav_decode_meta",
 ]
 
 
@@ -187,6 +195,8 @@ def load_all() -> dict[str, QuerySpec]:
         serving,
         ingest,
         curation,
+        training,
+        monitoring,
     )
 
     assert set(QUERIES) == set(_PRIORITY), (

@@ -164,9 +164,12 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gap_fill_resample",
-    oracle="""
+# Rotated out of the 50-cap registry in driver round 13 (slot to the
+# r12 training-data families — COVERAGE.md "Registry rotation history");
+# the SAME DuckDB oracle (below) runs driver-grade in-suite in
+# tests/test_unregistered_batteries.py and the timeseries operator keeps
+# its full semantics pytest (tests/test_timeseries.py).
+GAP_FILL_RESAMPLE_ORACLE = """
     WITH ev AS (
       SELECT user_id, date_trunc('day', ts) AS bucket_ts, value
       FROM events WHERE event_type = 'purchase'
@@ -196,10 +199,9 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
       sum_value IS NULL AS is_gap
     FROM joined
-    """,
-    survey="ext:timeseries (resample-to-grid + LOCF gap fill; generalizes A5/A6+W5/W6 "
-    "log2csv fixed-cadence rollup to per-key calendar grids)",
-)
+    """
+
+
 def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase totals per user, densified to each user's observed
     span with exact-decimal sums and last-observation-carried-forward fill

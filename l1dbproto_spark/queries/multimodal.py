@@ -228,3 +228,140 @@ def image_dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = _planted_ppm_media(docs)
     return image_dedup_clusters(media)
+
+
+# ---------------------------------------------------------------------------
+# wav_decode_meta (driver round 13): the audio family's REAL RIFF/WAVE
+# chunk walk under the hard oracle signal — the r11/r12 pattern
+# (csv_ingest_quarantine, image_dedup_families) applied to audio: WAV
+# blobs are synthesized from doc_id arithmetic so the oracle predicts
+# (ok, sample_rate, n_channels, bits, n_samples, duration_ms) without
+# parsing a byte, while the Spark side runs operators/audio.decode_audio
+# — the full chunk-walking parser + PCM conversion:
+#
+#  * doc_id %13==0 rows are not RIFF at all            -> ok=false;
+#  * else %19==0 rows carry a WAV with format tag 85 (MP3-in-WAV) — a
+#    well-formed container the format-class gate must REJECT -> ok=false;
+#  * else the format class cycles by doc_id%5 over PCM 8/16/24/32-bit
+#    and IEEE-float 32-bit, rate by (doc_id//5)%4 over four standard
+#    rates, channels 1 + doc_id%3, frames 1 + doc_id%97; %11==0 rows
+#    additionally carry a junk LIST chunk BEFORE fmt so the walk (not a
+#    fixed-offset read) is what the green row proves.
+#
+# A wrong chunk walk, fmt layout, format-tag acceptance, frame count, or
+# the duration division all land as value-hash mismatches.
+_WAV_RATES = (8000, 11025, 16000, 44100)
+
+
+def _wav_blob(i: int) -> bytes:
+    """Deterministic planted WAV (see block comment) for doc_id ``i``."""
+    import struct
+
+    if i % 13 == 0:
+        return b"GARBAGE!" + bytes(16)  # not RIFF
+    rate = _WAV_RATES[(i // 5) % 4]
+    ch = 1 + i % 3
+    frames = 1 + i % 97
+    if i % 19 == 0:
+        tag, bits = 85, 16  # MPEG-in-WAV tag: rejected by the class gate
+    else:
+        tag, bits = ((1, 8), (1, 16), (1, 24), (1, 32), (3, 32))[i % 5]
+    nbytes = frames * ch * (bits // 8)
+    # deterministic sample bytes; CONTENT is irrelevant to the projected
+    # metadata, but the buffer must be whole-frame so the decode succeeds
+    data = bytes((i * 31 + k * 7) % 256 for k in range(nbytes))
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, rate, rate * ch * (bits // 8),
+        ch * (bits // 8), bits,
+    )
+    junk = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO" if i % 11 == 0 else b""
+    )
+    body = (
+        junk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _planted_wav_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): the deterministic planted WAV blobs."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_wav_blob(i) for i in ids]}
+            ).astype({"media_id": "int64"})
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+@query(
+    "wav_decode_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 13 = 0 OR doc_id % 19 = 0 AS bad,
+             CASE ((doc_id // 5) % 4)
+               WHEN 0 THEN 8000 WHEN 1 THEN 11025
+               WHEN 2 THEN 16000 ELSE 44100 END AS rate,
+             1 + doc_id % 3 AS ch,
+             CASE (doc_id % 5)
+               WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+               ELSE 32 END AS bits,
+             1 + doc_id % 97 AS frames
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           NOT bad AS ok,
+           CASE WHEN bad THEN NULL ELSE CAST(rate AS INT) END AS sample_rate,
+           CASE WHEN bad THEN NULL ELSE CAST(ch AS INT) END AS n_channels,
+           CASE WHEN bad THEN NULL ELSE CAST(bits AS INT) END AS bits,
+           CASE WHEN bad THEN NULL ELSE CAST(frames AS BIGINT) END
+             AS n_samples,
+           CASE WHEN bad THEN NULL
+                ELSE 1000.0 * frames / rate END AS duration_ms
+    FROM p
+    """,
+    survey=(
+        "ext:audio (real RIFF/WAVE chunk-walk decode to typed metadata "
+        "with per-blob ok=false isolation; operators/audio.py "
+        "decode_audio/_decode_wav)"
+    ),
+)
+def wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per blob: (media_id, ok, sample_rate, n_channels, bits,
+    n_samples, duration_ms) from the REAL WAV decode over the planted
+    fixture (block comment above) — non-RIFF garbage and the rejected
+    MPEG format tag each cost exactly one ok=false row, never a task
+    retry.
+
+    Scale shape: synthesis and decode ride the scan (two mapInPandas
+    passes — the sanctioned Arrow extension class), zero shuffle; the
+    PCM buffer never leaves the decode task (the projection drops it
+    before anything crosses)."""
+    from ..operators.audio import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _planted_wav_media(docs)
+    return decode_audio(media).select(
+        "media_id",
+        "ok",
+        "sample_rate",
+        "n_channels",
+        "bits",
+        "n_samples",
+        "duration_ms",
+    )

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..sources.catalog import load_table
-from . import query
 
 
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,9 +97,13 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "asof_last_click_before_purchase",
-    oracle="""
+# Rotated out of the 50-cap registry in driver round 13 (slot to the
+# r12 training-data families — COVERAGE.md "Registry rotation history");
+# the SAME DuckDB oracle (below) runs driver-grade in-suite in
+# tests/test_unregistered_batteries.py and the as-of operator keeps its
+# tie-break/semantics pytest (tests/test_advice_fixes.py, the interval/
+# window family rows stay registered).
+ASOF_LAST_CLICK_ORACLE = """
     SELECT
       p.event_id,
       p.user_id,
@@ -109,9 +112,9 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_value
     FROM events p
     WHERE p.event_type = 'purchase'
-    """,
-    survey="as-of join (temporal join beyond reference; operators/asof.py)",
-)
+    """
+
+
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase picks up the user's latest
     click value at-or-before its timestamp — union+window implementation

@@ -337,9 +337,14 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
+# Rotated out of the 50-cap registry in driver round 13 (slot to the
+# r12 training-data families — COVERAGE.md "Registry rotation history");
+# the SAME DuckDB oracle (below) runs driver-grade in-suite in
+# tests/test_unregistered_batteries.py, and the similarity family keeps
+# seven registered rows (ann_topk_brute/lsh/ivf, doc_embed_ann,
+# quantized_topk, ivf_pq_topk, hamming_topk) plus the recall-floor
+# bench record.
+EMBEDDING_NEAR_DUP_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -349,9 +354,9 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b, {_COS} AS cosine_sim
     FROM pairs
     WHERE {_COS} >= 0.4
-    """,
-    survey="ext:dedup (embedding-cosine near-dup); J1",
-)
+    """
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 — the threshold form of the
     reference's cone cross-match (inner product > cos(theta), DIA.py:72-77)."""

@@ -290,9 +290,12 @@ def unigram_logprob_score(
     return unigram_logprob_scores(docs, smoothing=smoothing)
 
 
-@query(
-    "collocations_pmi",
-    oracle="""
+# Rotated out of the 50-cap registry in driver round 13 (slot to the
+# r12 training-data families — COVERAGE.md "Registry rotation history");
+# the SAME DuckDB oracle (below) runs driver-grade in-suite in
+# tests/test_unregistered_batteries.py, and the text family keeps
+# bm25_topk / phrase_match / fuzzy_name_match registered.
+COLLOCATIONS_PMI_ORACLE = """
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\r\n\f]+') AS t
       FROM documents
@@ -312,9 +315,9 @@ def unigram_logprob_score(
            ROUND(ln(tot.n * p.pair_count / (m1.c1 * m2.c2)), 9) AS pmi
     FROM pairs p JOIN m1 USING (w1) JOIN m2 USING (w2), tot
     WHERE p.pair_count >= 3
-    """,
-    survey="ext:text (PMI collocation mining — multiword-expression discovery; operators/quality.py collocations)",
-)
+    """
+
+
 def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide collocations by pointwise mutual information over
     adjacent word pairs (min_count=3): the multiword-expression discovery

@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from . import query
 
 _PRICE = "decimal(12,2)"
 _FRAC = "decimal(4,2)"
@@ -58,9 +57,14 @@ def _revenue():
     return _dec("l_extendedprice") * (one - _dec("l_discount", _FRAC))
 
 
-@query(
-    "q10_returned_items",
-    oracle="""
+# Rotated out of the 50-cap registry in driver round 13 along with
+# q18_large_orders (slots to the r12 training-data families —
+# COVERAGE.md "Registry rotation history"); the SAME DuckDB oracles run
+# driver-grade in-suite in tests/test_unregistered_batteries.py, the
+# whole battery keeps its 13 oracles in tests/test_tpch_battery.py, and
+# TPC-H stays driver-checked via q1_pricing_summary / q3_top_orders /
+# q5_region_revenue.
+Q10_RETURNED_ITEMS_ORACLE = """
     WITH rev AS (
       SELECT o_custkey,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -78,9 +82,9 @@ def _revenue():
     JOIN nation ON c_nationkey = n_nationkey
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
-    survey="J2,A5,W7 composition (TPC-H Q10 shape: returned-item ranking)",
-)
+    """
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 customers by revenue lost to returns in one quarter.
 
@@ -116,9 +120,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q18_large_orders",
-    oracle="""
+Q18_LARGE_ORDERS_ORACLE = """
     WITH big AS (
       SELECT l_orderkey,
              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -131,9 +133,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
-    """,
-    survey="A5,J3,W7 composition (TPC-H Q18 shape: large-volume orders)",
-)
+    """
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds 250, with their customers, top-100
     by order value.

@@ -1,0 +1,377 @@
+"""Driver-round-13 registered rows for the training-data assembly
+surface that round 12 shipped pytest-only: passage chunking
+(operators/chunking.py), conversation (SFT) audit + dedup identity
+(operators/conversations.py), preference-pair construction for RM/DPO
+(operators/preferences.py), and generation (QA) evaluation
+(operators/evals.py generation_scores).
+
+Every oracle is the INDEPENDENT DuckDB re-derivation its test file
+already proved driver-grade (tests/test_chunking.py,
+test_conversations.py, test_preferences.py, test_geneval.py) — lifted
+verbatim onto the pre-registered `documents` view. The fixtures are
+doc_id arithmetic, so both engines build identical inputs; the rules
+(window algebra, role protocol, strict-preference semantics, SQuAD
+normalization + multiset F1) are re-derived leg-for-leg, never re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import query
+
+# --------------------------------------------------------------------------
+# chunk_fixed_tokens: overlapping fixed-size token windows over the whole
+# documents table — the RAG/DPR passage-indexing step. The oracle
+# re-derives the window rule (chunk count ceil((n-size)/stride)+1, stride
+# grid starts, tail truncation) with DuckDB array slicing over the same
+# whitespace-token class.
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@query(
+    "chunk_fixed_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '[ \t\r\n\f]+') AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    sized AS (
+      SELECT doc_id, tok,
+             CAST(ceil(greatest(len(tok) - {_CHUNK_SIZE}, 0)
+                       / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS INT) + 1 AS nc
+      FROM toks WHERE len(tok) > 0
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS token_start,
+           CAST(len(tok[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}])
+                AS INT) AS n_tokens,
+           array_to_string(
+             tok[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ')
+             AS text
+    FROM sized, unnest(range(nc)) AS t(i)
+    """,
+    survey=(
+        "ext:chunking (fixed-window passage chunking with overlap + "
+        "provenance offsets; operators/chunking.py chunk_fixed_tokens)"
+    ),
+)
+def chunk_fixed_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per passage: (doc_id, chunk_idx, token_start, n_tokens,
+    text) — size-32 windows every 24 tokens, tail truncated, empty/null
+    docs emit nothing.
+
+    Scale shape: pure per-row column algebra (split + window fold +
+    posexplode), ZERO shuffle and zero Python — a 100 TB corpus chunks
+    at scan speed (plan-pinned in tests/test_chunking.py)."""
+    from ..operators.chunking import chunk_fixed_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_fixed_tokens(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# conversation_audit: the SFT structural report JOINed with the transcript
+# dedup fingerprint over a deterministic turn table (conv = doc_id % 40,
+# idx = doc_id // 40; conv%5==0 conversations open with a system turn, the
+# rest alternate user/assistant from idx parity — some conversations pass
+# the protocol, some exercise every failure leg). The oracle re-derives
+# the role protocol relationally (lead_sys from the first non-system turn,
+# alternation against (idx - lead_sys) parity) and the fingerprint with
+# DuckDB's own ordered string_agg over chr(31)/chr(30) separators.
+_N_CONV = 40
+
+
+def _turn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    conv = F.col("doc_id") % _N_CONV
+    idx = (F.col("doc_id") / _N_CONV).cast("long")
+    role = (
+        F.when((idx == 0) & (conv % 5 == 0), F.lit("system"))
+        .when(idx % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    return docs.select(
+        conv.alias("conv_id"),
+        idx.alias("turn_idx"),
+        role.alias("role"),
+        F.col("text").alias("content"),
+    )
+
+
+_DUCK_TURNS = f"""
+      SELECT doc_id % {_N_CONV} AS conv_id,
+             doc_id // {_N_CONV} AS turn_idx,
+             CASE WHEN doc_id // {_N_CONV} = 0 AND doc_id % {_N_CONV} % 5 = 0
+                  THEN 'system'
+                  WHEN (doc_id // {_N_CONV}) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text AS content
+      FROM documents
+"""
+
+
+@query(
+    "conversation_audit",
+    oracle=f"""
+    WITH t AS ({_DUCK_TURNS}),
+    lead AS (
+      SELECT conv_id,
+             COALESCE(MIN(CASE WHEN role <> 'system' THEN turn_idx END),
+                      COUNT(*)) AS first_non_sys
+      FROM t GROUP BY conv_id
+    ),
+    per AS (
+      SELECT t.conv_id,
+             COUNT(*) AS n_turns,
+             CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_system,
+             CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant,
+             COUNT(*) FILTER (turn_idx >= first_non_sys) > 0 AS starts_ok,
+             COALESCE(bool_and(CASE WHEN turn_idx >= first_non_sys THEN
+               role = CASE WHEN (turn_idx - first_non_sys) % 2 = 0
+                           THEN 'user' ELSE 'assistant' END END), FALSE)
+               AND COUNT(*) FILTER (turn_idx >= first_non_sys) > 0
+               AS alternates,
+             bool_and(trim(content) <> '') AS no_empty,
+             COUNT(DISTINCT turn_idx) = COUNT(*) AS no_dup_idx
+      FROM t JOIN lead USING (conv_id)
+      GROUP BY t.conv_id
+    ),
+    fp AS (
+      SELECT conv_id,
+             md5(string_agg(
+               role || chr(31) ||
+               regexp_replace(trim(content), '[ \t\r\n\f]+', ' ', 'g'),
+               chr(30) ORDER BY turn_idx)) AS fingerprint
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_system, n_assistant, starts_ok, alternates,
+           no_empty, no_dup_idx,
+           starts_ok AND alternates AND no_empty AND no_dup_idx AS ok,
+           fingerprint
+    FROM per JOIN fp USING (conv_id)
+    """,
+    survey=(
+        "ext:conversations (SFT turn-table structural audit + transcript "
+        "dedup fingerprint; operators/conversations.py "
+        "conversation_report/conversation_fingerprints)"
+    ),
+)
+def conversation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per conversation: the structural report (role protocol,
+    emptiness, duplicate indexes, the ok verdict) joined with the
+    whitespace-normalized transcript fingerprint that feeds exact dedup.
+
+    Scale shape: TWO groupBys on conv_id (report + fingerprint — the
+    inherent key) over one scan each; every per-conversation rule is a
+    JVM higher-order fold over the collected turn array, zero Python."""
+    from ..operators.conversations import (
+        conversation_fingerprints,
+        conversation_report,
+    )
+
+    turns = _turn_table(spark, sf_dir)
+    rep = conversation_report(turns)
+    fp = conversation_fingerprints(turns)
+    return rep.join(fp, "conv_id").select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_system").cast("long").alias("n_system"),
+        F.col("n_assistant").cast("long").alias("n_assistant"),
+        "starts_ok",
+        "alternates",
+        "no_empty",
+        "no_dup_idx",
+        "ok",
+        "fingerprint",
+    )
+
+
+# --------------------------------------------------------------------------
+# preference_pairs: both RM/DPO pair rules over a graded-responses table
+# synthesized from doc_id arithmetic (50 prompts x ~10 responses, score
+# domain 13 so within-prompt ties exist and exercise the strict-preference
+# rule). 'best_worst' rows are the classic one-pair-per-prompt rule
+# (top vs bottom, ties to smallest id); 'graded' rows are the dense
+# strict-preference set thresholded at min_gap=5. The oracle re-derives
+# both rules with its own windows/joins.
+_N_PROMPTS = 50
+_PREF_MIN_GAP = 5.0
+
+_DUCK_RESPONSES = f"""
+      SELECT doc_id % {_N_PROMPTS} AS prompt_id,
+             doc_id AS response_id,
+             CAST((doc_id * 7) % 13 AS DOUBLE) AS score
+      FROM documents
+"""
+
+
+@query(
+    "preference_pairs",
+    oracle=f"""
+    WITH r AS ({_DUCK_RESPONSES}),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY prompt_id
+                           ORDER BY score DESC, response_id) AS rb,
+        ROW_NUMBER() OVER (PARTITION BY prompt_id
+                           ORDER BY score ASC, response_id) AS rw
+      FROM r
+    )
+    SELECT 'best_worst' AS rule, b.prompt_id,
+           b.response_id AS chosen_id, b.score AS chosen_score,
+           w.response_id AS rejected_id, w.score AS rejected_score,
+           b.score - w.score AS score_gap
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (prompt_id)
+    WHERE b.score - w.score > 0
+    UNION ALL
+    SELECT 'graded', a.prompt_id,
+           a.response_id, a.score, b.response_id, b.score,
+           a.score - b.score
+    FROM r a JOIN r b USING (prompt_id)
+    WHERE a.score - b.score > 0 AND a.score - b.score >= {_PREF_MIN_GAP}
+    """,
+    survey=(
+        "ext:preferences (RM/DPO preference-pair construction — "
+        "best-vs-worst and dense graded rules with strict-preference "
+        "semantics; operators/preferences.py best_worst_pairs/graded_pairs)"
+    ),
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both pair rules in one frame, keyed by ``rule``: (rule, prompt_id,
+    chosen_id, chosen_score, rejected_id, rejected_score, score_gap).
+    Ties never pair (no strict preference) and every selection
+    tie-breaks to the smallest response id, so the set is deterministic.
+
+    Scale shape: one shuffle on prompt_id per rule (the inherent key);
+    the dense join is per-prompt bounded (grading fan-out, not a corpus
+    dimension)."""
+    from ..operators.preferences import best_worst_pairs, graded_pairs
+
+    resp = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_PROMPTS).alias("prompt_id"),
+        F.col("doc_id").alias("response_id"),
+        ((F.col("doc_id") * 7) % 13).cast("double").alias("score"),
+    )
+    bw = best_worst_pairs(resp).select(
+        F.lit("best_worst").alias("rule"),
+        "prompt_id",
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        "score_gap",
+    )
+    gr = graded_pairs(resp, min_gap=_PREF_MIN_GAP).select(
+        F.lit("graded").alias("rule"),
+        "prompt_id",
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        "score_gap",
+    )
+    return bw.unionByName(gr)
+
+
+# --------------------------------------------------------------------------
+# generation_scores: the SQuAD-style QA metric (normalization -> exact
+# match over any reference + max token-multiset F1) over predictions
+# synthesized from documents: prediction = first 12 tokens of a doc;
+# doc_id%3!=0 rows carry a case/punct-noised copy of the same text plus a
+# decoy (EM 1.0 / F1 1.0 by construction), doc_id%3==0 rows carry only a
+# decoy (EM 0.0, F1 below 1). The oracle re-derives the ENTIRE rule —
+# normalization regexes, multiset overlap, best-over-references — with
+# DuckDB list algebra.
+
+
+@query(
+    "generation_scores",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ')
+               AS head
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id AS example_id, head AS prediction,
+             CASE WHEN doc_id % 3 = 0
+                  THEN ['zz unrelated decoy answer']
+                  ELSE ['THE ' || upper(head) || '!!', 'some other decoy']
+             END AS refs
+      FROM docs
+    ),
+    norm AS (
+      SELECT example_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(coalesce(prediction, '')),
+               '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g'),
+               '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS p,
+             list_transform(refs, r ->
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(coalesce(r, '')),
+                 '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g'),
+                 '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))) AS rs
+      FROM ex
+    ),
+    toks AS (
+      SELECT example_id,
+             CASE WHEN p = '' THEN [] ELSE string_split(p, ' ') END AS pt,
+             list_transform(rs, r ->
+               CASE WHEN r = '' THEN [] ELSE string_split(r, ' ') END) AS rts,
+             p, rs
+      FROM norm
+    )
+    SELECT example_id,
+           CAST(list_contains(rs, p) AS DOUBLE) AS exact_match,
+           list_max(list_transform(rts, rt ->
+             CASE WHEN len(pt) = 0 AND len(rt) = 0 THEN 1.0
+                  WHEN len(pt) = 0 OR len(rt) = 0 THEN 0.0
+                  ELSE round(2.0 * list_sum(list_transform(
+                         list_distinct(pt), t -> least(
+                           len(list_filter(pt, x -> x = t)),
+                           len(list_filter(rt, x -> x = t)))))
+                       / (len(pt) + len(rt)), 9)
+             END)) AS f1
+    FROM toks
+    """,
+    survey=(
+        "ext:evals (generation/QA evaluation — SQuAD normalization, "
+        "multi-reference exact match, token-multiset F1; "
+        "operators/evals.py generation_scores)"
+    ),
+)
+def generation_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per example: (example_id, exact_match, f1) under the
+    public SQuAD rule over the planted prediction/reference fixture.
+
+    Scale shape: pure per-row nested HOF algebra — zero shuffle, zero
+    Python (plan-pinned in tests/test_geneval.py)."""
+    from ..operators.evals import generation_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    head = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 12), " ")
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        head.alias("prediction"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(F.lit("zz unrelated decoy answer")),
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("THE "), F.upper(head), F.lit("!!")),
+                F.lit("some other decoy"),
+            )
+        )
+        .alias("references"),
+    )
+    return generation_scores(preds)

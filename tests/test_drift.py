@@ -269,3 +269,114 @@ def test_empty_side_emits_null_statistic(spark):
     # all-NULL side is the same as an empty side
     all_null = spark.range(5).select(F.lit(None).cast("double").alias("x"))
     assert ks_drift(a, all_null, "x", bins=4).collect()[0].statistic is None
+
+
+def test_embedding_drift_catches_rotated_mix(spark):
+    """embedding_drift (r13): centroid-cell shares through
+    categorical_drift over a planted cluster-mix rotation — the old
+    snapshot is 80/20 across two cells, the new one 50/50, so the exact
+    share arithmetic predicts TVD = 0.3; identical snapshots read 0."""
+    from l1dbproto_spark.operators.drift import embedding_drift
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cluster int, centroid array<double>",
+    )
+
+    def snap(n, one_in):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.when(
+                F.col("id") % one_in == 0,
+                F.array(F.lit(0.1), F.lit(0.9)),
+            )
+            .otherwise(F.array(F.lit(0.9), F.lit(0.1)))
+            .alias("embedding"),
+        )
+
+    old, new = snap(100, 5), snap(100, 2)
+    got = embedding_drift(old, new, cents, dim=2).collect()[0]
+    assert got.column == "embedding" and got.kind == "chi2"
+    assert got.tvd == pytest.approx(0.3, abs=1e-9)
+    assert got.statistic > 0 and got.top_mover in ("0", "1")
+    assert (got.n_old, got.n_new) == (100, 100)
+    same = embedding_drift(old, old, cents, dim=2).collect()[0]
+    assert same.statistic == 0.0 and same.tvd == 0.0 and same.psi == 0.0
+    # the plan never shuffles a vector: assignment is a broadcast
+    # map-side argmax, the exchange carries (cluster, counts) only
+    plan = (
+        embedding_drift(old, new, cents, dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_drift_reference_bins(spark):
+    """quantile_drift (r13): equal-mass reference bins — a Python mirror
+    re-derives the whole statistic from the operator's own pinned edges
+    rule (percentile_approx on the reference, strict-below bin count),
+    a long-tailed planted shift is caught where fixed-width binning goes
+    blind, identical snapshots read exactly 0, and validation raises."""
+    from collections import Counter
+
+    from l1dbproto_spark.operators.drift import quantile_drift
+
+    # long-tailed column: 990 values in [0, 99], 10 huge outliers — a
+    # fixed-width grid puts ~everything in bin 0
+    def snap(shift):
+        return spark.range(1000).select(
+            F.when(F.col("id") % 100 == 0, F.lit(1e6))
+            .otherwise((F.col("id") % 99).cast("double") + shift)
+            .alias("x")
+        )
+
+    old, new = snap(0.0), snap(30.0)
+    got = quantile_drift(old, new, "x", q=10).collect()[0]
+    assert got.column == "x" and got.kind == "chi2"
+    assert got.statistic > 0 and got.tvd > 0.1  # the shift is visible
+    # fixed-width 10-bin KS on the same data is nearly blind: the tail
+    # outlier stretches the grid so the whole shift hides in bin 0
+    from l1dbproto_spark.operators.drift import ks_drift
+
+    blind = ks_drift(old, new, "x", bins=10).collect()[0]
+    assert blind.statistic < got.tvd
+
+    # Python mirror of the full rule, from the same edge definition
+    edges = (
+        old.filter(F.col("x").isNotNull())
+        .agg(
+            F.percentile_approx(
+                "x", [i / 10 for i in range(1, 10)], 10_000
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    a = [r.x for r in old.collect()]
+    b = [r.x for r in new.collect()]
+
+    def bins(vals):
+        return Counter(str(sum(1 for e in edges if v > e)) for v in vals)
+
+    ca, cb = bins(a), bins(b)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    chi = tvd = 0.0
+    for k in sorted(set(ca) | set(cb)):
+        na, nb = ca.get(k, 0), cb.get(k, 0)
+        eo = (na + nb) * ta / (ta + tb)
+        en = (na + nb) * tb / (ta + tb)
+        chi += round((na - eo) ** 2 / eo + (nb - en) ** 2 / en, 9)
+        tvd += round(abs(na / ta - nb / tb), 9)
+    assert got.statistic == pytest.approx(chi, abs=1e-9)
+    assert got.tvd == pytest.approx(tvd / 2, abs=1e-9)
+    assert (got.n_old, got.n_new) == (1000, 1000)
+
+    # identical snapshots -> exact zero; empty new side -> NULL; q guard
+    same = quantile_drift(old, old, "x", q=10).collect()[0]
+    assert same.statistic == 0.0 and same.tvd == 0.0 and same.psi == 0.0
+    empty = quantile_drift(old, old.filter(F.lit(False)), "x").collect()[0]
+    assert empty.statistic is None
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_drift(old, new, "x", q=1)

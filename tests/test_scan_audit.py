@@ -91,6 +91,18 @@ ALLOWED = {
     # (deliberately separate consumers of the same table; the loss
     # report itself is plan-pinned to one scan in test_evolve)
     "evolve_cast_loss": {"documents": 2},
+    # r13 rows. conversation_audit: report + fingerprint groupBys are two
+    # deliberate consumers of the turn scan (one exchange each on the
+    # inherent conv_id key); preference_pairs: the best/worst rule's two
+    # rank-filter branches share one ranked subtree (scheduler-dedups at
+    # runtime like tfidf) + the dense rule's self-join sides — intrinsic
+    # two-role scans, 2 + 2; snapshot_drift_report: each statistic's
+    # (old, new) count pair is two pushed-filter scans — the pinned
+    # counts frame stops any further re-reads (4 = 2 stats x 2 sides;
+    # the drift suite pins the per-statistic ceiling)
+    "conversation_audit": {"documents": 2},
+    "preference_pairs": {"documents": 4},
+    "snapshot_drift_report": {"documents": 4},
 }
 
 

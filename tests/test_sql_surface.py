@@ -23,8 +23,6 @@ PORTABLE = [
     "q5_region_revenue",
     "latest_version_per_key",
     "visit_window_agg",
-    "q10_returned_items",
-    "q18_large_orders",
     "part_copurchase_triangles",
     "pixel_histogram",
     "forced_photometry_eligibility",
@@ -65,8 +63,16 @@ def _rotated_portable():
         session_window_agg,
     )
     from l1dbproto_spark.queries.relational2 import (
+        ASOF_LAST_CLICK_ORACLE,
         SALTED_SKEW_ORACLE,
+        asof_last_click_before_purchase,
         salted_skew_agg,
+    )
+    from l1dbproto_spark.queries.tpch_battery import (
+        Q10_RETURNED_ITEMS_ORACLE,
+        Q18_LARGE_ORDERS_ORACLE,
+        q10_returned_items,
+        q18_large_orders,
     )
 
     return {
@@ -77,6 +83,15 @@ def _rotated_portable():
             FREQUENT_ITEMS_ORACLE,
         ),
         "session_window_agg": (session_window_agg, SESSION_WINDOW_ORACLE),
+        # r13 rotations: still ANSI-portable, still part of the
+        # two-front-end contract without a registry slot. The correlated
+        # scalar subquery in the as-of oracle parses in Spark 4 too.
+        "q10_returned_items": (q10_returned_items, Q10_RETURNED_ITEMS_ORACLE),
+        "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_ORACLE),
+        "asof_last_click_before_purchase": (
+            asof_last_click_before_purchase,
+            ASOF_LAST_CLICK_ORACLE,
+        ),
     }
 
 

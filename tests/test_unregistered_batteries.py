@@ -889,3 +889,87 @@ def test_cohort_retention_query_matches_oracle(spark):
     _driver_grade(
         spark, cohort_retention, COHORT_RETENTION_ORACLE, "cohort_retention"
     )
+
+
+# Driver round 13: gap_fill_resample / asof_last_click_before_purchase /
+# q18_large_orders / q10_returned_items / embedding_near_dup_pairs /
+# collocations_pmi lost their slots to the round-12 training-data
+# families (chunk_fixed_tokens / conversation_audit / preference_pairs /
+# generation_scores / snapshot_drift_report / wav_decode_meta) — SAME
+# oracles (shared constants in their query modules), driver-grade
+# compare, in-suite. The timeseries and as-of operators keep their
+# semantics pytests, TPC-H stays driver-checked via q1/q3/q5 (plus the
+# 13-oracle battery in test_tpch_battery), the similarity family keeps
+# seven registered rows, text keeps bm25/phrase/fuzzy.
+
+
+def test_gap_fill_resample_matches_oracle(spark):
+    from l1dbproto_spark.queries.events import (
+        GAP_FILL_RESAMPLE_ORACLE,
+        gap_fill_resample,
+    )
+
+    _driver_grade(
+        spark, gap_fill_resample, GAP_FILL_RESAMPLE_ORACLE, "gap_fill_resample"
+    )
+
+
+def test_asof_last_click_matches_oracle(spark):
+    from l1dbproto_spark.queries.relational2 import (
+        ASOF_LAST_CLICK_ORACLE,
+        asof_last_click_before_purchase,
+    )
+
+    _driver_grade(
+        spark,
+        asof_last_click_before_purchase,
+        ASOF_LAST_CLICK_ORACLE,
+        "asof_last_click_before_purchase",
+    )
+
+
+def test_q10_returned_items_matches_oracle(spark):
+    from l1dbproto_spark.queries.tpch_battery import (
+        Q10_RETURNED_ITEMS_ORACLE,
+        q10_returned_items,
+    )
+
+    _driver_grade(
+        spark, q10_returned_items, Q10_RETURNED_ITEMS_ORACLE, "q10_returned_items"
+    )
+
+
+def test_q18_large_orders_matches_oracle(spark):
+    from l1dbproto_spark.queries.tpch_battery import (
+        Q18_LARGE_ORDERS_ORACLE,
+        q18_large_orders,
+    )
+
+    _driver_grade(
+        spark, q18_large_orders, Q18_LARGE_ORDERS_ORACLE, "q18_large_orders"
+    )
+
+
+def test_embedding_near_dup_pairs_matches_oracle(spark):
+    from l1dbproto_spark.queries.similarity import (
+        EMBEDDING_NEAR_DUP_ORACLE,
+        embedding_near_dup_pairs,
+    )
+
+    _driver_grade(
+        spark,
+        embedding_near_dup_pairs,
+        EMBEDDING_NEAR_DUP_ORACLE,
+        "embedding_near_dup_pairs",
+    )
+
+
+def test_collocations_pmi_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import (
+        COLLOCATIONS_PMI_ORACLE,
+        collocations_pmi,
+    )
+
+    _driver_grade(
+        spark, collocations_pmi, COLLOCATIONS_PMI_ORACLE, "collocations_pmi"
+    )
