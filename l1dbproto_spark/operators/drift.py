@@ -286,12 +286,16 @@ def drift_report(
     numeric_cols: list[str] | None = None,
     categorical_cols: list[str] | None = None,
     bins: int | None = 64,
+    quantile_cols: list[str] | None = None,
+    quantile_bins: int = 10,
 ) -> DataFrame:
     """One row per watched column: numeric columns via :func:`ks_drift`
     (binned by default — pass ``bins=None`` only for bounded-distinct
-    columns), categoricals via :func:`categorical_drift`; harmonized
-    schema (column, kind, statistic, tvd, psi, top_mover, n_old, n_new)
-    with
+    columns), categoricals via :func:`categorical_drift`,
+    ``quantile_cols`` via :func:`quantile_drift` (equal-mass
+    reference-quantile bins — the right mode for long-tailed numerics
+    where a fixed-width grid goes blind); harmonized schema (column,
+    kind, statistic, tvd, psi, top_mover, n_old, n_new) with
     the non-applicable fields NULL. Thresholding is the caller's policy
     — this is the measurement, kept a report like checks/profile."""
     parts: list[DataFrame] = []
@@ -310,6 +314,8 @@ def drift_report(
         )
     for c in categorical_cols or []:
         parts.append(categorical_drift(old, new, c))
+    for c in quantile_cols or []:
+        parts.append(quantile_drift(old, new, c, q=quantile_bins))
     if not parts:
         raise ValueError("no columns to watch: pass numeric or categorical columns")
     out = parts[0]

@@ -1,0 +1,178 @@
+"""Multi-vector (late-interaction) retrieval — the ColBERT scoring
+family (Khattab & Zaharia, SIGIR 2020: "ColBERT: Efficient and Effective
+Passage Search via Contextualized Late Interaction"): a document is a BAG
+of token vectors, a query is a bag of token vectors, and the relevance
+score is MaxSim — for each query token, the maximum similarity over the
+document's tokens, summed over query tokens. The retrieval quality of
+token-level matching at a fraction of cross-encoder cost; the missing
+member next to the single-vector family in operators/similarity.py.
+
+Representation: a ``token_vecs`` column of type ``array<array<float>>``
+(row-bounded like a document's tokens — the same boundedness every text
+operator assumes). Both operators L2-normalize every token vector ONCE
+per side (zero-norm/NaN tokens dropped, rows with no usable token
+dropped), so the inner products ARE cosines and no per-pair norm is
+recomputed.
+
+Scale shape — two stages, like every ANN family here:
+
+* :func:`maxsim_topk` — exact: broadcast queries x one corpus scan, the
+  nested max/sum fold entirely in JVM higher-order functions, then the
+  engine's per-query top-k window. Per-pair cost is
+  |q_tokens| x |d_tokens| x dim, so this is the small-query-set /
+  re-rank-quality baseline (the role brute_force_topk plays for single
+  vectors).
+* :func:`maxsim_rerank` — the production shape: a first-stage retriever
+  (pooled-vector ANN — exact_topk/IVF/LSH over mean-pooled embeddings)
+  supplies bounded candidate pairs; MaxSim re-scores ONLY those. The
+  corpus is never all-pairs scored; candidates x tokens is the bounded
+  work, exactly how deployed ColBERT systems run (ANN over token/pooled
+  index -> late-interaction re-rank).
+
+Determinism: token dot products are the ordered left fold of
+similarity.dot_fold (bit-identical to DuckDB's list_dot_product), scores
+rounded to ``round_digits`` before ranking, ties broken by smallest
+neighbor id — the registry contract, so the DuckDB re-derivation in
+tests/test_multivector.py is driver-grade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _spread
+from .similarity import dot_fold
+
+
+def _unit_tokens(col: Column) -> Column:
+    """array<array<double>> of L2-normalized token vectors; zero-norm /
+    NaN tokens dropped (cosine is undefined for them — the
+    brute_force_topk degenerate-vector guard applied per token)."""
+    def norm2(v: Column) -> Column:
+        return F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+
+    normalized = F.transform(
+        col,
+        lambda v: F.when(
+            (norm2(v) > 0) & ~F.isnan(norm2(v)),
+            F.transform(
+                v, lambda x: x.cast("double") / F.sqrt(norm2(v))
+            ),
+        ),
+    )
+    return F.filter(normalized, lambda v: v.isNotNull())
+
+
+def _maxsim(qtoks: Column, dtoks: Column, round_digits: int) -> Column:
+    """sum over query tokens of max over doc tokens of <t, u> (unit
+    vectors -> cosine); per-token maxima rounded before the ordered sum
+    so both engines accumulate identical terms."""
+    per_q = F.transform(
+        qtoks,
+        lambda t: F.round(
+            F.array_max(F.transform(dtoks, lambda u: dot_fold(t, u))),
+            round_digits,
+        ),
+    )
+    return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact late-interaction top-k: (query_id, neighbor_id,
+    maxsim_score, rank) — every query token matched against every
+    document token, summed, per-query top-k with min-id tie-break.
+    Queries are broadcast (small by contract); the corpus is scanned
+    once with zero shuffle until the top-k window. Rows whose token bag
+    is empty after the degenerate-token guard are dropped on both
+    sides."""
+    corpus = _spread(corpus, id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit_tokens(F.col(vecs_col)).alias("qtoks"),
+    ).filter(F.size("qtoks") > 0)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit_tokens(F.col(vecs_col)).alias("dtoks"),
+    ).filter(F.size("dtoks") > 0)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _maxsim(F.col("qtoks"), F.col("dtoks"), round_digits),
+                round_digits,
+            ).alias("maxsim_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim_score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def maxsim_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Late-interaction re-rank of first-stage candidates — the
+    production two-stage shape: ``candidates`` is (query_id,
+    neighbor_id) from any retriever (pooled-vector ANN, BM25, a fusion),
+    and ONLY those pairs pay the token-level MaxSim. Returns the same
+    schema as :func:`maxsim_topk`, ranked within each query's candidate
+    set.
+
+    Scale shape: two broadcast-able joins attach the token bags (the
+    query side is small by contract; the candidate frame is
+    |queries| x first-stage-k, bounded); the corpus is touched only for
+    candidate ids — with a bucketed/partitioned corpus layout that join
+    prunes to the candidate partitions. No all-pairs work anywhere."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit_tokens(F.col(vecs_col)).alias("qtoks"),
+    ).filter(F.size("qtoks") > 0)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit_tokens(F.col(vecs_col)).alias("dtoks"),
+    ).filter(F.size("dtoks") > 0)
+    pairs = candidates.select("query_id", "neighbor_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = (
+        pairs.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _maxsim(F.col("qtoks"), F.col("dtoks"), round_digits),
+                round_digits,
+            ).alias("maxsim_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim_score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

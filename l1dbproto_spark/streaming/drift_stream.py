@@ -38,16 +38,20 @@ class StreamingDriftMonitor:
         numeric_cols: list[str] | None = None,
         categorical_cols: list[str] | None = None,
         bins: int | None = 64,
+        quantile_cols: list[str] | None = None,
+        quantile_bins: int = 10,
     ) -> None:
-        if not (numeric_cols or categorical_cols):
+        if not (numeric_cols or categorical_cols or quantile_cols):
             raise ValueError(
                 "no columns to watch: pass numeric or categorical columns"
             )
         self.spark = spark
         self.numeric_cols = list(numeric_cols or [])
         self.categorical_cols = list(categorical_cols or [])
+        self.quantile_cols = list(quantile_cols or [])
+        self.quantile_bins = quantile_bins
         self.bins = bins
-        watched = self.numeric_cols + self.categorical_cols
+        watched = self.numeric_cols + self.categorical_cols + self.quantile_cols
         # pin the frozen reference projection: epochs must all compare
         # against the same bytes, and the pin stops per-epoch re-reads
         self.reference = reference.select(*watched).transform(pin, eager=True)
@@ -59,6 +63,8 @@ class StreamingDriftMonitor:
             numeric_cols=self.numeric_cols,
             categorical_cols=self.categorical_cols,
             bins=self.bins,
+            quantile_cols=self.quantile_cols,
+            quantile_bins=self.quantile_bins,
         )
 
     def foreach_batch(self, out_path: str):

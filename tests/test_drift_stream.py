@@ -125,3 +125,42 @@ def test_drained_epoch_alerts(spark, tmp_path):
     assert got == {(1, "n_chars"), (1, "lang")}
     stats = {r.column: r.statistic for r in alerts.collect()}
     assert all(v is None for v in stats.values())
+
+
+def test_quantile_cols_in_monitor(spark, tmp_path):
+    """quantile_cols (r13): the monitor measures long-tailed columns with
+    equal-mass reference bins — a shifted epoch alerts on the tvd axis
+    where the fixed-width KS mode on the same column is blinded by a
+    planted outlier stretching its grid."""
+    def frame(n, shift=0):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 100 == 0, F.lit(10_000_000))
+            .otherwise((F.col("id") % 200 + shift))
+            .cast("long")
+            .alias("n_chars"),
+            F.lit("en").alias("lang"),
+        )
+
+    ref = frame(1000)
+    mon = StreamingDriftMonitor(
+        spark, ref, numeric_cols=["n_chars"], quantile_cols=["n_chars"],
+        bins=16,
+    )
+    out = str(tmp_path / "drift")
+    body = mon.foreach_batch(out)
+    body(frame(400), 0)          # same distribution
+    body(frame(400, shift=60), 1)  # shifted epoch
+    rows = spark.read.parquet(out).collect()
+    # two rows per epoch for the same column, distinguished by kind
+    kinds = {(r.epoch, r.kind) for r in rows}
+    assert kinds == {(0, "ks"), (0, "chi2"), (1, "ks"), (1, "chi2")}
+    by = {(r.epoch, r.kind): r for r in rows}
+    # identical epoch: both modes read 0 drift
+    assert by[(0, "chi2")].tvd == pytest.approx(0.0)
+    # shifted epoch: quantile bins see it; the outlier-stretched
+    # fixed-width grid barely moves
+    assert by[(1, "chi2")].tvd > 0.2
+    assert by[(1, "ks")].statistic < by[(1, "chi2")].tvd
+    alerts = drifted_epochs(spark, out, ks_threshold=0.5, tvd_threshold=0.1)
+    assert {(r.epoch, r.kind) for r in alerts.collect()} == {(1, "chi2")}

@@ -1,0 +1,228 @@
+"""Multi-vector late-interaction retrieval (operators/multivector.py):
+driver-grade DuckDB re-derivation of the full MaxSim rule over token
+bags sliced from the embeddings fixture, an independent Python
+reference, planted-twin retrieval, the two-stage rerank consistency
+contract, degenerate-token guards, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from l1dbproto_spark.operators.multivector import maxsim_rerank, maxsim_topk
+from l1dbproto_spark.sources.catalog import load_table
+from tools.check_correctness import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+_N_TOK, _TOK_DIM = 4, 16  # 64-dim fixture vectors -> 4 token vectors
+
+
+def _multivec(spark):
+    """Deterministic token bags: slice each 64-dim embedding into 4
+    contiguous 16-dim token vectors — both engines derive the identical
+    bags from the same parquet."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    toks = F.array(
+        *[
+            F.slice(F.col("embedding"), i * _TOK_DIM + 1, _TOK_DIM)
+            for i in range(_N_TOK)
+        ]
+    )
+    return emb.select(F.col("vec_id").alias("doc_id"), toks.alias("token_vecs"))
+
+
+_DUCK_SLICES = ", ".join(
+    f"v[{i * _TOK_DIM + 1}:{(i + 1) * _TOK_DIM}]" for i in range(_N_TOK)
+)
+
+MAXSIM_TOPK_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_filter(list_transform([{_DUCK_SLICES}], t ->
+               CASE WHEN list_dot_product(t, t) > 0
+                    THEN list_transform(t, x -> x / sqrt(list_dot_product(t, t)))
+               END), t -> t IS NOT NULL) AS toks
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, toks AS qtoks FROM unit
+          WHERE vec_id < 10 AND len(toks) > 0),
+    c AS (SELECT vec_id AS neighbor_id, toks AS dtoks FROM unit
+          WHERE len(toks) > 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_sum(list_transform(qtoks, t ->
+               round(list_max(list_transform(dtoks, u ->
+                 list_dot_product(t, u))), 9))), 9) AS maxsim_score
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim_score DESC, neighbor_id)
+                  AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, maxsim_score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+def test_maxsim_topk_matches_duckdb(spark):
+    """The FULL rule — per-token normalization, degenerate-token drop,
+    per-query-token max over doc tokens, rounded ordered sum, min-id
+    tie-break top-k — re-derived in DuckDB list algebra (driver-grade
+    compare; list_dot_product is bit-identical to the ordered fold)."""
+    mv = _multivec(spark)
+    got = maxsim_topk(mv, mv.filter(F.col("doc_id") < 10), k=5).toPandas()
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = duck.execute(MAXSIM_TOPK_ORACLE).df()
+    duck.close()
+    assert len(got) == 50  # 10 queries x k
+    issues = compare("maxsim_topk", got, want)
+    assert not issues, issues
+
+
+def _py_maxsim(qtoks, dtoks):
+    """Independent reference: same normalization and ordered-fold sums."""
+
+    def unit(tok):
+        n2 = 0.0
+        for x in tok:
+            n2 += float(x) * float(x)
+        if not (n2 > 0) or math.isnan(n2):
+            return None
+        n = math.sqrt(n2)
+        return [float(x) / n for x in tok]
+
+    qs = [u for u in (unit(t) for t in qtoks) if u is not None]
+    ds = [u for u in (unit(t) for t in dtoks) if u is not None]
+    score = 0.0
+    for t in qs:
+        best = -math.inf
+        for u in ds:
+            acc = 0.0
+            for a, b in zip(t, u):
+                acc += a * b
+            best = max(best, acc)
+        score += round(best, 9)
+    return round(score, 9)
+
+
+def test_matches_python_reference_and_twin_retrieval(spark):
+    """A cloned token bag is its twin's top-1 at score == n_query_tokens
+    (every per-token max is the token itself, cosine 1.0), and every
+    reported score equals the independent Python computation."""
+    rows = [
+        (1, [[1.0, 0.0], [0.0, 1.0]]),
+        (2, [[0.6, 0.8], [0.8, 0.6]]),
+        (101, [[2.0, 0.0], [0.0, 3.0]]),  # 1's twin up to per-token scale
+        (102, [[0.3, 0.4], [0.4, 0.3]]),  # 2's twin (scaled by 0.5)
+        (200, [[-1.0, 0.0], [0.0, -1.0]]),  # anti-aligned distractor
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    out = maxsim_topk(df, df.filter(F.col("doc_id") <= 2), k=4).collect()
+    by_pair = {(r.query_id, r.neighbor_id): r.maxsim_score for r in out}
+    data = dict(rows)
+    for (qid, nid), score in by_pair.items():
+        assert score == pytest.approx(_py_maxsim(data[qid], data[nid]), abs=1e-9)
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    assert top1 == {1: 101, 2: 102}
+    assert by_pair[(1, 101)] == pytest.approx(2.0)
+
+
+def test_rerank_consistency_with_full_scoring(spark):
+    """Two-stage contract: rerank scores its candidate pairs EXACTLY like
+    the full operator (same normalization, same rounding), returns only
+    candidate pairs, and ranks within the candidate set."""
+    mv = _multivec(spark).filter(F.col("doc_id") < 60)
+    queries = mv.filter(F.col("doc_id") < 5)
+    full = {
+        (r.query_id, r.neighbor_id): r.maxsim_score
+        for r in maxsim_topk(mv, queries, k=60).collect()
+    }
+    # first stage: a crude candidate set — every 3rd doc
+    cands = (
+        queries.select("doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+        .crossJoin(
+            mv.filter(F.col("doc_id") % 3 == 0)
+            .select(F.col("doc_id").alias("neighbor_id"))
+        )
+    )
+    rer = maxsim_rerank(cands, mv, queries, k=3).collect()
+    assert len(rer) > 0
+    for r in rer:
+        assert r.neighbor_id % 3 == 0  # only candidate pairs scored
+        assert r.maxsim_score == full[(r.query_id, r.neighbor_id)]
+    # within each query the rerank top-3 is the best of its candidates
+    for qid in {r.query_id for r in rer}:
+        cand_scores = sorted(
+            (
+                (s, -n)
+                for (q, n), s in full.items()
+                if q == qid and n % 3 == 0
+            ),
+            reverse=True,
+        )[:3]
+        got = [
+            (r.maxsim_score, -r.neighbor_id)
+            for r in sorted(
+                (x for x in rer if x.query_id == qid), key=lambda x: x.rank
+            )
+        ]
+        assert got == cand_scores
+
+
+def test_degenerate_tokens_guarded(spark):
+    """Zero-norm tokens are dropped per token; rows with no usable token
+    drop entirely (both sides) instead of producing NaN scores."""
+    rows = [
+        (1, [[1.0, 0.0], [0.0, 0.0]]),  # one usable token
+        (2, [[0.0, 0.0]]),  # no usable token -> dropped
+        (3, [[0.0, 1.0]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    out = maxsim_topk(df, df, k=5).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 2 not in ids
+    assert all(not math.isnan(r.maxsim_score) for r in out)
+    # doc 1's zero token contributed nothing: score vs 3 is cos(90°)=0
+    pair = {(r.query_id, r.neighbor_id): r.maxsim_score for r in out}
+    assert pair[(1, 3)] == pytest.approx(0.0)
+
+
+def test_plan_shape(spark):
+    """Exact path: queries broadcast onto one corpus scan (a BNLJ of the
+    1-side broadcast — never a CartesianProduct), top-k via window;
+    rerank path: joins only, no cartesian anywhere."""
+    mv = _multivec(spark)
+    q = mv.filter(F.col("doc_id") < 10)
+    plan = (
+        maxsim_topk(mv, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    cands = q.select(F.col("doc_id").alias("query_id")).crossJoin(
+        mv.select(F.col("doc_id").alias("neighbor_id")).limit(20)
+    )
+    plan2 = (
+        maxsim_rerank(cands, mv, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan2
