@@ -595,6 +595,47 @@ def main() -> None:
 
     _extra("rollup_build_plus_incr", _rollup, reps=1)
 
+    # round-13 additions: the newly registered training-data / drift /
+    # audio rows (timed so the round record carries their sf cost), the
+    # multi-vector MaxSim family at the ANN bench shape (4x16-dim token
+    # bags sliced from the embeddings, 20 queries), and the two new
+    # drift modes
+    for r13_name in (
+        "wav_decode_meta",
+        "snapshot_drift_report",
+        "preference_pairs",
+        "generation_scores",
+        "conversation_audit",
+    ):
+        _extra(r13_name, lambda n=r13_name: specs[n].builder(spark, sf_dir).count())
+
+    from l1dbproto_spark.operators.multivector import maxsim_topk
+
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    _mv_toks = F.array(
+        *[F.slice(F.col("embedding"), i * 16 + 1, 16) for i in range(4)]
+    )
+    mv = emb_t.select(F.col("vec_id").alias("doc_id"), _mv_toks.alias("token_vecs"))
+    mv_q = mv.filter(F.col("doc_id") < 20)
+    _extra("maxsim_topk_20q", lambda: maxsim_topk(mv, mv_q, k=5).count())
+
+    from l1dbproto_spark.operators.drift import embedding_drift, quantile_drift
+
+    _drifted_docs = docs.filter(F.col("n_chars") >= 120)
+    _extra(
+        "quantile_drift_nchars",
+        lambda: quantile_drift(docs, _drifted_docs, "n_chars", q=10).count(),
+    )
+    _cents = emb_t.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    _emb_new = emb_t.filter(F.col("vec_id") % 3 != 0)
+    _extra(
+        "embedding_drift_16c",
+        lambda: embedding_drift(emb_t, _emb_new, _cents).count(),
+    )
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC
