@@ -314,3 +314,58 @@ def generation_report(
         .cast("double")
         .alias("f1"),
     )
+
+
+def pair_set_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Pair-level evaluation of a duplicate detector against labeled
+    truth — one row (n_pred, n_truth, n_hit, precision, recall, f1).
+    The QA report a dedup pipeline runs against a labeled sample (or a
+    planted-clone fixture) before trusting a threshold: every metric is
+    exact-count arithmetic, so the number is reproducible in any engine.
+
+    Pairs are unordered: each side is canonicalized to (min, max),
+    self-pairs dropped, duplicates collapsed — so orientation and
+    repetition in either input cannot bias the counts. Empty sides
+    follow the drift family's empty-side contract: the undefined ratio
+    (precision with no predictions, recall with no truth) is NULL via
+    try_divide, and f1 is NULL when undefined — never a silent 0 or a
+    divide error.
+
+    Scale shape: two distincts on (a, b) — the inherent key — and one
+    equi-join; the three counts reduce map-side, and only 1-row frames
+    cross to the final select."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        lo = F.least(F.col(a_col), F.col(b_col))
+        hi = F.greatest(F.col(a_col), F.col(b_col))
+        return (
+            df.select(lo.alias("a"), hi.alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    p = canon(predicted)
+    t = canon(truth)
+    n_pred = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_truth = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = p.join(t, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    stats = n_pred.crossJoin(n_truth).crossJoin(n_hit)
+    prec = F.try_divide(F.col("n_hit").cast("double"), F.col("n_pred"))
+    rec = F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth"))
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return stats.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        # 0/0 inside f1 (both ratios zero) is NULL via try_divide; a NULL
+        # ratio propagates — both are the undefined-verdict contract
+        F.round(f1, 9).alias("f1"),
+    )

@@ -176,3 +176,118 @@ def maxsim_rerank(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def token_ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    max_candidates: int | None = None,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level IVF candidate generation — the first stage of scaled
+    late interaction (the shape ColBERTv2/PLAID systems use: an ANN index
+    over TOKEN vectors, not pooled document vectors, so a document is a
+    candidate when ANY of its tokens lives near ANY query token's cell):
+    every corpus token is assigned to its nearest centroid (broadcast
+    map-side argmax — ``similarity._nearest_centroids`` n=1), every query
+    token probes its ``n_probe`` nearest cells, and candidates are the
+    distinct (query_id, neighbor_id) pairs sharing a cell — returned with
+    ``n_hits`` (the number of query-token x doc-cell co-occurrences, a
+    cheap relevance prior). ``max_candidates`` caps each query's
+    candidate set by (n_hits desc, neighbor_id asc) through the
+    engine's two-phase top-k.
+
+    ``centroids`` is (cluster, centroid) over UNIT vectors (token vectors
+    are unit-normalized here, so L2-nearest == cosine-nearest); train
+    them once on a token sample and reuse — the cells are the index.
+
+    Scale shape: the exploded token table is |docs| x |tokens| rows —
+    the real ColBERT index cardinality — but it is reduced to DISTINCT
+    (doc, cell) pairs before the probe join, the centroid table is
+    broadcast everywhere, and the probe join shuffles only (id, cell)
+    pairs. No vector ever crosses an exchange after assignment."""
+    from .similarity import _nearest_centroids
+
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    cents = centroids.select(
+        "cluster", F.col("centroid").alias("_cvec")
+    )
+
+    # every TOKEN gets its own composite id (doc id, token position):
+    # _nearest_centroids groups/partitions by the id, so a plain doc id
+    # would collapse a document's whole bag to its single best token —
+    # a doc with tokens in different cells must register every cell
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(_unit_tokens(F.col(vecs_col))).alias("_pos", "_tok"),
+        ).select(F.struct("_id", "_pos").alias("_vid"), F.col("_tok").alias("_v"))
+
+    doc_cells = (
+        _nearest_centroids(toks(corpus), cents, n=1, id_alias="_tid")
+        .select(F.col("_tid._id").alias("neighbor_id"), "cluster")
+        .distinct()
+    )
+    probe_cells = _nearest_centroids(
+        toks(queries), cents, n=n_probe, id_alias="_tid"
+    ).select(F.col("_tid._id").alias("query_id"), "cluster")
+    hits = (
+        probe_cells.join(doc_cells, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if max_candidates is None:
+        return hits
+    if max_candidates < 1:
+        raise ValueError(f"max_candidates must be >= 1, got {max_candidates}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_hits"), F.asc("neighbor_id")
+    )
+    return (
+        hits.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_candidates)
+        .drop("_r")
+    )
+
+
+def maxsim_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    max_candidates: int | None = None,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """The assembled two-stage late-interaction retriever:
+    :func:`token_ivf_candidates` (token-cell recall) ->
+    :func:`maxsim_rerank` (exact MaxSim on the bounded candidate set).
+    Same output schema as :func:`maxsim_topk`; recall vs the exact
+    operator depends on the centroid grid and ``n_probe`` exactly like
+    the single-vector IVF family — measure it with
+    ``similarity.ann_recall`` against :func:`maxsim_topk` when tuning."""
+    cands = token_ivf_candidates(
+        corpus,
+        queries,
+        centroids,
+        n_probe=n_probe,
+        max_candidates=max_candidates,
+        vecs_col=vecs_col,
+        id_col=id_col,
+    )
+    return maxsim_rerank(
+        cands,
+        corpus,
+        queries,
+        k=k,
+        vecs_col=vecs_col,
+        id_col=id_col,
+        round_digits=round_digits,
+    )

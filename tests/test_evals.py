@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from l1dbproto_spark.operators.evals import (
     macro_metrics,
@@ -147,3 +148,67 @@ def test_errors(spark):
         ranked_results(df, k=1, rank_col=None, score_col=None)
     with pytest.raises(ValueError, match="gain must be"):
         retrieval_metrics(df, df.selectExpr("query_id", "doc_id", "1 as rel"), k=1, gain="bogus").collect()
+
+
+def test_pair_set_eval_exact_counts(spark):
+    """pair_set_eval (r13): canonicalization (orientation, dup rows,
+    self-pairs, NULLs) cannot bias the counts; P/R/F1 are exact rational
+    arithmetic; undefined ratios are NULL per the empty-side contract."""
+    from l1dbproto_spark.operators.evals import pair_set_eval
+
+    pred = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),          # one unordered pair, twice
+            (3, 4),
+            (5, 6),                  # false positive
+            (7, 7),                  # self-pair -> dropped
+            (None, 9), (9, None),    # NULLs -> dropped
+        ],
+        "a long, b long",
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (4, 3), (8, 9)], "a long, b long"
+    )
+    got = pair_set_eval(pred, truth).collect()[0]
+    assert (got.n_pred, got.n_truth, got.n_hit) == (3, 3, 2)
+    assert got.precision == pytest.approx(2 / 3, abs=1e-9)
+    assert got.recall == pytest.approx(2 / 3, abs=1e-9)
+    assert got.f1 == pytest.approx(2 / 3, abs=1e-9)
+    # empty predictions: precision undefined (NULL), recall 0, f1 NULL
+    empty = pred.filter(F.lit(False))
+    got = pair_set_eval(empty, truth).collect()[0]
+    assert (got.n_pred, got.n_hit) == (0, 0)
+    assert got.precision is None and got.recall == 0.0 and got.f1 is None
+    # zero hits with both sides non-empty: P=R=0, f1 NULL (0/0 undefined)
+    got = pair_set_eval(
+        spark.createDataFrame([(100, 101)], "a long, b long"), truth
+    ).collect()[0]
+    assert got.precision == 0.0 and got.recall == 0.0 and got.f1 is None
+
+
+def test_pair_set_eval_scores_a_real_detector(spark):
+    """Composition: SimHash near-dup pairs over a planted-clone corpus,
+    scored against the planted truth — recall 1.0 on exact clones and
+    every reported hit is a real planted pair (precision 1.0: distinct
+    fixture docs are far apart at 64 bits)."""
+    from l1dbproto_spark.operators.dedup import simhash, simhash_near_dup_pairs
+    from l1dbproto_spark.operators.evals import pair_set_eval
+    from l1dbproto_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 40
+    ).select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(clones)
+    pred = simhash_near_dup_pairs(simhash(corpus), max_bits=3).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000).alias("b")
+    )
+    got = pair_set_eval(pred, truth).collect()[0]
+    assert got.n_truth == 40
+    assert got.recall == 1.0  # every exact clone found
+    assert got.precision >= 0.9  # near-identical fixture docs may also pair

@@ -226,3 +226,86 @@ def test_plan_shape(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan2
+
+
+def test_token_ivf_two_stage(spark):
+    """Token-level IVF first stage (r13): planted one-hot family axes —
+    candidates are exactly the probed family at n_probe=1 (with n_hits =
+    query-token x doc-cell co-occurrences), the capped set is the n_hits
+    top slice, the assembled retriever equals exact MaxSim whenever the
+    candidate set covers the true top-k, and full probing recovers the
+    exact operator verbatim."""
+    from l1dbproto_spark.operators.multivector import (
+        maxsim_ivf_topk,
+        token_ivf_candidates,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "cluster int, centroid array<double>",
+    )
+
+    def bag(fam, wiggle):
+        t1 = [0.0] * 4
+        t1[fam] = 1.0
+        t1[3] = wiggle
+        t2 = [0.0] * 4
+        t2[fam] = 1.0
+        t2[3] = wiggle / 2
+        return [t1, t2]
+
+    rows = [(d, bag(d // 10, 0.01 * (d % 10 + 1))) for d in range(30)]
+    rows.append((100, bag(0, 0.005)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    corpus = df.filter(F.col("doc_id") < 100)
+    q = df.filter(F.col("doc_id") == 100)
+
+    cands = token_ivf_candidates(corpus, q, cents, n_probe=1).collect()
+    assert {r.neighbor_id for r in cands} == set(range(10))  # family 0 only
+    assert all(r.n_hits == 2 for r in cands)  # 2 query tokens x 1 doc cell
+
+    capped = token_ivf_candidates(
+        corpus, q, cents, n_probe=1, max_candidates=3
+    ).collect()
+    assert {r.neighbor_id for r in capped} == {0, 1, 2}  # n_hits tie -> min ids
+
+    # in-family scores dominate cross-family by construction, so the
+    # probed family covers the true top-5 -> two-stage == exact
+    exact = {
+        (r.query_id, r.neighbor_id, r.maxsim_score, r.rank)
+        for r in maxsim_topk(corpus, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id, r.maxsim_score, r.rank)
+        for r in maxsim_ivf_topk(corpus, q, cents, k=5, n_probe=1).collect()
+    }
+    assert ivf == exact
+
+    # probing every cell makes the candidate set total -> equal at any k
+    exact15 = {
+        (r.query_id, r.neighbor_id, r.maxsim_score, r.rank)
+        for r in maxsim_topk(corpus, q, k=15).collect()
+    }
+    ivf15 = {
+        (r.query_id, r.neighbor_id, r.maxsim_score, r.rank)
+        for r in maxsim_ivf_topk(corpus, q, cents, k=15, n_probe=3).collect()
+    }
+    assert ivf15 == exact15
+
+    with pytest.raises(ValueError, match="n_probe"):
+        token_ivf_candidates(corpus, q, cents, n_probe=0)
+    with pytest.raises(ValueError, match="max_candidates"):
+        token_ivf_candidates(corpus, q, cents, max_candidates=0)
+    plan = (
+        maxsim_ivf_topk(corpus, q, cents, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
