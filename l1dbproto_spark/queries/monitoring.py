@@ -165,3 +165,102 @@ def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
     )
     return ks.unionByName(cat)
+
+
+# ---------------------------------------------------------------------------
+# quantile_drift_planted (r14 promotion candidate — declared in
+# COVERAGE.md; NOT yet registered): reference-quantile binned drift made
+# fully oracle-able by CONSTRUCTION. The reference side is doc_id % 7
+# over the contiguous 0..499 ids, so the residue histogram is known
+# (cumulative 72/144/216/287/358/429/500) and q=4's target ranks
+# (~125/250/375) land MID-BLOCK — at least 16 rows from every block
+# boundary, so percentile_approx's edges are the exact order statistics
+# (1.0, 3.0, 5.0) under ANY of the sketch's rank conventions. The oracle
+# therefore hard-codes the provable edges and re-derives the entire
+# chi-square/TVD machinery over the four bins; the drifted side remaps
+# every value up two residues (capped at 6) and drops each fifth doc.
+QUANTILE_DRIFT_PLANTED_ORACLE = """
+    WITH o AS (
+      SELECT CAST(doc_id % 7 AS DOUBLE) AS v FROM documents
+    ),
+    n AS (
+      SELECT CAST(LEAST(doc_id % 7 + 2, 6) AS DOUBLE) AS v
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    ob AS (
+      SELECT CAST(CASE WHEN v > 1 THEN 1 ELSE 0 END
+                  + CASE WHEN v > 3 THEN 1 ELSE 0 END
+                  + CASE WHEN v > 5 THEN 1 ELSE 0 END AS VARCHAR) AS k,
+             COUNT(*) AS n_old
+      FROM o GROUP BY 1
+    ),
+    nb AS (
+      SELECT CAST(CASE WHEN v > 1 THEN 1 ELSE 0 END
+                  + CASE WHEN v > 3 THEN 1 ELSE 0 END
+                  + CASE WHEN v > 5 THEN 1 ELSE 0 END AS VARCHAR) AS k,
+             COUNT(*) AS n_new
+      FROM n GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(ob.k, nb.k) AS k,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM ob FULL OUTER JOIN nb ON ob.k = nb.k
+    ),
+    t AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+             CAST(SUM(n_new) AS BIGINT) AS t_new
+      FROM j
+    ),
+    terms AS (
+      SELECT k,
+             CAST(ROUND(
+               ((n_old - CAST(n_old + n_new AS DOUBLE) * t.t_old
+                           / (t.t_old + t.t_new))
+                * (n_old - CAST(n_old + n_new AS DOUBLE) * t.t_old
+                             / (t.t_old + t.t_new)))
+                 / (CAST(n_old + n_new AS DOUBLE) * t.t_old
+                      / (t.t_old + t.t_new))
+               + ((n_new - CAST(n_old + n_new AS DOUBLE) * t.t_new
+                             / (t.t_old + t.t_new))
+                  * (n_new - CAST(n_old + n_new AS DOUBLE) * t.t_new
+                               / (t.t_old + t.t_new)))
+                 / (CAST(n_old + n_new AS DOUBLE) * t.t_new
+                      / (t.t_old + t.t_new)),
+               9) AS DECIMAL(28,9)) AS chi,
+             CAST(ROUND(ABS(CAST(n_old AS DOUBLE) / t.t_old
+                            - CAST(n_new AS DOUBLE) / t.t_new),
+                        9) AS DECIMAL(28,9)) AS shift
+      FROM j, t
+    )
+    SELECT 'qv' AS col_name, 'chi2' AS kind,
+           CAST(SUM(chi) AS DOUBLE) AS statistic,
+           CAST(SUM(shift) AS DOUBLE) / 2 AS tvd,
+           (SELECT k FROM terms ORDER BY shift DESC, k LIMIT 1)
+             AS top_mover,
+           (SELECT t_old FROM t) AS n_old,
+           (SELECT t_new FROM t) AS n_new
+    FROM terms
+    """
+
+
+def quantile_drift_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row — reference-quantile (q=4) binned drift over the planted
+    residue shift (block comment above): (col_name, kind, statistic,
+    tvd, top_mover, n_old, n_new); PSI excluded from the projection for
+    the same libm reason as snapshot_drift_report."""
+    from ..operators.drift import quantile_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select((F.col("doc_id") % 7).cast("double").alias("qv"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.least(F.col("doc_id") % 7 + 2, F.lit(6)).cast("double").alias("qv")
+    )
+    return quantile_drift(old, new, "qv", q=4).select(
+        F.col("column").alias("col_name"),
+        "kind",
+        "statistic",
+        "tvd",
+        "top_mover",
+        "n_old",
+        "n_new",
+    )

@@ -365,3 +365,127 @@ def wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "duration_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# avi_video_meta (r14 promotion candidate — declared in COVERAGE.md; NOT
+# yet registered, the 50-cap registry is full): the wav_decode_meta
+# pattern applied to the video family — planted RIFF/AVI containers whose
+# header metadata the oracle predicts from doc_id arithmetic while the
+# Spark side runs the REAL nested-LIST chunk walk
+# (operators/video.py parse_avi/video_meta):
+#
+#  * doc_id %13==0 rows are not RIFF at all          -> ok=false;
+#  * else %19==0 rows are RIFF but form 'WAVE'       -> ok=false;
+#  * else geometry 16+8*(i%5) x 16+8*(i%3), frame cadence from four
+#    standard us_per_frame values by (i//3)%4, 1 + i%7 video chunks
+#    (declared == actual), a second (audio) stream on i%4==0, and a
+#    top-level JUNK chunk BEFORE hdrl on i%11==0 so the walk (not a
+#    fixed offset) is what a green row would prove.
+_AVI_USF = (10000, 20000, 40000, 66733)
+
+
+def _avi_blob(i: int) -> bytes:
+    """Deterministic planted AVI (see block comment) for doc_id ``i``.
+    All chunk bodies are even-length, so the word-alignment walk never
+    needs pad bytes."""
+    import struct
+
+    if i % 13 == 0:
+        return b"nota riff at all"
+    if i % 19 == 0:
+        return b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    w = 16 + 8 * (i % 5)
+    h = 16 + 8 * (i % 3)
+    usf = _AVI_USF[(i // 3) % 4]
+    frames = 1 + i % 7
+    has_audio = i % 4 == 0
+    avih = struct.pack(
+        "<10I", usf, 1_000_000, 0, 0x10, frames, 0,
+        2 if has_audio else 1, 0, w, h,
+    )
+    hdr_body = chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+    )
+    if has_audio:
+        hdr_body += lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 52))
+    movi_body = b"".join(
+        chunk(b"00dc", bytes(((i + j) % 256, 1, 2, 3)))
+        for j in range(frames)
+    )
+    if has_audio:
+        movi_body += chunk(b"01wb", b"\x00\x01")
+    junk = chunk(b"JUNK", b"\x00" * 4) if i % 11 == 0 else b""
+    body = b"AVI " + junk + lst(b"hdrl", hdr_body) + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _planted_avi_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): the deterministic planted AVI blobs."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_avi_blob(i) for i in ids]}
+            ).astype({"media_id": "int64"})
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+AVI_VIDEO_META_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 13 = 0 OR doc_id % 19 = 0 AS bad,
+             16 + 8 * (doc_id % 5) AS w,
+             16 + 8 * (doc_id % 3) AS h,
+             CASE ((doc_id // 3) % 4)
+               WHEN 0 THEN 10000 WHEN 1 THEN 20000
+               WHEN 2 THEN 40000 ELSE 66733 END AS usf,
+             1 + doc_id % 7 AS frames,
+             CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS nstreams
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           NOT bad AS ok,
+           CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+           CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+           CASE WHEN bad THEN NULL ELSE 1e6 / usf END AS fps,
+           CASE WHEN bad THEN NULL ELSE CAST(frames AS INT) END
+             AS declared_frames,
+           CASE WHEN bad THEN NULL ELSE CAST(nstreams AS INT) END
+             AS n_streams,
+           CASE WHEN bad THEN NULL ELSE 'MJPG' END AS video_fourcc,
+           CASE WHEN bad THEN NULL ELSE CAST(frames AS INT) END
+             AS n_video_chunks
+    FROM p
+    """
+
+
+def avi_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per blob through the REAL AVI chunk walk: (media_id, ok,
+    width, height, fps, declared_frames, n_streams, video_fourcc,
+    n_video_chunks) — non-RIFF garbage and the wrong-form RIFF each cost
+    one ok=false row. Scale shape identical to wav_decode_meta: two
+    mapInPandas passes riding the scan, zero shuffle."""
+    from ..operators.video import video_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_meta(_planted_avi_media(docs))

@@ -380,3 +380,31 @@ def test_quantile_drift_reference_bins(spark):
     assert empty.statistic is None
     with pytest.raises(ValueError, match="q must be"):
         quantile_drift(old, new, "x", q=1)
+
+
+def test_quantile_drift_planted_driver_grade(spark):
+    """r14 promotion candidate (COVERAGE.md queue): the planted
+    quantile-drift row at full driver-grade compare — the operator's
+    percentile_approx edges are the provable order statistics (1,3,5)
+    by fixture construction, so the oracle re-derives the whole binned
+    chi-square/TVD machinery from hard-coded edges."""
+    import duckdb
+
+    from l1dbproto_spark.queries.monitoring import (
+        QUANTILE_DRIFT_PLANTED_ORACLE,
+        quantile_drift_planted,
+    )
+    from tools.check_correctness import compare
+
+    sf = "/root/testdata/sf0.001"
+    got = quantile_drift_planted(spark, sf).toPandas()
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = duck.execute(QUANTILE_DRIFT_PLANTED_ORACLE).df()
+    duck.close()
+    assert len(got) == 1
+    assert got["tvd"].iloc[0] > 0.2  # the planted remap is a big shift
+    issues = compare("quantile_drift_planted", got, want)
+    assert not issues, issues

@@ -182,3 +182,30 @@ def test_frames_decode_end_to_end(spark):
     want = np.frombuffer(FRAMES[0].split(b"\n", 1)[1], np.uint8)
     assert np.array_equal(rgb0, want)
     assert decoded[3].width == 32 and decoded[3].height == 24
+
+
+def test_avi_video_meta_driver_grade(spark):
+    """r14 promotion candidate (COVERAGE.md queue): the planted-AVI
+    metadata row at full driver-grade compare — the real nested-LIST
+    chunk walk against an oracle that predicts every column from doc_id
+    arithmetic without parsing a byte (wav_decode_meta pattern)."""
+    import duckdb
+
+    from l1dbproto_spark.queries.multimodal import (
+        AVI_VIDEO_META_ORACLE,
+        avi_video_meta,
+    )
+    from tools.check_correctness import compare
+
+    sf = "/root/testdata/sf0.001"
+    got = avi_video_meta(spark, sf).toPandas()
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = duck.execute(AVI_VIDEO_META_ORACLE).df()
+    duck.close()
+    assert len(got) == 500
+    assert (~got["ok"]).sum() > 0 and got["ok"].sum() > 0  # both verdicts
+    issues = compare("avi_video_meta", got, want)
+    assert not issues, issues
