@@ -291,3 +291,36 @@ def maxsim_ivf_topk(
         id_col=id_col,
         round_digits=round_digits,
     )
+
+
+def pool_tokens(
+    df: DataFrame,
+    vecs_col: str = "token_vecs",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool a token bag into ONE vector (id, out_col) — the bridge
+    from the multi-vector representation to the entire single-vector ANN
+    family (exact_topk / IVF / LSH / PQ / quantized): pool once, index
+    with any of them as the first stage, then :func:`maxsim_rerank` the
+    candidates. Tokens are unit-normalized before averaging (so a long
+    token doesn't dominate the pool) and the mean is the ordered fold;
+    rows with no usable token are dropped. Pure per-row column algebra —
+    rides the scan, zero shuffle."""
+    t = F.col("_t")
+    summed = F.aggregate(
+        t,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.element_at(t, 1))),
+            lambda _: F.lit(0.0),
+        ),
+        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+    )
+    return (
+        df.select(F.col(id_col), _unit_tokens(F.col(vecs_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            F.transform(summed, lambda x: x / F.size(t)).alias(out_col),
+        )
+    )

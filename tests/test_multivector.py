@@ -309,3 +309,42 @@ def test_token_ivf_two_stage(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_pool_tokens_bridge(spark):
+    """pool_tokens (r13): the mean of unit tokens, ordered-fold exact;
+    empty bags drop; and the bridge composes — pooled-vector exact ANN
+    supplies candidates whose MaxSim rerank equals full scoring."""
+    from l1dbproto_spark.operators.multivector import pool_tokens
+    from l1dbproto_spark.operators.similarity import exact_topk
+
+    rows = [
+        (1, [[2.0, 0.0], [0.0, 5.0]]),   # units (1,0)+(0,1) -> (0.5, 0.5)
+        (2, [[0.0, 0.0]]),               # no usable token -> dropped
+        (3, [[3.0, 4.0]]),               # unit (0.6, 0.8)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    got = {r.doc_id: list(r.embedding) for r in pool_tokens(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == pytest.approx([0.5, 0.5], abs=1e-12)
+    assert got[3] == pytest.approx([0.6, 0.8], abs=1e-12)
+
+    # composition at the fixture shape: pooled first stage -> rerank;
+    # every rerank pair's score equals the full operator's score
+    mv = _multivec(spark).filter(F.col("doc_id") < 60)
+    queries = mv.filter(F.col("doc_id") < 5)
+    pooled = pool_tokens(mv, id_col="doc_id")
+    cands = exact_topk(
+        pooled, pool_tokens(queries, id_col="doc_id"), k=20,
+        id_col="doc_id",
+    ).select("query_id", "neighbor_id")
+    rer = maxsim_rerank(cands, mv, queries, k=5).collect()
+    full = {
+        (r.query_id, r.neighbor_id): r.maxsim_score
+        for r in maxsim_topk(mv, queries, k=60).collect()
+    }
+    assert len(rer) > 0
+    for r in rer:
+        assert r.maxsim_score == full[(r.query_id, r.neighbor_id)]
