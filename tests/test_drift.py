@@ -408,3 +408,14 @@ def test_quantile_drift_planted_driver_grade(spark):
     assert got["tvd"].iloc[0] > 0.2  # the planted remap is a big shift
     issues = compare("quantile_drift_planted", got, want)
     assert not issues, issues
+
+
+def test_quantile_drift_empty_reference_is_null(spark):
+    """An empty REFERENCE side has no quantile edges — the row carries
+    NULL statistics per the empty-side contract (the docstring's claim,
+    now pinned), never a crash or a silent zero."""
+    from l1dbproto_spark.operators.drift import quantile_drift
+
+    a = spark.range(20).select(F.col("id").cast("double").alias("x"))
+    r = quantile_drift(a.filter(F.lit(False)), a, "x", q=4).collect()[0]
+    assert r.statistic is None and r.tvd is None

@@ -212,3 +212,14 @@ def test_pair_set_eval_scores_a_real_detector(spark):
     assert got.n_truth == 40
     assert got.recall == 1.0  # every exact clone found
     assert got.precision >= 0.9  # near-identical fixture docs may also pair
+
+
+def test_pair_set_eval_both_sides_empty(spark):
+    """Both sides empty: every ratio undefined -> NULL verdicts, zero
+    counts, no crash (the empty-side contract end to end)."""
+    from l1dbproto_spark.operators.evals import pair_set_eval
+
+    e = spark.createDataFrame([], "a long, b long")
+    r = pair_set_eval(e, e).collect()[0]
+    assert (r.n_pred, r.n_truth, r.n_hit) == (0, 0, 0)
+    assert r.precision is None and r.recall is None and r.f1 is None
