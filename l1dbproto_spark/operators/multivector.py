@@ -117,6 +117,12 @@ def maxsim_topk(
                 round_digits,
             ).alias("maxsim_score"),
         )
+        # mismatched token DIMENSIONS across a pair make zip_with pad
+        # with NULL and the fold go NULL — drop those pairs explicitly
+        # (the family contract is one dimension everywhere, like the
+        # single-vector operators) instead of letting NULL rows ride
+        # into rank positions
+        .filter(F.col("maxsim_score").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("maxsim_score"), F.asc("neighbor_id")
@@ -169,6 +175,7 @@ def maxsim_rerank(
                 round_digits,
             ).alias("maxsim_score"),
         )
+        .filter(F.col("maxsim_score").isNotNull())  # cross-dim pairs (see maxsim_topk)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("maxsim_score"), F.asc("neighbor_id")

@@ -348,3 +348,21 @@ def test_pool_tokens_bridge(spark):
     assert len(rer) > 0
     for r in rer:
         assert r.maxsim_score == full[(r.query_id, r.neighbor_id)]
+
+
+def test_cross_dimension_pairs_drop_not_null(spark):
+    """Tokens of a DIFFERENT dimension across a pair make zip_with pad
+    with NULL and the fold go NULL — such pairs drop from the ranking
+    explicitly (one-dimension-everywhere contract) instead of riding
+    into rank positions as NULL scores."""
+    rows = [
+        (1, [[1.0, 0.0]]),            # dim 2 query
+        (2, [[0.8, 0.6]]),            # dim 2 -> scored
+        (3, [[1.0, 0.0, 0.0]]),       # dim 3 -> pair with 1 drops
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    out = maxsim_topk(df, df.filter(F.col("doc_id") == 1), k=5).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 2)}
+    assert all(r.maxsim_score is not None for r in out)
