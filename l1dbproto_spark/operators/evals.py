@@ -369,3 +369,82 @@ def pair_set_eval(
         # ratio propagates — both are the undefined-verdict contract
         F.round(f1, 9).alias("f1"),
     )
+
+
+def bcubed_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998 — the
+    standard entity-resolution/dedup clustering metric, per-ITEM rather
+    than per-pair so big clusters don't drown small ones): one row
+    (n_items, precision, recall, f1) comparing a predicted cluster
+    assignment against a labeled truth assignment.
+
+    Per item d, precision is |pred(d) ∩ truth(d)| / |pred(d)| and recall
+    |pred(d) ∩ truth(d)| / |truth(d)|; the reported numbers are the
+    means over items — computed in closed form from the contingency
+    table, never per item: mean precision = (1/N) * sum over cells
+    n_pt^2 / n_p, mean recall = (1/N) * sum over cells n_pt^2 / n_t.
+    Only items labeled on BOTH sides are evaluated (the co-labeled
+    universe); each side's assignment must be a function (one cluster
+    per item) — duplicate assignments raise rather than silently
+    double-count.
+
+    Determinism: the per-cell fractions are double divisions of exact
+    longs, 9dp-rounded and DECIMAL-summed (the evals contract); the
+    final means are one double division each. Scale shape: one join on
+    the item id, a contingency groupBy on (pred, truth) cluster pairs,
+    and two cluster-size aggregations derived FROM the contingency
+    frame — the exchanges carry cluster-pair counts, never items."""
+    p = predicted.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_pc")
+    ).filter(F.col("_pc").isNotNull())
+    t = truth.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_tc")
+    ).filter(F.col("_tc").isNotNull())
+    for side, frame in (("predicted", p), ("truth", t)):
+        dup = (
+            frame.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"bcubed_eval: {side} assigns multiple clusters to at "
+                f"least one item — an assignment must be a function"
+            )
+    from ..checkpoint import pin
+
+    # pin the contingency: it feeds both cluster-size aggregations and
+    # the terms join, and it is cluster-pair-sized by construction
+    cell = (
+        p.join(t, "_id")
+        .groupBy("_pc", "_tc")
+        .agg(F.count(F.lit(1)).alias("n_pt"))
+        .transform(pin, eager=False)
+    )
+    psize = cell.groupBy("_pc").agg(F.sum("n_pt").alias("n_p"))
+    tsize = cell.groupBy("_tc").agg(F.sum("n_pt").alias("n_t"))
+    terms = cell.join(psize, "_pc").join(tsize, "_tc")
+    sq = F.col("n_pt").cast("double") * F.col("n_pt")
+    agg = terms.agg(
+        F.sum(F.round(sq / F.col("n_p"), 9).cast(_DEC)).alias("_sp"),
+        F.sum(F.round(sq / F.col("n_t"), 9).cast(_DEC)).alias("_st"),
+        # empty co-labeled universe -> 0 items (not NULL); the ratios
+        # stay NULL via try_divide per the empty-side contract
+        F.coalesce(F.sum("n_pt"), F.lit(0).cast("long")).alias("n_items"),
+    )
+    prec = F.try_divide(F.col("_sp").cast("double"), F.col("n_items"))
+    rec = F.try_divide(F.col("_st").cast("double"), F.col("n_items"))
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return agg.select(
+        "n_items",
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    )

@@ -223,3 +223,99 @@ def test_pair_set_eval_both_sides_empty(spark):
     r = pair_set_eval(e, e).collect()[0]
     assert (r.n_pred, r.n_truth, r.n_hit) == (0, 0, 0)
     assert r.precision is None and r.recall is None and r.f1 is None
+
+
+def test_bcubed_hand_example_and_duckdb(spark):
+    """bcubed_eval (r13): the textbook hand example checked against
+    per-item arithmetic, a DuckDB re-derivation of the closed-form
+    contingency computation over a documents-derived split, perfect and
+    empty edges, and the duplicate-assignment guard."""
+    import duckdb
+
+    from l1dbproto_spark.operators.evals import bcubed_eval
+    from l1dbproto_spark.sources.catalog import load_table
+
+    # truth {1,2,3},{4,5},{6}; predicted {1,2},{3,4,5},{6}
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b"), (6, "c")],
+        "doc_id long, cluster string",
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "z")],
+        "doc_id long, cluster string",
+    )
+    got = bcubed_eval(pred, truth).collect()[0]
+    # per-item precision: 1,1,1/3,2/3,2/3,1 -> mean 14/3/6
+    # per-item recall:    2/3,2/3,1/3,1,1,1 -> mean 14/3/6
+    want = (14 / 3) / 6
+    assert got.n_items == 6
+    assert got.precision == pytest.approx(want, abs=1e-9)
+    assert got.recall == pytest.approx(want, abs=1e-9)
+    assert got.f1 == pytest.approx(want, abs=1e-9)
+
+    # DuckDB re-derivation over a documents-derived assignment: truth =
+    # doc_id % 25; predicted merges clusters 0 and 1 and splits docs
+    # under 40 into their own cluster
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tr = docs.select("doc_id", (F.col("doc_id") % 25).alias("cluster"))
+    pr = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 40, F.col("doc_id") + 1000)
+        .when(F.col("doc_id") % 25 <= 1, F.lit(0))
+        .otherwise(F.col("doc_id") % 25)
+        .alias("cluster"),
+    )
+    got = bcubed_eval(pr, tr).toPandas()
+    duck = duckdb.connect()
+    want = duck.execute(
+        """
+        WITH d AS (SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet'),
+        a AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id < 40 THEN doc_id + 1000
+                      WHEN doc_id % 25 <= 1 THEN 0
+                      ELSE doc_id % 25 END AS pc,
+                 doc_id % 25 AS tc
+          FROM d
+        ),
+        cell AS (SELECT pc, tc, COUNT(*) AS n_pt FROM a GROUP BY 1, 2),
+        ps AS (SELECT pc, SUM(n_pt) AS n_p FROM cell GROUP BY 1),
+        ts AS (SELECT tc, SUM(n_pt) AS n_t FROM cell GROUP BY 1),
+        terms AS (
+          SELECT CAST(ROUND(CAST(n_pt AS DOUBLE) * n_pt / n_p, 9)
+                      AS DECIMAL(28,9)) AS sp,
+                 CAST(ROUND(CAST(n_pt AS DOUBLE) * n_pt / n_t, 9)
+                      AS DECIMAL(28,9)) AS st,
+                 n_pt
+          FROM cell JOIN ps USING (pc) JOIN ts USING (tc)
+        )
+        SELECT CAST(SUM(n_pt) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(sp) AS DOUBLE) / SUM(n_pt), 9) AS precision,
+               ROUND(CAST(SUM(st) AS DOUBLE) / SUM(n_pt), 9) AS recall,
+               ROUND(2.0 * (CAST(SUM(sp) AS DOUBLE) / SUM(n_pt))
+                         * (CAST(SUM(st) AS DOUBLE) / SUM(n_pt))
+                     / (CAST(SUM(sp) AS DOUBLE) / SUM(n_pt)
+                        + CAST(SUM(st) AS DOUBLE) / SUM(n_pt)), 9) AS f1
+        FROM terms
+        """
+    ).df()
+    duck.close()
+    from tools.check_correctness import compare
+
+    issues = compare("bcubed_eval", got, want)
+    assert not issues, issues
+    # the planted split/merge must show: precision < 1 (merge), recall < 1 (split)
+    assert got["precision"].iloc[0] < 1.0 and got["recall"].iloc[0] < 1.0
+
+    # perfect assignment: all 1.0; empty universe: 0 items, NULL ratios
+    perfect = bcubed_eval(tr, tr).collect()[0]
+    assert (perfect.precision, perfect.recall, perfect.f1) == (1.0, 1.0, 1.0)
+    none = bcubed_eval(pred.filter(F.lit(False)), truth).collect()[0]
+    assert none.n_items == 0 and none.precision is None and none.f1 is None
+    with pytest.raises(ValueError, match="multiple clusters"):
+        bcubed_eval(
+            pred.unionByName(
+                spark.createDataFrame([(1, "zz")], "doc_id long, cluster string")
+            ),
+            truth,
+        ).collect()
