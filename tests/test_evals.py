@@ -319,3 +319,23 @@ def test_bcubed_hand_example_and_duckdb(spark):
             ),
             truth,
         ).collect()
+
+
+def test_bcubed_scores_the_image_dedup_row(spark):
+    """Cross-family composition: the registered image-dedup row's
+    components, scored by bcubed_eval against the planted doc_id % 100
+    family truth — a perfect 1.0/1.0/1.0, which is exactly what the
+    row's own oracle guarantees, now phrased as the clustering metric a
+    dedup pipeline would actually report."""
+    from l1dbproto_spark.operators.evals import bcubed_eval
+    from l1dbproto_spark.queries.multimodal import image_dedup_families
+
+    clusters = image_dedup_families(spark, "/root/testdata/sf0.001").select(
+        F.col("media_id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    truth = clusters.select(
+        "doc_id", (F.col("doc_id") % 100).alias("cluster")
+    )
+    got = bcubed_eval(clusters, truth).collect()[0]
+    assert got.n_items == 500
+    assert (got.precision, got.recall, got.f1) == (1.0, 1.0, 1.0)
