@@ -681,3 +681,75 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_rerank(cands, k=_MMR_K, lam=0.5, round_digits=9)
+
+
+# ---------------------------------------------------------------------------
+# maxsim_token_topk (r14 promotion candidate — declared in COVERAGE.md;
+# NOT yet registered, the 50-cap registry is full): exact multi-vector
+# late-interaction retrieval over token bags sliced deterministically
+# from the embeddings fixture (4 contiguous 16-dim token vectors per
+# 64-dim row — both engines derive identical bags from the same
+# parquet). The oracle re-derives the FULL MaxSim rule in DuckDB list
+# algebra: per-token L2 normalization with degenerate-token drop, per
+# query token the max dot over doc tokens (list_dot_product is
+# bit-identical to the engine's ordered fold), 9dp-rounded ordered sum,
+# min-id tie-break top-k.
+_MV_N_TOK, _MV_TOK_DIM = 4, 16
+
+_MV_SLICES = ", ".join(
+    f"v[{i * _MV_TOK_DIM + 1}:{(i + 1) * _MV_TOK_DIM}]"
+    for i in range(_MV_N_TOK)
+)
+
+MAXSIM_TOKEN_TOPK_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_filter(list_transform([{_MV_SLICES}], t ->
+               CASE WHEN list_dot_product(t, t) > 0
+                    THEN list_transform(t, x -> x / sqrt(list_dot_product(t, t)))
+               END), t -> t IS NOT NULL) AS toks
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, toks AS qtoks FROM unit
+          WHERE vec_id < 10 AND len(toks) > 0),
+    c AS (SELECT vec_id AS neighbor_id, toks AS dtoks FROM unit
+          WHERE len(toks) > 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_sum(list_transform(qtoks, t ->
+               round(list_max(list_transform(dtoks, u ->
+                 list_dot_product(t, u))), 9))), 9) AS maxsim_score
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim_score DESC, neighbor_id)
+                  AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, maxsim_score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+def maxsim_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ColBERT-style MaxSim top-5 for the first ten token bags
+    against the whole corpus — (query_id, neighbor_id, maxsim_score,
+    rank). Scale shape: broadcast queries x one corpus scan, the nested
+    max/sum fold entirely in JVM higher-order functions, top-k window;
+    the approximate path is operators/multivector.py token_ivf_candidates
+    -> maxsim_rerank."""
+    from ..operators.multivector import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.array(
+        *[
+            F.slice(F.col("embedding"), i * _MV_TOK_DIM + 1, _MV_TOK_DIM)
+            for i in range(_MV_N_TOK)
+        ]
+    )
+    mv = emb.select(F.col("vec_id").alias("doc_id"), toks.alias("token_vecs"))
+    return maxsim_topk(mv, mv.filter(F.col("doc_id") < 10), k=5)
