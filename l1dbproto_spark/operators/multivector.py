@@ -48,7 +48,12 @@ from .similarity import dot_fold
 def _unit_tokens(col: Column) -> Column:
     """array<array<double>> of L2-normalized token vectors; zero-norm /
     NaN tokens dropped (cosine is undefined for them — the
-    brute_force_topk degenerate-vector guard applied per token)."""
+    brute_force_topk degenerate-vector guard applied per token). A bag
+    MIXING token dimensions goes NULL as a whole: array_max skips NULL
+    elements, so a mixed bag would otherwise be PARTIALLY scored
+    (mismatched tokens silently ignored) instead of honouring the
+    one-dimension-everywhere family contract — with the guard, every
+    pair is either fully scored or fully dropped."""
     def norm2(v: Column) -> Column:
         return F.aggregate(
             v,
@@ -65,7 +70,10 @@ def _unit_tokens(col: Column) -> Column:
             ),
         ),
     )
-    return F.filter(normalized, lambda v: v.isNotNull())
+    kept = F.filter(normalized, lambda v: v.isNotNull())
+    return F.when(
+        F.size(F.array_distinct(F.transform(kept, F.size))) <= 1, kept
+    )
 
 
 def _maxsim(qtoks: Column, dtoks: Column, round_digits: int) -> Column:
@@ -161,8 +169,13 @@ def maxsim_rerank(
         F.col(id_col).alias("neighbor_id"),
         _unit_tokens(F.col(vecs_col)).alias("dtoks"),
     ).filter(F.size("dtoks") > 0)
-    pairs = candidates.select("query_id", "neighbor_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # first stages may be FUSED (pooled ANN + BM25 + ...) and overlap:
+    # a duplicated pair would be scored twice and occupy two adjacent
+    # rank slots with identical rows, displacing a real candidate
+    pairs = (
+        candidates.select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = (
         pairs.join(c, "neighbor_id")

@@ -138,7 +138,7 @@ _DUCK_TURNS = f"""
                            THEN 'user' ELSE 'assistant' END END), FALSE)
                AND COUNT(*) FILTER (turn_idx >= first_non_sys) > 0
                AS alternates,
-             bool_and(trim(content) <> '') AS no_empty,
+             bool_and(coalesce(trim(content), '') <> '') AS no_empty,
              COUNT(DISTINCT turn_idx) = COUNT(*) AS no_dup_idx
       FROM t JOIN lead USING (conv_id)
       GROUP BY t.conv_id
@@ -147,7 +147,7 @@ _DUCK_TURNS = f"""
       SELECT conv_id,
              md5(string_agg(
                role || chr(31) ||
-               regexp_replace(trim(content), '[ \t\r\n\f]+', ' ', 'g'),
+               regexp_replace(coalesce(trim(content), ''), '[ \t\r\n\f]+', ' ', 'g'),
                chr(30) ORDER BY turn_idx)) AS fingerprint
       FROM t GROUP BY conv_id
     )

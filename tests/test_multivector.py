@@ -334,3 +334,51 @@ def test_cross_dimension_pairs_drop_not_null(spark):
     out = maxsim_topk(df, df.filter(F.col("doc_id") == 1), k=5).collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 2)}
     assert all(r.maxsim_score is not None for r in out)
+
+
+def test_mixed_dimension_bag_drops_whole_row(spark):
+    """A bag MIXING token dimensions is nulled as a whole (ADVICE r13):
+    without the guard, array_max skips the NULL dots of the mismatched
+    tokens and the pair is PARTIALLY scored — the matching-dim tokens
+    silently win. The contract is one dimension per bag: mixed bags drop
+    from both sides entirely."""
+    rows = [
+        (1, [[1.0, 0.0]]),                      # clean dim-2 query
+        (2, [[0.8, 0.6], [1.0, 0.0, 0.0]]),     # MIXED bag -> dropped
+        (3, [[0.0, 1.0]]),                      # clean dim-2 doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    out = maxsim_topk(df, df.filter(F.col("doc_id") == 1), k=5).collect()
+    # doc 2 must NOT appear partially scored; doc 3 scores normally
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 3)}
+    # a mixed-bag QUERY likewise produces no rows at all
+    out_q = maxsim_topk(df, df.filter(F.col("doc_id") == 2), k=5).collect()
+    assert out_q == []
+
+
+def test_rerank_deduplicates_fused_candidates(spark):
+    """Fused first stages can emit the same (query, neighbor) pair more
+    than once (ADVICE r13): maxsim_rerank must score it ONCE — duplicate
+    ranks would displace a real candidate from top-k."""
+    rows = [
+        (1, [[1.0, 0.0]]),
+        (2, [[0.8, 0.6]]),
+        (3, [[0.6, 0.8]]),
+        (4, [[0.0, 1.0]]),
+    ]
+    mv = spark.createDataFrame(
+        rows, "doc_id long, token_vecs array<array<double>>"
+    )
+    q = mv.filter(F.col("doc_id") == 1)
+    # neighbor 2 duplicated 3x (as if ANN + BM25 + fusion all returned it)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (1, 3), (1, 4)],
+        "query_id long, neighbor_id long",
+    )
+    out = maxsim_rerank(cands, mv, q, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # without distinct: [(2,1),(2,2)] and doc 3 is displaced from top-2
+    assert got == [(2, 1), (3, 2)]
+    assert len({(r.query_id, r.neighbor_id) for r in out}) == len(out)
