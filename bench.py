@@ -346,8 +346,13 @@ def main() -> None:
     # cost without touching the headline total). gap_fill_resample rotated
     # out of the registry in r13 but stays measured for the cross-round
     # trend — its oracle lives in-suite now.
-    for r8_name in ("bm25_topk", "fuzzy_name_match", "phrase_match"):
+    # phrase_match rotated out of the registry in r14 but stays measured
+    # for the cross-round trend — its oracle lives in-suite now.
+    from l1dbproto_spark.queries.search import phrase_match_query as _phrase_q
+
+    for r8_name in ("bm25_topk", "fuzzy_name_match"):
         _extra(r8_name, lambda n=r8_name: specs[n].builder(spark, sf_dir).count())
+    _extra("phrase_match", lambda: _phrase_q(spark, sf_dir).count())
     from l1dbproto_spark.queries.events import gap_fill_resample as _gap_fill_q
 
     _extra("gap_fill_resample", lambda: _gap_fill_q(spark, sf_dir).count())
@@ -358,8 +363,12 @@ def main() -> None:
     # here for the cross-round trend — its oracle lives in-suite now.
     from l1dbproto_spark.queries.analytics import cohort_retention as _cohort_q
 
-    for r9_name in ("hamming_topk", "funnel_conversion"):
-        _extra(r9_name, lambda n=r9_name: specs[n].builder(spark, sf_dir).count())
+    # funnel_conversion rotated out of the registry in r14 but stays
+    # measured for the cross-round trend — its oracle lives in-suite now.
+    from l1dbproto_spark.queries.analytics import funnel_conversion as _funnel_q
+
+    _extra("hamming_topk", lambda: specs["hamming_topk"].builder(spark, sf_dir).count())
+    _extra("funnel_conversion", lambda: _funnel_q(spark, sf_dir).count())
     _extra("cohort_retention", lambda: _cohort_q(spark, sf_dir).count())
     from l1dbproto_spark.operators.interval_join import overlapping_order_windows
 

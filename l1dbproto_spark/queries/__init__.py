@@ -88,19 +88,16 @@ _PRIORITY = [
     "pack_sequences",
     "quantized_topk",
     "ivf_pq_topk",
-    "sample_mixture",
     "contamination_report",
     "semdedup_drops",
     "dsir_log_weights",
     # LLM-pipeline: lexical retrieval + entity resolution (round 8)
     "bm25_topk",
     "fuzzy_name_match",
-    "phrase_match",
     # driver round 8: 1-bit quantized ANN + event analytics (rotation: out
     # catalog_union / filtered_counts / doc_fingerprint -> in-suite
     # oracles in tests/test_unregistered_batteries.py)
     "hamming_topk",
-    "funnel_conversion",
     # driver round 8 (cont.): graph mining + ingest validation (rotation: out
     # argmax_order_per_customer / json_payload_extract -> in-suite oracles
     # in tests/test_unregistered_batteries.py; max_by and JSON-extraction
@@ -164,6 +161,18 @@ _PRIORITY = [
     "generation_scores",
     "snapshot_drift_report",
     "wav_decode_meta",
+    # driver round 14: the r13 additions take driver slots, draining the
+    # promotion queue staged in COVERAGE.md (rotation: out
+    # funnel_conversion / sample_mixture / phrase_match -> same oracles
+    # driver-grade in-suite in tests/test_unregistered_batteries.py; event
+    # analytics keeps visit_window_agg, sampling keeps
+    # weighted_topk_sample + pack_sequences, retrieval keeps bm25_topk +
+    # fuzzy_name_match + mmr_rerank_topk). In: exact multi-vector MaxSim
+    # late interaction, the real AVI nested-LIST chunk walk, and
+    # reference-quantile binned drift with provable sketch edges.
+    "maxsim_token_topk",
+    "avi_video_meta",
+    "quantile_drift_planted",
 ]
 
 

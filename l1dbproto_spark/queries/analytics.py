@@ -10,14 +10,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.analytics import cohort_retention as _cohort
 from ..operators.analytics import funnel_conversion as _funnel
 from ..sources.catalog import load_table
-from . import query
+# (no driver registrations left in this module since r14 — both oracles
+# stay in-suite under tests/test_unregistered_batteries.py)
 
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
-@query(
-    "funnel_conversion",
-    oracle="""
+# Rotated out of the driver registry in round 14 (slot to one of the r13
+# training-data components — maxsim_token_topk / avi_video_meta /
+# quantile_drift_planted; event analytics keeps visit_window_agg
+# driver-checked and cohort_retention in-suite). SAME oracle, driver-grade
+# compare in tests/test_unregistered_batteries.py.
+FUNNEL_CONVERSION_ORACLE = """
     WITH e1 AS (
       SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN ts END)
@@ -43,9 +47,9 @@ _FUNNEL_STAGES = ["view", "click", "purchase"]
     SELECT 1, 'click', c1, CASE WHEN c0 > 0 THEN round(c1 / c0, 6) END FROM c
     UNION ALL
     SELECT 2, 'purchase', c2, CASE WHEN c0 > 0 THEN round(c2 / c0, 6) END FROM c
-    """,
-    survey="ext:analytics (ordered funnel); A1-A3 generalized",
-)
+    """
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel: per-user sequential min
     timestamps (stage i counts only strictly after stage i-1) via chained

@@ -243,6 +243,13 @@ QUANTILE_DRIFT_PLANTED_ORACLE = """
     """
 
 
+@query(
+    "quantile_drift_planted",
+    oracle=QUANTILE_DRIFT_PLANTED_ORACLE,
+    survey="ext:monitoring (reference-quantile binned drift with provable "
+    "percentile_approx edges; operators/drift.py quantile_drift — promoted "
+    "r14 per the staged queue)",
+)
 def quantile_drift_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row — reference-quantile (q=4) binned drift over the planted
     residue shift (block comment above): (col_name, kind, statistic,

@@ -479,6 +479,12 @@ AVI_VIDEO_META_ORACLE = """
     """
 
 
+@query(
+    "avi_video_meta",
+    oracle=AVI_VIDEO_META_ORACLE,
+    survey="ext:multimodal (real RIFF/AVI nested-LIST chunk walk on planted "
+    "containers; operators/video.py — promoted r14 per the staged queue)",
+)
 def avi_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per blob through the REAL AVI chunk walk: (media_id, ok,
     width, height, fps, declared_frames, n_streams, video_fourcc,

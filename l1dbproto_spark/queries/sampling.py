@@ -17,15 +17,17 @@ _U = (
 )
 
 
-@query(
-    "sample_mixture",
-    oracle=f"""
+# Rotated out of the driver registry in round 14 (slot to one of the r13
+# training-data components; the sampling family keeps weighted_topk_sample
+# + pack_sequences driver-checked). SAME oracle, driver-grade compare in
+# tests/test_unregistered_batteries.py.
+SAMPLE_MIXTURE_ORACLE = f"""
     SELECT doc_id, lang FROM documents
     WHERE {_U} < CASE lang WHEN 'en' THEN 0.8 WHEN 'es' THEN 0.25
                  ELSE 0.05 END
-    """,
-    survey="ext:sampling (deterministic weighted mixture; F18 generalization to per-source rates)",
-)
+    """
+
+
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-mixture subsample of the documents corpus (en 0.8 / es 0.25
     / default 0.05): one per-row 48-bit-hash threshold comparison — zero

@@ -183,12 +183,13 @@ def _phrase_oracle() -> str:
     """
 
 
-@query(
-    "phrase_match",
-    oracle=_phrase_oracle(),
-    survey="ext:search (positional exact phrase match via anchor aggregation; "
-    "query-time analog of exact-substring dedup / verbatim decontamination probe)",
-)
+# Rotated out of the driver registry in round 14 (slot to one of the r13
+# training-data components; retrieval keeps bm25_topk + fuzzy_name_match +
+# mmr_rerank_topk driver-checked). SAME oracle, driver-grade compare in
+# tests/test_unregistered_batteries.py.
+PHRASE_MATCH_ORACLE = _phrase_oracle()
+
+
 def phrase_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim occurrence counts for the probe phrases: posexplode
     positions -> broadcast-semi vocabulary filter -> anchor = pos - offset

@@ -735,6 +735,12 @@ MAXSIM_TOKEN_TOPK_ORACLE = f"""
     """
 
 
+@query(
+    "maxsim_token_topk",
+    oracle=MAXSIM_TOKEN_TOPK_ORACLE,
+    survey="ext:similarity (multi-vector late interaction / ColBERT MaxSim; "
+    "operators/multivector.py — promoted r14 per the staged queue)",
+)
 def maxsim_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ColBERT-style MaxSim top-5 for the first ten token bags
     against the whole corpus — (query_id, neighbor_id, maxsim_score,

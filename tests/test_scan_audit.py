@@ -103,6 +103,10 @@ ALLOWED = {
     "conversation_audit": {"documents": 2},
     "preference_pairs": {"documents": 4},
     "snapshot_drift_report": {"documents": 4},
+    # r14 row. corpus-bag role + the vec_id<10 query carve-out (pushed
+    # filter -> 10-row broadcast scan) — the same two-role shape as the
+    # rest of the similarity family
+    "maxsim_token_topk": {"embeddings": 2},
 }
 
 

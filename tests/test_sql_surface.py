@@ -27,7 +27,6 @@ PORTABLE = [
     "pixel_histogram",
     "forced_photometry_eligibility",
     "history_semi_join",
-    "funnel_conversion",
     # round-10 serving components: both oracles are ANSI-portable
     "rollup_hourly_serve",
     "bucketed_join_agg",
@@ -57,6 +56,10 @@ def _rotated_portable():
         METRICS_PIVOT_WIDE_ORACLE,
         frequent_items_per_group_days,
         metrics_pivot_wide,
+    )
+    from l1dbproto_spark.queries.analytics import (
+        FUNNEL_CONVERSION_ORACLE,
+        funnel_conversion as _funnel_q,
     )
     from l1dbproto_spark.queries.misc import (
         SESSION_WINDOW_ORACLE,
@@ -92,6 +95,10 @@ def _rotated_portable():
             asof_last_click_before_purchase,
             ASOF_LAST_CLICK_ORACLE,
         ),
+        # r14 rotation: funnel_conversion lost its slot to the r13
+        # promotion queue but its oracle is ANSI-portable, so it stays in
+        # the two-front-end contract from here.
+        "funnel_conversion": (_funnel_q, FUNNEL_CONVERSION_ORACLE),
     }
 
 

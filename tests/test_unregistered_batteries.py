@@ -973,3 +973,42 @@ def test_collocations_pmi_matches_oracle(spark):
     _driver_grade(
         spark, collocations_pmi, COLLOCATIONS_PMI_ORACLE, "collocations_pmi"
     )
+
+
+# Driver round 14: funnel_conversion / sample_mixture / phrase_match lost
+# their slots to the round-13 components (maxsim_token_topk /
+# avi_video_meta / quantile_drift_planted — the promotion queue staged in
+# COVERAGE.md) — SAME oracles (shared constants in their query modules),
+# driver-grade compare, in-suite. Event analytics keeps visit_window_agg
+# driver-checked (cohort_retention already in-suite since r12), sampling
+# keeps weighted_topk_sample + pack_sequences, retrieval keeps bm25_topk +
+# fuzzy_name_match + mmr_rerank_topk.
+
+
+def test_funnel_conversion_matches_oracle(spark):
+    from l1dbproto_spark.queries.analytics import (
+        FUNNEL_CONVERSION_ORACLE,
+        funnel_conversion,
+    )
+
+    _driver_grade(
+        spark, funnel_conversion, FUNNEL_CONVERSION_ORACLE, "funnel_conversion"
+    )
+
+
+def test_sample_mixture_query_matches_oracle(spark):
+    from l1dbproto_spark.queries.sampling import (
+        SAMPLE_MIXTURE_ORACLE,
+        sample_mixture,
+    )
+
+    _driver_grade(spark, sample_mixture, SAMPLE_MIXTURE_ORACLE, "sample_mixture")
+
+
+def test_phrase_match_query_matches_oracle(spark):
+    from l1dbproto_spark.queries.search import (
+        PHRASE_MATCH_ORACLE,
+        phrase_match_query,
+    )
+
+    _driver_grade(spark, phrase_match_query, PHRASE_MATCH_ORACLE, "phrase_match")
