@@ -28,6 +28,9 @@ Physical design (SURVEY.md §4):
 Concurrency contract: one logical writer per visit (the reference serializes
 tiles onto disjoint padded regions — ``_executors.py:172-173``); overlap rows
 are deduplicated by (diaObjectId, validityStart) before the Last merge.
+ENFORCED (r14): ``store()`` takes the root's exclusive ``_store.lock`` for
+the write group, so a second concurrent ``store()`` against the same root
+fails loudly instead of interleaving the Last-merge read/overwrite.
 """
 
 from __future__ import annotations
@@ -133,6 +136,7 @@ class ApdbSpark:
             self._fs.mkdirs(path)
         if drop:
             self._fs.delete(f"{self.root.rstrip('/')}/_visit_intents")
+            self._fs.delete(self._store_lock_path)
 
     def _with_layout_columns(self, table: str, df: DataFrame) -> DataFrame:
         if table in ("DiaObject", "DiaObjectLast"):
@@ -235,6 +239,56 @@ class ApdbSpark:
 
     # --------------------------------------------------------------- write
     def store(
+        self,
+        visit_time: datetime.datetime,
+        objects: DataFrame,
+        sources: DataFrame | None = None,
+        forced_sources: DataFrame | None = None,
+    ) -> None:
+        """Single-writer-enforced visit store: takes the root's EXCLUSIVE
+        ``_store.lock`` (filesystem create with overwrite=false — the same
+        check-and-set the streaming rollup uses) for the duration of the
+        write group, so two CONCURRENT ``store()`` calls against one root
+        — same visit or different visits — cannot interleave the
+        DiaObjectLast read-merge-overwrite and silently lose one visit's
+        merge. The loser fails loudly instead of corrupting state. A lock
+        left behind by a writer that CRASHED mid-store also fails the next
+        store loudly: inspect, :meth:`clear_store_lock`, then re-run the
+        crashed visit (the intent marker scrubs its partial rows).
+        ``exactly_once=False`` skips the lock (single-writer assumed by
+        the caller). See :meth:`_store_visit` for the write mechanics."""
+        if not self.exactly_once:
+            self._store_visit(visit_time, objects, sources, forced_sources)
+            return
+        if not self._fs.create_exclusive(
+            self._store_lock_path, f"visit={visit_time.isoformat()}"
+        ):
+            raise RuntimeError(
+                f"concurrent APDB store: {self._store_lock_path} is held "
+                f"({self._fs.read_text(self._store_lock_path) or 'no owner info'}). "
+                "Serialize store() calls per root; if no store is in "
+                "flight a previous writer crashed mid-visit — "
+                "clear_store_lock() and re-run that visit (its intent "
+                "marker scrubs the partial rows)."
+            )
+        try:
+            self._store_visit(visit_time, objects, sources, forced_sources)
+        finally:
+            self._fs.delete(self._store_lock_path)
+
+    @property
+    def _store_lock_path(self) -> str:
+        return f"{self.root.rstrip('/')}/_store.lock"
+
+    def clear_store_lock(self) -> None:
+        """Operator repair path: release a ``_store.lock`` left behind by
+        a writer that crashed MID-STORE (store() releases it in a finally,
+        so only a hard process death leaves one). Re-run the crashed
+        visit afterwards — its intent marker makes the re-run scrub the
+        partial rows."""
+        self._fs.delete(self._store_lock_path)
+
+    def _store_visit(
         self,
         visit_time: datetime.datetime,
         objects: DataFrame,

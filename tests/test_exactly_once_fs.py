@@ -353,3 +353,103 @@ def test_jaccard_df_cap_consistent_vocabulary(spark):
     }
     assert got == want
     assert (100, 101) in got  # the near-dup pair survives the cap
+
+
+# --------------------------------------------------------------- r14:
+# single-writer store contract (VERDICT r13 item 3): two concurrent
+# store() calls against ONE root either serialize or fail loudly via the
+# exclusive _store.lock — previously the contract lived only in the
+# module docstring.
+
+
+def test_concurrent_store_fails_loudly_when_lock_held(spark, tmp_path):
+    """A held _store.lock (another writer mid-store) makes store() raise
+    the loud concurrent-writer error instead of interleaving the
+    DiaObjectLast read-merge-overwrite; clear_store_lock() is the
+    documented repair, after which the store proceeds."""
+    import pytest
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    # simulate an in-flight writer on the same root
+    assert apdb._fs.create_exclusive(apdb._store_lock_path, "visit=other")
+    with pytest.raises(RuntimeError, match="concurrent APDB store"):
+        apdb.store(VISIT_T, _objects(spark))
+    # nothing was written under the held lock
+    assert apdb.count_rows("DiaObject") == 0
+    apdb.clear_store_lock()
+    apdb.store(VISIT_T, _objects(spark))
+    apdb.save_visit(1, VISIT_T, 6)
+    assert apdb.count_rows("DiaObject") == 6
+    # the lock is released by store()'s finally — a second visit proceeds
+    assert not apdb._fs.exists(apdb._store_lock_path)
+
+
+def test_store_failure_releases_lock(spark, tmp_path):
+    """An exception INSIDE the write group must not orphan the lock: the
+    re-run of the failed visit (the sanctioned recovery) needs to acquire
+    it. Only a hard process death leaves a stale lock, and that path is
+    clear_store_lock()."""
+    import pytest
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    bad = _objects(spark).withColumn("ra", F.col("ra") / F.lit(0)).select(
+        "diaObjectId", F.assert_true(F.lit(False)).alias("ra"), "dec"
+    )
+    with pytest.raises(Exception):
+        apdb.store(VISIT_T, bad)
+    assert not apdb._fs.exists(apdb._store_lock_path)
+    # the intent marker from the failed attempt remains -> re-run scrubs
+    apdb.store(VISIT_T, _objects(spark))
+    apdb.save_visit(1, VISIT_T, 6)
+    assert apdb.count_rows("DiaObject") == 6
+
+
+def test_two_threads_different_visits_serialize_or_fail_loudly(spark, tmp_path):
+    """The actual race: two threads store DIFFERENT visits against one
+    root concurrently. Allowed outcomes per thread: success, or the loud
+    concurrent-writer RuntimeError — never silent corruption. Failed
+    visits re-run cleanly and every visit ends present exactly once."""
+    import threading
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    t1 = VISIT_T
+    t2 = VISIT_T + datetime.timedelta(minutes=1)
+    errors: dict[datetime.datetime, Exception | None] = {}
+    gate = threading.Barrier(2)
+
+    def run(vt, start_id):
+        gate.wait()
+        try:
+            apdb.store(vt, _objects(spark, start_id=start_id))
+            errors[vt] = None
+        except Exception as e:  # noqa: BLE001 - recorded for assertion
+            errors[vt] = e
+
+    th = [
+        threading.Thread(target=run, args=(t1, 1)),
+        threading.Thread(target=run, args=(t2, 101)),
+    ]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    for vt, err in errors.items():
+        assert err is None or "concurrent APDB store" in str(err), (
+            f"visit {vt}: unexpected failure mode {err!r}"
+        )
+    # re-run any loser (lock was released by the winner's finally)
+    for vt, start_id in ((t1, 1), (t2, 101)):
+        if errors[vt] is not None:
+            apdb.store(vt, _objects(spark, start_id=start_id))
+    apdb.save_visit(1, t1, 6)
+    apdb.save_visit(2, t2, 106)
+    obj = apdb._read("DiaObject")
+    per_visit = {
+        r.validityStart: r.n
+        for r in obj.groupBy("validityStart").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_visit.values()) == {6} and len(per_visit) == 2
+    assert apdb.count_rows("DiaObjectLast") == 12
