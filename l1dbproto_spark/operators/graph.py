@@ -565,10 +565,16 @@ def k_core(
     degree k, drop their incident edges, repeat to fixpoint. Each round is
     one aggregation + two semi-joins; rounds are bounded by the longest
     peeling chain (raises past ``max_iterations`` rather than returning a
-    non-converged subgraph, same contract as connected_components)."""
+    non-converged subgraph, same contract as connected_components).
+
+    Convergence probe: ONE edge count per round — the pre-peel count is
+    last round's post-peel count (r14, VERDICT item 4: the first cut
+    re-counted the pinned input every round, doubling the probe jobs for
+    zero information)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     e = canonical_edges(edges, src, dst).transform(pin, eager=True)
+    before = e.count()
     for _ in range(max_iterations):
         deg = _degrees_canon(e)  # e stays canonical through the peels
         keep = deg.filter(F.col("degree") >= k).select("node")
@@ -577,12 +583,13 @@ def k_core(
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .transform(pin, eager=True)
         )
-        before, after = e.count(), kept.count()
+        after = kept.count()
         e = kept
         if after == before:
             break
         if after == 0:
             break
+        before = after
     else:
         raise RuntimeError(
             f"k_core({k}) still peeling after {max_iterations} rounds; "
@@ -921,16 +928,32 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 10,
+    normalize_every: int = 3,
 ) -> DataFrame:
     """(node, hub, authority) by HITS power iteration (Kleinberg 1999):
     authority = normalized in-flow of hub scores, hub = normalized
-    out-flow of authority scores, both L1-normalized per round (sum = 1,
-    which keeps the fixpoint deterministic without an eigenvector sign
-    convention). Directed multigraph edges collapse to simple edges.
+    out-flow of authority scores, L1-normalized (sum = 1, which keeps the
+    fixpoint deterministic without an eigenvector sign convention).
+    Directed multigraph edges collapse to simple edges.
+
+    Normalization is BATCHED (r14, VERDICT item 4): both updates are
+    linear, so the L1 constants commute with them — a_t/||a_t|| is the
+    same vector whether the divide happens every round or once at the
+    end (the intermediate constants cancel:
+    A·(a/t) / ||A·(a/t)|| == A·a / ||A·a||). The iteration therefore
+    runs RAW for ``normalize_every`` rounds between 1-row rescale
+    collects (plus one final normalize), cutting the driver round-trips
+    from two per round to two per batch while returning the identical
+    per-round-normalized sequence up to float rounding (~1e-16
+    relative; the numpy-parity test pins 1e-9). ``normalize_every``
+    also bounds the unnormalized growth to lambda_max^normalize_every
+    between rescales — keep it small (3) so doubles never approach
+    overflow on any plausible graph.
 
     Scale shape per round: two shuffled joins (hub mass keyed on src,
-    authority mass keyed on dst), both map-side combined, plus two 1-row
-    normalization aggregates; ranks pinned per round like pagerank."""
+    authority mass keyed on dst), both map-side combined; ranks pinned
+    per round like pagerank; one 2-column normalization aggregate per
+    batch."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -947,10 +970,12 @@ def hits(
         return nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
+    if normalize_every < 1:
+        raise ValueError("normalize_every must be >= 1")
     scores = nodes.select(
         "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         auth_in = (
             e.join(
                 scores.select(F.col("node").alias("src"), "hub"), "src"
@@ -959,12 +984,9 @@ def hits(
             .agg(F.sum("hub").alias("a_raw"))
             .select(F.col("dst").alias("node"), "a_raw")
         )
-        a_tot = auth_in.agg(F.sum("a_raw")).collect()[0][0] or 1.0
         new_auth = nodes.join(auth_in, "node", "left").select(
             "node",
-            (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.lit(float(a_tot))).alias(
-                "authority"
-            ),
+            F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("authority"),
         )
         hub_out = (
             e.join(
@@ -974,19 +996,28 @@ def hits(
             .agg(F.sum("authority").alias("h_raw"))
             .select(F.col("src").alias("node"), "h_raw")
         )
-        h_tot = hub_out.agg(F.sum("h_raw")).collect()[0][0] or 1.0
         scores = (
             nodes.join(hub_out, "node", "left")
             .join(new_auth, "node")
             .select(
                 "node",
-                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.lit(float(h_tot))).alias(
-                    "hub"
-                ),
+                F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("hub"),
                 "authority",
             )
             .transform(pin, eager=True)
         )
+        if (i + 1) % normalize_every == 0 or i == iterations - 1:
+            tot = scores.agg(
+                F.sum("hub").alias("h"), F.sum("authority").alias("a")
+            ).collect()[0]
+            h_tot, a_tot = float(tot["h"] or 1.0), float(tot["a"] or 1.0)
+            # lazy rescale — folds into the next batch's plan (or the
+            # returned frame); no extra job beyond the 1-row collect
+            scores = scores.select(
+                "node",
+                (F.col("hub") / F.lit(h_tot)).alias("hub"),
+                (F.col("authority") / F.lit(a_tot)).alias("authority"),
+            )
     return scores
 
 

@@ -503,3 +503,33 @@ def test_random_walks_steps_are_edges_and_deterministic(spark, rnd):
     # bit-identical on re-run (no RNG state anywhere)
     b = {(r.walk_id, r.step, r.node) for r in random_walks(df, 1, 3).collect()}
     assert b == {(r.walk_id, r.step, r.node) for r in rows}
+
+
+def test_hits_batched_normalization_fewer_jobs_same_result(spark):
+    """r14 (VERDICT item 4): the L1 constants commute with the linear
+    HITS updates, so normalizing every 3rd round must return the SAME
+    scores as normalizing every round (up to float rounding) while
+    running strictly fewer Spark jobs (two 1-row collects per BATCH
+    instead of per round)."""
+    from l1dbproto_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    sc = spark.sparkContext
+
+    def run(group, every):
+        sc.setJobGroup(group, group)
+        try:
+            rows = hits(df, iterations=6, normalize_every=every).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        return {r.node: (r.hub, r.authority) for r in rows}, jobs
+
+    per_round, jobs_per_round = run("hits_norm_every_1", 1)
+    batched, jobs_batched = run("hits_norm_every_3", 3)
+    assert set(batched) == set(per_round)
+    for k in per_round:
+        assert abs(batched[k][0] - per_round[k][0]) < 1e-12, k
+        assert abs(batched[k][1] - per_round[k][1]) < 1e-12, k
+    assert jobs_batched < jobs_per_round, (jobs_batched, jobs_per_round)
