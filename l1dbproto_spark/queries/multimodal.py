@@ -495,3 +495,137 @@ def avi_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return video_meta(_planted_avi_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# WebDataset shard verification (r15 promotion candidate, staged in
+# COVERAGE.md) — driver-grade oracle runs in-suite in
+# tests/test_unregistered_batteries.py until a registry slot opens.
+#
+# The builder packs the documents table into REAL tar shards through
+# sources/webdataset.py write_webdataset (deterministic bytes: sorted
+# keys, mtime 0), plants two damage modes (trailing-junk append on shard
+# 2 — content still parses, CRC stale; whole-file delete on shard 5),
+# then reads the directory back through read_webdataset and checks it
+# with verify_webdataset_shards. The oracle NEVER touches the fixture:
+# shard placement is doc_id % 8 (the shard_col override), each sample is
+# exactly {txt: text bytes, json: '{"id":<doc_id>}'}, so per-shard sample
+# counts, member counts, and payload bytes are count arithmetic over
+# documents, and the two verify verdicts follow from the planted damage.
+WEBDATASET_SHARD_VERIFY_ORACLE = """
+    WITH s AS (
+      SELECT CAST(doc_id % 8 AS INT) AS shard,
+             octet_length(encode(text))
+               + 7 + length(CAST(doc_id AS VARCHAR)) AS sample_bytes
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_samples,
+           CAST(CASE WHEN shard = 5 THEN 0 ELSE COUNT(*) END
+                AS BIGINT) AS n_read,
+           CAST(CASE WHEN shard = 5 THEN 0 ELSE 2 * COUNT(*) END
+                AS BIGINT) AS n_members,
+           CAST(CASE WHEN shard = 5 THEN 0 ELSE SUM(sample_bytes) END
+                AS BIGINT) AS payload_bytes,
+           shard NOT IN (2, 5) AS crc_ok
+    FROM s GROUP BY shard
+    """
+
+
+def _planted_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as 8 WebDataset tar shards (placement
+    doc_id % 8 via the shard_col override) under a deterministic temp
+    root, then plant the two damage modes. Re-runs rebuild from scratch
+    (rmtree first) so prior damage never compounds."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.webdataset import write_webdataset
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "l1db_wds_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    samples = docs.select(
+        F.format_string("%09d", "doc_id").alias("key"),
+        F.create_map(
+            F.lit("txt"),
+            F.encode(F.col("text"), "UTF-8"),
+            F.lit("json"),
+            F.encode(F.format_string('{"id":%d}', "doc_id"), "UTF-8"),
+        ).alias("members"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+    )
+    write_webdataset(samples, path, n_shards=8, shard_col="shard")
+    # damage mode 1: trailing junk after the end-of-archive marker —
+    # tarfile still parses every member, but size and CRC diverge from
+    # the manifest (the copy-went-subtly-wrong case)
+    with open(os.path.join(path, "shard-00002.tar"), "ab") as f:
+        f.write(b"\x00" * 512)
+    # damage mode 2: the shard is gone entirely (the lost-file case)
+    os.remove(os.path.join(path, "shard-00005.tar"))
+    return path
+
+
+def webdataset_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity report of a damaged WebDataset directory:
+    (shard, n_samples [manifest], n_read / n_members / payload_bytes
+    [re-read through the tar parser], crc_ok [manifest CRC-32 + size
+    check]). Junk-appended shard 2 re-reads fully but fails crc_ok;
+    deleted shard 5 reads as zero AND fails crc_ok — the report separates
+    "stale copy" from "lost shard".
+
+    Scale shape: the writer is ONE exchange (shard assignment) + one tar
+    per task with executor-local writes; the re-read is a zero-shuffle
+    binaryFile scan through Arrow mapInPandas; verification is a second
+    scan with JVM-side crc32() folded per file; the report joins three
+    8-row frames. Nothing driver-side but the final 8 rows."""
+    from ..sources.webdataset import read_webdataset, verify_webdataset_shards
+
+    path = _planted_shard_dir(spark, sf_dir)
+    rd = read_webdataset(spark, path)
+    counts = (
+        rd.filter(F.col("ok"))
+        .select(
+            F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
+            .cast("int")
+            .alias("shard"),
+            "n_members",
+            "n_bytes",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_read"),
+            F.sum("n_members").cast("long").alias("n_members"),
+            F.sum("n_bytes").alias("payload_bytes"),
+        )
+    )
+    verdicts = verify_webdataset_shards(spark, path).select(
+        "shard", F.col("ok").alias("crc_ok")
+    )
+    manifest = (
+        spark.read.option("header", True)
+        .csv(path + "/_manifest")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_samples").cast("long").alias("n_samples"),
+        )
+    )
+    return (
+        manifest.join(counts, "shard", "left")
+        .join(verdicts, "shard", "left")
+        .select(
+            "shard",
+            "n_samples",
+            F.coalesce("n_read", F.lit(0).cast("long")).alias("n_read"),
+            F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+            F.coalesce("payload_bytes", F.lit(0).cast("long")).alias(
+                "payload_bytes"
+            ),
+            F.coalesce("crc_ok", F.lit(False)).alias("crc_ok"),
+        )
+    )

@@ -149,6 +149,7 @@ def write_webdataset(
     n_shards: int = 16,
     key_col: str = "key",
     members_col: str = "members",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Pack (key, members: map<ext, binary>) rows into ``n_shards`` real
     tar shards under ``path`` (``shard-%05d.tar``), samples
@@ -158,7 +159,13 @@ def write_webdataset(
     manifest — crc32 is the shard's tar-byte CRC-32, the damage-detection
     handle :func:`verify_webdataset_shards` checks. Duplicate keys raise
     inside the task: two samples with one name would silently shadow each
-    other at training time."""
+    other at training time.
+
+    ``shard_col`` overrides the hash assignment with a caller-provided
+    int column in ``[0, n_shards)`` — the curriculum/placement hook
+    (e.g. length-sorted shards, domain-pure shards, or an
+    arithmetically-predictable layout for verification). Out-of-range
+    values raise rather than minting phantom shard files."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -182,6 +189,10 @@ def write_webdataset(
                 }
             )
         shard = int(pdf["_shard"].iloc[0])
+        if not (0 <= shard < n_shards):
+            raise ValueError(
+                f"shard id {shard} outside [0, {n_shards}) — bad {shard_col!r}"
+            )
         pdf = pdf.sort_values(key_col)
         if pdf[key_col].duplicated().any():
             dup = pdf[key_col][pdf[key_col].duplicated()].iloc[0]
@@ -210,14 +221,16 @@ def write_webdataset(
             }
         )
 
+    if shard_col is None:
+        # pmod, not abs()%: abs(Long.MIN_VALUE) is still negative in JVM
+        # semantics and would mint a negative shard id
+        assignment = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    else:
+        assignment = F.col(shard_col)
     assigned = samples.select(
         F.col(key_col),
         F.col(members_col),
-        # pmod, not abs()%: abs(Long.MIN_VALUE) is still negative in JVM
-        # semantics and would mint a negative shard id
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
-        .cast("int")
-        .alias("_shard"),
+        assignment.cast("int").alias("_shard"),
     )
     manifest = assigned.groupBy("_shard").applyInPandas(pack, out_schema)
     # materialize BEFORE returning so the write is not lazily re-run

@@ -174,3 +174,31 @@ def test_verify_flags_damage_missing_and_extra_shards(spark, tmp_path):
     assert not got[extra].ok and got[extra].manifest_crc32 is None
     for s in shards[2:]:
         assert got[s].ok
+
+
+def test_shard_col_override_controls_placement(spark, tmp_path):
+    """shard_col routes each sample to the caller's shard id — the
+    curriculum/verification placement hook — and out-of-range ids raise
+    instead of minting phantom files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "wds")
+    samples = _samples_df(spark).withColumn(
+        "slot", (F.length("key") * 0 + F.substring("key", 4, 4).cast("int") % 3)
+    )
+    manifest = {r.shard: r.n_samples for r in
+                write_webdataset(samples, out, n_shards=3, shard_col="slot").collect()}
+    assert manifest == {0: 7, 1: 7, 2: 6}  # i % 3 over i in 0..19
+    for shard in manifest:
+        with tarfile.open(os.path.join(out, f"shard-{shard:05d}.tar")) as tf:
+            for member in tf:
+                key, _ = _sample_key(member.name)
+                assert int(key[3:]) % 3 == shard
+
+    bad = _samples_df(spark).withColumn("slot", F.lit(99))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="outside|99"):
+        write_webdataset(bad, str(tmp_path / "bad"), n_shards=3, shard_col="slot")
