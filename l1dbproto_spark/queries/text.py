@@ -331,3 +331,154 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(
         load_table(spark, sf_dir, "documents"), min_count=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained char-n-gram language ID (r15 promotion candidate, staged in
+# COVERAGE.md) — driver-grade oracle in-suite in
+# tests/test_unregistered_batteries.py until a registry slot opens.
+#
+# The stopword heuristic above tops out at "does the doc contain my
+# seven function words"; real mixture building (CCNet / RefinedWeb)
+# trains a model over character n-grams (langid.py / fastText lid). The
+# documents fixture can't exercise that — its `lang` column is
+# decoration over one shared token soup — so the builder PLANTS a
+# two-language corpus derived arithmetically from doc_id (disjoint
+# five-word lexicons, 12 words per doc, word j = lex[(doc_id·7 + j) % 5]),
+# trains operators/langid.py's closed-form NB on the doc_id % 3 == 0
+# third, and predicts over all 500 docs. The oracle re-derives the WHOLE
+# pipeline — synthesis, 3..5-gram extraction, portable md5 bucket
+# hashing, smoothed NB fit, scoring, argmax — in DuckDB SQL. Only
+# integer/argmax columns are projected (lang_pred, n_grams, correct):
+# the decision margins are hundreds of nats, so ulp-level ln and
+# sum-order noise cannot flip a prediction, while any real defect
+# (wrong gram window, wrong smoothing, train/test leak) flips many.
+_LANGID_LEX0 = ("alpha", "bravo", "delta", "gamma", "omega")
+_LANGID_LEX1 = ("zulu", "yankee", "xray", "whisky", "victor")
+_LANGID_BUCKETS = 512
+
+
+def _langid_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.langid import LANGID_SALT
+
+    h = portable_hash64_sql("gram", LANGID_SALT)
+    lex0 = "[" + ", ".join(f"'{w}'" for w in _LANGID_LEX0) + "]"
+    lex1 = "[" + ", ".join(f"'{w}'" for w in _LANGID_LEX1) + "]"
+    gram_arms = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, substr(t, CAST(i AS INT), {n}) AS gram
+      FROM txt, unnest(range(1, length(t) - {n} + 2)) AS rs_{n}(i)"""
+        for n in (3, 4, 5)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN {lex0} ELSE {lex1} END AS lex,
+             CASE WHEN doc_id % 2 = 0 THEN 'l0' ELSE 'l1' END AS lang_true
+      FROM documents
+    ),
+    txt AS (
+      SELECT doc_id, lang_true,
+             array_to_string(list_transform(range(0, 12),
+               j -> lex[CAST((doc_id * 7 + j) % 5 AS INT) + 1]), ' ') AS t
+      FROM base
+    ),
+    grams AS (
+{gram_arms}
+    ),
+    feats AS (
+      SELECT doc_id, {h} % {_LANGID_BUCKETS} AS bucket, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT doc_id, lang_true AS lang FROM txt WHERE doc_id % 3 = 0
+    ),
+    tf AS (
+      SELECT l.lang, f.bucket, SUM(f.cnt) AS c
+      FROM feats f JOIN lab l USING (doc_id) GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(c) AS tc FROM tf GROUP BY 1),
+    pri AS (
+      SELECT lang,
+             ln(COUNT(*) / CAST((SELECT COUNT(*) FROM lab) AS DOUBLE))
+               AS log_prior
+      FROM lab GROUP BY 1
+    ),
+    stats AS (
+      SELECT t.lang, p.log_prior,
+             ln(1.0 / (t.tc + {_LANGID_BUCKETS}.0)) AS log_default
+      FROM tot t JOIN pri p USING (lang)
+    ),
+    cond AS (SELECT lang, bucket, ln((c + 1.0) / 1.0) AS delta FROM tf),
+    adj AS (
+      SELECT f.doc_id, c.lang, SUM(f.cnt * c.delta) AS adj
+      FROM feats f JOIN cond c USING (bucket) GROUP BY 1, 2
+    ),
+    totals AS (SELECT doc_id, SUM(cnt) AS n_grams FROM feats GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id, d.lang_true, t.n_grams, s.lang,
+             t.n_grams * s.log_default + COALESCE(a.adj, 0.0) + s.log_prior
+               AS score
+      FROM txt d JOIN totals t USING (doc_id) CROSS JOIN stats s
+      LEFT JOIN adj a ON a.doc_id = d.doc_id AND a.lang = s.lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang_true, n_grams, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang DESC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, lang AS lang_pred, n_grams, lang_true,
+           lang = lang_true AS correct
+    FROM ranked WHERE rnk = 1
+    """
+
+
+CHARNGRAM_LANGID_ORACLE = _langid_oracle()
+
+
+def charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID over the planted two-lexicon corpus:
+    (doc_id, lang_pred, n_grams, lang_true, correct) — NB fit on the
+    doc_id % 3 == 0 third, scored over every document.
+
+    Scale shape: synthesis and featurization are zero-shuffle column
+    algebra; training is two grouped aggregations over the bounded
+    labeled sample; scoring is a broadcast model join + one (id, lang)
+    aggregation + argmax. The corpus is never shuffled by anything
+    except doc id."""
+    from ..operators.langid import langid_scores, train_langid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lex0 = F.array(*[F.lit(w) for w in _LANGID_LEX0])
+    lex1 = F.array(*[F.lit(w) for w in _LANGID_LEX1])
+    is_l0 = F.col("doc_id") % 2 == 0
+    planted = docs.select(
+        "doc_id",
+        F.when(is_l0, F.lit("l0")).otherwise(F.lit("l1")).alias("lang_true"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda j: F.element_at(
+                    F.when(is_l0, lex0).otherwise(lex1),
+                    (F.pmod(F.col("doc_id") * 7 + j, F.lit(5)) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    labeled = planted.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", F.col("lang_true").alias("lang")
+    )
+    cond, stats = train_langid(labeled, num_buckets=_LANGID_BUCKETS)
+    preds = langid_scores(planted, cond, stats, num_buckets=_LANGID_BUCKETS)
+    return preds.join(planted.select("doc_id", "lang_true"), "doc_id").select(
+        "doc_id",
+        "lang_pred",
+        "n_grams",
+        "lang_true",
+        (F.col("lang_pred") == F.col("lang_true")).alias("correct"),
+    )

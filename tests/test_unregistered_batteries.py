@@ -1012,3 +1012,32 @@ def test_phrase_match_query_matches_oracle(spark):
     )
 
     _driver_grade(spark, phrase_match_query, PHRASE_MATCH_ORACLE, "phrase_match")
+
+
+# --- r15 promotion candidates (staged in COVERAGE.md): driver-grade
+# in-suite until a registry slot opens --------------------------------------
+
+
+def test_webdataset_shard_verify_matches_oracle(spark):
+    from l1dbproto_spark.queries.multimodal import (
+        WEBDATASET_SHARD_VERIFY_ORACLE,
+        webdataset_shard_verify,
+    )
+
+    _driver_grade(
+        spark,
+        webdataset_shard_verify,
+        WEBDATASET_SHARD_VERIFY_ORACLE,
+        "webdataset_shard_verify",
+    )
+
+
+def test_charngram_langid_matches_oracle(spark):
+    from l1dbproto_spark.queries.text import (
+        CHARNGRAM_LANGID_ORACLE,
+        charngram_langid,
+    )
+
+    _driver_grade(
+        spark, charngram_langid, CHARNGRAM_LANGID_ORACLE, "charngram_langid"
+    )
