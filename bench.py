@@ -68,6 +68,20 @@ from l1dbproto_spark.queries import load_all
 from l1dbproto_spark.session import get_spark
 
 
+def _bench_pixel_level() -> int:
+    """The visit store's quad-cube level — the planner's main read-path
+    tuning lever (PERFORMANCE.md known-costs: envelope over-approximation
+    ~1.6x at level 7 / FOV scale; level 8 tightens it at 4x the cell
+    table, still driver-trivial — ratio pair measured by
+    tools/envelope_ratio.py). Env knob so A/B runs need no code edit:
+    SPARK_GRAFT_PIXEL_LEVEL=8 python bench.py."""
+    import os as _os
+
+    from l1dbproto_spark.functions.pixelize import DEFAULT_LEVEL
+
+    return int(_os.environ.get("SPARK_GRAFT_PIXEL_LEVEL", DEFAULT_LEVEL))
+
+
 def bench_visit(spark) -> tuple[float, float, list[float]]:
     """(min, median, raw reps) seconds for one steady-state visit over
     visits 3-5 on the same growing store (visits 1-2 warm the DB; min is
@@ -85,7 +99,7 @@ def bench_visit(spark) -> tuple[float, float, list[float]]:
     root = tempfile.mkdtemp(prefix="apdb_bench_")
     try:
         pointing = Circle(40.0, -30.0, 1.76)
-        db = ApdbSpark(spark, root)
+        db = ApdbSpark(spark, root, pixel_level=_bench_pixel_level())
         db.make_schema(drop=True)
         cat = rand_cone_xyz(
             spark, 10_000, pointing.ra, pointing.dec, pointing.radius_deg, seed=71
@@ -137,7 +151,7 @@ def bench_visit_stream(
     root = tempfile.mkdtemp(prefix="apdb_bench_stream_")
     try:
         pointing = Circle(40.0, -30.0, 1.76)
-        db = ApdbSpark(spark, root)
+        db = ApdbSpark(spark, root, pixel_level=_bench_pixel_level())
         db.make_schema(drop=True)
         cat = rand_cone_xyz(
             spark, 10_000, pointing.ra, pointing.dec, pointing.radius_deg, seed=72
