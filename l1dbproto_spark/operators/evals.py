@@ -448,3 +448,238 @@ def bcubed_eval(
         F.round(rec, 9).alias("recall"),
         F.round(f1, 9).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------- BLEU
+
+
+def _ws_tokens(col: F.Column) -> F.Column:
+    """Plain whitespace tokens of the raw text — BLEU/ROUGE are
+    case- and punctuation-sensitive by convention (unlike the SQuAD
+    normalization above); callers tokenize/normalize upstream if their
+    metric variant wants it. Empty/NULL text -> empty array."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"[ \t\r\n\f]+")
+    )
+
+
+def _ngram_join(toks: F.Column, n: int) -> F.Column:
+    """Space-joined word n-grams of a token array (n is plan-time)."""
+    if n == 1:
+        return toks
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _clipped_overlap(pred_grams: F.Column, refs_grams: F.Column) -> F.Column:
+    """Modified (clipped) n-gram matches, Papineni et al. 2002: for each
+    DISTINCT prediction n-gram, min(count in prediction, MAX count over
+    references) — a prediction cannot farm credit by repeating a gram
+    more often than any single reference does."""
+    return F.aggregate(
+        F.array_distinct(pred_grams),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(pred_grams, lambda x: x == g)),
+            F.array_max(
+                F.transform(
+                    refs_grams,
+                    lambda rg: F.size(F.filter(rg, lambda x: x == g)),
+                )
+            ),
+        ).cast("long"),
+    )
+
+
+def bleu_ngram_stats(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+    n_max: int = 4,
+) -> DataFrame:
+    """Per-example BLEU sufficient statistics — ALL INTEGERS, the exact
+    corpus-BLEU decomposition of Papineni et al. 2002: (example_id,
+    pred_len, ref_len, match_1..match_{n_max}, total_1..total_{n_max})
+    where ``ref_len`` is the effective reference length (closest to the
+    prediction length; ties -> the SHORTER, the sacrebleu rule),
+    ``match_n`` the clipped n-gram matches over all references, and
+    ``total_n = max(pred_len − n + 1, 0)``. Examples with an empty/NULL
+    reference array score against one empty reference.
+
+    Integer-only output is deliberate: corpus BLEU is a pure function of
+    the column SUMS of this frame (:func:`bleu_report`), so the shuffle-
+    order-sensitive float work is deferred to ONE final row and the
+    per-example frame is exactly comparable across engines. Pure per-row
+    nested HOF algebra — zero shuffle, rides the scan."""
+    ptoks = _ws_tokens(F.col(pred_col))
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    rtoks = F.transform(refs_safe, lambda r: _ws_tokens(r))
+    # bind the token arrays once; per-n grams reference the bound columns
+    bound = preds.select(
+        F.col(id_col), ptoks.alias("_pt"), rtoks.alias("_rts")
+    )
+    out_cols = [
+        F.col(id_col).alias("example_id"),
+        F.size("_pt").cast("long").alias("pred_len"),
+        # effective reference length: min over refs of (|len−pred_len|, len)
+        F.array_min(
+            F.transform(
+                F.col("_rts"),
+                lambda rt: F.struct(
+                    F.abs(F.size(rt) - F.size("_pt")).alias("d"),
+                    F.size(rt).alias("len"),
+                ),
+            )
+        )["len"].cast("long").alias("ref_len"),
+    ]
+    def _ref_grams(n: int) -> F.Column:
+        # one-parameter lambda on purpose: PySpark counts DEFAULT args
+        # toward HOF lambda arity, so `lambda rt, n=n:` would become the
+        # (element, index) form and bind n to the index column
+        return F.transform(F.col("_rts"), lambda rt: _ngram_join(rt, n))
+
+    for n in range(1, n_max + 1):
+        pg = _ngram_join(F.col("_pt"), n)
+        rg = _ref_grams(n)
+        out_cols.append(
+            _clipped_overlap(pg, rg).alias(f"match_{n}")
+        )
+        out_cols.append(
+            F.greatest(F.size("_pt") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias(f"total_{n}")
+        )
+    return bound.select(*out_cols)
+
+
+def bleu_report(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+    n_max: int = 4,
+) -> DataFrame:
+    """Corpus BLEU: one row (n_examples, pred_len, ref_len, p_1..p_{n_max},
+    brevity_penalty, bleu). Exact integer column sums of
+    :func:`bleu_ngram_stats` feed the closed form
+
+        BP = min(1, e^(1 − ref_len/pred_len));
+        BLEU = BP · exp(Σ_n ln p_n / n_max)
+
+    — the only float ops are the final exp/ln over ratios of exact
+    integers, rounded to 9dp (partition order cannot reach them). A zero
+    match count at any n makes bleu 0.0 (the undefined-ln guard; corpus
+    BLEU has no smoothing in the original definition)."""
+    stats = bleu_ngram_stats(preds, id_col, pred_col, refs_col, n_max)
+    aggs = [
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("pred_len").alias("pred_len"),
+        F.sum("ref_len").alias("ref_len"),
+    ]
+    for n in range(1, n_max + 1):
+        aggs.append(F.sum(f"match_{n}").alias(f"m{n}"))
+        aggs.append(F.sum(f"total_{n}").alias(f"t{n}"))
+    row = stats.agg(*aggs)
+    # try_divide: a dry n-gram order (t_n = 0) reports p_n NULL instead
+    # of raising under ANSI mode; bleu itself is already 0-guarded
+    p = [
+        F.try_divide(F.col(f"m{n}"), F.col(f"t{n}")).alias(f"p_{n}")
+        for n in range(1, n_max + 1)
+    ]
+    bp = F.when(
+        F.col("pred_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(
+        F.exp(F.lit(1.0) - F.try_divide(F.col("ref_len"), F.col("pred_len")))
+    )
+    any_zero = None
+    for n in range(1, n_max + 1):
+        z = (F.col(f"m{n}") == 0) | (F.col(f"t{n}") == 0)
+        any_zero = z if any_zero is None else (any_zero | z)
+    log_mean = sum(
+        [
+            F.log(F.try_divide(F.col(f"m{n}"), F.col(f"t{n}")))
+            for n in range(1, n_max + 1)
+        ],
+        F.lit(0.0),
+    ) / F.lit(float(n_max))
+    bleu = F.when(any_zero, F.lit(0.0)).otherwise(
+        F.round(bp * F.exp(log_mean), 9)
+    )
+    return row.select(
+        "n_examples",
+        "pred_len",
+        "ref_len",
+        *[F.round(pc, 9).alias(f"p_{n}") for n, pc in enumerate(p, 1)],
+        F.round(bp, 9).alias("brevity_penalty"),
+        bleu.alias("bleu"),
+    )
+
+
+def rouge_n_scores(
+    preds: DataFrame,
+    n: int = 1,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+) -> DataFrame:
+    """Per-example ROUGE-N (Lin 2004) against multiple references:
+    (example_id, precision, recall, f1) of the BEST reference by F1
+    (the multi-reference max rule; ties -> larger precision, then
+    recall — struct-max, deterministic). Per-reference overlap is the
+    clipped count min(count_pred, count_ref) per distinct gram; empty
+    sides follow the engine's convention (both empty -> 1.0, one empty
+    -> 0.0). Rational arithmetic rounded 9dp; zero shuffle."""
+    ptoks = _ws_tokens(F.col(pred_col))
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    bound = preds.select(
+        F.col(id_col),
+        _ngram_join(ptoks, n).alias("_pg"),
+        F.transform(
+            refs_safe, lambda r: _ngram_join(_ws_tokens(r), n)
+        ).alias("_rgs"),
+    )
+
+    def per_ref(rg: F.Column) -> F.Column:
+        m = F.aggregate(
+            F.array_distinct(F.col("_pg")),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(F.col("_pg"), lambda x: x == g)),
+                F.size(F.filter(rg, lambda x: x == g)),
+            ).cast("long"),
+        )
+        np_, nr = F.size(F.col("_pg")), F.size(rg)
+        prec = F.when((np_ == 0) & (nr == 0), F.lit(1.0)).when(
+            np_ == 0, F.lit(0.0)
+        ).otherwise(F.round(m / np_, 9))
+        rec = F.when((np_ == 0) & (nr == 0), F.lit(1.0)).when(
+            nr == 0, F.lit(0.0)
+        ).otherwise(F.round(m / nr, 9))
+        f1 = F.when(
+            (np_ == 0) & (nr == 0), F.lit(1.0)
+        ).when((np_ == 0) | (nr == 0) | (m == 0), F.lit(0.0)).otherwise(
+            F.round(2.0 * m / (np_ + nr), 9)
+        )
+        return F.struct(
+            f1.alias("f1"), prec.alias("precision"), rec.alias("recall")
+        )
+
+    best = F.array_max(F.transform(F.col("_rgs"), per_ref))
+    return bound.select(
+        F.col(id_col).alias("example_id"),
+        best["precision"].alias("precision"),
+        best["recall"].alias("recall"),
+        best["f1"].alias("f1"),
+    )

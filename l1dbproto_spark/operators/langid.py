@@ -64,16 +64,20 @@ def char_ngram_features(
     yields an empty array rather than Spark's descending sequence(1, 0).
     """
     t = F.col("_t")
-    per_n = [
-        F.when(
+
+    def gram_arm(n: int) -> F.Column:
+        # one-parameter lambda on purpose: PySpark counts DEFAULT args
+        # toward HOF lambda arity, so `lambda i, n=n:` would become the
+        # (element, index) form and bind n to the index column
+        return F.when(
             F.length(t) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.length(t) - (n - 1)),
-                lambda i, n=n: t.substr(i, F.lit(n)),
+                lambda i: t.substr(i, F.lit(n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        for n in range(n_min, n_max + 1)
-    ]
+
+    per_n = [gram_arm(n) for n in range(n_min, n_max + 1)]
     return (
         docs.select(
             F.col(id_col),

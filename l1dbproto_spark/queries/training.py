@@ -375,3 +375,139 @@ def generation_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("references"),
     )
     return generation_scores(preds)
+
+
+# ---------------------------------------------------------------------------
+# BLEU + ROUGE-N machine-translation/summarization metrics (r14, new
+# generation-eval family members next to the SQuAD row above) —
+# driver-grade oracle in-suite in tests/test_unregistered_batteries.py
+# (r15 promotion candidate).
+#
+# The fixture plants overlapping word windows from each document:
+# prediction = words 1..10, references = [words 1..12, words 3..12]
+# (so clipping, the brevity ref-length tie rule, and multi-reference max
+# all engage on real repeated-token text), and every doc_id % 5 == 0
+# prediction is replaced by a repeated decoy ("zz yy zz zz" — exercises
+# the zero-match path and clipped repetition at once). The projection is
+# the INTEGER corpus-BLEU sufficient statistics per example plus the
+# exact-rational ROUGE-1/-2 F1 (9dp) — no ln/exp anywhere near the
+# compared values; corpus BLEU itself is pinned against an independent
+# Python reference in tests/test_bleu.py.
+BLEU_NGRAM_STATS_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n\f]+') AS w
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id AS example_id,
+             CASE WHEN doc_id % 5 = 0 THEN ['zz', 'yy', 'zz', 'zz']
+                  ELSE w[1:10] END AS pt,
+             [w[1:12], w[3:12]] AS rts
+      FROM toks
+    ),
+    g AS (
+      SELECT example_id, pt, rts,
+             len(pt) AS plen,
+             (list_min(list_transform(rts,
+                rt -> abs(len(rt) - len(pt)) * 1000000 + len(rt)))
+              % 1000000) AS ref_len
+      FROM ex
+    )
+    SELECT example_id,
+           CAST(plen AS BIGINT) AS pred_len,
+           CAST(ref_len AS BIGINT) AS ref_len,
+           {match_total},
+           {rouge}
+    FROM g
+    """
+
+
+def _duck_ngrams(src: str, n: int) -> str:
+    if n == 1:
+        return src
+    return (
+        f"CASE WHEN len({src}) >= {n} THEN "
+        f"list_transform(range(1, len({src}) - {n} + 2), "
+        f"i -> array_to_string({src}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _duck_clipped(pg: str, rgs: str) -> str:
+    return (
+        f"CAST(coalesce(list_sum(list_transform(list_distinct({pg}), "
+        f"g -> least("
+        f"len(list_filter({pg}, x -> x = g)), "
+        f"list_max(list_transform({rgs}, "
+        f"rg -> len(list_filter(rg, x -> x = g))))"
+        f"))), 0) AS BIGINT)"
+    )
+
+
+def _duck_rouge_f1(n: int) -> str:
+    pg = _duck_ngrams("pt", n)
+    rg = _duck_ngrams("rt", n)
+    m = (
+        f"coalesce(list_sum(list_transform(list_distinct({pg}), "
+        f"g -> least(len(list_filter({pg}, x -> x = g)), "
+        f"len(list_filter({rg}, x -> x = g))))), 0)"
+    )
+    per_ref = (
+        f"CASE WHEN len({pg}) = 0 AND len({rg}) = 0 THEN 1.0 "
+        f"WHEN len({pg}) = 0 OR len({rg}) = 0 THEN 0.0 "
+        f"ELSE round(2.0 * {m} / (len({pg}) + len({rg})), 9) END"
+    )
+    return f"list_max(list_transform(rts, rt -> {per_ref}))"
+
+
+def _render_bleu_oracle() -> str:
+    mt = ",\n           ".join(
+        f"{_duck_clipped(_duck_ngrams('pt', n), 'list_transform(rts, rt -> ' + _duck_ngrams('rt', n) + ')')} AS match_{n},\n"
+        f"           CAST(greatest(plen - {n - 1}, 0) AS BIGINT) AS total_{n}"
+        for n in range(1, 5)
+    )
+    rouge = ",\n           ".join(
+        f"{_duck_rouge_f1(n)} AS rouge{n}_f1" for n in (1, 2)
+    )
+    return BLEU_NGRAM_STATS_ORACLE.format(match_total=mt, rouge=rouge)
+
+
+BLEU_NGRAM_STATS_ORACLE = _render_bleu_oracle()
+
+
+def bleu_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example generation metrics over the planted window fixture:
+    the integer corpus-BLEU sufficient statistics (clipped matches +
+    totals for n=1..4, prediction length, closest-tie-shorter effective
+    reference length) joined with exact-rational ROUGE-1/-2 best-of-
+    references F1. Scale shape: pure per-row nested HOF algebra — zero
+    shuffle, zero Python; corpus BLEU is one final 1-row aggregation of
+    the integer columns (operators/evals.py bleu_report)."""
+    from ..operators.evals import bleu_ngram_stats, rouge_n_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"[ \t\r\n\f]+")
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.lit("zz"), F.lit("yy"), F.lit("zz"), F.lit("zz")),
+        )
+        .otherwise(F.slice(w, 1, 10))
+        .alias("_pt"),
+        F.array(F.slice(w, 1, 12), F.slice(w, 3, 10)).alias("_rts"),
+    ).select(
+        "example_id",
+        F.array_join("_pt", " ").alias("prediction"),
+        F.transform("_rts", lambda r: F.array_join(r, " ")).alias(
+            "references"
+        ),
+    )
+    stats = bleu_ngram_stats(preds)
+    r1 = rouge_n_scores(preds, n=1).select(
+        "example_id", F.col("f1").alias("rouge1_f1")
+    )
+    r2 = rouge_n_scores(preds, n=2).select(
+        "example_id", F.col("f1").alias("rouge2_f1")
+    )
+    return stats.join(r1, "example_id").join(r2, "example_id")

@@ -1,0 +1,124 @@
+"""operators/evals.py BLEU + ROUGE-N: hand cases for the clipping /
+brevity / multi-reference rules and an independent-Python-reference pin
+for corpus BLEU (the driver-grade oracle compare of the planted query
+lives in tests/test_unregistered_batteries.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from l1dbproto_spark.operators.evals import (
+    bleu_ngram_stats,
+    bleu_report,
+    rouge_n_scores,
+)
+
+
+def _preds(spark, rows):
+    return spark.createDataFrame(
+        rows, "example_id long, prediction string, references array<string>"
+    )
+
+
+def _py_bleu(examples, n_max=4):
+    """Independent corpus BLEU (Papineni 2002), plain Python."""
+    m = [0] * n_max
+    t = [0] * n_max
+    c = r = 0
+
+    def grams(toks, n):
+        return Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    for pred, refs in examples:
+        pt = pred.split()
+        rts = [x.split() for x in refs]
+        c += len(pt)
+        r += min((abs(len(rt) - len(pt)), len(rt)) for rt in rts)[1]
+        for n in range(1, n_max + 1):
+            pg = grams(pt, n)
+            t[n - 1] += max(len(pt) - n + 1, 0)
+            for g, cnt in pg.items():
+                m[n - 1] += min(cnt, max(grams(rt, n)[g] for rt in rts))
+    if any(x == 0 for x in m) or any(x == 0 for x in t):
+        return 0.0
+    bp = 1.0 if c >= r else math.exp(1.0 - r / c)
+    return bp * math.exp(
+        sum(math.log(m[i] / t[i]) for i in range(n_max)) / n_max
+    )
+
+
+def test_clipping_rule(spark):
+    # "the the the" vs ref "the cat": 'the' appears 3x in pred but max
+    # 1x in any ref -> match_1 = 1 (clipped), total_1 = 3.
+    out = bleu_ngram_stats(
+        _preds(spark, [(1, "the the the", ["the cat"])])
+    ).collect()[0]
+    assert out.match_1 == 1 and out.total_1 == 3
+    assert out.match_2 == 0 and out.total_2 == 2
+    assert out.pred_len == 3 and out.ref_len == 2
+
+
+def test_effective_ref_length_ties_to_shorter(spark):
+    # pred len 3; refs of len 2 and 4 are equally close -> pick 2.
+    out = bleu_ngram_stats(
+        _preds(spark, [(1, "a b c", ["x y", "x y z w"])])
+    ).collect()[0]
+    assert out.ref_len == 2
+
+
+def test_clip_uses_max_over_references(spark):
+    # 'a a' in pred; ref1 has 'a' once, ref2 twice -> clip at 2.
+    out = bleu_ngram_stats(
+        _preds(spark, [(1, "a a", ["a b", "a a"])])
+    ).collect()[0]
+    assert out.match_1 == 2
+
+
+def test_corpus_bleu_matches_python_reference(spark):
+    examples = [
+        ("the cat sat on the mat", ["the cat sat on a mat", "a cat on the mat"]),
+        ("he ate a fish", ["he ate the fish today"]),
+        ("green ideas sleep furiously", ["colorless green ideas sleep furiously"]),
+    ]
+    rows = [(i, p, rs) for i, (p, rs) in enumerate(examples)]
+    got = bleu_report(_preds(spark, rows)).collect()[0]
+    want = _py_bleu(examples)
+    assert abs(got.bleu - want) < 1e-9
+    assert got.n_examples == 3
+    # per-n precision sanity: exact integer ratios
+    assert got.p_1 == round(
+        sum(
+            min(
+                Counter(p.split())[w],
+                max(Counter(r.split())[w] for r in rs),
+            )
+            for p, rs in examples
+            for w in set(p.split())
+        )
+        / sum(len(p.split()) for p, _ in examples),
+        9,
+    )
+
+
+def test_corpus_bleu_zero_when_an_order_is_dry(spark):
+    # one-word predictions: no 2-grams anywhere -> bleu 0 (no smoothing).
+    got = bleu_report(_preds(spark, [(1, "cat", ["cat"])])).collect()[0]
+    assert got.bleu == 0.0
+
+
+def test_rouge_multi_reference_max_and_edges(spark):
+    # ROUGE-1 vs two refs: second ref overlaps 2/2 of pred -> best f1.
+    out = rouge_n_scores(
+        _preds(spark, [(1, "a b", ["x y z", "a b"]), (2, "", [""])]),
+        n=1,
+    ).collect()
+    by_id = {r.example_id: r for r in out}
+    assert by_id[1].f1 == 1.0 and by_id[1].precision == 1.0
+    assert by_id[2].f1 == 1.0  # both-empty convention
+    out2 = rouge_n_scores(
+        _preds(spark, [(1, "a b c", ["x y"])]), n=2
+    ).collect()[0]
+    assert out2.f1 == 0.0 and out2.recall == 0.0

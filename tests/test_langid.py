@@ -36,6 +36,30 @@ def test_char_ngram_window_arithmetic(spark):
     assert got == {1: 3, 4: 1}
 
 
+def test_char_ngram_bucket_content(spark):
+    """CONTENT check, not just counts: the buckets of 'abcd' must be the
+    portable-md5 buckets of exactly {'abc', 'bcd', 'abcd'} — this is the
+    assertion that catches a wrong gram window (e.g. the PySpark HOF
+    arity trap where a default-arg lambda silently receives the element
+    INDEX as the gram length)."""
+    import hashlib
+
+    from l1dbproto_spark.operators.langid import LANGID_SALT
+
+    def bucket(gram: str, b: int = 64) -> int:
+        h = hashlib.md5((LANGID_SALT + gram).encode()).hexdigest()[:15]
+        return int(h, 16) % b
+
+    feats = char_ngram_features(
+        _docs(spark, [(1, "abcd")]), num_buckets=64
+    ).collect()
+    got = {(r.bucket, r.cnt) for r in feats}
+    from collections import Counter
+
+    want_counter = Counter(bucket(g) for g in ("abc", "bcd", "abcd"))
+    assert got == {(b, c) for b, c in want_counter.items()}
+
+
 def test_char_ngram_counts_occurrences_not_types(spark):
     # "aaaa" -> 3-grams aaa,aaa (2 occurrences of ONE type) + 4-gram
     # aaaa -> one bucket row per type, counts preserved.

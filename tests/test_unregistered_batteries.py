@@ -1041,3 +1041,14 @@ def test_charngram_langid_matches_oracle(spark):
     _driver_grade(
         spark, charngram_langid, CHARNGRAM_LANGID_ORACLE, "charngram_langid"
     )
+
+
+def test_bleu_ngram_stats_matches_oracle(spark):
+    from l1dbproto_spark.queries.training import (
+        BLEU_NGRAM_STATS_ORACLE,
+        bleu_ngram_stats_q,
+    )
+
+    _driver_grade(
+        spark, bleu_ngram_stats_q, BLEU_NGRAM_STATS_ORACLE, "bleu_ngram_stats"
+    )
