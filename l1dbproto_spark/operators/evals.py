@@ -683,3 +683,101 @@ def rouge_n_scores(
         best["recall"].alias("recall"),
         best["f1"].alias("f1"),
     )
+
+
+# --------------------------------------------------------------------- chrF
+
+
+def chrf_scores(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+    n_max: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-example chrF (Popović 2015) — character-n-gram F-score,
+    the third standard generation metric next to BLEU and ROUGE and the
+    one robust to tokenization: (example_id, chrf) with chrf in [0, 1]
+    of the BEST reference (max score, the multi-reference rule shared
+    with ROUGE).
+
+    Definition used (documented because published variants differ in
+    edge handling): whitespace is removed entirely (the chrF convention
+    — the metric sees morphology, not token boundaries); for each order
+    n = 1..n_max, P_n / R_n are the clipped char-n-gram precision /
+    recall against the reference; orders where BOTH sides have no
+    n-grams are SKIPPED (short-text rule), an order where exactly one
+    side is empty scores 0; P and R are the plain means over the
+    non-skipped orders accumulated in ascending n (a fixed fold order,
+    so the doubles are engine-reproducible); chrF =
+    (1+β²)·P·R / (β²·P + R), 0 when the denominator is 0, rounded 9dp.
+    Both sides empty across all orders -> 1.0 (the empty-vs-empty
+    convention of the family).
+
+    Scale shape: pure per-row nested HOF algebra, zero shuffle — but
+    the per-row cost is O(n_max · |text|²) from the distinct-gram
+    clipping, so this is an EVAL-SET operator (thousands of rows), not
+    a corpus operator; eval sets are bounded by construction."""
+
+    def chars(col: F.Column) -> F.Column:
+        return F.regexp_replace(
+            F.coalesce(col, F.lit("")), r"[ \t\r\n\f]+", ""
+        )
+
+    def char_grams(s: F.Column, n: int) -> F.Column:
+        cnt = F.length(s) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt), lambda i: s.substr(i, F.lit(n))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def overlap(pg: F.Column, rg: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_distinct(pg),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(pg, lambda x: x == g)),
+                F.size(F.filter(rg, lambda x: x == g)),
+            ).cast("long"),
+        )
+
+    def per_ref(r: F.Column) -> F.Column:
+        ps = F.lit(0.0)
+        rs = F.lit(0.0)
+        k = F.lit(0)
+        for n in range(1, n_max + 1):
+            pg = char_grams(F.col("_p"), n)
+            rg = char_grams(chars(r), n)
+            np_, nr = F.size(pg), F.size(rg)
+            skip = (np_ == 0) & (nr == 0)
+            m = overlap(pg, rg)
+            ps = ps + F.when(skip | (np_ == 0), F.lit(0.0)).otherwise(
+                m / np_
+            )
+            rs = rs + F.when(skip | (nr == 0), F.lit(0.0)).otherwise(m / nr)
+            k = k + F.when(skip, F.lit(0)).otherwise(F.lit(1))
+        p_mean = ps / k
+        r_mean = rs / k
+        b2 = float(beta) * float(beta)
+        f = ((1.0 + b2) * p_mean * r_mean) / (b2 * p_mean + r_mean)
+        return (
+            F.when(k == 0, F.lit(1.0))  # both sides empty at every order
+            .when(
+                (p_mean == 0.0) | (r_mean == 0.0), F.lit(0.0)
+            )
+            .otherwise(F.round(f, 9))
+        )
+
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    bound = preds.select(
+        F.col(id_col), chars(F.col(pred_col)).alias("_p"), refs_safe.alias("_rs")
+    )
+    best = F.array_max(F.transform(F.col("_rs"), per_ref))
+    return bound.select(
+        F.col(id_col).alias("example_id"), best.alias("chrf")
+    )

@@ -122,3 +122,62 @@ def test_rouge_multi_reference_max_and_edges(spark):
         _preds(spark, [(1, "a b c", ["x y"])]), n=2
     ).collect()[0]
     assert out2.f1 == 0.0 and out2.recall == 0.0
+
+
+def _py_chrf(pred, refs, n_max=6, beta=2.0):
+    """Python mirror of the documented chrF rule."""
+    import re
+
+    def chars(s):
+        return re.sub(r"[ \t\r\n\f]+", "", s or "")
+
+    def grams(s, n):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    best = None
+    p0 = chars(pred)
+    for ref in refs if refs else [""]:
+        r0 = chars(ref)
+        ps = rs = 0.0
+        k = 0
+        for n in range(1, n_max + 1):
+            pg, rg = grams(p0, n), grams(r0, n)
+            if not pg and not rg:
+                continue
+            k += 1
+            m = sum(min(c, rg[g]) for g, c in pg.items())
+            ps += m / sum(pg.values()) if pg else 0.0
+            rs += m / sum(rg.values()) if rg else 0.0
+        if k == 0:
+            score = 1.0
+        else:
+            p_mean, r_mean = ps / k, rs / k
+            if p_mean == 0.0 or r_mean == 0.0:
+                score = 0.0
+            else:
+                b2 = beta * beta
+                score = round(
+                    (1 + b2) * p_mean * r_mean / (b2 * p_mean + r_mean), 9
+                )
+        best = score if best is None else max(best, score)
+    return best
+
+
+def test_chrf_matches_python_mirror(spark):
+    from l1dbproto_spark.operators.evals import chrf_scores
+
+    examples = [
+        (1, "the cat sat", ["the cat sat on the mat", "a cat sat"]),
+        (2, "completely different", ["nothing shared here at all"]),
+        (3, "abc", ["abc"]),
+        (4, "", [""]),
+        (5, "ab", ["xy"]),
+    ]
+    got = {
+        r.example_id: r.chrf
+        for r in chrf_scores(_preds(spark, examples)).collect()
+    }
+    for ex_id, pred, refs in examples:
+        want = _py_chrf(pred, refs)
+        assert abs(got[ex_id] - want) < 1e-9, (ex_id, got[ex_id], want)
+    assert got[3] == 1.0 and got[4] == 1.0 and got[5] == 0.0
