@@ -511,3 +511,91 @@ def bleu_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "example_id", F.col("f1").alias("rouge2_f1")
     )
     return stats.join(r1, "example_id").join(r2, "example_id")
+
+
+# ---------------------------------------------------------------------------
+# chrF (r14) — driver-grade oracle in-suite. The fixture slices two
+# overlapping char windows from each document (prediction = chars 1..40,
+# references = [chars 1..48, chars 9..48]); the oracle re-derives the
+# documented chrF rule (whitespace removal, orders 1..6 with
+# skip-when-both-empty, clipped overlap, ascending-n accumulation,
+# beta=2 F, best-of-references) with IDENTICAL operand order, so the
+# doubles match bit-for-bit before the shared 9dp round.
+
+
+def _duck_chrf_ref(pred: str, ref: str, n_max: int = 6, b2: float = 4.0) -> str:
+    def grams(s: str, n: int) -> str:
+        return (
+            f"CASE WHEN length({s}) >= {n} THEN "
+            f"list_transform(range(1, length({s}) - {n} + 2), "
+            f"i -> substr({s}, CAST(i AS INT), {n})) "
+            f"ELSE [] END"
+        )
+
+    ps, rs, k = "0.0", "0.0", "0"
+    for n in range(1, n_max + 1):
+        pg, rg = grams(pred, n), grams(ref, n)
+        m = (
+            f"coalesce(list_sum(list_transform(list_distinct({pg}), "
+            f"g -> least(len(list_filter({pg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))), 0)"
+        )
+        skip = f"(len({pg}) = 0 AND len({rg}) = 0)"
+        ps = (
+            f"({ps} + CASE WHEN {skip} OR len({pg}) = 0 THEN 0.0 "
+            f"ELSE CAST({m} AS DOUBLE) / len({pg}) END)"
+        )
+        rs = (
+            f"({rs} + CASE WHEN {skip} OR len({rg}) = 0 THEN 0.0 "
+            f"ELSE CAST({m} AS DOUBLE) / len({rg}) END)"
+        )
+        k = f"({k} + CASE WHEN {skip} THEN 0 ELSE 1 END)"
+    p_mean, r_mean = f"({ps} / {k})", f"({rs} / {k})"
+    f = (
+        f"(((1.0 + {b2}) * {p_mean} * {r_mean}) / "
+        f"({b2} * {p_mean} + {r_mean}))"
+    )
+    return (
+        f"CASE WHEN {k} = 0 THEN 1.0 "
+        f"WHEN {p_mean} = 0.0 OR {r_mean} = 0.0 THEN 0.0 "
+        f"ELSE round({f}, 9) END"
+    )
+
+
+def _render_chrf_oracle() -> str:
+    body = _duck_chrf_ref("p", "r")
+    return f"""
+    WITH ex AS (
+      SELECT doc_id AS example_id,
+             regexp_replace(substr(trim(text), 1, 40),
+                            '[ \t\r\n\f]+', '', 'g') AS p,
+             list_transform(
+               [substr(trim(text), 1, 48), substr(trim(text), 9, 40)],
+               r0 -> regexp_replace(r0, '[ \t\r\n\f]+', '', 'g')) AS rs
+      FROM documents
+    )
+    SELECT example_id,
+           list_max(list_transform(rs, r -> {body})) AS chrf
+    FROM ex
+    """
+
+
+CHRF_SCORES_ORACLE = _render_chrf_oracle()
+
+
+def chrf_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example chrF over the planted overlapping char windows —
+    (example_id, chrf). Scale shape: per-row HOF algebra, zero shuffle
+    (eval-set operator by contract, bounded input)."""
+    from ..operators.evals import chrf_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.trim("text")
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.substring(t, 1, 40).alias("prediction"),
+        F.array(F.substring(t, 1, 48), F.substring(t, 9, 40)).alias(
+            "references"
+        ),
+    )
+    return chrf_scores(preds)

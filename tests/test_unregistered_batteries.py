@@ -1052,3 +1052,12 @@ def test_bleu_ngram_stats_matches_oracle(spark):
     _driver_grade(
         spark, bleu_ngram_stats_q, BLEU_NGRAM_STATS_ORACLE, "bleu_ngram_stats"
     )
+
+
+def test_chrf_scores_matches_oracle(spark):
+    from l1dbproto_spark.queries.training import (
+        CHRF_SCORES_ORACLE,
+        chrf_scores_q,
+    )
+
+    _driver_grade(spark, chrf_scores_q, CHRF_SCORES_ORACLE, "chrf_scores")
