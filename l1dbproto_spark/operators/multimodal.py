@@ -673,6 +673,10 @@ def image_quality_signals(
                 if not ok or pixels is None:
                     rows.append((mid, False, None, None, None, None))
                     continue
+                # int(): a batch that also carries ok=false rows has
+                # NULLs in width/height, so pandas widens the whole
+                # column to float64 — reshape needs real ints
+                w, h = int(w), int(h)
                 rgb = (
                     np.frombuffer(bytes(pixels), np.uint8)
                     .reshape(h, w, 3)

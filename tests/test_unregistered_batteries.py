@@ -1061,3 +1061,14 @@ def test_chrf_scores_matches_oracle(spark):
     )
 
     _driver_grade(spark, chrf_scores_q, CHRF_SCORES_ORACLE, "chrf_scores")
+
+
+def test_image_quality_gate_matches_oracle(spark):
+    from l1dbproto_spark.queries.multimodal import (
+        IMAGE_QUALITY_GATE_ORACLE,
+        image_quality_gate,
+    )
+
+    _driver_grade(
+        spark, image_quality_gate, IMAGE_QUALITY_GATE_ORACLE, "image_quality_gate"
+    )
