@@ -781,3 +781,104 @@ def chrf_scores(
     return bound.select(
         F.col(id_col).alias("example_id"), best.alias("chrf")
     )
+
+
+# ------------------------------------------------------------------ ROUGE-L
+
+
+def rouge_l_scores(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+) -> DataFrame:
+    """Per-example ROUGE-L (Lin 2004 §3.2) — longest-common-subsequence
+    recall/precision/F1 against multiple references, best reference by
+    F1 (struct-max ties to larger precision then recall, like ROUGE-N):
+    (example_id, lcs, precision, recall, f1) with F1 the plain harmonic
+    mean (β=1; the summarization-weighted β variant is a caller-side
+    reweighting of the same P/R columns).
+
+    The LCS dynamic program runs ENTIRELY in column algebra: the outer
+    ``aggregate`` folds prediction positions carrying the previous DP
+    row as an array accumulator, the inner ``aggregate`` folds reference
+    positions extending the new row one cell at a time (cell = max(up,
+    left, diag + match)) — no Python, no shuffle, rides the scan. Cost
+    is O(|pred|·|ref|) per pair with array builds, so like chrF this is
+    an EVAL-SET operator by contract, not a corpus scan.
+
+    Empty-side conventions as everywhere in the family: both sides
+    empty -> 1.0, one empty -> 0.0; scores are exact rationals rounded
+    9dp."""
+    ptoks = _ws_tokens(F.col(pred_col))
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    bound = preds.select(
+        F.col(id_col),
+        ptoks.alias("_pt"),
+        F.transform(refs_safe, lambda r: _ws_tokens(r)).alias("_rts"),
+    )
+
+    def lcs_len(rt: F.Column) -> F.Column:
+        np_, nr = F.size("_pt"), F.size(rt)
+        init = F.array_repeat(F.lit(0), nr + 1)
+
+        def next_row(prev: F.Column, i: F.Column) -> F.Column:
+            return F.aggregate(
+                F.sequence(F.lit(1), nr),
+                F.array(F.lit(0)),
+                lambda acc, j: F.concat(
+                    acc,
+                    F.array(
+                        F.greatest(
+                            F.element_at(prev, j + 1),  # up
+                            F.element_at(acc, j),  # left (last cell built)
+                            F.element_at(prev, j)  # diag + match
+                            + F.when(
+                                F.element_at(F.col("_pt"), i.cast("int"))
+                                == F.element_at(rt, j.cast("int")),
+                                F.lit(1),
+                            ).otherwise(F.lit(0)),
+                        )
+                    ),
+                ),
+            )
+
+        # guards: sequence(1, 0) is DESCENDING in Spark, so empty sides
+        # must short-circuit rather than fold
+        full = F.aggregate(F.sequence(F.lit(1), np_), init, next_row)
+        return (
+            F.when((np_ == 0) | (nr == 0), F.lit(0))
+            .otherwise(F.element_at(full, -1))
+            .cast("long")
+        )
+
+    def per_ref(rt: F.Column) -> F.Column:
+        m = lcs_len(rt)
+        np_, nr = F.size("_pt"), F.size(rt)
+        prec = F.when((np_ == 0) & (nr == 0), F.lit(1.0)).when(
+            np_ == 0, F.lit(0.0)
+        ).otherwise(F.round(m / np_, 9))
+        rec = F.when((np_ == 0) & (nr == 0), F.lit(1.0)).when(
+            nr == 0, F.lit(0.0)
+        ).otherwise(F.round(m / nr, 9))
+        f1 = F.when((np_ == 0) & (nr == 0), F.lit(1.0)).when(
+            (np_ == 0) | (nr == 0) | (m == 0), F.lit(0.0)
+        ).otherwise(F.round(2.0 * m / (np_ + nr), 9))
+        # 2PR/(P+R) with P=m/np, R=m/nr simplifies to 2m/(np+nr): the F1
+        # is exact rational arithmetic, no intermediate float divisions
+        return F.struct(
+            f1.alias("f1"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            m.alias("lcs"),
+        )
+
+    best = F.array_max(F.transform(F.col("_rts"), per_ref))
+    return bound.select(
+        F.col(id_col).alias("example_id"),
+        best["lcs"].alias("lcs"),
+        best["precision"].alias("precision"),
+        best["recall"].alias("recall"),
+        best["f1"].alias("f1"),
+    )

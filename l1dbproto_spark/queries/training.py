@@ -599,3 +599,104 @@ def chrf_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return chrf_scores(preds)
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (r14) — driver-grade oracle in-suite. The fixture plants
+# prediction = words 1..8, references = [words 1..10, REVERSED words
+# 1..8] (the reversal forces LCS < multiset overlap, which is exactly
+# what separates ROUGE-L from ROUGE-N), and every doc_id % 7 == 0
+# prediction is the disjoint decoy 'qq rr' (zero-LCS path). The oracle
+# runs the SAME dynamic program in DuckDB — nested list_reduce with a
+# list accumulator (list_prepend supplies the initial DP row; positions
+# ride as single-element lists so the accumulator and element types
+# unify) — and picks the best reference by the same (f1, precision,
+# recall, lcs) tuple order. All compared values are integers or exact
+# rationals rounded 9dp.
+
+_DUCK_LCS = """list_reduce(
+        list_prepend(list_transform(range(0, len({rt}) + 1), z -> 0),
+                     list_transform(range(1, len({pt}) + 1),
+                                    i -> [CAST(i AS INT)])),
+        (prev, x) -> list_reduce(
+            list_prepend([0],
+                         list_transform(range(1, len({rt}) + 1),
+                                        j -> [CAST(j AS INT)])),
+            (acc, y) -> list_append(acc, greatest(
+                prev[y[1] + 1],
+                acc[y[1]],
+                prev[y[1]] + CASE WHEN {pt}[x[1]] = {rt}[y[1]]
+                             THEN 1 ELSE 0 END))
+        )
+      )[-1]"""
+
+
+def _duck_rouge_l_ref(rt: str) -> str:
+    lcs = _DUCK_LCS.format(pt="pt", rt=rt)
+    # struct keys avoid PRECISION (a reserved word inside struct_pack)
+    return f"""struct_pack(
+        f1 := CASE WHEN {lcs} = 0 THEN 0.0
+                   ELSE round(2.0 * {lcs} / (len(pt) + len({rt})), 9) END,
+        prec := round({lcs} / CAST(len(pt) AS DOUBLE), 9),
+        rec := round({lcs} / CAST(len({rt}) AS DOUBLE), 9),
+        lcs := CAST({lcs} AS BIGINT))"""
+
+
+ROUGE_L_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n\f]+') AS w
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id AS example_id,
+             CASE WHEN doc_id % 7 = 0 THEN ['qq', 'rr']
+                  ELSE w[1:8] END AS pt,
+             w[1:10] AS r1, list_reverse(w[1:8]) AS r2
+      FROM toks
+    ),
+    scored AS (
+      SELECT example_id,
+             {_duck_rouge_l_ref("r1")} AS s1,
+             {_duck_rouge_l_ref("r2")} AS s2
+      FROM ex
+    ),
+    best AS (
+      SELECT example_id,
+             CASE WHEN (s1.f1, s1.prec, s1.rec, s1.lcs)
+                       >= (s2.f1, s2.prec, s2.rec, s2.lcs)
+                  THEN s1 ELSE s2 END AS s
+      FROM scored
+    )
+    SELECT example_id, s.lcs AS lcs, s.prec AS precision,
+           s.rec AS recall, s.f1 AS f1
+    FROM best
+    """
+
+
+def rouge_l_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example ROUGE-L over the planted reversed-window fixture:
+    (example_id, lcs, precision, recall, f1). Scale shape: the LCS DP is
+    nested-HOF column algebra riding the scan — zero shuffle, zero
+    Python (eval-set operator by contract)."""
+    from ..operators.evals import rouge_l_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"[ \t\r\n\f]+")
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.array(F.lit("qq"), F.lit("rr"))
+        )
+        .otherwise(F.slice(w, 1, 8))
+        .alias("_pt"),
+        F.array(F.slice(w, 1, 10), F.reverse(F.slice(w, 1, 8))).alias(
+            "_rts"
+        ),
+    ).select(
+        "example_id",
+        F.array_join("_pt", " ").alias("prediction"),
+        F.transform("_rts", lambda r: F.array_join(r, " ")).alias(
+            "references"
+        ),
+    )
+    return rouge_l_scores(preds)

@@ -181,3 +181,47 @@ def test_chrf_matches_python_mirror(spark):
         want = _py_chrf(pred, refs)
         assert abs(got[ex_id] - want) < 1e-9, (ex_id, got[ex_id], want)
     assert got[3] == 1.0 and got[4] == 1.0 and got[5] == 0.0
+
+
+def _py_lcs(a, b):
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        row = [0]
+        for j, y in enumerate(b, 1):
+            row.append(max(prev[j], row[j - 1], prev[j - 1] + (x == y)))
+        prev = row
+    return prev[-1]
+
+
+def test_rouge_l_lcs_dp_and_edges(spark):
+    from l1dbproto_spark.operators.evals import rouge_l_scores
+
+    examples = [
+        (1, "the cat sat on the mat", ["the cat on a mat", "a cat the mat sat"]),
+        (2, "a b c d", ["d c b a"]),           # LCS 1 despite full overlap
+        (3, "x y z", ["x y z"]),               # exact -> 1.0
+        (4, "", [""]),                          # both empty -> 1.0
+        (5, "a b", ["z"]),                      # disjoint -> 0.0
+        (6, "police killed the gunman", ["the gunman police killed", "police kill the gunman"]),
+    ]
+    got = {r.example_id: r for r in rouge_l_scores(_preds(spark, examples)).collect()}
+    for ex_id, pred, refs in examples:
+        pt = pred.split()
+        best = None
+        for ref in refs:
+            rt = ref.split()
+            m = _py_lcs(pt, rt)
+            if not pt and not rt:
+                f = 1.0
+            elif not pt or not rt or m == 0:
+                f = 0.0
+            else:
+                f = round(2.0 * m / (len(pt) + len(rt)), 9)
+            best = f if best is None else max(best, f)
+        assert abs(got[ex_id].f1 - best) < 1e-9, (ex_id, got[ex_id].f1, best)
+    assert got[2].lcs == 1 and got[3].f1 == 1.0 and got[4].f1 == 1.0
+    assert got[5].f1 == 0.0
+    # Lin 2004's own example: LCS("police killed the gunman",
+    # "the gunman police killed") = 2 ("police killed"... actually
+    # "the gunman" / "police killed" both length 2)
+    assert got[6].lcs >= 2

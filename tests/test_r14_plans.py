@@ -88,3 +88,19 @@ def test_bleu_report_single_aggregation(spark):
     plan = _executed(bleu_report(docs))
     assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
     assert _no_python(plan), plan
+
+
+def test_rouge_l_is_shuffle_free_scan_algebra(spark):
+    """The LCS dynamic program is nested-HOF column algebra: a pure
+    projection, zero exchanges, zero Python."""
+    from l1dbproto_spark.operators.evals import rouge_l_scores
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("example_id"),
+        F.substring(F.col("text"), 1, 60).alias("prediction"),
+        F.array(F.substring(F.col("text"), 1, 60)).alias("references"),
+    )
+    plan = _executed(rouge_l_scores(docs))
+    assert _exchanges(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan), plan

@@ -1072,3 +1072,12 @@ def test_image_quality_gate_matches_oracle(spark):
     _driver_grade(
         spark, image_quality_gate, IMAGE_QUALITY_GATE_ORACLE, "image_quality_gate"
     )
+
+
+def test_rouge_l_matches_oracle(spark):
+    from l1dbproto_spark.queries.training import (
+        ROUGE_L_ORACLE,
+        rouge_l_scores_q,
+    )
+
+    _driver_grade(spark, rouge_l_scores_q, ROUGE_L_ORACLE, "rouge_l_scores")
