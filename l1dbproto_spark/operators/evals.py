@@ -882,3 +882,96 @@ def rouge_l_scores(
         best["recall"].alias("recall"),
         best["f1"].alias("f1"),
     )
+
+
+# -------------------------------------------------------------------- WER
+
+
+def wer_scores(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "prediction",
+    refs_col: str = "references",
+) -> DataFrame:
+    """Per-example word error rate — the standard ASR/transcription
+    metric: (example_id, edits, ref_len, wer) with ``edits`` the
+    token-level Levenshtein distance to the BEST reference (minimum WER;
+    ties -> fewer edits, then shorter reference — struct-min) and
+    ``wer = edits / ref_len`` (can exceed 1). Both sides empty -> wer
+    0.0 with edits 0; a nonempty prediction against an empty reference
+    has no defined rate -> wer NULL (the loud-NULL convention), edits =
+    |prediction| (pure insertions).
+
+    Spark's builtin ``levenshtein`` is character-level; WER is
+    token-level, so the DP runs in the same nested higher-order folds as
+    ROUGE-L's LCS (row accumulator; cell = min(del, ins, diag +
+    substitution)) — zero Python, zero shuffle, eval-set cost
+    O(|pred|·|ref|) per pair."""
+    ptoks = _ws_tokens(F.col(pred_col))
+    refs = F.coalesce(F.col(refs_col), F.array().cast("array<string>"))
+    refs_safe = F.when(F.size(refs) == 0, F.array(F.lit(""))).otherwise(refs)
+    bound = preds.select(
+        F.col(id_col),
+        ptoks.alias("_pt"),
+        F.transform(refs_safe, lambda r: _ws_tokens(r)).alias("_rts"),
+    )
+
+    def edit_distance(rt: F.Column) -> F.Column:
+        np_, nr = F.size("_pt"), F.size(rt)
+        init = F.sequence(F.lit(0), nr)  # row 0: j deletions to reach ref[:j]
+
+        def next_row(prev: F.Column, i: F.Column) -> F.Column:
+            return F.aggregate(
+                F.sequence(F.lit(1), nr),
+                F.array(i.cast("int")),  # column 0: i insertions
+                lambda acc, j: F.concat(
+                    acc,
+                    F.array(
+                        F.least(
+                            F.element_at(prev, j + 1) + F.lit(1),
+                            F.element_at(acc, j) + F.lit(1),
+                            F.element_at(prev, j)
+                            + F.when(
+                                F.element_at(F.col("_pt"), i.cast("int"))
+                                == F.element_at(rt, j.cast("int")),
+                                F.lit(0),
+                            ).otherwise(F.lit(1)),
+                        )
+                    ),
+                ),
+            )
+
+        full = F.aggregate(F.sequence(F.lit(1), np_), init, next_row)
+        return (
+            F.when(np_ == 0, nr)  # also covers the empty-vs-empty 0
+            .when(nr == 0, np_)
+            .otherwise(F.element_at(full, -1))
+            .cast("long")
+        )
+
+    def per_ref(rt: F.Column) -> F.Column:
+        e = edit_distance(rt)
+        nr = F.size(rt)
+        wer = (
+            F.when((nr == 0) & (e == 0), F.lit(0.0))
+            .when(nr == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(e / nr, 9))
+        )
+        # struct-MIN via negation-free ordering: (wer, edits, ref_len);
+        # NULL wer must lose to any real wer -> substitute +inf for the
+        # comparison key only
+        key = F.coalesce(wer, F.lit(float("inf")))
+        return F.struct(
+            key.alias("k"),
+            e.alias("edits"),
+            nr.cast("long").alias("ref_len"),
+            wer.alias("wer"),
+        )
+
+    best = F.array_min(F.transform(F.col("_rts"), per_ref))
+    return bound.select(
+        F.col(id_col).alias("example_id"),
+        best["edits"].alias("edits"),
+        best["ref_len"].alias("ref_len"),
+        best["wer"].alias("wer"),
+    )

@@ -700,3 +700,106 @@ def rouge_l_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rouge_l_scores(preds)
+
+
+# ---------------------------------------------------------------------------
+# WER (r14) — driver-grade oracle in-suite. Fixture: prediction = words
+# 1..8 with every third word substituted by 'xx' (deterministic planted
+# error rate); references = [words 1..8, words 1..10]; doc_id % 9 == 0
+# rows shift the prediction window to words 2..9 (insert+delete path).
+# The oracle runs the SAME token-level Levenshtein DP via nested
+# list_reduce and the same (wer, edits, ref_len) min-tuple choice.
+
+_DUCK_LEV = """list_reduce(
+        list_prepend(list_transform(range(0, len({rt}) + 1),
+                                    z -> CAST(z AS INT)),
+                     list_transform(range(1, len({pt}) + 1),
+                                    i -> [CAST(i AS INT)])),
+        (prev, x) -> list_reduce(
+            list_prepend([x[1]],
+                         list_transform(range(1, len({rt}) + 1),
+                                        j -> [CAST(j AS INT)])),
+            (acc, y) -> list_append(acc, least(
+                prev[y[1] + 1] + 1,
+                acc[y[1]] + 1,
+                prev[y[1]] + CASE WHEN {pt}[x[1]] = {rt}[y[1]]
+                             THEN 0 ELSE 1 END))
+        )
+      )[-1]"""
+
+
+def _duck_wer_ref(rt: str) -> str:
+    e = (
+        f"CASE WHEN len(pt) = 0 THEN len({rt}) "
+        f"WHEN len({rt}) = 0 THEN len(pt) "
+        f"ELSE {_DUCK_LEV.format(pt='pt', rt=rt)} END"
+    )
+    return f"""struct_pack(
+        k := CASE WHEN len({rt}) = 0 AND len(pt) > 0 THEN 1e308
+                  WHEN len({rt}) = 0 THEN 0.0
+                  ELSE round(CAST({e} AS DOUBLE) / len({rt}), 9) END,
+        edits := CAST({e} AS BIGINT),
+        ref_len := CAST(len({rt}) AS BIGINT),
+        wer := CASE WHEN len({rt}) = 0 AND len(pt) > 0 THEN NULL
+                    WHEN len({rt}) = 0 THEN 0.0
+                    ELSE round(CAST({e} AS DOUBLE) / len({rt}), 9) END)"""
+
+
+WER_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n\f]+') AS w
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id AS example_id,
+             list_transform(
+               CASE WHEN doc_id % 9 = 0 THEN w[2:9] ELSE w[1:8] END,
+               (x, i) -> CASE WHEN i % 3 = 0 THEN 'xx' ELSE x END) AS pt,
+             w[1:8] AS r1, w[1:10] AS r2
+      FROM toks
+    ),
+    scored AS (
+      SELECT example_id,
+             {_duck_wer_ref("r1")} AS s1,
+             {_duck_wer_ref("r2")} AS s2
+      FROM ex
+    ),
+    best AS (
+      SELECT example_id,
+             CASE WHEN (s1.k, s1.edits, s1.ref_len)
+                       <= (s2.k, s2.edits, s2.ref_len)
+                  THEN s1 ELSE s2 END AS s
+      FROM scored
+    )
+    SELECT example_id, s.edits AS edits, s.ref_len AS ref_len, s.wer AS wer
+    FROM best
+    """
+
+
+def wer_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example WER over the planted substitution/shift fixture:
+    (example_id, edits, ref_len, wer). Scale shape: the Levenshtein DP
+    is nested-HOF column algebra riding the scan — zero shuffle, zero
+    Python (eval-set operator by contract)."""
+    from ..operators.evals import wer_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"[ \t\r\n\f]+")
+    window = F.when(F.col("doc_id") % 9 == 0, F.slice(w, 2, 8)).otherwise(
+        F.slice(w, 1, 8)
+    )
+    # Spark's transform index is 0-based; DuckDB's is 1-based — i % 3 == 2
+    # here matches i % 3 == 0 there (positions 3, 6, ... in 1-based terms)
+    pt = F.transform(
+        window,
+        lambda x, i: F.when(i % 3 == 2, F.lit("xx")).otherwise(x),
+    )
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.array_join(pt, " ").alias("prediction"),
+        F.transform(
+            F.array(F.slice(w, 1, 8), F.slice(w, 1, 10)),
+            lambda r: F.array_join(r, " "),
+        ).alias("references"),
+    )
+    return wer_scores(preds)

@@ -225,3 +225,43 @@ def test_rouge_l_lcs_dp_and_edges(spark):
     # "the gunman police killed") = 2 ("police killed"... actually
     # "the gunman" / "police killed" both length 2)
     assert got[6].lcs >= 2
+
+
+def test_wer_levenshtein_dp_and_edges(spark):
+    from l1dbproto_spark.operators.evals import wer_scores
+
+    def _py_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            row = [i]
+            for j, y in enumerate(b, 1):
+                row.append(min(prev[j] + 1, row[j - 1] + 1, prev[j - 1] + (x != y)))
+            prev = row
+        return prev[-1]
+
+    examples = [
+        (1, "the cat sat", ["the cat sat"]),            # 0 edits
+        (2, "the cat sat", ["the dog sat on mat"]),     # sub + 2 dels? -> DP
+        (3, "a b c d", ["b c d e", "a b c d x"]),       # multi-ref min
+        (4, "", [""]),                                   # both empty -> 0.0
+        (5, "a b", [""]),                                # empty ref -> NULL wer
+        (6, "", ["x y z"]),                              # empty pred -> 3 dels
+    ]
+    got = {r.example_id: r for r in wer_scores(_preds(spark, examples)).collect()}
+    for ex_id, pred, refs in examples:
+        pt = pred.split()
+        best = None
+        for ref in refs:
+            rt = ref.split()
+            e = _py_lev(pt, rt)
+            w = (0.0 if e == 0 else None) if not rt else round(e / len(rt), 9)
+            cand = (float("inf") if w is None else w, e, len(rt), w)
+            best = cand if best is None or cand < best else best
+        assert got[ex_id].edits == best[1], (ex_id, got[ex_id], best)
+        if best[3] is None:
+            assert got[ex_id].wer is None
+        else:
+            assert abs(got[ex_id].wer - best[3]) < 1e-9
+    assert got[1].wer == 0.0 and got[4].wer == 0.0
+    assert got[5].wer is None and got[5].edits == 2
+    assert got[6].edits == 3 and abs(got[6].wer - 1.0) < 1e-9

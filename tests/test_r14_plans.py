@@ -104,3 +104,17 @@ def test_rouge_l_is_shuffle_free_scan_algebra(spark):
     assert _exchanges(plan) == 0, plan
     assert "Join" not in plan, plan
     assert _no_python(plan), plan
+
+
+def test_wer_is_shuffle_free_scan_algebra(spark):
+    from l1dbproto_spark.operators.evals import wer_scores
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("example_id"),
+        F.substring(F.col("text"), 1, 60).alias("prediction"),
+        F.array(F.substring(F.col("text"), 1, 60)).alias("references"),
+    )
+    plan = _executed(wer_scores(docs))
+    assert _exchanges(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan), plan

@@ -1081,3 +1081,9 @@ def test_rouge_l_matches_oracle(spark):
     )
 
     _driver_grade(spark, rouge_l_scores_q, ROUGE_L_ORACLE, "rouge_l_scores")
+
+
+def test_wer_matches_oracle(spark):
+    from l1dbproto_spark.queries.training import WER_ORACLE, wer_scores_q
+
+    _driver_grade(spark, wer_scores_q, WER_ORACLE, "wer_scores")
