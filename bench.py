@@ -659,6 +659,41 @@ def main() -> None:
         lambda: embedding_drift(emb_t, _emb_new, _cents).count(),
     )
 
+    # r14 additions: the complete generation-eval family over the planted
+    # fixtures (per-row HOF algebra — these numbers track codegen/HOF
+    # cost), trained char-n-gram language ID (closed-form NB train +
+    # broadcast-model score), and the WebDataset write->damage->verify
+    # round trip (real tar I/O + two scans)
+    from l1dbproto_spark.queries.multimodal import (
+        image_quality_gate,
+        webdataset_shard_verify,
+    )
+    from l1dbproto_spark.queries.text import charngram_langid
+    from l1dbproto_spark.queries.training import (
+        bleu_ngram_stats_q,
+        chrf_scores_q,
+        rouge_l_scores_q,
+        wer_scores_q,
+    )
+
+    _extra("bleu_rouge_stats", lambda: bleu_ngram_stats_q(spark, sf_dir).count())
+    _extra("rouge_l", lambda: rouge_l_scores_q(spark, sf_dir).count())
+    _extra("wer", lambda: wer_scores_q(spark, sf_dir).count())
+    _extra("chrf", lambda: chrf_scores_q(spark, sf_dir).count(), reps=1)
+    _extra(
+        "charngram_langid",
+        lambda: charngram_langid(spark, sf_dir).count(),
+    )
+    _extra(
+        "image_quality_gate",
+        lambda: image_quality_gate(spark, sf_dir).count(),
+    )
+    _extra(
+        "webdataset_verify",
+        lambda: webdataset_shard_verify(spark, sf_dir).count(),
+        reps=1,
+    )
+
     # sustained streaming cadence (not folded into the headline total so the
     # round-over-round total stays comparable; reported alongside).
     # ap_visit_sustained = MEDIAN of the steady tail — robust to one-off GC

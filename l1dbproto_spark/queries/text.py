@@ -346,8 +346,8 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-language corpus derived arithmetically from doc_id (disjoint
 # five-word lexicons, 12 words per doc, word j = lex[(doc_id·7 + j) % 5]),
 # trains operators/langid.py's closed-form NB on the doc_id % 3 == 0
-# third, and predicts over all 500 docs. The oracle re-derives the WHOLE
-# pipeline — synthesis, 3..5-gram extraction, portable md5 bucket
+# third, and predicts over every document (500 at the oracle SFs, 5000 at
+# sf0.1). The oracle re-derives the WHOLE pipeline — synthesis, 3..5-gram extraction, portable md5 bucket
 # hashing, smoothed NB fit, scoring, argmax — in DuckDB SQL. Only
 # integer/argmax columns are projected (lang_pred, n_grams, correct):
 # the decision margins are hundreds of nats, so ulp-level ln and

@@ -233,9 +233,14 @@ def write_webdataset(
         assignment.cast("int").alias("_shard"),
     )
     manifest = assigned.groupBy("_shard").applyInPandas(pack, out_schema)
-    # materialize BEFORE returning so the write is not lazily re-run
-    manifest = manifest.cache()
-    manifest.count()
+    # localCheckpoint, NOT cache: it materializes eagerly (so the tar
+    # writes are not lazily re-run) AND breaks lineage without touching
+    # the CacheManager — a cached manifest would be matched by its
+    # CANONICALIZED plan, so a later rebuild over the same inputs would
+    # silently read the old manifest from cache and never execute pack,
+    # leaving the freshly-cleared directory without shard files (found
+    # by the bench warm-rep double-build)
+    manifest = manifest.localCheckpoint()
     write_csv(manifest.coalesce(1), path + "/_manifest")
     return manifest
 

@@ -202,3 +202,20 @@ def test_shard_col_override_controls_placement(spark, tmp_path):
 
     with _pytest.raises(Exception, match="outside|99"):
         write_webdataset(bad, str(tmp_path / "bad"), n_shards=3, shard_col="slot")
+
+
+def test_rebuild_same_inputs_rewrites_shards(spark, tmp_path):
+    """Two sequential builds over the SAME input must both write real
+    shard files — a cached manifest would be plan-matched on the second
+    build and skip the tar writes entirely (the bench warm-rep bug:
+    cache() materialization let CacheManager canonicalized-plan reuse
+    bypass pack's side effects; localCheckpoint does not)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "wds")
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        write_webdataset(_samples_df(spark), out, n_shards=4)
+        shards = [f for f in os.listdir(out) if f.endswith(".tar")]
+        assert len(shards) == 4, shards
