@@ -55,6 +55,7 @@ def char_ngram_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = LANGID_SALT,
+    portable: bool = True,
 ) -> DataFrame:
     """Hashed char-n-gram counts: (id, bucket, cnt) over every n-gram
     occurrence of the NORMALIZED text (lowercase, collapsed whitespace —
@@ -63,21 +64,26 @@ def char_ngram_features(
     algebra; the per-n position sequence is guarded so a short text
     yields an empty array rather than Spark's descending sequence(1, 0).
     """
+    # Codegen-friendly construction (the shingle_rows lesson, measured
+    # again by tools/scale_probe.py: the earlier
+    # ``transform(sequence, i -> substr)`` form ran every gram through
+    # the interpreted higher-order-function path at ~3 ms/doc): ONE
+    # exploded position Generate over the n_min windows, then each
+    # order's gram as a plain guarded ``substr`` — NULL where the window
+    # would overrun (a truncated window must NOT be emitted: its bytes
+    # equal a shorter-order gram at the same position and would double
+    # count) — and a second Generate over the per-position gram array.
+    # Zero lambdas anywhere in the hot path.
     t = F.col("_t")
-
-    def gram_arm(n: int) -> F.Column:
-        # one-parameter lambda on purpose: PySpark counts DEFAULT args
-        # toward HOF lambda arity, so `lambda i, n=n:` would become the
-        # (element, index) form and bind n to the index column
-        return F.when(
-            F.length(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - (n - 1)),
-                lambda i: t.substr(i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    per_n = [gram_arm(n) for n in range(n_min, n_max + 1)]
+    pos = F.col("_pos")
+    positions = F.when(
+        F.length(t) >= n_min,
+        F.sequence(F.lit(1), F.length(t) - (n_min - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_arms = [
+        F.when(pos <= F.length(t) - (n - 1), t.substr(pos, F.lit(n)))
+        for n in range(n_min, n_max + 1)
+    ]
     return (
         docs.select(
             F.col(id_col),
@@ -85,11 +91,24 @@ def char_ngram_features(
                 "_t"
             ),
         )
-        .select(F.col(id_col), F.explode(F.concat(*per_n)).alias("_gram"))
+        .select(F.col(id_col), "_t", F.explode(positions).alias("_pos"))
+        .select(F.col(id_col), F.explode(F.array(*gram_arms)).alias("_gram"))
+        .filter(F.col("_gram").isNotNull())
         .select(
             id_col,
             F.pmod(
-                portable_hash64(F.col("_gram"), salt), F.lit(num_buckets)
+                # portable=True: md5-derived, bit-identical in DuckDB —
+                # the oracle-able default. portable=False: JVM-native
+                # xxhash64 — measured ~1.7x faster end-to-end
+                # featurization (tools/scale_probe.py: the md5 leg alone
+                # cost as much again as xxhash at 16x corpus); the
+                # production path when no cross-engine re-derivation is
+                # needed. The two spaces are incompatible — train and
+                # score under ONE flag.
+                portable_hash64(F.col("_gram"), salt)
+                if portable
+                else F.xxhash64(F.lit(salt), F.col("_gram")),
+                F.lit(num_buckets),
             ).alias("bucket"),
         )
         .groupBy(id_col, "bucket")
@@ -107,6 +126,7 @@ def train_langid(
     id_col: str = "doc_id",
     label_col: str = "lang",
     salt: str = LANGID_SALT,
+    portable: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the NB model on a labeled sample. Returns:
 
@@ -123,7 +143,7 @@ def train_langid(
     bounded by construction (≤ n_langs × num_buckets / n_langs rows).
     """
     feats = char_ngram_features(
-        labeled, num_buckets, n_min, n_max, text_col, id_col, salt
+        labeled, num_buckets, n_min, n_max, text_col, id_col, salt, portable
     )
     lf = feats.join(
         labeled.select(F.col(id_col), F.col(label_col).alias("lang")),
@@ -167,6 +187,7 @@ def langid_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = LANGID_SALT,
+    portable: bool = True,
 ) -> DataFrame:
     """Corpus-scale prediction: (id, lang_pred, n_grams). One corpus
     featurization, one BROADCAST join against the sparse model, one
@@ -182,7 +203,7 @@ def langid_scores(
     the ulp level — argmax is stable whenever the decision margin
     exceeds ~1e-9 nats, which any non-degenerate model clears."""
     feats = char_ngram_features(
-        docs, num_buckets, n_min, n_max, text_col, id_col, salt
+        docs, num_buckets, n_min, n_max, text_col, id_col, salt, portable
     )
     adj = (
         feats.join(F.broadcast(cond), "bucket")

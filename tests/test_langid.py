@@ -116,3 +116,46 @@ def test_planted_two_lexicon_corpus_fully_separates(spark):
     # held-out docs (not in the doc_id%3==0 training third) also correct
     held = [r for r in out if r.doc_id % 3 != 0]
     assert held and all(r.lang_pred == r.lang_true for r in held)
+
+
+def test_fast_hash_path_same_predictions(spark):
+    """portable=False (JVM xxhash64 buckets — the production path) must
+    classify the planted corpus identically; the plan must carry
+    xxhash64 and no md5 in the featurization."""
+    from l1dbproto_spark.queries.text import (
+        _LANGID_BUCKETS,
+        _LANGID_LEX0,
+        _LANGID_LEX1,
+    )
+
+    lex0 = F.array(*[F.lit(w) for w in _LANGID_LEX0])
+    lex1 = F.array(*[F.lit(w) for w in _LANGID_LEX1])
+    is_l0 = F.col("doc_id") % 2 == 0
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda j: F.element_at(
+                    F.when(is_l0, lex0).otherwise(lex1),
+                    (F.pmod(F.col("id") * 7 + j, F.lit(5)) + 1).cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    labeled = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "lang", F.when(is_l0, F.lit("l0")).otherwise(F.lit("l1"))
+    )
+    cond, stats = train_langid(
+        labeled, num_buckets=_LANGID_BUCKETS, portable=False
+    )
+    preds = langid_scores(
+        docs, cond, stats, num_buckets=_LANGID_BUCKETS, portable=False
+    )
+    plan = preds._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan, plan
+    out = preds.collect()
+    assert len(out) == 300
+    truth = {r.doc_id: ("l0" if r.doc_id % 2 == 0 else "l1") for r in out}
+    assert all(r.lang_pred == truth[r.doc_id] for r in out)
