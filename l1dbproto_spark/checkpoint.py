@@ -131,6 +131,32 @@ def _has_checkpoint_dir(df: DataFrame) -> bool:
         return True
 
 
+#: Logical leaf nodes that carry no file/table scan — a plan whose leaves
+#: are all of these kinds cannot observe a table overwrite/append that
+#: happens after the plan was built.
+_SCANLESS_LEAVES = ("LogicalRDD", "LocalRelation", "OneRowRelation")
+
+
+def lineage_is_cut(df: DataFrame) -> bool:
+    """True when every leaf of ``df``'s analyzed plan is an in-memory
+    relation (checkpointed RDD / local rows) — i.e. the lineage has
+    already been cut and re-evaluating the frame can never re-scan a
+    storage table. Used by write paths to skip a redundant second
+    ``pin`` of inputs the caller already pinned (one materialization job
+    saved per call — measurable on latency-bound paths like the APDB
+    visit store). Conservative: any introspection failure reports False
+    (the caller then pins, which is always safe)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            name = leaves.apply(i).getClass().getSimpleName()
+            if name not in _SCANLESS_LEAVES:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage under the active mode (module docstring).
     ``eager=False`` defers materialization to the first action, in both

@@ -30,6 +30,20 @@ class TableFS:
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
 
+    def _local_os_path(self, path: str) -> str | None:
+        """The OS path when this FS is the local one (scheme ``file`` or a
+        bare path), else None. Lets primitives that need REAL atomicity
+        (the exclusive-create lock) use a syscall where Hadoop's local FS
+        emulation is check-then-act."""
+        scheme = self._fs.getScheme()
+        if scheme != "file":
+            return None
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        return path
+
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._jpath(path))
 
@@ -50,9 +64,36 @@ class TableFS:
         a fail-fast writer lock needs (``touch`` overwrites, so two racing
         writers would both 'win'). Returns False when the file already
         exists; ``content`` (e.g. owner run/epoch) is written for
-        diagnostics. Atomic on HDFS and local FS (create(overwrite=false)
-        is a namenode/syscall-level CAS); on eventually-consistent object
-        stores it is best-effort — still strictly better than no check."""
+        diagnostics. Atomic on HDFS (create(overwrite=false) is a
+        namenode-level CAS). On LOCAL filesystems Hadoop's
+        ``RawLocalFileSystem.create`` is check-then-act — two racing
+        callers can BOTH win (observed: both visit stores proceeded and
+        their appends clashed in the shared ``_temporary`` dir) — so
+        ``file:`` roots go through a real ``O_CREAT|O_EXCL`` syscall
+        instead. On eventually-consistent object stores the Hadoop path is
+        best-effort — still strictly better than no check."""
+        local = self._local_os_path(path)
+        if local is not None:
+            import os
+
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            except FileNotFoundError:  # parent missing — match Hadoop create
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                try:
+                    fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return False
+            try:
+                if content:
+                    os.write(fd, content.encode("utf-8"))
+            except Exception:
+                pass
+            finally:
+                os.close(fd)
+            return True
         try:
             out = self._fs.create(self._jpath(path), False)
         except Exception:  # FileAlreadyExistsException (py4j-wrapped)

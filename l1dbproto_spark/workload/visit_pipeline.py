@@ -149,27 +149,25 @@ def process_visit(
     )
 
     # --- duty-cycled history reads (f): _executors.py:162-164
+    # The history DataFrames are BUILT here, before store() — file-based
+    # scans snapshot their file listing at construction (InMemoryFileIndex),
+    # so the frames can never observe this visit's appends — but their
+    # count JOBS run concurrently WITH the store below: the reads are
+    # pre-store snapshots either way, and overlapping them takes the whole
+    # history phase off the visit critical path (r14 optimization; pinned
+    # by test_apdb.py::test_history_counts_exclude_inflight_visit).
     phase = visit_id % cfg.src_read_period
+    history_frames = None
     if phase < cfg.src_read_period * cfg.src_read_duty_cycle:
-        from concurrent.futures import ThreadPoolExecutor
-
-        # two independent month-pruned reads over different tables; both run
-        # BEFORE store() (they must not observe this visit's rows), so they
-        # can overlap each other safely
         ids = objects.select("diaObjectId")
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_src = ctx_submit(
-                ex, lambda: apdb.get_dia_sources(padded, ids, visit_time).count()
-            )
-            f_forced = ctx_submit(
-                ex,
-                lambda: apdb.get_dia_forced_sources(padded, ids, visit_time).count(),
-            )
-            counts.sources_read = f_src.result()
-            counts.forced_read = f_forced.result()
+        history_frames = (
+            apdb.get_dia_sources(padded, ids, visit_time),
+            apdb.get_dia_forced_sources(padded, ids, visit_time),
+        )
 
-    # --- store (g); the metrics aggregate reads only the pinned objects
-    # snapshot, so it overlaps the store writes
+    # --- store (g); the metrics aggregate and the history counts read only
+    # pre-store snapshots (pinned objects / pre-listed files), so they
+    # overlap the store writes
     metrics = objects.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("diaObjectId") >= 1_000_000_000).alias("trans"),
@@ -178,9 +176,15 @@ def process_visit(
             & (F.col("lastNonForcedSource") > F.lit(cutoff).cast("timestamp"))
         ).alias("forced"),
     )
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    with ThreadPoolExecutor(max_workers=3) as ex:
         f_metrics = ctx_submit(ex, metrics.collect)
+        if history_frames is not None:
+            f_src = ctx_submit(ex, history_frames[0].count)
+            f_forced = ctx_submit(ex, history_frames[1].count)
         apdb.store(visit_time, objects, sources, forced)
+        if history_frames is not None:
+            counts.sources_read = f_src.result()
+            counts.forced_read = f_forced.result()
         row = f_metrics.result()[0]
     counts.objects_stored = row["n"]
     counts.transients_stored = row["trans"]

@@ -186,3 +186,52 @@ def test_from_uri(apdb, spark):
 
     db2 = ApdbSpark.from_uri(spark, "file://" + apdb.root)
     assert db2.count_rows("DiaObjectLast") == apdb.count_rows("DiaObjectLast")
+
+
+def test_history_counts_exclude_inflight_visit(spark, tmp_path):
+    """The r14 overlap optimization runs the Q2/Q3 history-count jobs
+    CONCURRENTLY with store(); the frames must still be pre-store
+    snapshots. Built before store, the file-based scans pin their file
+    listing at construction, so the counts can never include the visit's
+    own appends — proven here by counting AFTER the store completes."""
+    db = ApdbSpark(spark, str(tmp_path / "apdb_snap"), read_sources_months=12.0)
+    db.make_schema(drop=True)
+    t1 = T0
+    t2 = T0 + datetime.timedelta(minutes=1)
+
+    def _batch(visit_id, t):
+        ids = spark.range(1, 6).select(
+            F.col("id").alias("diaObjectId"),
+            F.lit(50.0).alias("ra"),
+            F.lit(-35.0).alias("dec"),
+        )
+        obj = ids.withColumn("nDiaSources", F.lit(visit_id)).withColumn(
+            "lastNonForcedSource", F.lit(t).cast("timestamp")
+        )
+        src = ids.select(
+            (F.col("diaObjectId") * 10 + visit_id).alias("diaSourceId"),
+            "diaObjectId",
+            F.lit(visit_id).alias("visit"),
+            F.lit(0).alias("detector"),
+            F.lit(0).cast("long").alias("parentDiaSourceId"),
+            F.lit(1.0).alias("psFlux"),
+            F.lit(0.01).alias("psFluxErr"),
+            F.lit(61041.0 + visit_id).alias("midpointMjdTai"),
+            "ra",
+            "dec",
+        )
+        return obj, src
+
+    obj1, src1 = _batch(1, t1)
+    db.store(t1, obj1, src1)
+
+    # build the history frame BEFORE the second store (as process_visit
+    # does), run its count while/after the store appends visit 2's rows
+    ids = obj1.select("diaObjectId")
+    pre = db.get_dia_sources(POINTING, ids, t2)
+    obj2, src2 = _batch(2, t2)
+    db.store(t2, obj2, src2)
+    # the pre-store snapshot sees only visit 1's five rows, even though
+    # the table now holds ten
+    assert pre.count() == 5
+    assert db.count_rows("DiaSource") == 10
