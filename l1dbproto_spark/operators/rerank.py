@@ -9,29 +9,28 @@ construction), greedily select k items maximizing
 (Carbonell & Goldstein 1998). lam=1 reproduces the plain relevance
 ranking; smaller lam trades relevance for diversity.
 
-Spark-first shape: the greedy loop is k driver-orchestrated rounds of
-pure DataFrame algebra — no Python touches row data:
+Spark-first shape (r14): ONE aggregation. Because the candidate set is
+bounded per query *by construction*, each query's greedy loop is local
+computation — so the operator collects each query's candidates into an
+array (`groupBy(query_id).agg(collect_list(...))`, map-side combined)
+and runs all k greedy rounds inside a single JVM ``aggregate`` fold
+over that array: argmax by a (−mmr, doc_id) struct key via
+``array_min`` (NaN objectives sort GREATEST and lose; NULL objectives
+are coalesced to +inf so they fill only the trailing ranks), then one
+``greatest`` update of each survivor's running max-similarity with the
+pick (``safe_cosine`` yields NULL for degenerate vectors and
+``greatest`` skips NULLs, so a degenerate pick leaves maxsim unchanged
+rather than poisoning the next round's objective).
 
-* argmax per query via ``min_by`` over a (-mmr, doc) struct (one
-  uniform-key aggregation; deterministic smaller-doc tiebreak that works
-  for ANY orderable doc-id type — strings included — because only the
-  double mmr is negated). NaN mmr sorts GREATEST under min_by's struct
-  order, so a NaN-scored row loses every round instead of winning them
-  (the inverse of the max_by(NaN) hazard brute_force_topk guards);
-* the per-round picks frame is |Q| rows -> broadcast back onto the
-  candidates to update each survivor's running max-similarity with one
-  ``greatest`` (the incremental identity: max over S grows one element
-  per round, so no re-scan of S). The cosine is guarded: zero-norm /
-  NULL / NaN vectors yield NULL similarity (never an ANSI
-  divide-by-zero, never a NaN), and ``greatest`` skips NULLs, so a
-  degenerate pick leaves survivors' maxsim unchanged rather than
-  poisoning the next round's objective;
-* lineage pinned per round (checkpoint.pin) so the plan stays O(1)
-  deep — the dedup_clusters/BFS iterative convention.
-
-At 100 TB the frame size is |queries| x N candidates — the corpus never
-enters; cost scales with the query load, not the table. Each round is
-one shuffle of the shrinking candidate frame plus a broadcast join.
+This replaced k driver-orchestrated rounds of DataFrame algebra
+(still available as :func:`_mmr_rerank_rounds` — the equivalence
+regression test in tests/test_mmr_rerank.py compares the two pick-for-
+pick): same IEEE arithmetic in the same order, same argmax key, same
+NULL/NaN gates, but one shuffle of the candidate frame instead of k,
+and one Spark job instead of ~3 per round. At 100 TB the frame size is
+|queries| x N candidates — the corpus never enters; cost scales with
+the query load, not the table, and queries parallelize freely across
+tasks instead of serializing on k driver round-trips.
 
 No reference analog; beyond-reference completeness next to
 operators/fusion.py (RRF) and operators/evals.py.
@@ -39,11 +38,31 @@ operators/fusion.py (RRF) and operators/evals.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import pin
 from .similarity import safe_cosine
+
+
+def _validate(k: int, lam: float) -> None:
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("mmr_rerank: lam must be in [0, 1]")
+
+
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding in expression land: bind ``value``
+    to a lambda variable via a one-element ``transform`` so ``body`` can
+    reference it many times as a cheap variable lookup. The expression
+    interpreter has no common-subexpression elimination — without the
+    binding, every reference to an O(N) subexpression (e.g. the
+    ``array_min`` argmax below) re-evaluates it, and a reference inside
+    a per-element lambda re-evaluates it PER ELEMENT, turning one
+    greedy round from O(N) into O(N^2) (measured 6x wall on the mmr
+    bench shape). ``transform`` maps NULL inputs too, so a NULL value
+    still reaches ``body`` for its own NULL handling."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def mmr_rerank(
@@ -73,15 +92,151 @@ def mmr_rerank(
     bit-for-bit by an ANSI-SQL oracle on another engine. None (default)
     keeps raw doubles.
     """
-    if k < 1:
-        raise ValueError("mmr_rerank: k must be >= 1")
-    if not (0.0 <= lam <= 1.0):
-        raise ValueError("mmr_rerank: lam must be in [0, 1]")
+    _validate(k, lam)
 
-    # pin the candidate frame once at entry: round 1's argmax and the
-    # survivor-update chain both consume it, and without the cut each
-    # embeds the caller's (often expensive — a full ANN retrieval)
-    # candidate-generation subtree as its own copy
+    bags = (
+        candidates.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(score_col).cast("double").alias("rel"),
+            F.col(vec_col).alias("vec"),
+        )
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("doc_id", "rel", "vec")).alias("cs"))
+    )
+
+    def _mmr_of(c: Column) -> Column:
+        # round-t objective; maxsim is NULL until the first pick with a
+        # well-defined similarity to this row (degenerate vectors never
+        # set it — see similarity.safe_cosine)
+        return F.when(c["maxsim"].isNull(), F.lit(lam) * c["rel"]).otherwise(
+            F.lit(lam) * c["rel"] - F.lit(1.0 - lam) * c["maxsim"]
+        )
+
+    def _sim(a: Column, b: Column) -> Column:
+        s = safe_cosine(a, b, dim)
+        return s if round_digits is None else F.round(s, round_digits)
+
+    # working element: candidate + running maxsim (NULL = "no similarity
+    # observed yet", routing mmr to its lam*rel branch)
+    remaining0 = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            c["doc_id"].alias("doc_id"),
+            c["rel"].alias("rel"),
+            c["vec"].alias("vec"),
+            F.lit(None).cast("double").alias("maxsim"),
+        ),
+    )
+    # typed empty selection array, derived from the data so doc_id keeps
+    # the caller's type (strings included) without a schema literal
+    selected0 = F.filter(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                c["doc_id"].alias("doc_id"),
+                c["rel"].alias("rel"),
+                F.lit(None).cast("double").alias("mmr_score"),
+                F.lit(0).alias("mmr_rank"),
+            ),
+        ),
+        lambda _c: F.lit(False),
+    )
+
+    def _round(acc: Column, t: Column) -> Column:
+        rem = acc["remaining"]
+        # argmax key: -mmr ascending, smaller-doc tiebreak. NULL mmr
+        # (NULL relevance) must LOSE — coalesce it to +inf so it sorts
+        # last (still filling trailing ranks once every scored candidate
+        # is taken). NaN needs no guard: -NaN is NaN, which sorts
+        # GREATEST in Spark's total order, i.e. loses. Any residual tie
+        # falls through to the remaining struct fields — irrelevant for
+        # well-formed inputs, where doc_id is unique per query.
+        keyed = F.transform(
+            rem,
+            lambda c: F.struct(
+                F.coalesce(-_mmr_of(c), F.lit(float("inf"))).alias("negmmr"),
+                c["doc_id"].alias("tb"),
+                _mmr_of(c).alias("mmr"),
+                c.alias("c"),
+            ),
+        )
+
+        def _apply(best: Column) -> Column:
+            new_selected = F.concat(
+                acc["selected"],
+                F.array(
+                    F.struct(
+                        best["c"]["doc_id"].alias("doc_id"),
+                        best["c"]["rel"].alias("rel"),
+                        best["mmr"].alias("mmr_score"),
+                        t.cast("int").alias("mmr_rank"),
+                    )
+                ),
+            )
+            # greatest() skips NULLs: a degenerate pick (NULL
+            # similarity) leaves each survivor's maxsim as-is — no
+            # -inf sentinel.
+            new_remaining = F.transform(
+                F.filter(rem, lambda c: c["doc_id"] != best["c"]["doc_id"]),
+                lambda c: F.struct(
+                    c["doc_id"].alias("doc_id"),
+                    c["rel"].alias("rel"),
+                    c["vec"].alias("vec"),
+                    F.greatest(
+                        c["maxsim"], _sim(c["vec"], best["c"]["vec"])
+                    ).alias("maxsim"),
+                ),
+            )
+            return F.when(best.isNull(), acc).otherwise(
+                F.struct(
+                    new_remaining.alias("remaining"),
+                    new_selected.alias("selected"),
+                )
+            )
+
+        # the argmax is O(N); _let binds it once per round — referencing
+        # it directly from the per-element lambdas would re-run it per
+        # element (no CSE in the interpreter; see _let)
+        return _let(F.array_min(keyed), _apply)
+
+    picked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.struct(remaining0.alias("remaining"), selected0.alias("selected")),
+        _round,
+        lambda acc: acc["selected"],
+    )
+    return bags.select("query_id", F.explode(picked).alias("p")).select(
+        F.col("query_id").alias(query_col),
+        F.col("p.doc_id").alias(doc_col),
+        F.col("p.rel").alias(score_col),
+        F.col("p.mmr_score").alias("mmr_score"),
+        F.col("p.mmr_rank").alias("mmr_rank"),
+    )
+
+
+def _mmr_rerank_rounds(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "vec",
+    dim: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The pre-r14 k-driver-round implementation, kept as the reference
+    for the equivalence regression test (tests/test_mmr_rerank.py): the
+    same greedy selection as :func:`mmr_rerank`, expressed as k rounds
+    of DataFrame algebra — argmax per query via ``min_by`` over a
+    (-mmr, doc) struct, |Q|-row picks broadcast back onto the
+    candidates, lineage pinned per round. Semantically identical; the
+    production path folds all rounds into one aggregation."""
+    from ..checkpoint import pin
+
+    _validate(k, lam)
+
     cands = candidates.select(
         F.col(query_col).alias("query_id"),
         F.col(doc_col).alias("doc_id"),
@@ -91,21 +246,12 @@ def mmr_rerank(
     ).transform(pin, eager=False)
     selected: DataFrame | None = None
     for t in range(1, k + 1):
-        # round-t objective; maxsim is NULL until the first pick with a
-        # well-defined similarity to this row (degenerate vectors never
-        # set it — see similarity.safe_cosine)
         mmr = F.when(
             F.col("maxsim").isNull(), F.lit(lam) * F.col("rel")
         ).otherwise(
-            F.lit(lam) * F.col("rel")
-            - F.lit(1.0 - lam) * F.col("maxsim")
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
         )
         scored = cands.withColumn("mmr", mmr)
-        # argmax key: -mmr ascending. NULL mmr (NULL relevance score) must
-        # LOSE, but NULL sorts SMALLEST in min_by's ascending struct order
-        # — coalesce it to +inf so it sorts last (it still fills trailing
-        # ranks once every scored candidate is taken). NaN needs no guard
-        # here: -NaN is NaN, which sorts GREATEST ascending, i.e. loses.
         negmmr = F.coalesce(-F.col("mmr"), F.lit(float("inf")))
         picks = scored.groupBy("query_id").agg(
             F.min_by(
@@ -135,10 +281,6 @@ def mmr_rerank(
         cands = (
             cands.join(F.broadcast(pvec), "query_id")
             .filter(F.col("doc_id") != F.col("__pdoc"))
-            # greatest() skips NULLs: a degenerate pick (NULL similarity)
-            # leaves maxsim as-is, and maxsim stays NULL — "no similarity
-            # observed yet", routing mmr to its lam*rel branch — until a
-            # real similarity arrives. No -inf sentinel to overflow.
             .withColumn(
                 "maxsim",
                 F.greatest(

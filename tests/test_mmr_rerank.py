@@ -195,6 +195,34 @@ def test_validation_errors(spark):
         mmr_rerank(df, k=1, lam=1.5)
 
 
+def test_fold_matches_driver_round_reference(spark):
+    """r14 equivalence pin: the single-aggregation fold must reproduce
+    the pre-r14 k-driver-round implementation pick-for-pick (ids, ranks,
+    objective values to the bit) on a frame that exercises every edge at
+    once — NULL scores, degenerate vectors (zero-norm / NULL / NaN),
+    queries shorter than k, and similarity rounding on/off."""
+    from l1dbproto_spark.operators.rerank import _mmr_rerank_rounds
+
+    nan = float("nan")
+    cand = [
+        (0, 10, 0.9, [1.0, 0.0, 0.0]),
+        (0, 11, 0.85, [0.99, 0.14, 0.0]),
+        (0, 12, 0.8, [0.0, 1.0, 0.0]),
+        (0, 13, None, [0.0, 0.99, 0.14]),
+        (0, 14, 0.7, [0.0, 0.0, 0.0]),  # zero norm
+        (0, 15, 0.6, None),  # NULL vec
+        (0, 16, 0.5, [nan, 1.0, 0.0]),  # NaN component
+        (1, 20, 0.4, [0.5, 0.5, 0.70710678]),
+        (1, 21, 0.4, [0.5, 0.5, 0.70710678]),  # tied rel, same vec
+        (2, 30, 0.1, [1.0, 1.0, 1.0]),  # short query (1 candidate)
+    ]
+    df = spark.createDataFrame(cand, SCHEMA)
+    for rd in (None, 9):
+        got = mmr_rerank(df, k=5, lam=0.3, round_digits=rd)
+        want = _mmr_rerank_rounds(df, k=5, lam=0.3, round_digits=rd)
+        assert _rows(got) == _rows(want), f"round_digits={rd}"
+
+
 def test_custom_column_names_roundtrip(spark):
     df = spark.createDataFrame(
         [(0, 1, 0.5, [1.0, 2.0])], "qid long, d long, s double, emb array<double>"
