@@ -37,18 +37,43 @@ def connected_components(
     exited with wrong, non-converged labels (review find — templated
     page series form exactly such chains). 20 doubling rounds cover any
     diameter up to ~2^20; if the graph still hasn't converged the loop
-    RAISES instead of returning wrong clusters."""
+    RAISES instead of returning wrong clusters.
+
+    Convergence probe (r14): every label update is ``least(...)`` of the
+    old label, so labels are monotonically non-increasing and, for
+    integral node ids, the label SUM is an exact change detector —
+    "sum unchanged" == "no label changed". The probe is one scalar
+    aggregation over the round's pinned frame (summed as decimal(38,0):
+    node ids may be full-range 64-bit hashes, and a wrapped long sum
+    could in principle collide) instead of the previous new-vs-old
+    join + count. Non-numeric ids (entity resolution clusters string
+    keys) keep the join-based change count — a string sum has no
+    monotone total. Either way the round's pin is LAZY with the probe
+    as its materializing action (the change-count join reads every
+    partition of both sides, so it checkpoints the frame just as the
+    aggregation does) — one job per round where pin + probe was two."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     undirected = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    ).transform(pin, eager=False)
     # initial label: min neighbor (or self) — then propagate mins
     labels = (
         undirected.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
+        .transform(pin, eager=False)
     )
-    undirected = undirected.transform(pin, eager=True)
+    integral_ids = labels.schema["label"].dataType.simpleString() in (
+        "bigint",
+        "int",
+        "smallint",
+        "tinyint",
+    )
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    if integral_ids:
+        # seed the probe from the initial labels; the one job here also
+        # materializes the undirected-edges and initial-labels pins
+        prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iterations):
         # candidate: min of own label and neighbors' labels
         neighbor_labels = (
@@ -84,15 +109,23 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.transform(pin, eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # lazy pin + probe: the probe is the action that materializes
+        # the round's checkpoint — one job, not two
+        new_labels = new_labels.transform(pin, eager=False)
+        if integral_ids:
+            s = new_labels.agg(label_sum).collect()[0][0]
+            converged = s == prev_sum
+            prev_sum = s
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+                == 0
+            )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -383,7 +416,13 @@ def bfs_distances(
     rank frames), and the loop exits as soon as a frontier comes back
     empty, so total work is O(edges within the reached radius), never
     max_hops * edges. Raises if the graph is still expanding at
-    ``max_hops`` (silent truncation would mislabel distances)."""
+    ``max_hops`` (silent truncation would mislabel distances).
+
+    Pins are LAZY with the frontier count as the materializing action
+    (r14): one job per hop — the count both answers "is the frontier
+    empty" and checkpoints the frontier, and the visited-set union's
+    checkpoint cascades into the NEXT hop's job — where eager pin +
+    limit(1) probe + eager union pin was three jobs per hop."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     adj = (
         fwd
@@ -392,12 +431,12 @@ def bfs_distances(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
     )
-    adj = adj.transform(pin, eager=True)
+    adj = adj.transform(pin, eager=False)
     dist = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .transform(pin, eager=True)
+        .transform(pin, eager=False)
     )
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
@@ -406,13 +445,13 @@ def bfs_distances(
             .select(F.col("v").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
-            .transform(pin, eager=True)
+            .transform(pin, eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             return dist
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(hop).cast("long"))
-        ).transform(pin, eager=True)
+        ).transform(pin, eager=False)
         frontier = nxt
     # still expanding at the cap: distances beyond max_hops would be
     # silently wrong, so refuse (same contract as connected_components)
@@ -747,14 +786,16 @@ def core_numbers(
         unroll = 1  # pruning needs the per-application changed set
 
     e = canonical_edges(edges, src, dst)
+    lazy_pins = not frontier  # frontier's limit(1) probe would not
+    # materialize every partition of a lazy checkpoint
     und = (
         e.select("u", "v")
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(pin, eager=True)
+        .transform(pin, eager=not lazy_pins)
     )
     est = und.groupBy("u").agg(F.count(F.lit(1)).alias("core")).select(
         F.col("u").alias("node"), "core"
-    ).transform(pin, eager=True)
+    ).transform(pin, eager=not lazy_pins)
     changed = est.select("node")  # round 1: every node may drop
 
     if not frontier:
@@ -762,11 +803,14 @@ def core_numbers(
         # integer, so "sum unchanged" == "nothing changed" — an exact
         # convergence probe that is one scalar aggregation over the pinned
         # blocks instead of a change-detection join. Seeded from the
-        # INITIAL degree estimates (one cheap agg over the pinned frame)
-        # so a graph already at its fixpoint converges inside the FIRST
-        # batch — the same contract as the old per-round change detection:
-        # max_iterations bounds h-applications, and a batch that changes
-        # nothing returns within those applications, never raises.
+        # INITIAL degree estimates so a graph already at its fixpoint
+        # converges inside the FIRST batch — the same contract as the old
+        # per-round change detection: max_iterations bounds
+        # h-applications, and a batch that changes nothing returns within
+        # those applications, never raises. Pins are LAZY with the probe
+        # as the materializing action (r14): one job per materialized
+        # round (and one at seed time for und + est) where pin + probe
+        # was two.
         prev_sum = est.agg(F.sum("core")).collect()[0][0]
         rounds = 0
         while rounds < max_iterations:
@@ -774,7 +818,7 @@ def core_numbers(
             for _ in range(min(unroll, max_iterations - rounds)):
                 cur = _h_round(und, cur)
                 rounds += 1
-            est = cur.transform(pin, eager=True)
+            est = cur.transform(pin, eager=False)
             s = est.agg(F.sum("core")).collect()[0][0]
             if s == prev_sum:
                 return est

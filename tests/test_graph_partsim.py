@@ -32,6 +32,29 @@ def test_connected_components_long_chain(spark):
     assert len(comps) == 1 and comps[0][0] == 100
 
 
+def test_connected_components_probe_paths_agree(spark):
+    """r14 probe pin: integral ids converge via the monotone label-sum
+    probe, non-numeric ids via the join-based change count — the same
+    graph expressed with long ids and with string ids must produce the
+    identical clustering (string ids chosen so lexicographic order
+    matches numeric order, making min-labels comparable)."""
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (3, 1)]
+    num = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    txt = spark.createDataFrame(
+        [(f"n{a:03d}", f"n{b:03d}") for a, b in pairs],
+        "doc_a string, doc_b string",
+    )
+    cc_num = {
+        r["node"]: r["component"]
+        for r in connected_components(num).collect()
+    }
+    cc_txt = {
+        r["node"]: r["component"]
+        for r in connected_components(txt).collect()
+    }
+    assert {f"n{k:03d}": f"n{v:03d}" for k, v in cc_num.items()} == cc_txt
+
+
 def test_dedup_clusters_on_documents(spark, sf_dir):
     """End-to-end: jaccard pairs -> components -> every clustered doc maps to
     the minimum doc id of its cluster."""
