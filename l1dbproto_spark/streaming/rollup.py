@@ -241,9 +241,14 @@ class ContinuousAggregate:
     def _merge_locked(
         self, batch: DataFrame, epoch_id: int | None, run: str
     ) -> None:
+        # lazy pin + the touched-days collect as the materializing action:
+        # the distinct computes every partition, so ONE job both folds the
+        # batch into partials and returns the day list (the iterative-
+        # operator probe fold — an eager pin here was a second full pass
+        # over the batch aggregation for no extra information)
         partials = self._batch_partials(batch, epoch_id, run).withColumn(
             "bucket_day", F.to_date("bucket_start")
-        ).transform(pin, eager=True)
+        ).transform(pin, eager=False)
         days = [
             r.d
             for r in partials.select(F.col("bucket_day").alias("d"))
