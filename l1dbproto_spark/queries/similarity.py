@@ -649,13 +649,14 @@ def _mmr_oracle() -> str:
 )
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (lam=0.5) over each query's exact top-20
-    cosine candidates, queries vec_id<8. The greedy loop is k=5
-    driver-orchestrated rounds of pure column algebra over the pinned
-    |Q|x20 candidate frame — the corpus never re-enters after candidate
-    generation (operators/rerank.py mmr_rerank). round_digits=9 applies
-    the engine-portability rounding to each pairwise similarity before
-    it enters the running max, which is what lets DuckDB reproduce the
+    cosine candidates, queries vec_id<8. The greedy selection is one
+    groupBy(query_id) aggregate fold over the |Q|x20 candidate frame —
+    the corpus never re-enters after candidate generation
+    (operators/rerank.py mmr_rerank). round_digits=9 applies the
+    engine-portability rounding to each pairwise similarity before it
+    enters the running max, which is what lets DuckDB reproduce the
     greedy selection, mmr scores, and ranks exactly."""
+    from ..checkpoint import pin
     from ..operators.rerank import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -679,6 +680,14 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cosine_sim").alias("score"),
             "vec",
         )
+        # lazy lineage cut on the |Q|*k candidate frame: generation
+        # references embeddings through three distinct subtrees (corpus
+        # scan, query filter, neighbor-vec fetch); without the cut every
+        # action on the returned frame re-runs all three (the r13
+        # driver-loop version pinned here eagerly — the aggregate rework
+        # keeps the cut but lets the query's own action materialize it,
+        # no dedicated job)
+        .transform(pin, eager=False)
     )
     return mmr_rerank(cands, k=_MMR_K, lam=0.5, round_digits=9)
 
