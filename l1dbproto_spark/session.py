@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # engine-written parquet (visit stores, rollup state, bucketed
+        # copies) compresses zstd: ~8% faster visit tail locally (3/3
+        # interleaved pairs, OPTIMIZATION_r14.md) and strictly fewer
+        # read bytes at cluster scale; env-overridable because the right
+        # codec is a property of the deployment's CPU:I/O ratio
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
