@@ -13,10 +13,211 @@ distributed job, the driver only checks the convergence counter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star step (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): for every node x, connect each STRICTLY LARGER
+    neighbor to the minimum of x's closed neighborhood.
+
+    ``e`` is orientation-canonical (every row has ``u > v``); the output
+    keeps that invariant (each emitted edge is ``(y, m)`` with
+    ``m <= x < y``). Exactly ONE row is emitted per input row — the
+    direction row whose far endpoint is larger — so the step never grows
+    the frame, and duplicates are tolerated throughout (the min is
+    multiset-insensitive; the per-batch dedup collapses them). Plan
+    shape: one union (no shuffle), one unordered min window over the
+    node key (one exchange, no sort, no join)."""
+    nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star step: key every edge at its LARGER endpoint x and
+    connect x and all its (smaller) neighbors to the smallest of them.
+
+    Input/output are orientation-canonical (``u > v``). Each row emits
+    the pair ``{(v, m), (u, m)}`` — the reducer-level ``(x, m)`` of the
+    paper is emitted once per row instead of once per group and the
+    self-loop ``(m, m)`` is dropped by the filter; the batch-end dedup
+    collapses the copies. Same single-exchange shape as large-star."""
+    w = Window.partitionBy("u")
+    pair = F.array(
+        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+    )
+    return (
+        e.withColumn("m", F.min("v").over(w))
+        .select(F.explode(pair).alias("s"))
+        .select(F.col("s.a").alias("u"), F.col("s.b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _star_rounds(
+    cur: DataFrame, max_iterations: int, unroll: int
+) -> DataFrame:
+    """The large-star/small-star fixpoint loop over an ALREADY
+    orientation-canonical edge frame (every row ``u > v``, no self-loops;
+    duplicates tolerated). Shared by :func:`connected_components_star`
+    and the auto dispatch in :func:`connected_components`, which seeds it
+    from its own pinned undirected frame instead of re-scanning the
+    input."""
+    if unroll < 1:
+        raise ValueError("unroll must be >= 1")
+    id_type = cur.schema["v"].dataType
+    rounds = 0
+    while rounds < max_iterations:
+        batch = cur
+        for _ in range(min(unroll, max_iterations - rounds)):
+            batch = _small_star(_large_star(batch))
+            rounds += 1
+        batch = batch.transform(pin, eager=False)
+        # star-form probe: one pass (explode both endpoint roles), one
+        # groupBy(node), one scalar aggregate — materializes the pin
+        roles = batch.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.col("v").alias("nbr"),
+                        F.lit(1).alias("l"),
+                        F.lit(0).alias("r"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.lit(None).cast(id_type).alias("nbr"),
+                        F.lit(0).alias("l"),
+                        F.lit(1).alias("r"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+        probe = (
+            roles.groupBy("node")
+            .agg(
+                F.max("l").alias("l"),
+                F.max("r").alias("r"),
+                F.countDistinct("nbr").alias("nv"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.max(F.col("l") * F.col("r")).alias("both"),
+                F.max("nv").alias("max_nbrs"),
+            )
+            .head()
+        )
+        cur = batch
+        if probe["n_nodes"] == 0 or (
+            probe["both"] == 0 and probe["max_nbrs"] <= 1
+        ):
+            # batch is disjoint stars: leaves = (u, v) collapsed per u
+            # (each leaf has ONE distinct neighbor — min collapses the
+            # duplicate rows), centers label themselves
+            leaves = batch.groupBy("u").agg(F.min("v").alias("component"))
+            return leaves.select(
+                F.col("u").alias("node"), "component"
+            ).unionAll(
+                batch.select(F.col("v").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("component"))
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iterations} "
+        "large-star/small-star rounds; raise max_iterations"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+    unroll: int = 2,
+) -> DataFrame:
+    """(node, component) by alternating large-star / small-star edge
+    contraction (Kiveris et al. 2014) — the scale-oriented ALTERNATIVE to
+    the shipped :func:`connected_components`, kept equivalence-tested
+    (tests/test_cc_star.py pins both arms against a Python union-find on
+    random graphs) but NOT the default. Same contract: component = min
+    reachable node id, isolated nodes absent, any orderable id type.
+
+    Why it is not the default (r15 measured decision — the full ledger
+    lives in :func:`connected_components`): on the bench dedup graphs the
+    min-label rounds run as BROADCAST joins (the label frame is small →
+    zero shuffles per round), while each star step is a window over the
+    edge key — an unavoidable exchange per step — so star measured
+    SLOWER at both local SFs (interleaved A/B, CC isolated on pinned
+    pairs: 0.94 s vs 1.19 s @ sf0.1, 0.53 s vs 0.97 s @ sf0.01) and only
+    won on deep chains (60-node chain: 2.19 s vs 2.52 s). Its regime is
+    the opposite one: edge frames too large for the label side to
+    broadcast, where a min-label round degrades to two sort-merge joins
+    of a never-shrinking frame while a star round stays two windows over
+    a frame that CONTRACTS toward one edge per non-min node.
+
+    Each star step references its input exactly once, so ``unroll``
+    rounds chain into ONE materialized job without subtree duplication
+    (the same single-reference unrolling core_numbers uses; extra star
+    steps past the fixpoint are identity, so any unroll factor converges
+    to the same answer).
+
+    Convergence probe: a batch is converged when its (multiset) edge
+    output is STAR-FORM — every left endpoint has exactly one distinct
+    neighbor and no node appears as both a left and a right endpoint —
+    tested with one explode + groupBy(node) + scalar aggregate that also
+    materializes the batch's lazy pin (one job per batch, no comparison
+    against the previous batch and no confirm round: star-form IS the
+    fixpoint, since disjoint stars are identity under both steps and,
+    by Kiveris et al.'s termination theorem, every fixpoint is
+    star-form). At star-form the center of each star is the component
+    minimum: node sets and connectivity are preserved by both steps
+    (paper Lemmas), edges always point larger -> smaller, so a
+    component's minimum can never be a leaf — it is the (unique)
+    center. Raises past ``max_iterations`` full rounds instead of
+    returning wrong clusters (the paper's bound is O(log^2 n) rounds,
+    measured 1-4 on the bench graphs incl. a 59-diameter chain).
+
+    Self-loop rows are ignored as edges, so a node appearing ONLY in
+    self-loops is absent from the output — identical to
+    :func:`connected_components` (both arms treat such a node as
+    isolated; pinned by test)."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # orientation-canonical seed (u > v, no self-loops); duplicates are
+    # tolerated by the star steps (min is multiset-insensitive), so no
+    # seed-side distinct job — the output groupBy collapses them at the end
+    cur = fwd.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    return _star_rounds(cur, max_iterations, unroll)
+
+
+#: Auto-dispatch threshold: integral-keyed graphs with at least this many
+#: edge-bearing nodes run the star-contraction arm. Env-overridable so a
+#: deployment can move the crossover without a code change; the default
+#: sits above every bench graph (hundreds to ~5k nodes, where min-label's
+#: broadcast rounds win or tie) and below the smallest measured star win
+#: (random supercritical graphs: star 2.9 s vs min-label 5.0 s at 3.7k
+#: nodes, 2.7 vs 4.4 at 7.3k, 3.2 vs 6.0 at 15k, 10.5 vs 23.5 at 367k —
+#: tools/ab_cc.py / OPTIMIZATION_r15.md). The asymmetry is safe: above
+#: the threshold star never measured worse than parity, below it the
+#: graphs are small enough that either arm finishes in ~1 s.
+_STAR_MIN_NODES_ENV = "SPARK_GRAFT_CC_STAR_MIN_NODES"
+_STAR_MIN_NODES_DEFAULT = 10_000
+
+
+def _star_min_nodes() -> int:
+    import os
+
+    return int(os.environ.get(_STAR_MIN_NODES_ENV, _STAR_MIN_NODES_DEFAULT))
 
 
 def connected_components(
@@ -24,6 +225,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
@@ -46,16 +248,60 @@ def connected_components(
     aggregation over the round's pinned frame (summed as decimal(38,0):
     node ids may be full-range 64-bit hashes, and a wrapped long sum
     could in principle collide) instead of the previous new-vs-old
-    join + count. Non-numeric ids (entity resolution clusters string
-    keys) keep the join-based change count — a string sum has no
-    monotone total. Either way the round's pin is LAZY with the probe
-    as its materializing action (the change-count join reads every
-    partition of both sides, so it checkpoints the frame just as the
-    aggregation does) — one job per round where pin + probe was two."""
+    join + count; if the decimal sum itself overflows to NULL (non-ANSI)
+    the round falls back to the exact join-based change count rather
+    than comparing None == None (r14 advice item 3). Non-numeric ids
+    (entity resolution clusters string keys) keep the join-based change
+    count — a string sum has no monotone total. Either way the round's
+    pin is LAZY with the probe as its materializing action — one job per
+    round where pin + probe was two.
+
+    Algorithm dispatch (r15, VERDICT item 1): the large-star/small-star
+    contraction of Kiveris et al. 2014 (:func:`connected_components_star`,
+    equivalence-pinned by tests/test_cc_star.py) was built and benched
+    head-to-head, and the two arms win in DISJOINT regimes:
+
+    * bench-sized graphs (hundreds to ~2k nodes, both local SFs): every
+      min-label round's joins broadcast the label frame — zero exchanges
+      per round — while every star step pays a window exchange. Isolated
+      CC on pinned jaccard pairs: min-label 0.94 s vs star 1.19 s @
+      sf0.1, 0.53 vs 0.97 @ sf0.01; parity on 200x10 cliques.
+    * large graphs (same host, synthetic supercritical random graphs):
+      the label frame stops broadcasting and min-label degrades to
+      repeated sort-merge joins of a never-shrinking frame, while star's
+      edge frame CONTRACTS — 500k edges / 367k nodes: min-label 23.5 s
+      (117 jobs) vs star 10.5 s (28 jobs); 2M edges / 1.47M nodes:
+      68.5 s vs 19.5 s (3.5x).
+
+    ``algorithm="auto"`` (default) therefore dispatches integral-keyed
+    graphs to the star arm when the seed aggregation — the SAME single
+    job that seeds the label-sum probe, now also counting label rows —
+    sees at least ``$SPARK_GRAFT_CC_STAR_MIN_NODES`` (default 10k)
+    edge-bearing nodes; the star seed reuses this function's pinned
+    undirected frame, so the dispatch costs one wasted seed aggregation
+    at worst and nothing below the threshold. String-keyed graphs (no
+    seed aggregation exists on that path, and real ones are entity-
+    resolution-sized) stay min-label unless ``algorithm="star"`` is
+    passed explicitly; ``algorithm="minlabel"`` pins the label loop.
+
+    Self-loop rows are ignored as edges, so a node appearing ONLY in
+    self-loops is absent from the output under every algorithm (r15
+    normalization — the arms previously disagreed on this out-of-contract
+    input; pinned by test)."""
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(
+            f"algorithm must be auto|minlabel|star, got {algorithm!r}"
+        )
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst)
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    undirected = fwd.unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).transform(pin, eager=False)
+    undirected = (
+        fwd.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .transform(pin, eager=False)
+    )
     # initial label: min neighbor (or self) — then propagate mins
     labels = (
         undirected.groupBy("u")
@@ -72,8 +318,21 @@ def connected_components(
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     if integral_ids:
         # seed the probe from the initial labels; the one job here also
-        # materializes the undirected-edges and initial-labels pins
-        prev_sum = labels.agg(label_sum).collect()[0][0]
+        # materializes the undirected-edges and initial-labels pins, and
+        # its node count is the auto-dispatch size probe (free: same job)
+        seed = labels.agg(
+            label_sum.alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        prev_sum = seed["s"]
+        if algorithm == "auto" and seed["n"] >= _star_min_nodes():
+            # large integral-keyed graph: hand the already-pinned
+            # undirected frame to the star loop (filter u > v restores
+            # the orientation-canonical seed without re-scanning edges)
+            return _star_rounds(
+                undirected.filter(F.col("u") > F.col("v")),
+                max_iterations=25,
+                unroll=2,
+            )
     for _ in range(max_iterations):
         # candidate: min of own label and neighbors' labels
         neighbor_labels = (
@@ -114,7 +373,20 @@ def connected_components(
         new_labels = new_labels.transform(pin, eager=False)
         if integral_ids:
             s = new_labels.agg(label_sum).collect()[0][0]
-            converged = s == prev_sum
+            if s is None or prev_sum is None:
+                # decimal(38,0) overflowed to NULL (non-ANSI) — a
+                # None == None comparison would silently declare
+                # convergence with wrong labels (r14 advice item 3);
+                # fall back to the exact join-based change count
+                converged = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                    == 0
+                )
+            else:
+                converged = s == prev_sum
             prev_sum = s
         else:
             converged = (
