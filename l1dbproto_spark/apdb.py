@@ -329,7 +329,13 @@ class ApdbSpark:
         # re-materializing an already-scanless frame buys nothing and costs
         # one job on the visit critical path (r14 optimization; the cheap
         # projections above re-run per consumer, ~10^4 rows of arithmetic).
-        if not lineage_is_cut(objects):
+        # The check runs on OBJ — the frame every write below actually
+        # consumes — not on the caller's objects: identical today (obj is
+        # projections over objects, same leaves, and lineage_is_cut now
+        # also requires the checkpoint to be materialized), but a future
+        # obj that joins another table must not inherit the skip (r14
+        # verdict note 6).
+        if not lineage_is_cut(obj):
             obj = obj.transform(pin, eager=True)
         for f in TABLE_SCHEMAS["DiaObject"].fields:
             if f.name not in obj.columns:
@@ -520,6 +526,20 @@ class ApdbSpark:
         return (
             f"{self.root.rstrip('/')}/_visit_intents/"
             f"{visit_time.strftime('%Y%m%dT%H%M%S_%f')}"
+        )
+
+    def has_pending_intent(self, visit_time: datetime.datetime) -> bool:
+        """True when a leftover write-ahead intent marker exists for
+        ``visit_time`` — i.e. the next :meth:`store` for this visit will
+        take the crash-restore path and SCRUB its prior partial rows via
+        partition rewrites. Callers that overlap read jobs with the store
+        (the visit pipeline's history counts) must check this first: a
+        pre-store snapshot's file listing can reference exactly the files
+        the scrub deletes, so on the restore path those reads have to
+        finish BEFORE store() starts (r14 advice item 1). One filesystem
+        metadata call, no Spark job."""
+        return self.exactly_once and self._fs.exists(
+            self._marker_path(visit_time)
         )
 
     def _delete_visit_rows(

@@ -139,18 +139,31 @@ _SCANLESS_LEAVES = ("LogicalRDD", "LocalRelation", "OneRowRelation")
 
 def lineage_is_cut(df: DataFrame) -> bool:
     """True when every leaf of ``df``'s analyzed plan is an in-memory
-    relation (checkpointed RDD / local rows) — i.e. the lineage has
-    already been cut and re-evaluating the frame can never re-scan a
-    storage table. Used by write paths to skip a redundant second
-    ``pin`` of inputs the caller already pinned (one materialization job
-    saved per call — measurable on latency-bound paths like the APDB
-    visit store). Conservative: any introspection failure reports False
-    (the caller then pins, which is always safe)."""
+    relation (MATERIALIZED checkpointed RDD / local rows) — i.e. the
+    lineage has already been cut and re-evaluating the frame can never
+    re-scan a storage table. Used by write paths to skip a redundant
+    second ``pin`` of inputs the caller already pinned (one
+    materialization job saved per call — measurable on latency-bound
+    paths like the APDB visit store).
+
+    A LAZY pin is NOT enough (r14 advice item 2): ``checkpoint`` /
+    ``localCheckpoint(eager=False)`` returns a LogicalRDD-leaf plan
+    immediately, but until the first action the underlying RDD still
+    recomputes through the ORIGINAL lineage — file scans included — so a
+    caller that skipped its own pin on the strength of the leaf shape
+    alone could silently read post-overwrite state. Every LogicalRDD
+    leaf must therefore also report ``rdd().isCheckpointed()`` (true
+    only once the checkpoint data exists, in both local and reliable
+    modes; pinned by test). Conservative: any introspection failure
+    reports False (the caller then pins, which is always safe)."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):
-            name = leaves.apply(i).getClass().getSimpleName()
+            leaf = leaves.apply(i)
+            name = leaf.getClass().getSimpleName()
             if name not in _SCANLESS_LEAVES:
+                return False
+            if name == "LogicalRDD" and not leaf.rdd().isCheckpointed():
                 return False
         return True
     except Exception:

@@ -34,14 +34,22 @@ class TableFS:
         """The OS path when this FS is the local one (scheme ``file`` or a
         bare path), else None. Lets primitives that need REAL atomicity
         (the exclusive-create lock) use a syscall where Hadoop's local FS
-        emulation is check-then-act."""
+        emulation is check-then-act.
+
+        URI paths resolve through the JVM ``Path``'s ``toUri().getPath()``
+        so the syscall lands on the SAME file Hadoop's own resolution
+        uses: the previous string-strip folded a ``file://host/...``
+        authority into the path ('/host/tmp/x'). Note Hadoop ``Path`` is
+        NOT an RFC URI — '%' is a literal path character — and
+        ``toUri().getPath()`` preserves that, so percent sequences stay
+        literal exactly as Hadoop opens them (r14 advice item 4; pinned
+        by test)."""
         scheme = self._fs.getScheme()
         if scheme != "file":
             return None
-        if path.startswith("file:"):
-            path = path[len("file:"):]
-            while path.startswith("//"):
-                path = path[1:]
+        if ":" in path.split("/", 1)[0]:
+            # URI form (file:/..., file:///...) — decode via the JVM Path
+            return self._jpath(path).toUri().getPath()
         return path
 
     def exists(self, path: str) -> bool:

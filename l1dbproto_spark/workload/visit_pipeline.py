@@ -179,8 +179,20 @@ def process_visit(
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_metrics = ctx_submit(ex, metrics.collect)
         if history_frames is not None:
-            f_src = ctx_submit(ex, history_frames[0].count)
-            f_forced = ctx_submit(ex, history_frames[1].count)
+            if apdb.has_pending_intent(visit_time):
+                # crash-restore path: store() will SCRUB this visit's
+                # prior partial rows by rewriting DiaSource/DiaForcedSource
+                # partitions — files the history frames' snapshotted
+                # listing still references. Run the counts to completion
+                # BEFORE the store so the scrub cannot yank files out from
+                # under them (r14 advice item 1); the overlap stays on the
+                # clean path, which is every visit but a crash replay.
+                counts.sources_read = history_frames[0].count()
+                counts.forced_read = history_frames[1].count()
+                history_frames = None
+            else:
+                f_src = ctx_submit(ex, history_frames[0].count)
+                f_forced = ctx_submit(ex, history_frames[1].count)
         apdb.store(visit_time, objects, sources, forced)
         if history_frames is not None:
             counts.sources_read = f_src.result()

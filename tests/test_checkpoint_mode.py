@@ -177,3 +177,40 @@ def test_global_default_visible_to_all_threads(spark):
             assert ex.submit(get_checkpoint_mode).result() == "reliable"
     finally:
         set_checkpoint_mode("local")
+
+
+def test_lineage_is_cut_requires_materialization(spark, tmp_path):
+    """r14 advice item 2: a LAZY pin has a LogicalRDD leaf immediately,
+    but until the first action the RDD still recomputes through the
+    original lineage (file scans included) — lineage_is_cut must say
+    False until the checkpoint is materialized, in both modes."""
+    from l1dbproto_spark.checkpoint import (
+        checkpoint_mode,
+        lineage_is_cut,
+        pin,
+    )
+
+    src = spark.range(8).selectExpr("id", "id * 2 AS x")
+    assert not lineage_is_cut(src)  # plain lineage
+
+    lazy = src.transform(pin, eager=False)
+    assert not lineage_is_cut(lazy)  # lazy, unmaterialized
+    lazy.count()
+    assert lineage_is_cut(lazy)  # materialized by the action
+
+    eager = src.transform(pin, eager=True)
+    assert lineage_is_cut(eager)
+
+    with checkpoint_mode("reliable", spark, str(tmp_path / "ckpt")):
+        rlazy = src.transform(pin, eager=False)
+        assert not lineage_is_cut(rlazy)
+        rlazy.count()
+        assert lineage_is_cut(rlazy)
+
+    # literal frames (LocalRelation leaves) were never scan-backed
+    assert lineage_is_cut(spark.sql("SELECT 1 AS a"))
+    # PySpark's createDataFrame parallelizes local rows into an
+    # un-checkpointed LogicalRDD: it cannot rescan storage either, but
+    # the materialization check cannot see that — conservative False is
+    # the accepted cost (the caller pins, which is always safe)
+    assert not lineage_is_cut(spark.createDataFrame([(1,)], "a long"))

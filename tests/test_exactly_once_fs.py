@@ -453,3 +453,84 @@ def test_two_threads_different_visits_serialize_or_fail_loudly(spark, tmp_path):
     }
     assert set(per_visit.values()) == {6} and len(per_visit) == 2
     assert apdb.count_rows("DiaObjectLast") == 12
+
+
+def test_local_os_path_resolves_uri_forms(spark, tmp_path):
+    """The O_EXCL lock must land on the SAME file Hadoop's Path resolves:
+    file: URIs (with or without the authority slashes, with percent
+    encoding) go through the JVM Path's toUri().getPath() instead of
+    string-stripping (r14 advice item 4)."""
+    from l1dbproto_spark.fs import TableFS
+
+    fs = TableFS(spark, str(tmp_path))
+    plain = f"{tmp_path}/a b/lock"
+    assert fs._local_os_path(plain) == plain
+    assert fs._local_os_path(f"file:{tmp_path}/x") == f"{tmp_path}/x"
+    assert fs._local_os_path(f"file://{tmp_path}/x") == f"{tmp_path}/x"
+    assert fs._local_os_path(f"file:///{str(tmp_path).lstrip('/')}/x") == f"{tmp_path}/x"
+    # Hadoop Path is NOT an RFC URI: '%' is a literal path character, so
+    # the lock must land on the literal 'a%20b' directory Hadoop opens —
+    # toUri().getPath() preserves exactly that
+    assert (
+        fs._local_os_path(f"file:{tmp_path}/a%20b/lock")
+        == f"{tmp_path}/a%20b/lock"
+    )
+    # the lock taken via a URI spelling blocks the plain-path spelling
+    import os
+
+    os.makedirs(f"{tmp_path}/d", exist_ok=True)
+    assert fs.create_exclusive(f"file:{tmp_path}/d/lk", "one")
+    assert not fs.create_exclusive(f"{tmp_path}/d/lk", "two")
+
+
+def test_restore_runs_history_counts_before_store(spark, tmp_path):
+    """r14 advice item 1: the visit pipeline overlaps the Q2/Q3 history
+    counts with store() — but on the crash-restore path store() SCRUBS
+    DiaSource/DiaForcedSource partitions, deleting files the history
+    frames' snapshotted listing references. With a pending intent marker
+    the counts must run to completion BEFORE store() (sequential
+    fallback), and the replayed visit must still produce exact counts."""
+    from l1dbproto_spark.plans.region import Circle
+    from l1dbproto_spark.workload.visit_pipeline import (
+        VisitConfig,
+        process_visit,
+    )
+
+    apdb = ApdbSpark(spark, str(tmp_path / "apdb"))
+    apdb.make_schema(drop=True)
+    pointing = Circle(10.0, 1.0, 2.0)
+    det = _objects(spark).select(
+        "diaObjectId", F.lit(10.5).alias("ra"), F.lit(1.0).alias("dec")
+    )
+    # visit 0 seeds history; src_read_period=1 + duty 1.0 => every visit
+    # reads history
+    cfg = VisitConfig(src_read_period=1, src_read_duty_cycle=1.0)
+    process_visit(apdb, 0, VISIT_T, det, pointing, cfg)
+    apdb.save_visit(0, VISIT_T, 6)
+
+    # visit 1 "crashed" mid-store: simulate by storing without save_visit,
+    # leaving the intent marker behind
+    t1 = VISIT_T + datetime.timedelta(seconds=45)
+    c_first = process_visit(apdb, 1, t1, det, pointing, cfg)
+    assert apdb.has_pending_intent(t1)
+
+    # replay of visit 1 takes the restore path: history counts must run
+    # to completion BEFORE store()'s scrub deletes the files their
+    # snapshot references (no FileNotFoundException, no silent
+    # undercount). The snapshot itself keeps the pre-r14 sequential
+    # semantics: built before the scrub, it still sees the crashed
+    # attempt's own rows, so the replay reads visit-0 + crashed-visit-1
+    # history (2x the first attempt's counts).
+    c_replay = process_visit(apdb, 1, t1, det, pointing, cfg)
+    assert (
+        c_replay.sources_read
+        == c_first.sources_read + c_first.sources_stored
+    )
+    assert (
+        c_replay.forced_read == c_first.forced_read + c_first.forced_stored
+    )
+    apdb.save_visit(1, t1, 6)
+    assert not apdb.has_pending_intent(t1)
+    # exactly-once: replay left no duplicate source rows
+    src = apdb._read("DiaSource")
+    assert src.count() == src.select("diaSourceId").distinct().count()
