@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for registered queries into plans/r14/.
+"""Dump .explain("formatted") for registered queries into plans/$SPARK_GRAFT_PLANS_DIR
+(default r15).
 
 Usage:
-    python tools/capture_plans.py before [query ...]   # -> plans/r14/<q>_before.txt
-    python tools/capture_plans.py after  [query ...]   # -> plans/r14/<q>_after.txt
+    python tools/capture_plans.py before [query ...]   # -> plans/<dir>/<q>_before.txt
+    python tools/capture_plans.py after  [query ...]   # -> plans/<dir>/<q>_after.txt
 
 With no query names, captures every registered query. The plan is the
 static formatted physical plan at sf0.1 (the bench SF) under the bench
@@ -28,7 +29,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
