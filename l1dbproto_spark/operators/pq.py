@@ -94,64 +94,86 @@ def pq_encode(
     carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` codes: per subspace, the code of the
-    L2-nearest centroid (ties broken by lower code). One broadcast join of
-    the (m x k_codes)-row codebook against the exploded subvectors, one
-    argmin window per (vector, subspace), then codes re-assembled in
-    subspace order via ``array_sort`` on (subspace, code) structs — no
-    second shuffle. Output: (``id_col``, codes array<int>) plus any
-    ``carry_cols`` threaded through the aggregation (one value per vector —
-    e.g. an IVF cluster id), which avoids a re-join against the corpus.
+    L2-nearest centroid (ties broken by lower code). One broadcast of the
+    nested (m x k_codes)-entry codebook against the corpus, all m argmins
+    computed per row as higher-order-function folds — no explode, no
+    window, no shuffle. Output: (``id_col``, codes array<int>) plus any
+    ``carry_cols`` passed through unchanged (one value per vector — e.g.
+    an IVF cluster id), which avoids a re-join against the corpus.
 
     At 10^10 vectors this is a single corpus scan with map-side broadcast
-    work; the argmin groupBy keys on (vec_id, subspace) — uniform, no
-    skew."""
+    work and ZERO exchanges (r15): the codebook — m*k_codes rows, a few KB
+    — is nested into one array row per join key and broadcast, and every
+    vector computes all m argmins in one higher-order-function fold over
+    its row. The previous form exploded the corpus m-fold, broadcast-joined
+    it k_codes-fold, and ran the argmin as a row_number window — an
+    Exchange + sort of corpus x m x k_codes rows (~10M at sf0.1, the whole
+    corpus shuffled 128x at any scale) for a per-row reduction that needs
+    no data movement at all (guide §2.4 "remove shuffles outright"). The
+    fold iterates codes in ascending (subspace, code) order and replaces
+    the running best only on a STRICTLY greater score, which reproduces
+    the window's ``desc(_cs), asc(code)`` pick exactly (same dot_fold
+    expression, so scores are bit-identical; pinned by the DuckDB
+    row_number oracle in tests/test_pq.py). Precondition, unchanged from
+    the window form's guards elsewhere in the family: vectors are finite
+    and non-null (a NaN score ranks first under desc ordering but loses
+    every ``>`` comparison, so the two forms would diverge there)."""
     sub_dim = _sub_dim(dim, m)
     carry_cols = carry_cols or []
-    subs = F.array(
-        *[
+    per_cluster = "cluster" in codebooks.columns
+    key_cols = ["cluster"] if per_cluster else []
+    # one codebook row per join key: entries sorted ascending by
+    # (subspace, code) — the fold order that makes "strictly greater
+    # replaces" equal the window's lowest-code tie-break
+    nested = codebooks.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", "code", "centroid"))
+        ).alias("_cb_entries")
+    )
+    if per_cluster:
+        # per-cluster codebooks (residual_codebooks): each vector competes
+        # only against its OWN cluster's codes — broadcast hash join on the
+        # cluster id, still no corpus exchange
+        joined = corpus.join(F.broadcast(nested), "cluster")
+    else:
+        joined = corpus.crossJoin(F.broadcast(nested))
+
+    def _argmin_code(j):
+        """Best code of subspace ``j``: left fold over the (code-ascending)
+        subspace entries keeping the strictly-best centroid score. The
+        score — L2 argmin == argmax(2*<x,c> - <c,c>), the same
+        centroid-score ordering as the IVF assignment (similarity.py),
+        shared determinism contract — is let-bound so the comparison and
+        the replacement read ONE evaluation (no CSE in the expression
+        interpreter; see rerank._let)."""
+        sub = subvector(F.col(vec_col), j, sub_dim)
+        return F.aggregate(
+            F.filter(F.col("_cb_entries"), lambda e: e["subspace"] == j),
             F.struct(
-                F.lit(j).alias("subspace"),
-                subvector(F.col(vec_col), j, sub_dim).alias("sub"),
-            )
-            for j in range(m)
-        ]
+                F.lit(None).cast("int").alias("code"),
+                F.lit(float("-inf")).alias("s"),
+            ),
+            lambda acc, e: F.element_at(
+                F.transform(
+                    F.array(
+                        2 * dot_fold(sub, e["centroid"])
+                        - dot_fold(e["centroid"], e["centroid"])
+                    ),
+                    lambda s: F.when(
+                        s > acc["s"],
+                        F.struct(e["code"].alias("code"), s.alias("s")),
+                    ).otherwise(acc),
+                ),
+                1,
+            ),
+            lambda acc: acc["code"],
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda j: _argmin_code(j)
     )
-    exploded = corpus.select(
-        F.col(id_col), *carry_cols, F.explode(subs).alias("s")
-    ).select(
-        id_col,
-        *carry_cols,
-        F.col("s.subspace").alias("subspace"),
-        F.col("s.sub").alias("sub"),
-    )
-    # L2 argmin == argmax(2*<x,c> - <c,c>), the same centroid-score ordering
-    # as the IVF assignment (similarity.py) — shared determinism contract
-    cscore = 2 * dot_fold(F.col("sub"), F.col("centroid")) - dot_fold(
-        F.col("centroid"), F.col("centroid")
-    )
-    w = Window.partitionBy(id_col, "subspace").orderBy(
-        F.desc("_cs"), F.asc("code")
-    )
-    # per-cluster codebooks (residual_codebooks) add a `cluster` key: each
-    # vector then competes only against its OWN cluster's codes — the join
-    # key grows, the plan shape (broadcast join + argmin window) does not
-    join_keys = ["subspace"] + (
-        ["cluster"] if "cluster" in codebooks.columns else []
-    )
-    assigned = (
-        exploded.join(F.broadcast(codebooks), join_keys)
-        .withColumn("_cs", cscore)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-    )
-    # array_sort on (subspace, code) structs orders codes by subspace; then
-    # strip to the bare code — one groupBy, no per-subspace pivot
-    return assigned.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
-            lambda s: s["code"],
-        ).alias("codes"),
-        *[F.first(c).alias(c) for c in carry_cols],
+    return joined.select(
+        F.col(id_col), codes.alias("codes"), *carry_cols
     )
 
 
@@ -387,7 +409,13 @@ def ivf_pq_topk(
         id_alias="query_id",
     ).select("query_id", "cluster")
     lut = query_luts(queries, codebooks, m, k_codes, dim, vec_col, id_col)
-    probed_luts = probes.join(lut, "query_id")
+    # both sides are bounded by the query batch (|Q| x n_probe vs |Q|),
+    # but their SIZE ESTIMATES come through aggregations the planner can't
+    # see through, so this 20-row join planned as a SortMergeJoin (two
+    # exchanges + sorts) in the r14 plan — hint the broadcast (guide §3.1:
+    # estimates are often badly wrong after aggregations; the result is
+    # itself broadcast into the scored join two lines down)
+    probed_luts = probes.join(F.broadcast(lut), "query_id")
 
     scored = (
         coded.join(F.broadcast(probed_luts), "cluster")

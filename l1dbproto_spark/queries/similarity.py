@@ -321,7 +321,13 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    # the query batch feeds THREE plan branches (centroid probing, LUT
+    # construction, the exact re-rank) — without the cut each branch
+    # carries its own full parquet scan of the corpus behind the
+    # vec_id < 10 pushdown (3 embeddings subtrees in the r14 plan); one
+    # lazy pin makes all three read the same in-memory 10-row frame
+    # (r15, VERDICT item 4 — same pattern as the index artifacts below)
+    queries = emb.filter(F.col("vec_id") < 10).transform(pin, eager=False)
     # the index artifacts are tiny (16 centroids, m*k_codes=128 codebook
     # rows) but feed several plan branches (assignment, encoding, LUTs) —
     # checkpoint them, modeling the production shape where both are

@@ -40,8 +40,11 @@ ALLOWED = {
     # columnar scan buys an all-pairs shuffle that carries only ids and
     # scores); queries are checkpointed to one materialization
     "quantized_topk": {"embeddings": 3},
-    "ivf_pq_topk": {"embeddings": 5},       # corpus, queries, re-rank (index
-                                            # artifacts checkpointed)
+    "ivf_pq_topk": {"embeddings": 2},       # corpus (assign+encode) +
+                                            # re-rank fetch; queries and
+                                            # index artifacts checkpointed
+                                            # (r15: was 5 — query batch now
+                                            # pinned once)
     "contamination_report": {"documents": 3},  # corpus + filtered eval index
     "tfidf_top_terms": {"documents": 2},    # tf + df branches share ONE
                                             # identical tf subtree — the
