@@ -79,6 +79,16 @@ def dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding in expression land (the same helper
+    rerank.py documents): bind ``value`` through a one-element ``transform``
+    so ``body`` references ONE evaluation — the expression interpreter has
+    no common-subexpression elimination, so an O(dim) score referenced
+    twice inside a fold lambda would otherwise be computed twice per
+    element."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def dot_chain(a: Column, b: Column, dim: int) -> Column:
     """Dot product as a left-associated multiply-add CHAIN for a known
     dimension: ``((0 + a1*b1) + a2*b2) + ...`` — the exact IEEE association
@@ -280,33 +290,59 @@ def _nearest_centroids(
     id_alias: str,
     dim: int | None = None,
 ) -> DataFrame:
-    """Top-n centroids per vector by centroid_score — a broadcast join of the
-    (tiny) centroid table against the vector set plus a per-vector window.
-    Runs cluster-side: no driver collect, works for arbitrarily large vector
-    sets (corpus assignment uses n=1, query probing n=n_probe)."""
+    """Top-n centroids per vector by centroid_score — a broadcast of the
+    (tiny) centroid table against the vector set. Runs cluster-side: no
+    driver collect, works for arbitrarily large vector sets (corpus
+    assignment uses n=1, query probing n=n_probe).
+
+    The n=1 corpus assignment is a ZERO-SHUFFLE per-row argmax (r15): the
+    centroids are nested into one broadcast row and each vector folds over
+    them in cluster-ascending order keeping the strictly-best score — the
+    exact ``max_by(struct(score, -cluster))`` pick (highest score, ties to
+    the lowest cluster), same ``centroid_score`` expression, so winners
+    are bit-identical (oracle-pinned by semdedup_drops / ivf_pq_topk /
+    ann_topk_ivf). The previous max_by groupBy partial-aggregated
+    map-side but still EXCHANGED one row per vector — embedding payload
+    included — and planned as a SortAggregate over an array-typed buffer,
+    i.e. a full-corpus shuffle + sort at scale for a per-row reduction
+    (guide §2.4). Precondition, as for the PQ encode fold: vectors are
+    finite and non-null (a NaN score ranks first under the aggregate's
+    ordering but loses every ``>`` comparison)."""
+    if n == 1:
+        ctype = centroids.schema["cluster"].dataType
+        nested = centroids.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cluster"), F.col("_cvec")))
+            ).alias("_cents")
+        )
+        pick = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(None).cast(ctype).alias("cluster"),
+                F.lit(float("-inf")).alias("s"),
+            ),
+            lambda acc, e: _let(
+                centroid_score(F.col("_v"), e["_cvec"], dim),
+                lambda s: F.when(
+                    s > acc["s"],
+                    F.struct(e["cluster"].alias("cluster"), s.alias("s")),
+                ).otherwise(acc),
+            ),
+            lambda acc: acc["cluster"],
+        )
+        return (
+            _spread(vecs, "_vid")
+            .crossJoin(F.broadcast(nested))
+            .select(
+                F.col("_vid").alias(id_alias), F.col("_v"), pick.alias("cluster")
+            )
+        )
     scored = _spread(vecs, "_vid").crossJoin(F.broadcast(centroids)).select(
         F.col("_vid").alias(id_alias),
         F.col("_v"),
         F.col("cluster"),
         centroid_score(F.col("_v"), F.col("_cvec"), dim).alias("_cscore"),
     )
-    if n == 1:
-        # corpus assignment: argmax via max_by — partial-aggregatable, so the
-        # n_clusters-fold row expansion collapses map-side before the single
-        # groupBy shuffle (a window would shuffle all N*n_clusters rows).
-        # Ordering struct (score, -cluster): max == highest score, ties to
-        # the lowest cluster id — identical to the window form below.
-        best = scored.groupBy(id_alias).agg(
-            F.max_by(
-                F.struct(F.col("_v").alias("_v"), F.col("cluster").alias("cluster")),
-                F.struct(
-                    F.col("_cscore").alias("s"), (-F.col("cluster")).alias("nc")
-                ),
-            ).alias("_best")
-        )
-        return best.select(
-            id_alias, F.col("_best._v").alias("_v"), F.col("_best.cluster").alias("cluster")
-        )
     w = Window.partitionBy(id_alias).orderBy(F.desc("_cscore"), F.asc("cluster"))
     return (
         scored.withColumn("_crn", F.row_number().over(w))
